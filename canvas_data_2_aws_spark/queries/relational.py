@@ -1,0 +1,163 @@
+"""Scans / projection / filter / sinks (SURVEY §2.1 S1–S5, §2.2 P1–P2)
+plus the flagship aggregation ``agg_group_sum`` (§2.4 A1, = ``entry()``).
+
+The reference's analytics surface is delegated to its replica store
+(SURVEY §3.1); here the same surface is expressed directly as Catalyst
+plans. Filters and projections in these queries reach the Parquet scan
+(verify: ``.explain`` shows PushedFilters + pruned ReadSchema).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.numeric import davg, dsum, oracle_davg, oracle_dsum
+from ..registry import graded
+from ..session import load_table
+
+# --- S1/S4 + P1/P2: scan with pushdown, project, filter ---------------------
+
+_SCAN_ORACLE = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  CAST(l_shipdate AS DATE) AS ship_date,
+  l_quantity,
+  l_extendedprice * (1 - l_discount) AS disc_price
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 30
+"""
+
+
+@graded("scan_project_filter", oracle=_SCAN_ORACLE)
+def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar scan + conjunctive filter + computed projection.
+
+    Per-row double arithmetic is IEEE-deterministic across engines (only
+    aggregation order varies), so ``disc_price`` needs no decimal cast.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ship_date = F.col("l_shipdate").cast("date")
+    return (
+        li.where(
+            ship_date.between(F.lit("1996-01-01"), F.lit("1997-12-31"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 30)
+        ).select(
+            "l_orderkey",
+            "l_linenumber",
+            ship_date.alias("ship_date"),
+            "l_quantity",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+        )
+    )
+
+
+# --- A1 flagship: TPC-H Q1-shape pricing summary -----------------------------
+
+_Q1_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {oracle_dsum('l_quantity', 'sum_qty')},
+  {oracle_dsum('l_extendedprice', 'sum_base_price')},
+  {oracle_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+  {oracle_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+  {oracle_davg('l_quantity', 'avg_qty')},
+  {oracle_davg('l_extendedprice', 'avg_price')},
+  {oracle_davg('l_discount', 'avg_disc')},
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@graded("agg_group_sum", oracle=_Q1_ORACLE)
+def agg_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary: hash group-by with partial (map-side) aggregation.
+
+    Flagship ``entry()`` query. Decimal-cast recipe (SURVEY §8.3) makes
+    every SUM/AVG bit-identical to the DuckDB oracle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price"),
+            dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --- S5/M2: partitioned parquet sink roundtrip (rows-only) -------------------
+
+
+@graded("sink_roundtrip", oracle=None)
+def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica-at-rest write: partitioned parquet snapshot, then re-read.
+
+    Models the reference's snapshot load / ``initdb`` (replace-all) —
+    ``mode('overwrite')`` + ``partitionBy`` so partition pruning (DPP at
+    scale) bites on the read side. Rows-only check: DuckDB can't observe
+    the sink.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="cda2_sink_")
+    try:
+        (
+            orders.write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(path)
+        )
+        back = spark.read.parquet(path)
+        # Materialize counts per partition value before the temp dir dies.
+        out = (
+            back.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_rows"))
+            .orderBy("o_orderstatus")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+# --- S3: CSV/TSV decode smoke (no CSV fixture → synthesize one) --------------
+
+
+@graded("csv_decode_smoke", oracle=None)
+def csv_decode_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-format decode: gzipped TSV with explicit schema.
+
+    The reference's snapshot downloads arrive as gzipped CSV/TSV parts
+    decoded against the server-declared schema (SURVEY §2.1 S3); no
+    CSV fixture exists, so round-trip a nation slice through TSV.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="cda2_tsv_")
+    try:
+        (
+            nation.write.mode("overwrite")
+            .option("sep", "\t")
+            .option("compression", "gzip")
+            .option("header", "false")
+            .csv(path)
+        )
+        back = spark.read.csv(path, sep="\t", schema=nation.schema, header=False)
+        rows = back.orderBy("n_nationkey").collect()
+        return spark.createDataFrame(rows, back.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -1,0 +1,108 @@
+"""SparkSession factory + fixture table loading/registration.
+
+Two entry paths exist:
+
+1. Our own code (tests, bench) builds a session via :func:`get_spark`.
+2. The grading driver hands us an externally built session; every graded
+   query therefore calls :func:`configure` first, which applies the
+   *runtime-settable* correctness configs (verified settable post-build):
+
+   - ``spark.sql.legacy.parquet.nanosAsLong=true`` — mandatory or the
+     ``events`` TIMESTAMP(NANOS) parquet refuses to load (SURVEY §8.2).
+   - ``spark.sql.session.timeZone=UTC`` — DuckDB timestamps are
+     UTC-naive; comparisons require a pinned session TZ.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import schemas
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Runtime-settable SQL configs every graded query depends on.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # AQE is on by default in 4.x; pin it anyway — the 100 TB plan relies
+    # on runtime coalescing + skew-join splitting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+}
+
+
+def get_spark(
+    app: str = "canvas_data_2_aws_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a session sized for the local harness.
+
+    At 100 TB the same code runs under a cluster manager; only
+    ``master`` / memory / ``shuffle.partitions`` change (see SCALE.md).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app)
+        .master(master or f"local[{cpus}]")
+        .config("spark.ui.enabled", "false")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or min(int(cpus), 32)),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime correctness configs to an externally built session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # A config locked by the host (static conf) — keep going; the
+            # only hard requirement (nanosAsLong) is runtime-settable on
+            # Spark 4.1 (verified).
+            pass
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Schema-true read of one fixture table (SURVEY §2.1 S1/S4).
+
+    ``events`` needs the nanos→µs normalization: the parquet column is
+    TIMESTAMP(NANOS); with nanosAsLong it surfaces as LongType ns, and
+    ``timestamp_micros(ts DIV 1000)`` (integer DIV — double division
+    loses precision near 1.7e18) matches DuckDB's native µs-truncated
+    read bit-for-bit (SURVEY §8.2).
+    """
+    if name not in schemas.TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {schemas.TABLE_NAMES}")
+    configure(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view; return the frames.
+
+    Makes the whole SURVEY §2 surface SQL-addressable (lifecycle §3.2
+    path 2) with identical Catalyst plans to the DataFrame API.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in schemas.TABLE_NAMES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

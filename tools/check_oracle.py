@@ -1,0 +1,129 @@
+"""Local differential checker mirroring the driver's t2 oracle gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at sf0.01, then compares row count, column-name set, and an
+order-insensitive canonical value comparison (columns sorted by name,
+rows sorted, floats compared bit-exact) — a strict superset of the
+driver's hash match.
+
+Usage:
+    python tools/check_oracle.py [query ...]     # default: all
+    python tools/check_oracle.py --sf /root/testdata/sf0.001
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import math
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from canvas_data_2_aws_spark import registry, schemas  # noqa: E402
+from canvas_data_2_aws_spark.session import get_spark  # noqa: E402
+
+registry.load_all()
+
+
+def canon_cell(v):
+    """Canonicalize one cell for cross-engine comparison."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return float.hex(v)  # bit-exact
+    if isinstance(v, bool):
+        return f"bool:{v}"
+    if isinstance(v, dt.datetime):
+        return "ts:" + v.replace(tzinfo=None).isoformat(timespec="microseconds")
+    if isinstance(v, dt.date):
+        return "date:" + v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return "bytes:" + v.hex()
+    return f"{type(v).__name__}:{v}"
+
+
+def canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def run_one(spark, con, name: str, sf_dir: str) -> tuple[bool, str, float]:
+    fn = registry.QUERIES[name]
+    t0 = time.time()
+    sdf = fn(spark, sf_dir)
+    s_rows = sdf.collect()
+    s_cols = sdf.columns
+    elapsed = time.time() - t0
+    oracle = registry.ORACLES.get(name)
+    if oracle is None:
+        ok = len(s_rows) >= 0
+        return ok, f"rows-only: {len(s_rows)} rows", elapsed
+    cur = con.execute(oracle)
+    d_cols = [d[0] for d in cur.description]
+    d_rows = cur.fetchall()
+    msgs = []
+    if len(s_rows) != len(d_rows):
+        msgs.append(f"ROWCOUNT spark={len(s_rows)} duckdb={len(d_rows)}")
+    if sorted(s_cols) != sorted(d_cols):
+        msgs.append(f"SCHEMA spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+    if not msgs:
+        cs = canon_rows(s_cols, [tuple(r) for r in s_rows])
+        cd = canon_rows(d_cols, d_rows)
+        if cs != cd:
+            diffs = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
+            msgs.append(f"VALUES first-diffs={diffs}")
+    if msgs:
+        return False, "; ".join(msgs), elapsed
+    return True, f"match: {len(s_rows)} rows", elapsed
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*", default=None)
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    names = args.names or list(registry.QUERIES)
+    spark = get_spark("check_oracle")
+    con = duckdb.connect()
+    for t in schemas.TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
+        )
+
+    failures = 0
+    for name in names:
+        if name not in registry.QUERIES:
+            print(f"?? {name}: not registered")
+            failures += 1
+            continue
+        try:
+            ok, msg, secs = run_one(spark, con, name, args.sf)
+        except Exception:
+            ok, msg, secs = False, "EXC " + traceback.format_exc(limit=8), 0.0
+        status = "OK " if ok else "FAIL"
+        print(f"{status} {name:28s} {secs:6.2f}s  {msg}")
+        failures += 0 if ok else 1
+    oracle_only = set(registry.ORACLES) - set(registry.QUERIES)
+    if oracle_only:
+        print(f"FAIL oracles without queries: {sorted(oracle_only)}")
+        failures += 1
+    print(f"\n{len(names) - failures}/{len(names)} passed")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
