@@ -1,0 +1,63 @@
+"""As-of join — latest prior match per row (SURVEY §2.3 J9, §4).
+
+Spark SQL has no native ASOF JOIN. The scalable plan is the
+union-and-carry-forward trick: tag both sides, union them, and let
+``last(value, ignoreNulls=True)`` over a per-key time-ordered window
+carry the most recent right-side value onto each left row.
+
+Cost: ONE shuffle (by key) + one in-partition sort — no row explosion,
+no range cross-product, no skew amplification. A join-then-max plan
+would shuffle both sides *and* explode to |L|·|R per key| intermediate
+rows; at 100 TB the window form wins on every axis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_value: str,
+    value_alias: str = "asof_value",
+    inclusive: bool = True,
+) -> DataFrame:
+    """For each left row, attach the ``right_value`` of the latest right
+    row with ``right_ts <= left_ts`` (or ``<`` when inclusive=False)
+    sharing the join key.
+
+    Ties at equal timestamps are deterministic: the right side sorts
+    before (inclusive) or after (exclusive) the left row via a side tag.
+    """
+    lhs = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_row"),
+        F.lit(None).cast(right.schema[right_value].dataType).alias("_val"),
+    )
+    rhs = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0 if inclusive else 2).alias("_side"),
+        F.lit(None).cast(left.select(F.struct(*left.columns)).schema[0].dataType).alias(
+            "_row"
+        ),
+        F.col(right_value).alias("_val"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried: Column = F.last("_val", ignorenulls=True).over(w)
+    return (
+        lhs.unionByName(rhs)
+        .withColumn(value_alias, carried)
+        .where(F.col("_side") == 1)
+        .select("_row.*", value_alias)
+    )

@@ -1,1 +1,274 @@
-"""Placeholder — filled in by build step (SURVEY §7)."""
+"""Joins (SURVEY §2.3 J1–J9).
+
+Join-strategy notes for the 100 TB plan:
+- fact⋈fact (orders⋈lineitem) shuffles on the key — acceptable because
+  both sides are large; bucketing both tables by orderkey at rest
+  removes the exchange entirely (see SCALE.md).
+- dim legs (region/nation/supplier/customer-filtered) broadcast —
+  explicitly hinted where the dim is guaranteed small, else AQE's
+  runtime size check does it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.numeric import dsum, oracle_dsum
+from ..operators.asof import asof_join
+from ..registry import graded
+from ..session import load_table
+
+# --- J1/J2: inner equi-join + aggregation (TPC-H Q3 shape, flagship join) ----
+
+_Q3_ORACLE = f"""
+SELECT
+  l_orderkey,
+  {oracle_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+  o_orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@graded("join_inner_agg", oracle=_Q3_ORACLE)
+def join_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority shape: filtered dim ⋈ fact ⋈ fact → top-10.
+
+    The filtered customer side is small → broadcast to both fact scans
+    (hinted; AQE would also pick it up). lineitem⋈orders stays a
+    shuffled join on the natural key.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    cust = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return (
+        lineitem.where(F.col("l_shipdate") > cutoff)
+        .join(
+            orders.where(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum("l_extendedprice * (1 - l_discount)", "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --- J2 explicit: broadcast dim chain (region→nation→supplier rollup) ---------
+
+_BCAST_ORACLE = f"""
+SELECT
+  r_name,
+  n_name,
+  COUNT(*) AS n_items,
+  {oracle_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+@graded("join_broadcast_dim", oracle=_BCAST_ORACLE)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join rollup with every dim leg broadcast — zero shuffles on
+    the fact table until the final (tiny) aggregation exchange."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dim = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "n_name", "r_name")
+    )
+    return (
+        lineitem.join(F.broadcast(dim), lineitem.l_suppkey == dim.s_suppkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum("l_extendedprice * (1 - l_discount)", "revenue"),
+        )
+    )
+
+
+# --- J3: left outer ------------------------------------------------------------
+
+_LEFT_ORACLE = """
+SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+FROM customer
+LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000.0) big
+  ON c_custkey = o_custkey
+"""
+
+
+@graded("join_left_outer", oracle=_LEFT_ORACLE)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preserve all customers; attach only their very large orders."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.where(F.col("o_totalprice") > 400000.0)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left"
+    ).select("c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice")
+
+
+# --- J4: full outer ------------------------------------------------------------
+
+_FULL_ORACLE = """
+SELECT
+  COALESCE(f.custkey, o.custkey) AS custkey,
+  f.n_finished,
+  o.n_open
+FROM (SELECT o_custkey AS custkey, COUNT(*) AS n_finished
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey) f
+FULL OUTER JOIN (SELECT o_custkey AS custkey, COUNT(*) AS n_open
+        FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey) o
+  ON f.custkey = o.custkey
+"""
+
+
+@graded("join_full_outer", oracle=_FULL_ORACLE)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preserve both sides: per-customer finished vs open order counts."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def per_status(status: str, alias: str) -> DataFrame:
+        return (
+            orders.where(F.col("o_orderstatus") == status)
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.count("*").alias(alias))
+        )
+
+    f = per_status("F", "n_finished")
+    o = per_status("O", "n_open")
+    return f.join(o, f.custkey == o.custkey, "full").select(
+        F.coalesce(f.custkey, o.custkey).alias("custkey"),
+        "n_finished",
+        "n_open",
+    )
+
+
+# --- J5: left semi ---------------------------------------------------------------
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
+)
+"""
+
+
+@graded("join_semi", oracle=_SEMI_ORACLE)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence filter: customers holding a pending ('P') order."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    pending = orders.where(F.col("o_orderstatus") == "P")
+    return customer.join(
+        pending, customer.c_custkey == pending.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+# --- J6: left anti ----------------------------------------------------------------
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
+)
+"""
+
+
+@graded("join_anti", oracle=_ANTI_ORACLE)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-existence filter — also the delete-application primitive of
+    the incremental merge (SURVEY §2.8 M1)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    pending = orders.where(F.col("o_orderstatus") == "P")
+    return customer.join(
+        pending, customer.c_custkey == pending.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+# --- J8: range join (equi key + band predicate) -------------------------------------
+
+_RANGE_ORACLE = """
+SELECT l_orderkey, l_linenumber, o_orderdate, l_shipdate
+FROM lineitem
+JOIN orders
+  ON l_orderkey = o_orderkey
+ AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 90 DAY
+"""
+
+
+@graded("join_range", oracle=_RANGE_ORACLE)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join. The equi key keeps it a hash/sort-merge join
+    with the band as a post-probe residual — never a nested-loop
+    cartesian (SURVEY §2.3 J8: 'always keep an equi key')."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = (
+        (lineitem.l_orderkey == orders.o_orderkey)
+        & (lineitem.l_shipdate >= orders.o_orderdate)
+        & (lineitem.l_shipdate <= F.expr("o_orderdate + INTERVAL 90 DAY"))
+    )
+    return lineitem.join(orders, cond).select(
+        "l_orderkey", "l_linenumber", "o_orderdate", "l_shipdate"
+    )
+
+
+# --- J9: as-of join ------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+SELECT
+  e.event_id,
+  e.user_id,
+  e.ts AS purchase_ts,
+  (SELECT MAX(s.ts) FROM events s
+    WHERE s.user_id = e.user_id
+      AND s.event_type = 'signup'
+      AND s.ts <= e.ts) AS last_signup_ts
+FROM events e
+WHERE e.event_type = 'purchase'
+"""
+
+
+@graded("join_asof", oracle=_ASOF_ORACLE)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event attribution: each purchase gets its user's latest prior
+    signup timestamp via the one-shuffle union+window as-of plan
+    (operators/asof.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    signups = ev.where(F.col("event_type") == "signup").select("user_id", "ts")
+    return asof_join(
+        purchases,
+        signups,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="ts",
+        right_value="ts",
+        value_alias="last_signup_ts",
+    )
