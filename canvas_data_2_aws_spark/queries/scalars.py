@@ -1,1 +1,242 @@
-"""Placeholder — filled in by build step (SURVEY §7)."""
+"""Scalar function families (SURVEY §2.7 F1–F8).
+
+Every expression here is a built-in ``pyspark.sql.functions`` call —
+JVM-side, inside whole-stage codegen; no Python touches the hot path.
+Cross-engine dialect traps (verified by probe this session):
+
+- DuckDB ``epoch(ts)`` returns fractional DOUBLE → ``FLOOR`` + cast to
+  match Spark's truncating ``unix_timestamp``.
+- Spark ``ceil/floor(double)`` → LONG, DuckDB → DOUBLE → cast both.
+- Spark ``signum`` → DOUBLE, DuckDB ``sign`` → TINYINT → cast both.
+- DuckDB ``regexp_extract`` returns '' on no-match, same as Spark (RE2
+  syntax only — no backrefs/lookahead in graded patterns).
+- posexplode is 0-based, DuckDB ordinality trick (lateral ``range``)
+  is 1-based → emit 1-based both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import graded
+from ..session import load_table
+
+# --- F1: strings --------------------------------------------------------------
+
+_STRING_ORACLE = """
+SELECT
+  doc_id,
+  UPPER(lang) AS lang_upper,
+  CAST(LENGTH(text) AS INTEGER) AS text_len,
+  SUBSTRING(text, 1, 10) AS first10,
+  CONCAT(lang, '-', source) AS tag,
+  LPAD(lang, 5, '_') AS padded,
+  TRIM(CONCAT(' ', lang, ' ')) AS trimmed,
+  CAST(LEN(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+  CAST(text LIKE '%join%' AS INTEGER) AS has_join,
+  regexp_extract(text, '^([a-z]+)', 1) AS first_word,
+  REPLACE(CONCAT(lang, '-', source), '-', '_') AS tag_underscore
+FROM documents
+"""
+
+
+@graded("scalar_string", oracle=_STRING_ORACLE)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surface: case, length, substring (1-based both engines),
+    concat, pad, trim, split+size, LIKE, RE2-safe regexp, replace."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.upper("lang").alias("lang_upper"),
+        F.length("text").alias("text_len"),
+        F.substring("text", 1, 10).alias("first10"),
+        F.concat_ws("-", "lang", "source").alias("tag"),
+        F.lpad("lang", 5, "_").alias("padded"),
+        F.trim(F.concat(F.lit(" "), F.col("lang"), F.lit(" "))).alias("trimmed"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.col("text").like("%join%").cast("int").alias("has_join"),
+        F.regexp_extract("text", r"^([a-z]+)", 1).alias("first_word"),
+        F.replace(
+            F.concat_ws("-", "lang", "source"), F.lit("-"), F.lit("_")
+        ).alias("tag_underscore"),
+    )
+
+
+# --- F2: date/time -------------------------------------------------------------
+
+_DATE_ORACLE = """
+SELECT
+  o_orderkey,
+  CAST(o_orderdate AS DATE) AS order_date,
+  CAST(YEAR(o_orderdate) AS INTEGER) AS yr,
+  CAST(MONTH(o_orderdate) AS INTEGER) AS mo,
+  CAST(DAY(o_orderdate) AS INTEGER) AS dy,
+  CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+  CAST(o_orderdate AS DATE) + 30 AS plus30,
+  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER)
+    AS days_to_2002,
+  CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS epoch_s
+FROM orders
+"""
+
+
+@graded("scalar_date", oracle=_DATE_ORACLE)
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time surface. Note the operand-order flip: Spark
+    ``datediff(end, start)`` = DuckDB ``date_diff('day', start, end)``;
+    UTC session TZ makes unix_timestamp equal DuckDB's epoch."""
+    orders = load_table(spark, sf_dir, "orders")
+    order_date = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        order_date.alias("order_date"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.date_add(order_date, 30).alias("plus30"),
+        F.datediff(F.lit("2002-01-01").cast("date"), order_date).alias(
+            "days_to_2002"
+        ),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+# --- F3 + F4: math + conditional/null ------------------------------------------
+
+_MATH_ORACLE = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  ABS(l_discount - 0.05) AS abs_dev,
+  CAST(CEIL(l_extendedprice) AS DOUBLE) AS ceil_price,
+  CAST(FLOOR(l_quantity) AS DOUBLE) AS floor_qty,
+  SQRT(l_quantity) AS sqrt_qty,
+  POWER(l_quantity, 2.0) AS qty_sq,
+  l_orderkey % 7 AS mod7,
+  CAST(SIGN(l_discount - 0.05) AS INTEGER) AS sgn,
+  CASE WHEN l_quantity < 10 THEN 'low'
+       WHEN l_quantity < 30 THEN 'mid'
+       ELSE 'high' END AS qty_band,
+  COALESCE(NULLIF(l_discount, 0.0), -1.0) AS disc_or_neg,
+  LEAST(l_quantity, l_extendedprice / 1000.0) AS best
+FROM lineitem
+"""
+
+
+@graded("scalar_math", oracle=_MATH_ORACLE)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math + conditional surface on IEEE-exact operations only: sqrt
+    and integer-argument power are bit-deterministic; ln/log10/round on
+    arbitrary doubles are NOT graded (HALF_UP vs binary divergence —
+    SURVEY §2.7 F3)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_dev"),
+        F.ceil("l_extendedprice").cast("double").alias("ceil_price"),
+        F.floor(q).cast("double").alias("floor_qty"),
+        F.sqrt(q).alias("sqrt_qty"),
+        F.pow(q, 2.0).alias("qty_sq"),
+        (F.col("l_orderkey") % 7).alias("mod7"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("sgn"),
+        F.when(q < 10, "low").when(q < 30, "mid").otherwise("high").alias("qty_band"),
+        F.coalesce(F.nullif("l_discount", F.lit(0.0)), F.lit(-1.0)).alias(
+            "disc_or_neg"
+        ),
+        F.least(q, F.col("l_extendedprice") / 1000.0).alias("best"),
+    )
+
+
+# --- F5: arrays / higher-order functions ----------------------------------------
+
+_ARRAY_ORACLE = """
+SELECT
+  vec_id,
+  CAST(LEN(embedding) AS INTEGER) AS dim,
+  ROUND(SQRT(list_sum(list_transform(embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+  ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+  list_transform(embedding[1:2], x -> ROUND(CAST(x AS DOUBLE), 4)) AS head2,
+  ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) AS max_val
+FROM embeddings
+"""
+
+
+@graded("scalar_array", oracle=_ARRAY_ORACLE)
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface via higher-order functions (transform/aggregate) —
+    the vector-math basis for KNN. Element-wise float32→double
+    promotion BEFORE accumulation + ROUND(,4) on every float output
+    (SURVEY §8.5)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq_sum = F.expr(
+        "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+        F.expr(
+            "transform(slice(embedding, 1, 2), x -> ROUND(CAST(x AS DOUBLE), 4))"
+        ).alias("head2"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("max_val"),
+    )
+
+
+# --- F6 + F7: JSON + map shaping -------------------------------------------------
+
+_JSON_ORACLE = """
+SELECT
+  event_id,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+  list_sort(json_keys(props)) AS prop_keys,
+  CAST(LEN(json_keys(props)) AS INTEGER) AS n_keys
+FROM events
+"""
+
+
+@graded("scalar_json", oracle=_JSON_ORACLE)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column surface (the reference keeps Canvas jsonb payloads as
+    serialized JSON strings — SURVEY §1.1). get_json_object pairs with
+    DuckDB json_extract_STRING (plain json_extract returns quoted JSON
+    and never hash-matches). Map shaping: parse→keys→sort, never emit
+    MapType in a graded schema (F6)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        F.array_sort(F.map_keys(parsed)).alias("prop_keys"),
+        F.size(F.map_keys(parsed)).alias("n_keys"),
+    )
+
+
+# --- F8: explode / UDTF-shape 1→N expansion ---------------------------------------
+
+_EXPLODE_ORACLE = """
+SELECT
+  vec_id,
+  pos,
+  ROUND(CAST(list_extract(embedding, pos) AS DOUBLE), 4) AS val
+FROM embeddings, range(1, 5) t(pos)
+"""
+
+
+@graded("explode_array", oracle=_EXPLODE_ORACLE)
+def explode_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode of the first 4 embedding elements, emitted 1-based to
+    align with the oracle's lateral range (SURVEY §2.7 F8)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.posexplode(F.slice("embedding", 1, 4))
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("pos"),
+        F.round(F.col("col").cast("double"), 4).alias("val"),
+    )

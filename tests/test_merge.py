@@ -1,0 +1,109 @@
+"""Property-based tests for the incremental merge (SURVEY §5.4).
+
+Invariants under random changesets:
+- PK uniqueness is preserved;
+- deleted keys are absent;
+- updated keys carry exactly the latest (by meta ts) payload;
+- untouched keys pass through unchanged;
+- applying the same compacted changeset twice is idempotent.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from canvas_data_2_aws_spark.operators.merge import apply_changeset, compact_changeset
+
+BASE_SCHEMA = "pk LONG, val STRING"
+CHANGE_SCHEMA = "pk LONG, val STRING, action STRING, ts LONG"
+
+
+def change_strategy():
+    return st.lists(
+        st.tuples(
+            st.integers(0, 15),               # pk
+            st.text("abc", min_size=1, max_size=3),  # val
+            st.sampled_from(["U", "D"]),
+            st.integers(0, 50),               # ts
+        ),
+        min_size=0,
+        max_size=25,
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(changes=change_strategy())
+def test_merge_invariants(spark, changes):
+    base_rows = [(i, f"base{i}") for i in range(10)]
+    base = spark.createDataFrame(base_rows, BASE_SCHEMA)
+    # unique (pk, ts) so "latest" is well-defined; tie-break by ts only
+    seen = set()
+    rows = []
+    for pk, val, action, ts in changes:
+        if (pk, ts) not in seen:
+            seen.add((pk, ts))
+            rows.append((pk, val, action, ts))
+    chg = spark.createDataFrame(rows, CHANGE_SCHEMA) if rows else spark.createDataFrame([], CHANGE_SCHEMA)
+
+    merged = apply_changeset(base, chg, keys=["pk"], compact_by=["ts"]).collect()
+
+    latest: dict[int, tuple] = {}
+    for pk, val, action, ts in rows:
+        if pk not in latest or ts > latest[pk][3]:
+            latest[pk] = (pk, val, action, ts)
+
+    expected = {}
+    for pk, val in base_rows:
+        expected[pk] = val
+    for pk, (_, val, action, _) in latest.items():
+        if action == "D":
+            expected.pop(pk, None)
+        else:
+            expected[pk] = val
+
+    got = {r.pk: r.val for r in merged}
+    assert len(merged) == len(got), "PK uniqueness violated"
+    assert got == expected
+
+
+def test_compaction_latest_wins(spark):
+    chg = spark.createDataFrame(
+        [(1, "old", "U", 1), (1, "new", "U", 2), (2, "x", "D", 1), (2, "y", "U", 0)],
+        CHANGE_SCHEMA,
+    )
+    out = {
+        r.pk: (r.val, r.action)
+        for r in compact_changeset(chg, ["pk"], ["ts"]).collect()
+    }
+    assert out == {1: ("new", "U"), 2: ("x", "D")}
+
+
+def test_merge_idempotent(spark):
+    base = spark.createDataFrame([(i, f"b{i}") for i in range(8)], BASE_SCHEMA)
+    chg = spark.createDataFrame(
+        [(2, "upd", "U", 1), (3, "", "D", 1), (99, "ins", "U", 1)], CHANGE_SCHEMA
+    )
+    once = apply_changeset(base, chg, keys=["pk"], compact_by=["ts"])
+    twice = apply_changeset(once, chg, keys=["pk"], compact_by=["ts"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_asof_tie_inclusive(spark):
+    from canvas_data_2_aws_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, "a"), (1, 5, "b")], "k LONG, t LONG, id STRING")
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 4, 50.0), (1, 11, 999.0)], "k LONG, t LONG, v DOUBLE"
+    )
+    out = {
+        r.id: r.asof_value
+        for r in asof_join(
+            left, right, on="k", left_ts="t", right_ts="t", right_value="v"
+        ).collect()
+    }
+    # inclusive: the t=10 right row is visible to the t=10 left row
+    assert out == {"a": 100.0, "b": 50.0}
