@@ -1,0 +1,99 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY §2.8 M8–M9 + EXT).
+
+All column builders are pure Catalyst expressions (split / explode /
+higher-order functions / integer arithmetic) — no Python UDFs, so the
+whole family stays inside whole-stage codegen and scales linearly with
+executors. Engine-neutral token codes (ascii/length polynomials, not
+``hash()``) keep every derived value reproducible in any ANSI engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Function words from the fixture vocabulary used by the language-ID
+# heuristic; swap for real per-language stopword lists in production.
+EN_STOPWORDS = ("a", "the", "and", "of", "to")
+
+# BPE-ish token pattern: letter runs, digit runs, single punctuation.
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def tokens(text_col: str = "text") -> Column:
+    """Whitespace tokenization — the shared basis of every text op."""
+    return F.split(F.col(text_col), " ")
+
+
+def tokenize(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Explode to one row per (doc, position, token)."""
+    return df.select(
+        id_col, F.posexplode(tokens(text_col)).alias("pos", "token")
+    )
+
+
+def token_code(token_col: str = "token") -> Column:
+    """Engine-neutral integer code for a token: ascii(first)·31 + length.
+
+    Deliberately NOT Spark's ``hash()`` (Murmur3, engine-specific) —
+    this polynomial is reproducible in plain SQL on any engine.
+    """
+    return (
+        F.ascii(F.substring(F.col(token_col), 1, 1)) * 31
+        + F.length(F.col(token_col))
+    ).cast("long")
+
+
+def stopword_hits(text_col: str = "text", stopwords=EN_STOPWORDS) -> Column:
+    """Distinct stopword matches in the text (language-ID signal)."""
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.array_intersect(F.array_distinct(tokens(text_col)), stop_arr))
+
+
+def ngrams(text_col: str = "text", n: int = 3) -> Column:
+    """Token n-grams as space-joined strings (shingles for Jaccard)."""
+    return F.expr(
+        f"transform(sequence(0, greatest(size(split({text_col}, ' ')) - {n}, -1)),"
+        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Order-sensitive positional fingerprint per document.
+
+    Σ code(tokenᵢ)·(i+1) mod p — integer-exact in every engine, detects
+    reordering (unlike bag-of-words sums). One explode + one hash agg.
+    """
+    tok = tokenize(df, id_col, text_col)
+    term = token_code() * (F.col("pos") + 1)
+    return tok.groupBy(id_col).agg(
+        (F.sum(term) % FINGERPRINT_MOD).alias("fingerprint"),
+        F.count("*").alias("n_tokens"),
+    )
+
+
+def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """16-bit SimHash over engine-neutral token codes.
+
+    Classic construction: each token votes ±1 per bit of its code; the
+    sign of each bit's total sets that bit. Near-identical documents
+    land in the same bucket. Explode ×16 then two hash aggregations —
+    shuffle-light and fully integer-deterministic.
+    """
+    tok = df.select(id_col, F.explode(tokens(text_col)).alias("token"))
+    codes = tok.select(id_col, token_code().alias("code"))
+    bits = codes.select(
+        id_col, "code", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit")
+    )
+    vote = F.when(
+        F.expr("(code DIV shiftleft(1, bit)) % 2") == 1, F.lit(1)
+    ).otherwise(F.lit(-1))
+    bit_sums = bits.groupBy(id_col, "bit").agg(F.sum(vote).alias("s"))
+    return bit_sums.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("CAST(shiftleft(1, bit) AS BIGINT)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("simhash")
+    )

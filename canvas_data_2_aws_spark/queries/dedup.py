@@ -1,1 +1,146 @@
-"""Placeholder — filled in by build step (SURVEY §7)."""
+"""Graded near-duplicate detection queries (SURVEY §2.8 M5 + EXT:
+SimHash, n-gram Jaccard). Exact dedup (M4) lives in queries/merge.py;
+embedding-cosine near-dup in queries/vectors.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..operators import text as T
+from ..registry import graded
+from ..session import load_table
+
+# --- EXT: SimHash bucketing -----------------------------------------------------
+
+_SIMHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+codes AS (
+  SELECT doc_id, ascii(substring(token, 1, 1)) * 31 + length(token) AS code
+  FROM tok
+),
+bits AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (code // (1 << bit)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM codes, range(0, 16) t(bit)
+  GROUP BY doc_id, bit
+),
+sh AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT doc_id, simhash,
+       COUNT(*) OVER (PARTITION BY simhash) AS n_bucket
+FROM sh
+"""
+
+
+@graded("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document + bucket population. Docs sharing a
+    bucket are near-dup candidates; at scale the bucket id is the
+    shuffle key (one exchange), candidates verified by exact
+    similarity inside each bucket."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = T.simhash16(docs)
+    return sh.withColumn(
+        "n_bucket", F.count("*").over(Window.partitionBy("simhash"))
+    )
+
+
+# --- EXT: n-gram Jaccard ----------------------------------------------------------
+
+_JACCARD_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, lang, source,
+         list_distinct(list_transform(
+           range(1, GREATEST(LEN(string_split(text, ' ')) - 1, 1)),
+           i -> concat_ws(' ',
+                list_extract(string_split(text, ' '), i),
+                list_extract(string_split(text, ' '), i + 1),
+                list_extract(string_split(text, ' '), i + 2))
+         )) AS shingles
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(LEN(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         / (LEN(a.shingles) + LEN(b.shingles)
+            - LEN(list_intersect(a.shingles, b.shingles))) AS jaccard
+FROM sh a
+JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang AND a.source = b.source
+"""
+
+
+@graded("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingle Jaccard between (lang, source)-blocked pairs —
+    exact rational arithmetic (|∩| ÷ |∪| of small ints is
+    IEEE-exact). The blocked-pair pattern is MinHash's verification
+    step; here blocks are small enough to skip the sketch."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(T.ngrams(n=3)).alias("shingles"),
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("source_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        a.join(
+            b,
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("source_a") == F.col("source_b")),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+    )
+
+
+# --- M5: MinHash LSH near-dup join (rows-only: MLlib hash seeds not portable) -------
+
+
+@graded("dedup_near_minhash", oracle=None)
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH approximate similarity self-join over token sets:
+    shingle → HashingTF sparse vector → MinHash band buckets →
+    bucket-join → Jaccard-distance filter. The scalable path for
+    corpus-wide near-dup at 100 TB (O(n·bands), never O(n²))."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = Tokenizer(inputCol="text", outputCol="tokens")
+    with_tokens = tok.transform(docs)
+    htf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 14)
+    feats = htf.transform(with_tokens).where(F.size("tokens") > 0)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.6, distCol="jaccard_dist")
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+        )
+        .orderBy("jaccard_dist", "doc_a", "doc_b")
+    )

@@ -1,1 +1,196 @@
-"""Placeholder — filled in by build step (SURVEY §7)."""
+"""Graded text-analysis queries (SURVEY §2.8 M8–M9 + driver-mandated
+EXT: language-ID, quality scoring, token counting, fingerprinting)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import text as T
+from ..registry import graded
+from ..session import load_table
+
+# --- M8: word count ------------------------------------------------------------
+
+_WORDCOUNT_ORACLE = """
+SELECT token, COUNT(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 20
+"""
+
+
+@graded("text_wordcount", oracle=_WORDCOUNT_ORACLE)
+def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 tokens: explode → hash agg → TakeOrdered top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+# --- M9: TF-IDF (pure SQL form — NOT MLlib IDF, whose smoothing differs) --------
+
+_TFIDF_ORACLE = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n FROM documents)
+SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+       ROUND(tf.tf * LN(CAST(n.n AS DOUBLE) / dfreq.df), 4) AS tfidf
+FROM tf JOIN dfreq USING (token), n
+"""
+
+
+@graded("text_tfidf", oracle=_TFIDF_ORACLE)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf × ln(N/df): two hash aggs + a broadcast join on the (tiny)
+    df table + a broadcast scalar N — no full-corpus shuffle of the
+    token stream beyond the tf aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+
+
+# --- EXT: language-ID heuristic ---------------------------------------------------
+
+_STOP_SQL = "['" + "','".join(T.EN_STOPWORDS) + "']"
+
+_LANGID_ORACLE = f"""
+SELECT
+  doc_id,
+  lang,
+  CAST(LEN(list_intersect(list_distinct(string_split(text, ' ')), {_STOP_SQL}))
+       AS INTEGER) AS en_hits,
+  CASE WHEN LEN(list_intersect(list_distinct(string_split(text, ' ')), {_STOP_SQL})) >= 2
+       THEN 'en' ELSE 'other' END AS pred_lang
+FROM documents
+"""
+
+
+@graded("text_langid", oracle=_LANGID_ORACLE)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language-ID heuristic: distinct function-word
+    matches against a broadcast dictionary — the n-gram/stopword
+    pattern a real lang-ID model plugs into (dictionary per language,
+    argmax over hit ratios)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = T.stopword_hits()
+    return docs.select(
+        "doc_id",
+        "lang",
+        hits.alias("en_hits"),
+        F.when(hits >= 2, "en").otherwise("other").alias("pred_lang"),
+    )
+
+
+# --- EXT: quality scoring -----------------------------------------------------------
+
+_QUALITY_ORACLE = """
+SELECT
+  doc_id,
+  CAST(LEN(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+  CAST(LEN(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_uniq,
+  CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+    / LEN(string_split(text, ' ')) AS uniq_ratio,
+  CAST(n_chars AS DOUBLE) / LEN(string_split(text, ' ')) AS avg_token_len,
+  0.6 * (CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         / LEN(string_split(text, ' ')))
+  + 0.4 * LEAST(CAST(LEN(string_split(text, ' ')) AS DOUBLE) / 64.0, 1.0)
+    AS quality_score
+FROM documents
+"""
+
+
+@graded("text_quality", oracle=_QUALITY_ORACLE)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/diversity quality score: unique-token ratio + saturating
+    length factor — the filters a pretraining pipeline applies before
+    dedup. All arithmetic IEEE-exact (int ÷ int → double)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens()
+    n_tokens = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    uniq_ratio = n_uniq.cast("double") / n_tokens
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_uniq.alias("n_uniq"),
+        uniq_ratio.alias("uniq_ratio"),
+        (F.col("n_chars").cast("double") / n_tokens).alias("avg_token_len"),
+        (
+            0.6 * uniq_ratio
+            + 0.4 * F.least(n_tokens.cast("double") / 64.0, F.lit(1.0))
+        ).alias("quality_score"),
+    )
+
+
+# --- EXT: token counting --------------------------------------------------------------
+
+_TOKCOUNT_ORACLE = f"""
+SELECT
+  doc_id,
+  CAST(LEN(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+  CAST(LEN(regexp_extract_all(text, '{T.BPE_PATTERN}')) AS INTEGER) AS n_bpe_tokens,
+  CAST(CEIL(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS est_llm_tokens
+FROM documents
+"""
+
+
+@graded("text_token_count", oracle=_TOKCOUNT_ORACLE)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, BPE-ish regex runs, and
+    the chars/4 LLM heuristic (SURVEY §2.8 EXT)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(T.tokens()).alias("n_ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(text, '{T.BPE_PATTERN}', 0)")).alias(
+            "n_bpe_tokens"
+        ),
+        F.ceil(F.col("n_chars").cast("double") / 4.0).alias("est_llm_tokens"),
+    )
+
+
+# --- EXT: document fingerprinting -------------------------------------------------------
+
+_FINGERPRINT_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, pos, list_extract(string_split(text, ' '), pos) AS token
+  FROM documents, range(1, 100 + 1) t(pos)
+  WHERE pos <= LEN(string_split(text, ' '))
+)
+SELECT doc_id,
+       SUM((ascii(substring(token, 1, 1)) * 31 + length(token)) * pos)
+         % {T.FINGERPRINT_MOD} AS fingerprint,
+       COUNT(*) AS n_tokens
+FROM tok
+GROUP BY doc_id
+"""
+
+
+@graded("text_fingerprint", oracle=_FINGERPRINT_ORACLE)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive positional document fingerprint (integer-exact
+    polynomial, engine-neutral — operators/text.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.fingerprint(docs)

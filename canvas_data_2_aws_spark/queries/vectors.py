@@ -1,1 +1,129 @@
-"""Placeholder — filled in by build step (SURVEY §7)."""
+"""Graded vector similarity queries (SURVEY §2.8 M6–M7, §2.3 J7).
+
+Determinism: graded outputs project ids + ROUND(score, 4); both engines
+ORDER BY the *rounded* score (raw doubles differ in the last ulp across
+engines — SURVEY §8.5). Oracles cast FLOAT[] → DOUBLE[] so DuckDB's
+list_cosine_similarity computes in double like our HOF plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..operators.similarity import ann_lsh_neighbors, cosine_pairs, knn_brute_force
+from ..registry import graded
+from ..session import load_table
+
+# --- M6/J7: exact KNN top-20 pairs ---------------------------------------------
+
+_KNN_ORACLE = """
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS score
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+ORDER BY score DESC, vec_id_a, vec_id_b
+LIMIT 20
+"""
+
+
+@graded("knn_cosine_exact", oracle=_KNN_ORACLE)
+def knn_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 most-similar pairs: blocked cross join (id_a <
+    id_b halves the pair space) + JVM-side cosine + TakeOrdered."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs(emb)
+    return (
+        pairs.select("vec_id_a", "vec_id_b", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), "vec_id_a", "vec_id_b")
+        .limit(20)
+    )
+
+
+# --- M6 variant: top-k neighbors per query (similarity search shape) -------------
+
+_KNN_PER_QUERY_ORACLE = """
+SELECT query_id, neighbor_id, score, rn
+FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 4) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])), 4) DESC,
+                    b.vec_id
+         ) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 32
+) t
+WHERE rn <= 5
+"""
+
+
+@graded("knn_topk_per_query", oracle=_KNN_PER_QUERY_ORACLE)
+def knn_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 exact neighbors for each of 32 query vectors against the
+    full corpus — the ANN baseline/re-rank shape (broadcast corpus,
+    per-query heap via WindowGroupLimit)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 32)
+    scored = knn_brute_force(queries, emb, k=10**9)  # rank on rounded below
+    rounded = scored.select(
+        "query_id", "neighbor_id", F.round("score", 4).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        rounded.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+    )
+
+
+# --- EXT: embedding-cosine near-dup detection --------------------------------------
+
+_NEARDUP_ORACLE = """
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.label,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS score
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id AND a.label = b.label
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.3
+"""
+
+
+@graded("dedup_embedding_cosine", oracle=_NEARDUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidates: label-blocked pair scan, threshold on
+    rounded cosine. Blocking turns O(n²) into O(Σ per-label²) — at
+    100 TB the block key is an LSH bucket instead of a label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs(emb, block_cols=("label",))
+    return pairs.select(
+        "vec_id_a",
+        "vec_id_b",
+        "label",
+        F.round("score", 4).alias("score"),
+    ).where(F.col("score") >= 0.3)
+
+
+# --- M7: approximate NN via LSH (rows-only: hash seeds not portable) -----------------
+
+
+@graded("ann_lsh", oracle=None)
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection LSH ANN: top-10 approximate neighbors of
+    vec_id=0. Seed-pinned (deterministic within Spark), rows-only
+    for the oracle."""
+    from pyspark.ml.functions import vector_to_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query_vec = emb.where(F.col("vec_id") == 0).head().embedding
+    from pyspark.ml.linalg import Vectors
+
+    _, neighbors = ann_lsh_neighbors(emb, Vectors.dense(query_vec), k=10)
+    return neighbors.select(
+        "vec_id", F.col("distCol").alias("approx_distance")
+    ).orderBy("approx_distance", "vec_id")

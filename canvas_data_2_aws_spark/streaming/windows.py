@@ -1,0 +1,82 @@
+"""Structured Streaming forms of the time-series operators (SURVEY §2.9).
+
+Each graded batch analog in ``queries/streaming.py`` has a true
+streaming twin here: file source → watermark → stateful op → sink,
+driven with ``Trigger.AvailableNow`` so a bounded replay terminates.
+Micro-batch = one ``since/until`` window of the reference's pull-based
+change stream (SURVEY §1.1); the checkpoint dir is the analog of its
+persisted sync token.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..schemas import EVENTS
+
+
+def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-based change stream with the server-declared schema.
+
+    ``maxFilesPerTrigger=1`` makes each replay file one micro-batch —
+    the batch analog of one incremental API pull.
+    """
+    return (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+
+def tumbling_counts_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T1+T4: hourly tumbling counts with late-data cutoff."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("hour_start"), "event_type", "n")
+    )
+
+
+def session_stats_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """T3 streaming form: native session windows with state cleanup."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """T5: stateful PK-dedup bounded by the watermark (state is dropped
+    once the PK can no longer collide — the only way dedup state stays
+    finite on an unbounded stream)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+) -> list:
+    """Drain a bounded stream into a memory sink; return collected rows.
+
+    Aggregations use ``complete`` mode: under AvailableNow the watermark
+    never passes the final windows, so ``append`` would hold them back
+    in state forever.
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}").collect()
