@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Headline benchmark runner (SURVEY §6 / BASELINE.md).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+ONE JSON line: ``{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}``.
+
+Method mirrors BASELINE.md: one shared SparkSession for the whole
+suite (startup excluded), one untimed warmup to absorb codegen/JIT,
+``shuffle.partitions=8`` at this scale (AQE coalesces anyway; 8 cuts
+fixed per-stage dispatch), wall clock around ``collect()``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from canvas_data_2_aws_spark import registry, session
+
+# Headline set: the BASELINE.md-measured shapes first, then one
+# representative per operator family (join/merge/window/text/dedup/
+# vector/stream/UDF) so regressions anywhere show up per-round.
+HEADLINE = [
+    "agg_group_sum",
+    "join_inner_agg",
+    "window_topk_per_group",
+    "stream_tumbling_counts",
+    "knn_cosine_exact",
+    "merge_upsert_apply",
+    "join_asof",
+    "text_wordcount",
+    "text_tfidf",
+    "dedup_ngram_jaccard",
+    "stream_session_stats",
+    "udf_grouped_zscore",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    registry.load_all()
+    spark = session.get_spark(app="bench", shuffle_partitions=8)
+
+    # Warmup: flagship query end-to-end, untimed (JIT + codegen + Arrow init).
+    registry.QUERIES["agg_group_sum"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name:30s} {timings[name]:8.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Multimodal (image/audio/video) column plumbing (SURVEY §1.3 EXT).
+
+Media assets are opaque ``BinaryType`` payloads with a typed metadata
+struct riding alongside — the layout a 100 TB training-data lake uses
+(payload in Parquet binary or referenced object-store keys; metadata
+columns drive pruning/filtering without touching bytes).
+
+The *decode* step (JPEG/PNG/audio codec) needs native libraries that
+are not in this container, so it is stubbed: ``decode_media`` raises
+``NotImplementedError`` unless handed a codec, and the default
+``fake_codec`` derives deterministic pseudo-features from the payload
+bytes. Everything Spark-side — schema, Arrow batch shape, mapInPandas
+signature, partition behavior — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+#: Output schema of the decode stage — one row per sampled frame.
+DECODE_SCHEMA = (
+    "doc_id long, frame_idx int, width int, height int, mean_byte double"
+)
+
+
+def attach_payload(docs: DataFrame) -> DataFrame:
+    """Attach an opaque binary payload + typed metadata to documents.
+
+    The fixture corpus has no real media bytes, so the payload is the
+    UTF-8 encoding of the text — a genuine ``BinaryType`` column
+    exercising the same Parquet binary read/write, Arrow transfer, and
+    metadata-pruning paths real assets would.
+    """
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.col("lang").alias("media_lang"),
+            F.col("source").alias("media_source"),
+            F.length("text").alias("content_length"),
+            F.lit("application/octet-stream").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def fake_codec(payload: bytes) -> list[tuple[int, int, int, float]]:
+    """Deterministic stand-in for a real image/video decoder.
+
+    Emits ≤3 pseudo-frames: (frame_idx, width, height, mean byte of the
+    frame's byte slice). Pure function of the payload bytes.
+    """
+    n = len(payload)
+    frames = []
+    n_frames = min(3, max(1, n // 64))
+    step = n // n_frames
+    for i in range(n_frames):
+        chunk = payload[i * step : (i + 1) * step] or b"\x00"
+        frames.append((i, 64 + (n % 64), 64, sum(chunk) / len(chunk)))
+    return frames
+
+
+def decode_media(
+    media: DataFrame,
+    codec: Callable[[bytes], list[tuple[int, int, int, float]]] | None = None,
+) -> DataFrame:
+    """Frame-sample/feature-extract via ``mapInPandas`` (SURVEY §2.10 U5).
+
+    Narrow (no-shuffle) transformation: each Arrow batch of payloads is
+    decoded in the Python worker and expanded 1→N into frame rows. At
+    100 TB this is the shape that parallelizes decode across all
+    executor cores with zero data movement.
+    """
+    if codec is None:
+        raise NotImplementedError(
+            "real media decode needs image/audio libraries not present in "
+            "this environment; pass codec=fake_codec for the deterministic "
+            "test stand-in"
+        )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for frame_idx, w, h, mb in codec(bytes(payload)):
+                    rows.append((doc_id, frame_idx, w, h, mb))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "width", "height", "mean_byte"],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(decode_batches, DECODE_SCHEMA)

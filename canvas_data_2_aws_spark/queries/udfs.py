@@ -1,1 +1,188 @@
-"""Placeholder — filled in by build step (SURVEY §7)."""
+"""Graded Python-UDF surface (SURVEY §2.10 U1–U5).
+
+UDFs are the slow path (Arrow round-trip out of the JVM — lifecycle
+§3.2), so the engine keeps them OFF analytic hot paths; these queries
+exist to prove the full vectorized-UDF surface works and stays
+deterministic. Determinism notes per query:
+
+- Pure +,-,*,/,sqrt chains are IEEE-754 correctly rounded → executing
+  the identical expression order in pandas (float64) and DuckDB
+  (DOUBLE) is bit-identical. U1/U5 rely on this.
+- Group statistics (mean/std) are summation-order-dependent across
+  engines; U2 rounds the z-score to 4 dp (SURVEY §8.5) — verified
+  hash-stable on the fixed seed=42 fixtures at sf0.001 + sf0.01.
+- pandas ``std()`` is ddof=1 ⇒ the oracle must use STDDEV_SAMP
+  (SURVEY §8.6).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+from ..registry import graded
+from ..session import load_table
+
+# --- U1: scalar pandas UDF — vectorized Arrow arithmetic ------------------------
+
+_SCALAR_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                 AS DECIMAL(18,6)) AS DOUBLE) AS charge
+FROM lineitem
+WHERE l_orderkey % 32 = 0
+"""
+
+
+@pandas_udf(DoubleType())
+def _charge(ep: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+    # Fixed evaluation order; +,*,- are correctly rounded → cross-engine exact.
+    return ep * (1 - disc) * (1 + tax)
+
+
+@graded("udf_scalar_charge", oracle=_SCALAR_ORACLE)
+def udf_scalar_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: Arrow-vectorized scalar pandas UDF computing the TPC-H
+    charge expression. One Python worker round-trip per batch; the
+    filter still pushes down to the Parquet scan because it references
+    only non-UDF columns."""
+    li = load_table(spark, sf_dir, "lineitem").where("l_orderkey % 32 = 0")
+    # The raw product is bit-identical across engines (fixed IEEE op
+    # order); the DECIMAL(18,6) cast recovers the exact ≤6-dp value on
+    # both sides (functions/numeric.py rationale) — never ROUND a raw
+    # double, the .5-boundary direction differs per engine.
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        _charge("l_extendedprice", "l_discount", "l_tax")
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("charge"),
+    )
+
+
+# --- U2: grouped-map applyInPandas — per-group z-score --------------------------
+
+_GROUPED_ORACLE = """
+SELECT event_id, event_type,
+       ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+             / STDDEV_SAMP(value) OVER (PARTITION BY event_type), 4) AS zscore
+FROM events
+"""
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    z = (pdf["value"] - pdf["value"].mean()) / pdf["value"].std(ddof=1)
+    return pd.DataFrame(
+        {
+            "event_id": pdf["event_id"],
+            "event_type": pdf["event_type"],
+            "zscore": z.round(4),
+        }
+    )
+
+
+@graded("udf_grouped_zscore", oracle=_GROUPED_ORACLE)
+def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: canonical per-group normalization via ``applyInPandas``.
+    One shuffle on the group key; each group materializes as one
+    pandas frame (at 100 TB: groups must fit an executor — salt or
+    pre-aggregate wider groups first)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").applyInPandas(
+        _zscore_group, "event_id long, event_type string, zscore double"
+    )
+
+
+# --- U3: grouped-agg pandas UDAF ------------------------------------------------
+
+_RANGE_ORACLE = """
+SELECT event_type,
+       MAX(value) - MIN(value) AS value_range
+FROM events
+GROUP BY event_type
+"""
+
+
+@pandas_udf(DoubleType())
+def _value_range(v: pd.Series) -> float:
+    # max - min: order-independent and IEEE-exact → no rounding needed.
+    return float(v.max() - v.min())
+
+
+@graded("udf_grouped_agg_range", oracle=_RANGE_ORACLE)
+def udf_grouped_agg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: pandas GROUPED_AGG UDAF (series → scalar per group) inside
+    a normal ``groupBy().agg()`` — partial aggregation is disabled for
+    Python UDAFs, so the full group ships to one worker; fine for
+    low-cardinality keys, use built-ins otherwise."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(_value_range("value").alias("value_range"))
+
+
+# --- U4: Python UDTF (1→N table function, Spark ≥3.5) — rows-only ---------------
+
+
+@graded("udf_udtf_bigrams", oracle=None)
+def udf_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: Python UDTF expanding each document into its word bigrams
+    via a lateral join. Rows-only: DuckDB has no UDTF analog; the
+    equivalent relational expansion is graded as `explode_array` (F8)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, bigram string")
+    class Bigrams:
+        def eval(self, text: str):
+            words = text.split(" ")
+            for i in range(len(words) - 1):
+                yield i, words[i] + " " + words[i + 1]
+
+    docs = load_table(spark, sf_dir, "documents").where("doc_id % 50 = 0")
+    docs.createOrReplaceTempView("udtf_docs")
+    spark.udtf.register("doc_bigrams", Bigrams)
+    return spark.sql(
+        """
+        SELECT d.doc_id, b.pos, b.bigram
+        FROM udtf_docs d, LATERAL doc_bigrams(d.text) b
+        ORDER BY d.doc_id, b.pos
+        """
+    )
+
+
+# --- U5: mapInPandas — partition-wise Arrow batch stream ------------------------
+
+_MAPINPANDAS_ORACLE = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       ROUND(SQRT(CAST(n_chars AS DOUBLE)), 4) AS root_chars
+FROM documents
+"""
+
+
+def _doc_stats(batches):
+    import numpy as np
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["text"].str.encode("utf-8").str.len(),
+                # np.sqrt is IEEE correctly rounded (matches DuckDB SQRT
+                # bit-for-bit); round(4) verified stable on the fixtures.
+                "root_chars": np.sqrt(pdf["n_chars"].astype("float64")).round(4),
+            }
+        )
+
+
+@graded("udf_map_in_pandas", oracle=_MAPINPANDAS_ORACLE)
+def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5: ``mapInPandas`` — per-partition iterator of Arrow batches,
+    the narrow (no-shuffle) UDF shape used for feature extraction at
+    scale. Per-row pure functions keep it deterministic and
+    oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.mapInPandas(
+        _doc_stats, "doc_id long, n_bytes long, root_chars double"
+    )

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..operators.similarity import ann_lsh_neighbors, cosine_pairs, knn_brute_force
+from ..operators.similarity import ann_lsh_neighbors, cosine_blas
 from ..registry import graded
 from ..session import load_table
 
@@ -29,15 +29,12 @@ LIMIT 20
 
 @graded("knn_cosine_exact", oracle=_KNN_ORACLE)
 def knn_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-20 most-similar pairs: blocked cross join (id_a <
-    id_b halves the pair space) + JVM-side cosine + TakeOrdered."""
+    """Global top-20 most-similar pairs: broadcast corpus + BLAS batch
+    matmul (operators/similarity.py cosine_blas), per-row top-20
+    candidates (a superset of the global top-20), then TakeOrdered."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = cosine_pairs(emb)
-    return (
-        pairs.select("vec_id_a", "vec_id_b", F.round("score", 4).alias("score"))
-        .orderBy(F.col("score").desc(), "vec_id_a", "vec_id_b")
-        .limit(20)
-    )
+    pairs = cosine_blas(emb, emb, mode="pairs_topk", k=20)
+    return pairs.orderBy(F.col("score").desc(), "vec_id_a", "vec_id_b").limit(20)
 
 
 # --- M6 variant: top-k neighbors per query (similarity search shape) -------------
@@ -64,21 +61,16 @@ WHERE rn <= 5
 @graded("knn_topk_per_query", oracle=_KNN_PER_QUERY_ORACLE)
 def knn_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 exact neighbors for each of 32 query vectors against the
-    full corpus — the ANN baseline/re-rank shape (broadcast corpus,
-    per-query heap via WindowGroupLimit)."""
+    full corpus — the ANN baseline/re-rank shape (broadcast corpus +
+    BLAS; per-query candidates already rank-ordered on rounded score,
+    the window just re-derives the rn column on the tiny result)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 32)
-    scored = knn_brute_force(queries, emb, k=10**9)  # rank on rounded below
-    rounded = scored.select(
-        "query_id", "neighbor_id", F.round("score", 4).alias("score")
-    )
+    scored = cosine_blas(queries, emb, mode="knn", k=5)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
     )
-    return (
-        rounded.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 5)
-    )
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
 
 
 # --- EXT: embedding-cosine near-dup detection --------------------------------------
@@ -100,13 +92,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded cosine. Blocking turns O(n²) into O(Σ per-label²) — at
     100 TB the block key is an LSH bucket instead of a label."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = cosine_pairs(emb, block_cols=("label",))
-    return pairs.select(
-        "vec_id_a",
-        "vec_id_b",
-        "label",
-        F.round("score", 4).alias("score"),
-    ).where(F.col("score") >= 0.3)
+    pairs = cosine_blas(
+        emb, emb, mode="pairs_threshold", threshold=0.3, block_col="label"
+    )
+    return pairs.select("vec_id_a", "vec_id_b", "label", "score")
 
 
 # --- M7: approximate NN via LSH (rows-only: hash seeds not portable) -----------------
