@@ -1,0 +1,190 @@
+"""Extended analytics surface: statistical aggregates, percentiles,
+arg-extremes, pivot, subquery forms, full ranking family.
+
+Widens SURVEY §2.4/§2.5 beyond the minimum contract — these are the
+shapes a replica's analytics consumers (dashboards, data-quality
+monitors) run daily. All DuckDB-oracle-checked; determinism notes
+inline per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.numeric import dsum_col
+from ..registry import graded
+from ..session import load_table, register_tables
+
+# --- statistical aggregates (stddev/var/corr/covar) ----------------------------
+
+_STATS_ORACLE = """
+SELECT l_returnflag,
+       ROUND(stddev_samp(l_discount), 4)               AS sd_discount,
+       ROUND(var_samp(l_quantity), 4)                  AS var_qty,
+       ROUND(corr(l_quantity, l_extendedprice), 4)     AS corr_qty_price,
+       ROUND(covar_samp(l_quantity, l_tax), 6)         AS covar_qty_tax
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@graded("agg_stats", oracle=_STATS_ORACLE)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates. Both engines use merge-based
+    co-moment accumulation whose partial order differs → results agree
+    to ~1e-10; ROUND(,4/6) absorbs it (verified stable on fixtures)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_discount"), 4).alias("sd_discount"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_tax"), 6).alias("covar_qty_tax"),
+    )
+
+
+# --- percentiles / median ------------------------------------------------------
+
+_PERCENTILE_ORACLE = """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@graded("agg_percentile", oracle=_PERCENTILE_ORACLE)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``: position (n−1)·q, linear interpolation). At
+    100 TB switch to ``approx_percentile`` (t-digest sketch, one pass,
+    mergeable) — exact percentile needs a per-group sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+    )
+
+
+# --- arg-extremes (max_by / min_by) --------------------------------------------
+
+# Composite ordering key keeps the winner unique + deterministic:
+# o_totalprice has 2 dp, so price·10⁶ is a multiple of 10⁴ and adding
+# o_orderkey (< 10⁶) can never collide; the double product is exact to
+# well under the gap between distinct keys.
+_ARG_ORACLE = """
+SELECT o_orderpriority,
+       arg_max(o_orderkey, o_totalprice * 1000000 + o_orderkey) AS priciest_order,
+       arg_min(o_orderkey, o_totalprice * 1000000 + o_orderkey) AS cheapest_order
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@graded("agg_arg_extremes", oracle=_ARG_ORACLE)
+def agg_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by with a uniqueness-forcing composite ordering key
+    (bare max_by over a tied ordering column is nondeterministic —
+    same rule as SURVEY §8.4 for LIMIT/rank)."""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.col("o_totalprice") * F.lit(1000000) + F.col("o_orderkey")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", key).alias("priciest_order"),
+        F.min_by("o_orderkey", key).alias("cheapest_order"),
+    )
+
+
+# --- pivot (A7 as first-class wide-table shape) --------------------------------
+
+_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+            FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS rev_f
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@graded("agg_pivot", oracle=_PIVOT_ORACLE)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status → columns pivot. Expressed as conditional aggregation
+    (identical plan to ``.pivot()`` with explicit values, but keeps
+    column names/aliases under our control for the oracle)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def n_status(s: str):
+        return F.count(F.when(F.col("o_orderstatus") == s, 1))
+
+    return o.groupBy("o_orderpriority").agg(
+        n_status("F").alias("n_f"),
+        n_status("O").alias("n_o"),
+        n_status("P").alias("n_p"),
+        dsum_col(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")), "rev_f"
+        ),
+    )
+
+
+# --- subquery forms: scalar + EXISTS + IN (SQL-string path) --------------------
+
+_SUBQUERY_SQL = """
+SELECT c_custkey, c_acctbal
+FROM customer
+WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        FROM customer
+      )
+  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
+ORDER BY c_custkey
+"""
+
+
+@graded("sql_subqueries", oracle=_SUBQUERY_SQL)
+def sql_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (decimal-recipe average, no tie risk against
+    full-precision balances) + EXISTS (decorrelated to a semi join) +
+    IN (semi join) through the SQL-string path — Catalyst and DuckDB
+    run the byte-identical statement."""
+    register_tables(spark, sf_dir)
+    return spark.sql(_SUBQUERY_SQL)
+
+
+# --- full ranking family (W1 completion: ntile / percent_rank / cume_dist) -----
+
+_RANK_FAMILY_ORACLE = """
+SELECT o_orderkey, o_orderpriority,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       ntile(4)       OVER w AS quartile,
+       percent_rank() OVER w AS prk,
+       cume_dist()    OVER w AS cd
+FROM orders
+WHERE o_orderkey % 8 = 0
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+"""
+
+
+@graded("window_rank_family", oracle=_RANK_FAMILY_ORACLE)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every ranking function over one window. percent_rank/cume_dist
+    are (rank−1)/(n−1) and rank/n divisions of identical integers →
+    bit-identical across engines; orderBy ends in the unique PK."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").where("o_orderkey % 8 = 0")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("prk"),
+        F.cume_dist().over(w).alias("cd"),
+    )

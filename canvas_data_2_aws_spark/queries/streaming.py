@@ -21,6 +21,7 @@ from ..streaming.windows import (
     dedup_stream,
     read_event_stream,
     run_available_now,
+    stateful_user_totals_stream,
     tumbling_counts_stream,
 )
 
@@ -148,6 +149,26 @@ def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- T4/T5/T6: true Structured Streaming smokes (rows-only) --------------------------
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _few_state_partitions(spark: SparkSession, n: int = 8):
+    """Clamp shuffle partitions around a bounded streaming replay.
+
+    Stateful operators allocate one state-store instance per shuffle
+    partition per micro-batch; at replay scale (10⁴ rows) 32 stores ×
+    3 batches is pure overhead. Production streams keep the session
+    default — state-store parallelism should match key cardinality.
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 3) -> str:
     """Split events into n time-ordered parquet files for replay."""
     ev = load_table(spark, sf_dir, "events").orderBy("ts")
@@ -171,9 +192,10 @@ def stream_watermark_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     (asserted in tests/test_streaming.py)."""
     base = _replay_dir(spark, sf_dir)
     try:
-        stream = read_event_stream(spark, f"{base}/part*")
-        agg = tumbling_counts_stream(stream)
-        rows = run_available_now(agg, "wm_smoke", output_mode="complete")
+        with _few_state_partitions(spark):
+            stream = read_event_stream(spark, f"{base}/part*")
+            agg = tumbling_counts_stream(stream)
+            rows = run_available_now(agg, "wm_smoke", output_mode="complete")
         return spark.createDataFrame(rows, agg.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -185,12 +207,13 @@ def stream_dedup_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates every file (each event arrives twice)."""
     base = _replay_dir(spark, sf_dir)
     try:
-        # duplicate the stream: same files listed twice via two globs
-        stream = read_event_stream(spark, f"{base}/part*")
-        doubled = stream.unionByName(read_event_stream(spark, f"{base}/part*"))
-        deduped = dedup_stream(doubled)
-        counted = deduped.groupBy("event_type").agg(F.count("*").alias("n"))
-        rows = run_available_now(counted, "dedup_smoke", output_mode="complete")
+        with _few_state_partitions(spark):
+            # duplicate the stream: same files listed twice via two globs
+            stream = read_event_stream(spark, f"{base}/part*")
+            doubled = stream.unionByName(read_event_stream(spark, f"{base}/part*"))
+            deduped = dedup_stream(doubled)
+            counted = deduped.groupBy("event_type").agg(F.count("*").alias("n"))
+            rows = run_available_now(counted, "dedup_smoke", output_mode="complete")
         return spark.createDataFrame(rows, counted.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -236,3 +259,43 @@ def stream_merge_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for d in (base_dir, chg_dir, ckpt_dir):
             shutil.rmtree(d, ignore_errors=True)
+
+
+# --- T-EXT: custom stateful operator (applyInPandasWithState) -------------------
+
+_STATEFUL_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+         / CAST(100 AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@graded("stream_stateful_totals", oracle=_STATEFUL_ORACLE)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState)
+    over a 3-micro-batch replay. Integer-cent state accumulation makes
+    the final per-user state exactly the batch aggregate — the rare
+    stateful op that earns a full hash-match oracle instead of a
+    rows-only smoke (streaming/windows.py rationale)."""
+    base = _replay_dir(spark, sf_dir)
+    try:
+        with _few_state_partitions(spark):
+            stream = read_event_stream(spark, f"{base}/part*")
+            totals = stateful_user_totals_stream(stream)
+            run_available_now(totals, "stateful_totals_sink", output_mode="update")
+        # Update-mode memory sink holds one row per (user, update);
+        # the counters are monotone, so MAX picks each user's final state.
+        return spark.sql(
+            """
+            SELECT user_id,
+                   MAX(n_events) AS n_events,
+                   MAX(total_cents) / CAST(100 AS DOUBLE) AS total_value
+            FROM stateful_totals_sink
+            GROUP BY user_id
+            """
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

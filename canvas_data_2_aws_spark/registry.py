@@ -44,6 +44,7 @@ def load_all() -> None:
     """Import every query module so registration side effects run."""
     from .queries import (  # noqa: F401
         aggregates,
+        analytics,
         dedup,
         joins,
         merge,

@@ -62,6 +62,40 @@ def dedup_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     )
 
 
+def stateful_user_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-user running (count, total) accumulator emitted every update.
+
+    Money is accumulated in integer cents (the fixture values carry
+    2 dp), making the running total order- and batching-independent —
+    the final state is *exactly* the batch aggregate, so even this
+    custom streaming operator is DuckDB-oracle-checkable. At scale the
+    per-key state lives in the state store (RocksDB in prod); keys are
+    hash-partitioned, one state row per user.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(np.rint(pdf["value"].to_numpy() * 100).sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id long, n_events long, total_cents long",
+        "n long, cents long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> list:

@@ -1,0 +1,82 @@
+"""Physical-plan assertions (SURVEY §4): the optimizations the 100 TB
+design leans on must actually fire at fixture scale — a regression here
+means a full scan, an avoidable shuffle, or a lost broadcast at scale.
+
+Checked against ``explain(formatted)`` text of the graded queries
+themselves, so any refactor that silently de-optimizes a plan fails CI.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from canvas_data_2_aws_spark import registry
+
+registry.load_all()
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    """Materialize plan text once per interesting query."""
+    names = [
+        "scan_project_filter",
+        "join_inner_agg",
+        "join_broadcast_dim",
+        "window_topk_per_group",
+        "sort_limit_topk",
+        "agg_group_sum",
+    ]
+    return {n: plan_text(registry.QUERIES[n](spark, sf_dir)) for n in names}
+
+
+def test_filter_pushdown_reaches_parquet(plans):
+    p = plans["scan_project_filter"]
+    assert "PushedFilters: [" in p
+    # The range predicates must actually push, not just be Pushable-in-theory.
+    assert "GreaterThanOrEqual(l_discount" in p or "GreaterThanOrEqual(l_shipdate" in p
+
+
+def test_column_pruning_reaches_parquet(plans):
+    # The Q1-shape scan must not read the full 11-column lineitem schema.
+    p = plans["agg_group_sum"]
+    read = p[p.index("ReadSchema") :].splitlines()[0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_dim_join_broadcasts(plans):
+    assert "BroadcastHashJoin" in plans["join_broadcast_dim"]
+    assert "BroadcastExchange" in plans["join_broadcast_dim"]
+
+
+def test_fact_join_no_cartesian(plans):
+    assert "CartesianProduct" not in plans["join_inner_agg"]
+    assert "BroadcastNestedLoopJoin" not in plans["join_inner_agg"]
+
+
+def test_topk_per_group_uses_window_group_limit(plans):
+    # rank-then-filter form must trigger the ≥3.5 WindowGroupLimit rewrite
+    # (per-partition heaps instead of full per-group sorts).
+    assert "WindowGroupLimit" in plans["window_topk_per_group"]
+
+
+def test_global_topk_avoids_full_sort(plans):
+    assert "TakeOrderedAndProject" in plans["sort_limit_topk"]
+
+
+def test_aggregation_is_hash_with_partial_combine(plans):
+    # Map-side combine (partial_sum before the exchange) is what keeps
+    # the Q1 shuffle at |groups|·|partitions| rows instead of |input|.
+    p = plans["agg_group_sum"]
+    assert "HashAggregate" in p
+    assert "partial_sum" in p
+    assert "Exchange hashpartitioning" in p or "Exchange" in p
