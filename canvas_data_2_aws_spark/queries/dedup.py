@@ -81,11 +81,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE-exact). The blocked-pair pattern is MinHash's verification
     step; here blocks are small enough to skip the sketch."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
+    words = docs.select("doc_id", "lang", "source", F.split("text", " ").alias("w"))
+    sh = words.select(
         "doc_id",
         "lang",
         "source",
-        F.array_distinct(T.ngrams(n=3)).alias("shingles"),
+        F.array_distinct(T.ngrams_from_words("w", n=3)).alias("shingles"),
     )
     a = sh.select(
         F.col("doc_id").alias("doc_a"),
@@ -102,8 +103,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
+        # shuffle_hash, not broadcast: the build side carries the full
+        # shingle arrays — broadcasting it serializes shingle compute on
+        # one thread (measured 2× slower) and at scale both pair sides
+        # are large; hash-partitioning on the block key is the plan that
+        # survives 100×.
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("doc_a") < F.col("doc_b"))
             & (F.col("lang_a") == F.col("lang_b"))
             & (F.col("source_a") == F.col("source_b")),

@@ -124,3 +124,59 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("source").alias("n_sources"),
         (F.count("*") - F.countDistinct("text")).alias("n_exact_dups"),
     )
+
+
+# --- S2: JSONL envelope codec round-trip ---------------------------------------
+
+_ENVELOPE_ORACLE = """
+WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+ins AS (
+  SELECT mx.m + ROW_NUMBER() OVER (ORDER BY s.o_orderkey) AS o_orderkey,
+         s.o_custkey, s.o_orderstatus, s.o_totalprice, s.o_orderdate,
+         s.o_orderpriority, 'U' AS action
+  FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 100) s, mx
+),
+changeset AS (
+  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+         o_totalprice + 1.0 AS o_totalprice, o_orderdate, o_orderpriority,
+         'U' AS action
+  FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey, CAST(NULL AS BIGINT) AS o_custkey,
+         CAST(NULL AS VARCHAR) AS o_orderstatus,
+         CAST(NULL AS DOUBLE) AS o_totalprice,
+         CAST(NULL AS TIMESTAMP) AS o_orderdate,
+         CAST(NULL AS VARCHAR) AS o_orderpriority, 'D' AS action
+  FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT * FROM ins
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority,
+       action
+FROM changeset
+"""
+
+
+@graded("jsonl_envelope_roundtrip", oracle=_ENVELOPE_ORACLE)
+def jsonl_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: the CD2 incremental envelope codec, proven by round-trip —
+    derive the changeset, serialize every record to the
+    {key,value,meta} JSONL wire shape, parse it back with the strict
+    server-declared schema (sources/envelope.py), and emit the typed
+    rows. The oracle sees only the changeset definition: a codec bug
+    (field drop, type drift, double mangling) breaks the hash.
+
+    o_orderdate is excluded from the graded projection: timestamps
+    round-trip through ISO JSON strings exactly, but exercising that
+    here would tie the test to JSON timestamp formatting instead of
+    envelope structure; tests/test_envelope.py covers it."""
+    from ..sources.envelope import decode_envelope, encode_envelope
+
+    orders = load_table(spark, sf_dir, "orders")
+    changeset = derive_changeset(orders).drop("o_orderdate")
+    wire = encode_envelope(changeset, key_cols=["o_orderkey"])
+    decoded = decode_envelope(wire, table="orders", key_cols=["o_orderkey"])
+    return decoded.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority", "action",
+    )
