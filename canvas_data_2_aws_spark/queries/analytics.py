@@ -188,3 +188,93 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("prk"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+# --- unpivot / melt (wide → long) ----------------------------------------------
+
+_UNPIVOT_ORACLE = """
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
+FROM part WHERE p_partkey % 16 = 0
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val
+FROM part WHERE p_partkey % 16 = 0
+"""
+
+
+@graded("unpivot_metrics", oracle=_UNPIVOT_ORACLE)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via native ``unpivot`` (Expand operator: one
+    pass, rows × n_metrics output, no shuffle)."""
+    p = load_table(spark, sf_dir, "part").where("p_partkey % 16 = 0")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "val")
+
+
+# --- equal-width histogram ------------------------------------------------------
+
+_HISTOGRAM_ORACLE = """
+WITH mm AS (
+  SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders
+)
+SELECT LEAST(CAST(FLOOR((o_totalprice - mn) / ((mx - mn) / 10)) AS BIGINT), 9)
+         AS bucket,
+       COUNT(*) AS n
+FROM orders, mm
+GROUP BY bucket
+"""
+
+
+@graded("agg_histogram", oracle=_HISTOGRAM_ORACLE)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-bucket equal-width histogram. Two-pass plan: tiny min/max
+    aggregate broadcast back over the fact scan — the standard
+    profile-then-bucket shape. Bucket arithmetic uses identical IEEE
+    ops on identical operands in both engines → exact."""
+    o = load_table(spark, sf_dir, "orders")
+    mm = o.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / 10)
+        ),
+        F.lit(9),
+    ).alias("bucket")
+    return (
+        o.crossJoin(F.broadcast(mm))
+        .groupBy(bucket)
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --- extended date/time functions (F2 completion) ------------------------------
+
+_DATE_EXT_ORACLE = """
+SELECT o_orderkey,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       dayofweek(o_orderdate) + 1 AS dow,
+       quarter(o_orderdate) AS qtr,
+       weekofyear(o_orderdate) AS iso_week,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m
+FROM orders
+WHERE o_orderkey % 16 = 0
+"""
+
+
+@graded("scalar_date_extended", oracle=_DATE_EXT_ORACLE)
+def scalar_date_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """last_day / dayofweek / quarter / ISO week / add_months.
+    Dialect deltas handled oracle-side: DuckDB dayofweek is 0-based
+    Sunday vs Spark's 1-based (+1); both use ISO week numbering."""
+    o = load_table(spark, sf_dir, "orders").where("o_orderkey % 16 = 0")
+    return o.select(
+        "o_orderkey",
+        F.last_day("o_orderdate").alias("month_end"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.add_months("o_orderdate", 3).alias("plus3m"),
+    )

@@ -272,3 +272,48 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_value="ts",
         value_alias="last_signup_ts",
     )
+
+
+# --- J1 at depth: TPC-H Q5-shape five-way star join ----------------------------
+
+_FIVE_WAY_ORACLE = f"""
+SELECT n.n_name,
+       {oracle_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+
+@graded("join_five_way", oracle=_FIVE_WAY_ORACLE)
+def join_five_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier revenue by nation (TPC-H Q5 shape): a 6-table
+    star join with a region filter. The scale-relevant properties:
+    region/nation/supplier broadcast (no shuffle), the region filter
+    prunes before the fact joins (Catalyst pushes it through the join
+    chain), and only customer⋈orders⋈lineitem shuffle on their keys —
+    AQE reorders/re-sizes the exchanges at runtime."""
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum("l_extendedprice * (1 - l_discount)", "revenue"))
+    )
