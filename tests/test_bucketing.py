@@ -1,0 +1,57 @@
+"""Bucketed-layout co-located join (SCALE.md §1): replica tables
+bucketed by PK must join with ZERO shuffle — the property that makes
+the per-sync M1 merge shuffle-free at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+from canvas_data_2_aws_spark.session import load_table
+
+
+@pytest.fixture()
+def bucketed_pair(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+    )
+    for name, df in (("b_orders", orders), ("b_lineitem", li)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", str(tmp_path / name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    yield spark.table("b_orders"), spark.table("b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_cobucketed_join_is_shuffle_free(spark, bucketed_pair):
+    a, b = bucketed_pair
+    # Disable broadcast: at fixture scale the dim side fits under the
+    # threshold and Catalyst would broadcast instead — the property
+    # under test is the big-big case, where bucketing must remove the
+    # ShuffleExchange on BOTH sides.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # and it still computes the right thing
+        assert joined.count() == b.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_groupby_is_shuffle_free(spark, bucketed_pair):
+    a, _ = bucketed_pair
+    agg = a.groupBy("o_orderkey").count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

@@ -41,3 +41,36 @@ def test_streaming_merge_equals_batch_merge(spark, sf_dir):
     }
     stream_rows = registry.QUERIES["stream_merge_smoke"](spark, sf_dir).collect()
     assert {r.o_orderstatus: r.n for r in stream_rows} == batch_counts
+
+
+def test_streaming_session_windows_equal_batch(spark, sf_dir):
+    """T3 streaming form: native session_window under the micro-batch
+    scheduler merges cross-batch sessions to the same result as the
+    batch plan."""
+    from canvas_data_2_aws_spark.queries.streaming import (
+        _few_state_partitions,
+        _replay_dir,
+    )
+    from canvas_data_2_aws_spark.streaming.windows import (
+        read_event_stream,
+        run_available_now,
+        session_stats_stream,
+    )
+    import shutil
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = _replay_dir(spark, sf_dir)
+    try:
+        with _few_state_partitions(spark):
+            stream = read_event_stream(spark, f"{base}/part*")
+            sess = session_stats_stream(stream)
+            rows = run_available_now(sess, "sess_smoke", output_mode="complete")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+    batch = registry.QUERIES["stream_session_stats"](spark, sf_dir)
+    stream_per_user = {}
+    for r in rows:
+        stream_per_user[r.user_id] = stream_per_user.get(r.user_id, 0) + 1
+    batch_per_user = {r.user_id: r.n_sessions for r in batch.collect()}
+    assert stream_per_user == batch_per_user
