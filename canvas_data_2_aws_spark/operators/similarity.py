@@ -183,6 +183,77 @@ def knn_brute_force(
     )
 
 
+def ann_ivf_neighbors(
+    df: DataFrame,
+    query_vec,
+    k: int,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer + in-cluster
+    exact re-rank — the other classic scale path besides LSH (M7).
+
+    Build: MLlib KMeans partitions the corpus into ``n_clusters``
+    cells (one distributed pass; the cell id becomes the partition/
+    pruning key at rest). Probe: score the query against the tiny
+    centroid table driver-side, keep ``nprobe`` nearest cells, and
+    run the exact kernel only inside them — corpus scanned ≈
+    nprobe/n_clusters of full, and the cell filter prunes Parquet
+    partitions when the index is written partitioned by cell.
+
+    Deterministic per seed within Spark; not reproducible cross-engine
+    (k-means init) → rows-only grading, recall asserted in tests.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = df.select(
+        id_col, vec_col, array_to_vector(F.col(vec_col)).alias("features")
+    )
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(vecs)
+    indexed = model.transform(vecs)
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    centroids = np.stack([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
+    d2 = ((centroids - q) ** 2).sum(axis=1)
+    probe_cells = [int(c) for c in np.argsort(d2)[:nprobe]]
+
+    candidates = indexed.where(F.col("cell").isin(probe_cells))
+    scored = candidates.select(
+        F.col(id_col),
+        "cell",
+        cosine_similarity_to_literal(vec_col, q).alias("score"),
+    )
+    return (
+        scored.select(id_col, "cell", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), id_col)
+        .limit(k)
+    )
+
+
+def cosine_similarity_to_literal(vec_col: str, q) -> F.Column:
+    """Cosine between an array column and a literal query vector,
+    evaluated JVM-side (no UDF): zip_with against an array literal."""
+    import numpy as np
+
+    qn = float(np.sqrt((np.asarray(q, dtype=np.float64) ** 2).sum()))
+    arr = "array(" + ",".join(f"CAST({float(x)!r} AS DOUBLE)" for x in q) + ")"
+    dot = (
+        f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    norm = (
+        f"sqrt(aggregate({vec_col}, CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+    return F.expr(f"({dot}) / (({norm}) * CAST({qn!r} AS DOUBLE))")
+
+
 def ann_lsh_neighbors(
     df: DataFrame,
     query_vec,

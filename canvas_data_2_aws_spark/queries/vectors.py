@@ -116,3 +116,22 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighbors.select(
         "vec_id", F.col("distCol").alias("approx_distance")
     ).orderBy("approx_distance", "vec_id")
+
+
+# --- M7 variant: IVF ANN (k-means cells + in-cell exact re-rank) ----------------
+
+
+@graded("ann_ivf", oracle=None)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate NN: top-10 neighbors of vec_id=0 probing 4 of
+    16 k-means cells (operators/similarity.ann_ivf_neighbors).
+    Seed-pinned; rows-only (k-means init not reproducible in DuckDB);
+    recall vs exact KNN asserted in tests/test_vectors.py."""
+    from ..operators.similarity import ann_ivf_neighbors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query_vec = emb.where(F.col("vec_id") == 0).head().embedding
+    neighbors = ann_ivf_neighbors(
+        emb.where(F.col("vec_id") != 0), query_vec, k=10
+    )
+    return neighbors

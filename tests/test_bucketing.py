@@ -55,3 +55,30 @@ def test_bucketed_groupby_is_shuffle_free(spark, bucketed_pair):
     agg = a.groupBy("o_orderkey").count()
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """SCALE.md §1: date-partitioned fact layout + dim-side filter →
+    Catalyst injects a dynamic pruning subquery into the fact scan, so
+    only matching partitions are read at 100 TB."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    orders.write.partitionBy("order_year").mode("overwrite").parquet(
+        str(tmp_path / "fact")
+    )
+    years = [r.order_year for r in orders.select("order_year").distinct().collect()]
+    dim = spark.createDataFrame(
+        [(y, "keep" if y == min(years) else "drop") for y in years],
+        "order_year int, flag string",
+    )
+    dim.write.mode("overwrite").parquet(str(tmp_path / "dim"))
+
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+    dim_f = spark.read.parquet(str(tmp_path / "dim")).where("flag = 'keep'")
+    joined = fact.join(dim_f, "order_year")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    assert joined.count() == orders.where(F.col("order_year") == min(years)).count()

@@ -1,0 +1,29 @@
+"""ANN recall tests: the approximate paths must actually find most of
+the exact neighbors, or they are fast garbage."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from canvas_data_2_aws_spark import registry
+from canvas_data_2_aws_spark.operators.similarity import cosine_blas
+from canvas_data_2_aws_spark.session import load_table
+
+registry.load_all()
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    query_vec = emb.where(F.col("vec_id") == 0).head().embedding
+    corpus = emb.where(F.col("vec_id") != 0)
+
+    exact = cosine_blas(
+        emb.where(F.col("vec_id") == 0), corpus, mode="knn", k=10
+    )
+    exact_ids = {r.neighbor_id for r in exact.collect()}
+
+    approx = registry.QUERIES["ann_ivf"](spark, sf_dir)
+    approx_ids = {r.vec_id for r in approx.collect()}
+
+    # probing 4/16 cells must still recover most of the true top-10
+    assert len(exact_ids & approx_ids) >= 6, (exact_ids, approx_ids)
