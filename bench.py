@@ -41,6 +41,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "stream_session_stats",
     "udf_grouped_zscore",
+    "join_five_way",
+    "window_rank_family",
 ]
 
 

@@ -91,7 +91,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    _reject_drift(name, df)
     return df
+
+
+def _reject_drift(name: str, df: DataFrame) -> None:
+    """S4 strict mode: fail fast when the file schema drifts from the
+    declared one (the reference regenerates DDL on a schema-version
+    bump rather than silently coercing — SURVEY §1.1). Compares
+    name+type pairs; nullability is storage metadata, not contract."""
+    def norm(t: str) -> str:
+        # NTZ-vs-LTZ is decided by the reading session's config
+        # (parquet.inferTimestampNTZ), not by the table contract.
+        return "timestamp" if t.startswith("timestamp") else t
+
+    declared = [(f.name, norm(f.dataType.simpleString())) for f in schemas.TABLES[name]]
+    actual = [(f.name, norm(f.dataType.simpleString())) for f in df.schema.fields]
+    if declared != actual:
+        raise ValueError(
+            f"schema drift on table {name!r}: declared {declared}, file has "
+            f"{actual} — bump the declared schema version to accept it"
+        )
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -51,3 +51,28 @@ def test_sink_roundtrip_counts(spark, sf_dir):
 def test_csv_roundtrip(spark, sf_dir):
     out = registry.QUERIES["csv_decode_smoke"](spark, sf_dir).collect()
     assert len(out) == 25
+
+
+def test_schema_drift_rejected(spark, sf_dir, tmp_path, monkeypatch):
+    """S4 strict mode: a type change in the stored table must fail
+    loudly, not coerce silently."""
+    import pytest
+    from canvas_data_2_aws_spark import schemas, session
+    from pyspark.sql import functions as F
+
+    drifted = (
+        spark.read.parquet(f"{sf_dir}/region.parquet")
+        .withColumn("r_regionkey", F.col("r_regionkey").cast("string"))
+    )
+    drifted.write.mode("overwrite").parquet(str(tmp_path / "region.parquet"))
+    with pytest.raises(ValueError, match="schema drift"):
+        session.load_table(spark, str(tmp_path), "region")
+
+
+def test_declared_schemas_match_fixtures(spark, sf_dir):
+    """Every declared StructType matches the shipped fixtures exactly
+    (the load path validates on every read; this pins all ten)."""
+    from canvas_data_2_aws_spark import schemas, session
+
+    for name in schemas.TABLE_NAMES:
+        session.load_table(spark, sf_dir, name)  # raises on drift
