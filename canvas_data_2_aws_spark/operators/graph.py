@@ -1,0 +1,108 @@
+"""Iterative connected components (near-dup cluster resolution).
+
+Near-dup detection (M5/SimHash/Jaccard/cosine) emits candidate PAIRS;
+actually deduplicating a corpus needs the transitive closure — if A~B
+and B~C, one canonical survivor for {A,B,C}. That closure is an
+iterative algorithm (no single SQL expression), implemented here as
+the classic min-label propagation: every node repeatedly adopts the
+smallest id reachable in one hop until a fixpoint.
+
+Spark-first notes: each iteration is one join + one aggregation on
+DataFrames (Catalyst plans, map-side combine); convergence needs
+O(log(longest path)) rounds on real near-dup graphs (tiny diameters).
+Labels are checkpointed via localCheckpoint each round to cut the
+exponentially growing lineage — the standard Spark iterative-algorithm
+discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Return (node, component) with component = min node id reachable.
+
+    ``edges`` is an undirected pair list; self-loops and duplicates are
+    fine. Deterministic: min() labels, no randomness.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        sym.groupBy("a")
+        .agg(F.least(F.min("b"), F.first("a")).alias("comp"))
+        .select(F.col("a").alias("node"), "comp")
+    )
+    for _ in range(max_iter):
+        # propagate: each node takes min(own comp, neighbors' comps)
+        neighbor_best = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_best, labels.node == neighbor_best.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        # pointer jumping: adopt the label of your label — doubles the
+        # propagated distance per round, O(log diameter) convergence
+        # instead of O(diameter) (the hybrid used by large-graph CC).
+        parents = new_labels.select(
+            F.col("node").alias("comp"), F.col("comp").alias("parent_comp")
+        )
+        new_labels = (
+            new_labels.join(parents, "comp", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("parent_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def resolve_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "doc_a",
+    pair_b: str = "doc_b",
+) -> DataFrame:
+    """Keep one canonical row (min id) per near-dup cluster.
+
+    Docs not in any pair survive untouched; clustered docs survive iff
+    they are their cluster's min id. Returns the surviving rows.
+    """
+    comps = connected_components(pairs, src=pair_a, dst=pair_b)
+    keep = comps.groupBy("comp").agg(F.min("node").alias("keeper"))
+    losers = (
+        comps.join(keep, "comp")
+        .where(F.col("node") != F.col("keeper"))
+        .select(F.col("node").alias(id_col))
+    )
+    return docs.join(losers, on=id_col, how="left_anti")

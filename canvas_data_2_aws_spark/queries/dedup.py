@@ -150,3 +150,102 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("jaccard_dist", "doc_a", "doc_b")
     )
+
+
+# --- dedup RESOLUTION: canonical survivor per bucket ----------------------------
+
+_CANONICAL_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+codes AS (
+  SELECT doc_id, ascii(substring(token, 1, 1)) * 31 + length(token) AS code
+  FROM tok
+),
+bits AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (code // (1 << bit)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM codes, range(0, 16) t(bit)
+  GROUP BY doc_id, bit
+),
+sh AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT doc_id, simhash
+FROM (SELECT doc_id, simhash,
+             MIN(doc_id) OVER (PARTITION BY simhash) AS keeper
+      FROM sh) t
+WHERE doc_id = keeper
+"""
+
+
+@graded("dedup_keep_canonical", oracle=_CANONICAL_ORACLE)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup as row REMOVAL, not just candidate pairs: one canonical
+    survivor (min doc_id) per SimHash bucket. The aggregate-min rule —
+    never dropDuplicates — keeps the survivor choice deterministic
+    (SURVEY §2.8 M4 note)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = T.simhash16(docs)
+    keeper = F.min("doc_id").over(Window.partitionBy("simhash"))
+    return (
+        sh.withColumn("keeper", keeper)
+        .where(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "simhash")
+    )
+
+
+# --- transitive near-dup clusters: iterative CC vs recursive-CTE oracle ---------
+
+_CC_ORACLE = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id, lang, source,
+         list_distinct(list_transform(
+           range(1, GREATEST(LEN(string_split(text, ' ')) - 1, 1)),
+           i -> concat_ws(' ',
+                list_extract(string_split(text, ' '), i),
+                list_extract(string_split(text, ' '), i + 1),
+                list_extract(string_split(text, ' '), i + 2))
+         )) AS shingles
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS pa, b.doc_id AS pb
+  FROM sh a
+  JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang AND a.source = b.source
+  WHERE CAST(LEN(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / (LEN(a.shingles) + LEN(b.shingles)
+             - LEN(list_intersect(a.shingles, b.shingles))) >= 0.2
+),
+sym AS (
+  SELECT pa AS a, pb AS b FROM pairs
+  UNION
+  SELECT pb AS a, pa AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS node, LEAST(a, MIN(b)) AS comp
+FROM reach
+GROUP BY a
+"""
+
+
+@graded("dedup_connected_components", oracle=_CC_ORACLE)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of near-dup pairs (A~B, B~C ⇒ one cluster):
+    iterative min-label propagation (operators/graph.py) — the
+    iterative-algorithm shape done Spark-first (join+agg per round,
+    localCheckpoint lineage control). Oracle: DuckDB recursive CTE
+    computes the same closure, so even this non-single-SQL operator is
+    hash-matched."""
+    from ..operators.graph import connected_components
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).where(F.col("jaccard") >= 0.2)
+    return connected_components(pairs, src="doc_a", dst="doc_b").select(
+        "node", "comp"
+    )

@@ -1,0 +1,45 @@
+"""Unit tests for iterative connected components (operators/graph.py)."""
+
+from __future__ import annotations
+
+from canvas_data_2_aws_spark.operators.graph import (
+    connected_components,
+    resolve_duplicates,
+)
+
+
+def test_cc_chain_and_islands(spark):
+    # chain 1-2-3-4, pair 10-11, triangle 20-21-22 (+ redundant edge)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "src long, dst long",
+    )
+    comps = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert comps == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
+def test_cc_long_chain_converges(spark):
+    n = 40  # diameter >> 1 forces multiple propagation rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    comps = {r.node: r.comp for r in connected_components(edges, max_iter=20).collect()}
+    assert set(comps.values()) == {0}
+    assert len(comps) == n + 1
+
+
+def test_resolve_duplicates_keeps_min_per_cluster(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 5)], "doc_a long, doc_b long"  # cluster {1,2,5}
+    )
+    survivors = sorted(
+        r.doc_id for r in resolve_duplicates(docs, pairs).collect()
+    )
+    assert survivors == [0, 1, 3, 4]
