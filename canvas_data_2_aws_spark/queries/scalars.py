@@ -240,3 +240,88 @@ def explode_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + 1).cast("long").alias("pos"),
         F.round(F.col("col").cast("double"), 4).alias("val"),
     )
+
+
+# --- F1 extension: split_part/translate/reverse/repeat/instr/regexp-count -------
+
+_STRING_EXT_ORACLE = """
+SELECT doc_id,
+       split_part(text, ' ', 2)                      AS second_word,
+       translate(lang, 'aeiou', 'AEIOU')             AS lang_t,
+       reverse(source)                               AS source_rev,
+       repeat(lang, 2)                               AS lang2,
+       strpos(text, 'join')                          AS join_pos,
+       len(regexp_extract_all(text, 'join'))         AS join_count
+FROM documents
+WHERE doc_id % 4 = 0
+"""
+
+
+@graded("scalar_string_extended", oracle=_STRING_EXT_ORACLE)
+def scalar_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 long tail: split_part, translate, reverse, repeat, instr
+    (≡ strpos), regexp match counting (RE2-safe literal pattern)."""
+    docs = load_table(spark, sf_dir, "documents").where("doc_id % 4 = 0")
+    return docs.select(
+        "doc_id",
+        F.expr("split_part(text, ' ', 2)").alias("second_word"),
+        F.translate("lang", "aeiou", "AEIOU").alias("lang_t"),
+        F.reverse("source").alias("source_rev"),
+        F.repeat("lang", 2).alias("lang2"),
+        F.instr("text", "join").cast("long").alias("join_pos"),
+        F.size(F.expr("regexp_extract_all(text, 'join', 0)"))
+        .cast("long")
+        .alias("join_count"),
+    )
+
+
+# --- F5 extension: higher-order filter / exists / array_min-max ----------------
+
+_ARRAY_EXT_ORACLE = """
+SELECT vec_id,
+       LEN(list_filter(CAST(embedding AS DOUBLE[]), v -> v > 0)) AS n_pos,
+       LEN(list_filter(CAST(embedding AS DOUBLE[]), v -> v > 0.3)) > 0 AS has_big,
+       ROUND(list_min(CAST(embedding AS DOUBLE[])), 4) AS min_v,
+       ROUND(list_max(CAST(embedding AS DOUBLE[])), 4) AS max_v
+FROM embeddings
+WHERE vec_id % 4 = 0
+"""
+
+
+@graded("scalar_array_extended", oracle=_ARRAY_EXT_ORACLE)
+def scalar_array_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 long tail: higher-order filter + exists, array_min/max.
+    Element comparisons run on identical float→double promotions, so
+    counts/booleans are exact; min/max rounded per §8.5."""
+    emb = load_table(spark, sf_dir, "embeddings").where("vec_id % 4 = 0")
+    d = "transform(embedding, v -> CAST(v AS DOUBLE))"
+    return emb.select(
+        "vec_id",
+        F.expr(f"size(filter({d}, v -> v > 0))").cast("long").alias("n_pos"),
+        F.expr(f"exists({d}, v -> v > 0.3)").alias("has_big"),
+        F.round(F.expr(f"array_min({d})"), 4).alias("min_v"),
+        F.round(F.expr(f"array_max({d})"), 4).alias("max_v"),
+    )
+
+
+# --- F6: map construction + entry explosion ------------------------------------
+
+_MAP_ORACLE = """
+SELECT doc_id, 'lang' AS k, lang AS v FROM documents WHERE doc_id % 8 = 0
+UNION ALL
+SELECT doc_id, 'source' AS k, source AS v FROM documents WHERE doc_id % 8 = 0
+"""
+
+
+@graded("scalar_map_entries", oracle=_MAP_ORACLE)
+def scalar_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: build a MapType column, explode via map_entries to (k, v)
+    rows — MapType never appears in a graded schema (cross-engine map
+    semantics differ; SURVEY §2.7 F6), entries do."""
+    docs = load_table(spark, sf_dir, "documents").where("doc_id % 8 = 0")
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    return docs.select(
+        "doc_id", F.explode(F.map_entries(m)).alias("e")
+    ).select("doc_id", F.col("e.key").alias("k"), F.col("e.value").alias("v"))
