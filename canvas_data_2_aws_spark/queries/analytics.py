@@ -17,29 +17,55 @@ from ..session import load_table, register_tables
 
 # --- statistical aggregates (stddev/var/corr/covar) ----------------------------
 
-_STATS_ORACLE = """
+# Second moments from exact decimal power sums, not the engines' native
+# streaming co-moment accumulators: those merge partials in shuffle
+# order, which varies run-to-run AND cross-engine in the last ulps. The
+# fixture columns are ≤2 dp, so every power/cross product is ≤4 dp —
+# DECIMAL(38,8) sums are exact and order-independent; the closed-form
+# arithmetic below then runs the identical IEEE op sequence in both
+# engines → bit-identical before ROUND.
+_MOMENTS = {
+    "n": "COUNT(*)",
+    "sd": "CAST(SUM(CAST(l_discount AS DECIMAL(38,8))) AS DOUBLE)",
+    "sdd": "CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,8))) AS DOUBLE)",
+    "sq": "CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE)",
+    "sqq": "CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE)",
+    "sp": "CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE)",
+    "spp": "CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE)",
+    "sqp": "CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE)",
+    "st": "CAST(SUM(CAST(l_tax AS DECIMAL(38,8))) AS DOUBLE)",
+    "sqt": "CAST(SUM(CAST(l_quantity * l_tax AS DECIMAL(38,8))) AS DOUBLE)",
+}
+
+_STATS_FINAL = """
 SELECT l_returnflag,
-       ROUND(stddev_samp(l_discount), 4)               AS sd_discount,
-       ROUND(var_samp(l_quantity), 4)                  AS var_qty,
-       ROUND(corr(l_quantity, l_extendedprice), 4)     AS corr_qty_price,
-       ROUND(covar_samp(l_quantity, l_tax), 6)         AS covar_qty_tax
-FROM lineitem
-GROUP BY l_returnflag
+       ROUND(sqrt((sdd - sd * sd / n) / (n - 1)), 4)    AS sd_discount,
+       ROUND((sqq - sq * sq / n) / (n - 1), 4)          AS var_qty,
+       ROUND((sqp - sq * sp / n)
+             / (sqrt(sqq - sq * sq / n) * sqrt(spp - sp * sp / n)), 4)
+                                                        AS corr_qty_price,
+       ROUND((sqt - sq * st / n) / (n - 1), 6)          AS covar_qty_tax
+FROM moments
 """
+
+_STATS_ORACLE = (
+    "WITH moments AS (SELECT l_returnflag, "
+    + ", ".join(f"{v} AS {k}" for k, v in _MOMENTS.items())
+    + " FROM lineitem GROUP BY l_returnflag) "
+    + _STATS_FINAL
+)
 
 
 @graded("agg_stats", oracle=_STATS_ORACLE)
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Second-moment aggregates. Both engines use merge-based
-    co-moment accumulation whose partial order differs → results agree
-    to ~1e-10; ROUND(,4/6) absorbs it (verified stable on fixtures)."""
+    """stddev_samp / var_samp / corr / covar_samp via exact decimal
+    power sums + closed-form finals (rationale above the oracle)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_discount"), 4).alias("sd_discount"),
-        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_tax"), 6).alias("covar_qty_tax"),
+    moments = li.groupBy("l_returnflag").agg(
+        *[F.expr(v).alias(k) for k, v in _MOMENTS.items()]
     )
+    moments.createOrReplaceTempView("moments")
+    return spark.sql(_STATS_FINAL)
 
 
 # --- percentiles / median ------------------------------------------------------

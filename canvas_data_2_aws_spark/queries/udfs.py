@@ -74,6 +74,11 @@ FROM events
 
 
 def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    # Sort first: rows arrive in shuffle order, and pandas pairwise
+    # summation is order-sensitive in the last ulp — sorting pins the
+    # mean/std bit pattern run-to-run (same rule as SURVEY §8.4 for
+    # anything order-sensitive).
+    pdf = pdf.sort_values("event_id", ignore_index=True)
     z = (pdf["value"] - pdf["value"].mean()) / pdf["value"].std(ddof=1)
     return pd.DataFrame(
         {
