@@ -194,3 +194,36 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     polynomial, engine-neutral — operators/text.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return T.fingerprint(docs)
+
+
+# --- deterministic train/test split (hash bucketing) ----------------------------
+
+_SPLIT_ORACLE = """
+WITH tagged AS (
+  SELECT lang,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+              THEN 'test' ELSE 'train' END AS split
+  FROM documents
+)
+SELECT split, lang, COUNT(*) AS n
+FROM tagged
+GROUP BY split, lang
+"""
+
+
+@graded("sample_train_test_split", oracle=_SPLIT_ORACLE)
+def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable ~10% test split via md5 key bucketing — the
+    training-pipeline sampling primitive. Hash-of-key, never rand():
+    the assignment is reproducible across engines, runs, and
+    re-partitions, and survives incremental appends (a doc's split
+    never changes). First 2 hex chars < '1a' ⇒ 26/256 ≈ 10.2%."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a", "test"
+    ).otherwise("train")
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n"))
+    )

@@ -77,6 +77,24 @@ class StreamingMergeSink:
         )
         self._commit(next_v)
 
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Drop snapshot versions older than the ``keep_last`` most
+        recent (the lakehouse VACUUM analog — a 100 TB replica cannot
+        retain every version). Never touches the committed pointer's
+        version; returns the versions removed."""
+        import shutil
+
+        current = self.current_version()
+        removed = []
+        for name in sorted(os.listdir(self.table_dir)):
+            if not name.startswith("v"):
+                continue
+            v = int(name[1:])
+            if v <= current - keep_last:
+                shutil.rmtree(os.path.join(self.table_dir, name))
+                removed.append(v)
+        return removed
+
     def start(self, change_stream: DataFrame, checkpoint_dir: str):
         """Run the merge loop with AvailableNow (bounded replay)."""
         return (

@@ -59,3 +59,21 @@ def test_read_changeset_jsonl_from_disk(spark, sf_dir):
         assert decoded.where("o_orderkey IS NULL").count() == 0
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_malformed_records_surface_as_null_keys(spark):
+    """Corrupt JSONL lines parse to null structs (PERMISSIVE), which
+    surface as null-key rows — countable/quarantinable, never silently
+    dropped or crashing the sync."""
+    lines = [
+        '{"key":{"o_orderkey":1},"value":{"o_custkey":7},"meta":{"action":"U","ts":0}}',
+        "this is not json at all",
+        '{"key":{},"value":{},"meta":{"action":"U","ts":0}}',
+    ]
+    records = spark.createDataFrame([(l,) for l in lines], "record string")
+    decoded = decode_envelope(records, table="orders", key_cols=["o_orderkey"])
+    rows = decoded.collect()
+    assert len(rows) == 3
+    good = [r for r in rows if r.o_orderkey is not None]
+    assert len(good) == 1 and good[0].o_custkey == 7
+    assert sum(1 for r in rows if r.o_orderkey is None) == 2

@@ -74,3 +74,75 @@ def test_streaming_session_windows_equal_batch(spark, sf_dir):
         stream_per_user[r.user_id] = stream_per_user.get(r.user_id, 0) + 1
     batch_per_user = {r.user_id: r.n_sessions for r in batch.collect()}
     assert stream_per_user == batch_per_user
+
+
+def test_merge_sink_checkpoint_recovery(spark, sf_dir, tmp_path):
+    """Exactly-once across restarts: a second AvailableNow run on the
+    SAME checkpoint must process only files that arrived after the
+    first run — already-committed micro-batches are never reapplied."""
+    from pyspark.sql import functions as F
+
+    from canvas_data_2_aws_spark.queries.merge import derive_changeset
+    from canvas_data_2_aws_spark.session import load_table
+    from canvas_data_2_aws_spark.streaming.merge_sink import StreamingMergeSink
+
+    orders = load_table(spark, sf_dir, "orders")
+    changeset = derive_changeset(orders).withColumn("chg_ts", F.lit(1).cast("long"))
+    table_dir, chg_dir, ckpt = (
+        str(tmp_path / "table"), str(tmp_path / "chg"), str(tmp_path / "ckpt")
+    )
+    sink = StreamingMergeSink(
+        spark, table_dir, keys=["o_orderkey"], compact_by=["chg_ts"]
+    )
+    sink.bootstrap(orders)
+
+    def run():
+        stream = (
+            spark.readStream.schema(changeset.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{chg_dir}/b*")
+        )
+        q = sink.start(stream, ckpt)
+        q.awaitTermination()
+
+    # first run: only the even-key half of the changeset has arrived
+    changeset.where(F.col("o_orderkey") % 2 == 0).coalesce(1).write.parquet(f"{chg_dir}/b0")
+    run()
+    v_after_first = sink.current_version()
+    assert v_after_first >= 1
+
+    # restart with the same checkpoint after the odd half arrives
+    changeset.where(F.col("o_orderkey") % 2 == 1).coalesce(1).write.parquet(f"{chg_dir}/b1")
+    run()
+
+    # only ONE new version (b0 not reprocessed), and the final replica
+    # equals the batch merge of the full changeset
+    assert sink.current_version() == v_after_first + 1
+    from canvas_data_2_aws_spark.operators.merge import apply_changeset
+
+    expected = apply_changeset(
+        orders, changeset, keys=["o_orderkey"], compact_by=["chg_ts"]
+    )
+    final = sink.current_snapshot()
+    assert final.count() == expected.count()
+    assert (
+        final.exceptAll(expected.select(*final.columns)).count() == 0
+    )
+
+
+def test_merge_sink_vacuum_keeps_current(spark, sf_dir, tmp_path):
+    from canvas_data_2_aws_spark.session import load_table
+    from canvas_data_2_aws_spark.streaming.merge_sink import StreamingMergeSink
+
+    orders = load_table(spark, sf_dir, "orders").limit(100)
+    sink = StreamingMergeSink(
+        spark, str(tmp_path / "t"), keys=["o_orderkey"], compact_by=["o_orderkey"]
+    )
+    sink.bootstrap(orders)
+    empty = orders.limit(0).withColumn("action", F.lit("U"))
+    for b in range(3):
+        sink.apply_batch(empty, b)  # v1..v3
+    removed = sink.vacuum(keep_last=2)
+    assert removed == [0, 1]
+    assert sink.current_version() == 3
+    assert sink.current_snapshot().count() == 100
