@@ -141,3 +141,33 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "moving_avg3"
         ),
     )
+
+
+# --- W4 completion: value-range frame (interval window) -------------------------
+
+_RANGE_FRAME_ORACLE = """
+SELECT event_id, user_id,
+       SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+       ) AS hour_cents
+FROM events
+"""
+
+
+@graded("window_range_frame", oracle=_RANGE_FRAME_ORACLE)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour rolling sum via a RANGE frame (value-based, not
+    row-count-based — peers with equal timestamps share a frame, which
+    is why range frames stay deterministic under ties). Order key is
+    integer µs, the summand integer cents: exact in any engine."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return ev.select(
+        "event_id", "user_id", F.sum(cents).over(w).alias("hour_cents")
+    )
