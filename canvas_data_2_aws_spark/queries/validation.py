@@ -1,0 +1,124 @@
+"""Replica validation queries — the post-`syncdb` integrity surface.
+
+A replication pipeline is only as trustworthy as its verification: after
+every sync the operator needs (a) a profile of what landed, (b) proof
+that FK relationships survived, and (c) a cheap way to compare replica
+against source WITHOUT moving either. All three are ordinary
+aggregations here — and all three are oracle-checked, which is itself
+the point: the checksum that matches DuckDB bit-for-bit is the checksum
+you can trust across heterogeneous stores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.numeric import dsum, oracle_dsum
+from ..registry import graded
+from ..session import load_table
+
+# --- table profile --------------------------------------------------------------
+
+_PROFILE_ORACLE = f"""
+SELECT COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(o_custkey) AS null_custkey,
+       COUNT(DISTINCT o_orderkey) AS distinct_keys,
+       COUNT(DISTINCT o_orderstatus) AS distinct_status,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       {oracle_dsum('o_totalprice', 'sum_price')}
+FROM orders
+"""
+
+
+@graded("validate_profile", oracle=_PROFILE_ORACLE)
+def validate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-load profile: cardinalities, null counts, key range, money
+    total (decimal recipe). One pass, all map-side combinable."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("o_custkey")).alias("null_custkey"),
+        F.countDistinct("o_orderkey").alias("distinct_keys"),
+        F.countDistinct("o_orderstatus").alias("distinct_status"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        dsum("o_totalprice", "sum_price"),
+    )
+
+
+# --- referential integrity ------------------------------------------------------
+
+_FK_ORACLE = """
+SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_orphans
+FROM lineitem l WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders->customer' AS fk, COUNT(*) AS n_orphans
+FROM orders o WHERE NOT EXISTS (
+  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'customer->nation' AS fk, COUNT(*) AS n_orphans
+FROM customer c WHERE NOT EXISTS (
+  SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+"""
+
+
+@graded("validate_fk_integrity", oracle=_FK_ORACLE)
+def validate_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphaned-FK detection per relationship (anti joins — the J6
+    primitive doing integrity duty). A replica that merges upserts and
+    deletes out of order shows up here first."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+
+    def orphans(child, parent, ckey, pkey, label):
+        cnt = child.join(
+            parent, child[ckey] == parent[pkey], "left_anti"
+        ).count()
+        return (label, cnt)
+
+    rows = [
+        orphans(li, o, "l_orderkey", "o_orderkey", "lineitem->orders"),
+        orphans(o, c, "o_custkey", "c_custkey", "orders->customer"),
+        orphans(c, n, "c_nationkey", "n_nationkey", "customer->nation"),
+    ]
+    return spark.createDataFrame(rows, "fk string, n_orphans long")
+
+
+# --- cross-engine table checksum ------------------------------------------------
+
+# Row digest: md5 over a canonical string of engine-neutral fields
+# (keys, strings, integer cents — never raw doubles/timestamps, whose
+# string forms are engine-dependent), folded to a 32-bit int and SUMmed.
+# Addition is commutative → order-insensitive; md5 is identical
+# everywhere → the same table yields the same checksum in any engine.
+_CHECKSUM_ORACLE = """
+SELECT SUM(CAST(concat('0x', substring(md5(
+         concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus,
+                   CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR),
+                   o_orderpriority)
+       ), 1, 8)) AS BIGINT)) AS checksum,
+       COUNT(*) AS n_rows
+FROM orders
+"""
+
+
+@graded("validate_table_checksum", oracle=_CHECKSUM_ORACLE)
+def validate_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content checksum — replica≡source comparison
+    without data movement: each side computes one number."""
+    o = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    digest = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
+    return o.agg(
+        F.sum(digest).alias("checksum"), F.count("*").alias("n_rows")
+    )

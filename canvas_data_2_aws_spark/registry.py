@@ -55,6 +55,7 @@ def load_all() -> None:
         streaming,
         text,
         udfs,
+        validation,
         vectors,
         windows,
     )
