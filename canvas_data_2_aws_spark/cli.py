@@ -63,6 +63,8 @@ def cmd_query(args) -> int:
         return 2
     spark = session.get_spark(app=f"cda2-query-{args.name}")
     df = registry.QUERIES[args.name](spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
     df.show(args.rows, truncate=False)
     return 0
 
@@ -96,6 +98,9 @@ def main(argv: list[str] | None = None) -> int:
     p_query.add_argument("--name", required=True)
     p_query.add_argument("--sf-dir", default=session.DEFAULT_SF_DIR)
     p_query.add_argument("--rows", type=int, default=20)
+    p_query.add_argument(
+        "--explain", action="store_true", help="print the formatted physical plan"
+    )
     p_query.set_defaults(fn=cmd_query)
 
     p_list = sub.add_parser("list", help="list all graded queries")
