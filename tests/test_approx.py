@@ -1,0 +1,66 @@
+"""Quality bounds for approximate operators: rows-only queries still
+need their approximation to be demonstrably close to the exact answer,
+or they are fast garbage (same rationale as the IVF recall test)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from canvas_data_2_aws_spark import registry
+from canvas_data_2_aws_spark.session import load_table
+
+registry.load_all()
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.select(F.countDistinct("user_id")).first()[0]
+    approx = ev.select(F.approx_count_distinct("user_id", rsd=0.05)).first()[0]
+    assert abs(approx - exact) <= max(3 * 0.05 * exact, 2), (approx, exact)
+
+
+def test_minhash_pairs_are_actually_similar(spark, sf_dir):
+    """Every pair MinHash-LSH returns at distance ≤ 0.6 must have TRUE
+    token-set Jaccard distance ≤ 0.6 — approxSimilarityJoin computes
+    the exact distance for candidates, so false positives here mean a
+    wiring bug (wrong columns, wrong feature space)."""
+    pairs = registry.QUERIES["dedup_near_minhash"](spark, sf_dir)
+    assert pairs.where(F.col("jaccard_dist") > 0.6).count() == 0
+
+
+def test_lsh_ann_neighbors_overlap_exact(spark, sf_dir):
+    """LSH top-10 for vec_id=0 must share most members with the exact
+    top-10 by Euclidean distance (the LSH family's metric)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).head().embedding
+    q_arr = "array(" + ",".join(f"CAST({float(x)!r} AS DOUBLE)" for x in q) + ")"
+    dist = F.expr(
+        f"sqrt(aggregate(zip_with(embedding, {q_arr},"
+        " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    exact_ids = {
+        r.vec_id
+        for r in emb.select("vec_id", dist.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .collect()
+    }
+    approx_ids = {r.vec_id for r in registry.QUERIES["ann_lsh"](spark, sf_dir).collect()}
+    assert len(exact_ids & approx_ids) >= 7, (exact_ids, approx_ids)
+
+
+def test_fake_codec_is_deterministic_and_shaped(spark, sf_dir):
+    from canvas_data_2_aws_spark.operators.multimodal import fake_codec
+
+    frames = fake_codec(b"x" * 300)
+    assert frames == fake_codec(b"x" * 300)  # pure function of bytes
+    assert 1 <= len(frames) <= 3
+    for idx, (frame_idx, w, h, mean_byte) in enumerate(frames):
+        assert frame_idx == idx
+        assert w > 0 and h > 0 and 0 <= mean_byte <= 255
+
+    rows = registry.QUERIES["multimodal_decode_frames"](spark, sf_dir).collect()
+    assert rows and all(r.width > 0 and r.height > 0 for r in rows)
+    # 1→N expansion really happened: some doc produced >1 frame
+    assert len(rows) > len({r.doc_id for r in rows})
