@@ -122,6 +122,113 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- M5 deterministic form: md5 MinHash + banded LSH (full SQL oracle) ----------
+
+# 8 MinHash permutations (lexicographic min of md5("<seed>:<shingle>"))
+# grouped into 4 bands × 2 rows. md5 is byte-identical in every engine,
+# so unlike MLlib's seed-private MinHashLSH this whole pipeline —
+# sketch, banding, candidate join, exact verify — hash-matches DuckDB.
+_MINHASH_BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]
+
+_MINHASH_SIG = ",\n          ".join(
+    f"MIN(md5('{s}:' || shingle)) AS h{s}" for s in range(8)
+)
+_MINHASH_BANDS_SQL = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {i} AS band, h{a} || h{b} AS bkey FROM sig"
+    for i, (a, b) in enumerate(_MINHASH_BANDS)
+)
+
+_MINHASH_BANDED_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, GREATEST(LEN(w) - 1, 1)),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+  FROM w
+),
+shx AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+),
+sig AS (
+  SELECT doc_id,
+          {_MINHASH_SIG}
+  FROM shx GROUP BY doc_id
+),
+bands AS (
+  {_MINHASH_BANDS_SQL}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(LEN(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+         / (LEN(x.shingles) + LEN(y.shingles)
+            - LEN(list_intersect(x.shingles, y.shingles))) AS jaccard
+FROM cand c
+JOIN sh x ON x.doc_id = c.doc_a
+JOIN sh y ON y.doc_id = c.doc_b
+"""
+
+
+@graded("dedup_minhash_banded", oracle=_MINHASH_BANDED_ORACLE)
+def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MinHash + banded LSH + exact-Jaccard verify — the
+    corpus-wide near-dup pipeline with NO blocking key and no O(n²)
+    pair scan: candidates are pairs agreeing on any of 4 two-row band
+    keys, so the join key is the band digest (one shuffle on bkey,
+    group sizes ≈ near-dup cluster sizes). MLlib's MinHashLSH
+    (dedup_near_minhash) is the library form; this one trades its
+    private hash seeds for engine-neutral md5 minima so the full
+    pipeline is cross-engine reproducible — at 100 TB the same plan
+    holds with the signature cached per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    sh = words.select(
+        "doc_id", F.array_distinct(T.ngrams_from_words("w", n=3)).alias("shingles")
+    )
+    shx = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    sig = shx.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
+            for s in range(8)
+        ]
+    )
+    bands = None
+    for i, (a, b) in enumerate(_MINHASH_BANDS):
+        part = sig.select(
+            "doc_id",
+            F.lit(i).alias("band"),
+            F.concat(f"h{a}", f"h{b}").alias("bkey"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select("doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard"))
+    )
+
+
 # --- M5: MinHash LSH near-dup join (rows-only: MLlib hash seeds not portable) -------
 
 

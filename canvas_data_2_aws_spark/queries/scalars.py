@@ -325,3 +325,78 @@ def scalar_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.explode(F.map_entries(m)).alias("e")
     ).select("doc_id", F.col("e.key").alias("k"), F.col("e.value").alias("v"))
+
+
+# --- F1 extension: edit distance (fuzzy matching primitive) ---------------------
+
+_LEVENSHTEIN_ORACLE = """
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       levenshtein(a.p_name, b.p_name) AS edit_dist,
+       levenshtein(a.p_brand, b.p_brand) AS brand_dist
+FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+WHERE a.p_partkey % 8 = 0
+"""
+
+
+@graded("scalar_levenshtein", oracle=_LEVENSHTEIN_ORACLE)
+def scalar_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance over adjacent-key name pairs — the
+    string-similarity primitive fuzzy entity matching builds on
+    (integer-exact, same DP definition in both engines). Quadratic in
+    string length, linear in pairs: at scale pair generation must be
+    blocked (sorted-neighborhood here via the key-adjacency join)."""
+    p = load_table(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand_a"),
+    ).where("key_a % 8 = 0")
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand_b"),
+    )
+    return (
+        a.join(b, F.col("key_b") == F.col("key_a") + 1)
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b").alias("edit_dist"),
+            F.levenshtein("brand_a", "brand_b").alias("brand_dist"),
+        )
+    )
+
+
+# --- F3 extension: bitwise operators (bucket math / bitmap primitives) ----------
+
+# Dialect deltas live in the oracle: DuckDB spells xor as xor() (its ^
+# is exponentiation) and shifts as <</>>; Spark uses ^ and
+# shiftleft/shiftright. bit_count is shared.
+_BITWISE_ORACLE = """
+SELECT o_orderkey,
+       o_orderkey & 255 AS low_byte,
+       o_orderkey | 4096 AS with_flag,
+       xor(o_orderkey, 255) AS flipped,
+       o_orderkey << 2 AS shl2,
+       o_orderkey >> 3 AS shr3,
+       bit_count(o_orderkey) AS popcount
+FROM orders
+WHERE o_orderkey % 16 = 0
+"""
+
+
+@graded("scalar_bitwise", oracle=_BITWISE_ORACLE)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR/shifts/popcount — the integer kernel under
+    hash bucketing, bitmap indexes, and the SimHash/bit-sampling
+    family. Pure int64 ops, bit-identical everywhere."""
+    o = load_table(spark, sf_dir, "orders").where("o_orderkey % 16 = 0")
+    return o.select(
+        "o_orderkey",
+        F.expr("o_orderkey & 255").alias("low_byte"),
+        F.expr("o_orderkey | 4096").alias("with_flag"),
+        F.expr("o_orderkey ^ 255").alias("flipped"),
+        F.shiftleft("o_orderkey", 2).alias("shl2"),
+        F.shiftright("o_orderkey", 3).alias("shr3"),
+        F.bit_count("o_orderkey").alias("popcount"),
+    )

@@ -135,3 +135,76 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") != 0), query_vec, k=10
     )
     return neighbors
+
+
+# --- EXT: per-label centroid + outlier distance (embedding QA shape) ------------
+
+# dim is 1-based in the oracle (lateral range) and 0-based in Spark
+# (posexplode); it is only an internal join key within each engine, so
+# the offset never surfaces. Per-dim centroid sums use the decimal
+# recipe (order-independent); the final distance is ROUND(,4) per §8.5.
+_CENTROID_ORACLE = """
+WITH pos AS (
+  SELECT vec_id, label, pos AS dim,
+         CAST(list_extract(embedding, pos) AS DOUBLE) AS v
+  FROM embeddings, range(1, 65) t(pos)
+),
+cent AS (
+  SELECT label, dim,
+         CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS c
+  FROM pos GROUP BY label, dim
+),
+dist AS (
+  SELECT p.vec_id, p.label,
+         ROUND(sqrt(CAST(SUM(CAST((p.v - c.c) * (p.v - c.c)
+                                  AS DECIMAL(38,12))) AS DOUBLE)), 4) AS dist
+  FROM pos p JOIN cent c ON p.label = c.label AND p.dim = c.dim
+  GROUP BY p.vec_id, p.label
+)
+SELECT vec_id, label, dist, rn
+FROM (SELECT vec_id, label, dist,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY dist DESC, vec_id) AS rn
+      FROM dist) t
+WHERE rn <= 5
+"""
+
+
+@graded("vector_centroid_outliers", oracle=_CENTROID_ORACLE)
+def vector_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 farthest-from-centroid vectors per label — the embedding
+    quality-assurance shape (mislabeled/outlier sample pruning for
+    training data). Plan: posexplode → per-(label,dim) decimal-sum
+    centroid (640 rows, broadcast back) → per-vector L2 distance →
+    WindowGroupLimit top-k. The explode stays parent-partition-local,
+    so partial aggregation collapses each vector before any shuffle;
+    at 100 TB the only wide exchange is the per-vector re-group."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = pos.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("v").cast("decimal(38,10)")).cast("double") / F.count("*")
+        ).alias("c")
+    )
+    dist = (
+        pos.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(F.expr("CAST((v - c) * (v - c) AS DECIMAL(38,12))")).cast(
+                        "double"
+                    )
+                ),
+                4,
+            ).alias("dist")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("dist").desc(), "vec_id")
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("vec_id", "label", "dist", "rn")
+    )

@@ -49,6 +49,7 @@ def load_all() -> None:
         joins,
         merge,
         multimodal,
+        pipelines,
         relational,
         scalars,
         setops,

@@ -1,0 +1,68 @@
+"""Semantic invariants for the event-pipeline analytics queries and
+the deterministic MinHash pipeline — properties the oracle hash-match
+can't express (monotonicity, interval chaining, spine completeness).
+"""
+
+from __future__ import annotations
+
+from canvas_data_2_aws_spark import registry
+
+registry.load_all()
+
+
+def test_funnel_monotone(spark, sf_dir):
+    rows = registry.QUERIES["analytics_funnel"](spark, sf_dir).collect()
+    by_stage = {r.stage: r.n_users for r in rows}
+    assert set(by_stage) == {1, 2, 3}
+    assert by_stage[1] >= by_stage[2] >= by_stage[3] >= 0
+
+
+def test_retention_cohorts_have_week_zero(spark, sf_dir):
+    rows = registry.QUERIES["analytics_retention"](spark, sf_dir).collect()
+    assert all(r.week_offset >= 0 for r in rows)
+    cohorts = {r.cohort_week for r in rows}
+    week0 = {r.cohort_week for r in rows if r.week_offset == 0}
+    assert week0 == cohorts  # every cohort is active in its own first week
+
+
+def test_gapfill_spine_contiguous(spark, sf_dir):
+    rows = registry.QUERIES["timeseries_gapfill"](spark, sf_dir).collect()
+    days = sorted(r.day for r in rows)
+    assert len(days) == (days[-1] - days[0]).days + 1  # no missing day
+    assert len(set(days)) == len(days)  # no duplicate day
+    assert all(r.n_events >= 0 and r.total_value >= 0.0 for r in rows)
+
+
+def test_scd2_intervals_chain(spark, sf_dir):
+    rows = registry.QUERIES["merge_scd2_history"](spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user_rows in by_user.values():
+        user_rows.sort(key=lambda r: (r.valid_from, r.event_id))
+        currents = [r for r in user_rows if r.is_current]
+        assert len(currents) == 1  # exactly one open interval per key
+        assert currents[0] is user_rows[-1]
+        for prev, nxt in zip(user_rows, user_rows[1:]):
+            assert prev.valid_to == nxt.valid_from  # gap- and overlap-free
+
+
+def test_minhash_banded_pairs_well_formed(spark, sf_dir):
+    rows = registry.QUERIES["dedup_minhash_banded"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0.0 <= r.jaccard <= 1.0
+
+
+def test_centroid_outliers_topk_shape(spark, sf_dir):
+    rows = registry.QUERIES["vector_centroid_outliers"](spark, sf_dir).collect()
+    per_label: dict[int, list] = {}
+    for r in rows:
+        assert 1 <= r.rn <= 5
+        assert r.dist >= 0.0
+        per_label.setdefault(r.label, []).append(r)
+    for label_rows in per_label.values():
+        assert sorted(r.rn for r in label_rows) == list(range(1, len(label_rows) + 1))
+        # rn order agrees with (dist desc, vec_id) order
+        ranked = sorted(label_rows, key=lambda r: (-r.dist, r.vec_id))
+        assert [r.rn for r in ranked] == sorted(r.rn for r in label_rows)
