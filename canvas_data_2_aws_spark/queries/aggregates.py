@@ -152,3 +152,26 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.array_sort(F.collect_set("source")).alias("sources"),
     )
+
+
+# --- A4 companion: t-digest approximate percentiles (rows-only) -----------------
+
+
+@graded("agg_approx_percentile", oracle=None)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile per group — the mergeable one-pass sketch that
+    replaces exact percentiles at 100 TB (exact needs a per-group
+    sort; the sketch is partial-aggregatable like any sum). Rows-only:
+    sketch internals are engine-specific; accuracy vs the exact
+    interpolated percentile is bounded in tests/test_approx.py."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                "approx_percentile(o_totalprice, array(0.5, 0.9), 10000)"
+            ).alias("approx_p50_p90"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -180,3 +180,168 @@ def jsonl_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderpriority", "action",
     )
+
+
+# --- EXT: incremental aggregate maintenance (IVM over the merge) ----------------
+
+# The maintained view: per-status order count + decimal revenue. The
+# incremental plan never rescans the base fact table's values beyond a
+# keyed probe for the changed keys' OLD rows — at 100 TB the base agg
+# is stored view state and the probe is partition-pruned, so the cost
+# scales with |changeset|, not |base|.
+_IVM_ORACLE = """
+WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+ins AS (
+  SELECT mx.m + ROW_NUMBER() OVER (ORDER BY s.o_orderkey) AS o_orderkey,
+         s.o_custkey, s.o_orderstatus, s.o_totalprice, s.o_orderdate,
+         s.o_orderpriority, 'U' AS action
+  FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 100) s, mx
+),
+changeset AS (
+  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+         o_totalprice + 1.0 AS o_totalprice, o_orderdate, o_orderpriority,
+         'U' AS action
+  FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         o_orderpriority, 'D' AS action
+  FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT * FROM ins
+),
+merged AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changeset)
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM changeset WHERE action = 'U'
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM merged GROUP BY o_orderstatus
+"""
+
+
+@graded("merge_incremental_agg", oracle=_IVM_ORACLE)
+def merge_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the per-status (count, revenue)
+    view is updated by DELTAS — +row for every upsert, −row for every
+    changed key's old image — instead of re-aggregating the merged
+    table. The oracle recomputes from scratch on the merged replica;
+    exact decimal arithmetic makes delta-maintenance ≡ recompute
+    bit-for-bit. Groups maintained to zero are dropped, matching the
+    recompute exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+    cs = derive_changeset(orders)
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+
+    # Stored view state (in production: read back, not recomputed).
+    old_agg = orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("dn"), F.sum(dec("o_totalprice")).alias("dr")
+    )
+    # +delta: every upserted row's new image.
+    adds = cs.where(F.col("action") == "U").select(
+        "o_orderstatus",
+        F.lit(1).cast("long").alias("dn"),
+        dec("o_totalprice").alias("dr"),
+    )
+    # −delta: old image of every key the changeset touches (updates and
+    # deletes; insert keys probe nothing). Keyed semi-probe, not a scan.
+    touched = cs.select("o_orderkey").distinct()
+    rems = orders.join(touched, "o_orderkey", "left_semi").select(
+        "o_orderstatus",
+        F.lit(-1).cast("long").alias("dn"),
+        (-dec("o_totalprice")).alias("dr"),
+    )
+    return (
+        old_agg.unionByName(adds)
+        .unionByName(rems)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("dn").alias("n_orders"),
+            F.sum("dr").cast("double").alias("revenue"),
+        )
+        .where(F.col("n_orders") > 0)
+    )
+
+
+# --- EXT: snapshot diff (replica drift audit) -----------------------------------
+
+_SNAPDIFF_ORACLE = """
+WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+ins AS (
+  SELECT mx.m + ROW_NUMBER() OVER (ORDER BY s.o_orderkey) AS o_orderkey,
+         s.o_custkey, s.o_orderstatus, s.o_totalprice, s.o_orderdate,
+         s.o_orderpriority, 'U' AS action
+  FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 100) s, mx
+),
+changeset AS (
+  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+         o_totalprice + 1.0 AS o_totalprice, o_orderdate, o_orderpriority,
+         'U' AS action
+  FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         o_orderpriority, 'D' AS action
+  FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT * FROM ins
+),
+merged AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changeset)
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM changeset WHERE action = 'U'
+)
+SELECT CASE
+         WHEN b.o_orderkey IS NULL THEN 'added'
+         WHEN m.o_orderkey IS NULL THEN 'removed'
+         WHEN b.o_orderstatus <> m.o_orderstatus
+              OR b.o_totalprice <> m.o_totalprice THEN 'changed'
+         ELSE 'unchanged'
+       END AS change_type,
+       COUNT(*) AS n
+FROM (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders) b
+FULL OUTER JOIN merged m ON b.o_orderkey = m.o_orderkey
+GROUP BY change_type
+"""
+
+
+@graded("validate_snapshot_diff", oracle=_SNAPDIFF_ORACLE)
+def validate_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot diff: full outer join on the PK classifies
+    every key as added / removed / changed / unchanged — the audit
+    that proves a syncdb run applied exactly its changeset and nothing
+    else. One co-partitioned full join (both sides hash on the PK);
+    value comparison is exact (status string, double +1.0 is an exact
+    IEEE op in both engines)."""
+    from ..operators.merge import apply_changeset
+
+    orders = load_table(spark, sf_dir, "orders")
+    merged = apply_changeset(
+        orders, derive_changeset(orders), keys=["o_orderkey"]
+    )
+    b = orders.select(
+        F.col("o_orderkey").alias("bk"),
+        F.col("o_orderstatus").alias("bs"),
+        F.col("o_totalprice").alias("bp"),
+    )
+    m = merged.select(
+        F.col("o_orderkey").alias("mk"),
+        F.col("o_orderstatus").alias("ms"),
+        F.col("o_totalprice").alias("mp"),
+    )
+    change = (
+        F.when(F.col("bk").isNull(), "added")
+        .when(F.col("mk").isNull(), "removed")
+        .when(
+            (F.col("bs") != F.col("ms")) | (F.col("bp") != F.col("mp")), "changed"
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        b.join(m, F.col("bk") == F.col("mk"), "full")
+        .groupBy(change.alias("change_type"))
+        .agg(F.count("*").alias("n"))
+    )

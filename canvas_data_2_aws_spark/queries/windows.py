@@ -171,3 +171,48 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", F.sum(cents).over(w).alias("hour_cents")
     )
+
+
+# --- EXT: finite-impulse-response weighted moving average -----------------------
+
+# Linear-decay 6-tap FIR written as an explicit lag chain: both engines
+# evaluate the identical left-associated IEEE expression on identical
+# operands, so the unrounded doubles hash-match (no ROUND needed —
+# rounding near-ties would be riskier than none). Rows without a full
+# 6-deep history are excluded via row_number, same filter both sides.
+_WMA_ORACLE = """
+SELECT user_id, event_id, ts,
+       (6 * value
+        + 5 * lag(value, 1) OVER w
+        + 4 * lag(value, 2) OVER w
+        + 3 * lag(value, 3) OVER w
+        + 2 * lag(value, 4) OVER w
+        + 1 * lag(value, 5) OVER w) / 21 AS wma6
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+QUALIFY row_number() OVER w > 5
+"""
+
+
+@graded("window_weighted_ma", oracle=_WMA_ORACLE)
+def window_weighted_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-tap linear-decay weighted moving average per user — the FIR
+    smoothing primitive (EWMA's bounded-memory cousin; a true EWMA is
+    an infinite recurrence and not expressible as a frame aggregate).
+    One window shuffle serves all six lags and the row_number."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wma = (
+        F.col("value") * 6
+        + F.lag("value", 1).over(w) * 5
+        + F.lag("value", 2).over(w) * 4
+        + F.lag("value", 3).over(w) * 3
+        + F.lag("value", 4).over(w) * 2
+        + F.lag("value", 5).over(w) * 1
+    ) / 21
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("wma6", wma)
+        .where(F.col("rn") > 5)
+        .select("user_id", "event_id", "ts", "wma6")
+    )

@@ -64,3 +64,25 @@ def test_fake_codec_is_deterministic_and_shaped(spark, sf_dir):
     assert rows and all(r.width > 0 and r.height > 0 for r in rows)
     # 1→N expansion really happened: some doc produced >1 frame
     assert len(rows) > len({r.doc_id for r in rows})
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    """t-digest p50/p90 must land within 2% of the exact interpolated
+    percentile on every group (generous: accuracy=10000 is near-exact
+    at fixture scale)."""
+    rows = registry.QUERIES["agg_approx_percentile"](spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders")
+    exact = {
+        r.o_orderpriority: (r.p50, r.p90)
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    for r in rows:
+        p50e, p90e = exact[r.o_orderpriority]
+        a50, a90 = r.approx_p50_p90
+        assert abs(a50 - p50e) <= 0.02 * p50e, (r.o_orderpriority, a50, p50e)
+        assert abs(a90 - p90e) <= 0.02 * p90e, (r.o_orderpriority, a90, p90e)
