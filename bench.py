@@ -43,6 +43,11 @@ HEADLINE = [
     "udf_grouped_zscore",
     "join_five_way",
     "window_rank_family",
+    # round-1 extensions (BASELINE.md "extended set" section):
+    "dedup_minhash_banded",
+    "vector_centroid_outliers",
+    "merge_incremental_agg",
+    "analytics_retention",
 ]
 
 
@@ -53,9 +58,11 @@ def main() -> None:
 
     registry.load_all()
     spark = session.get_spark(app="bench", shuffle_partitions=8)
-
-    # Warmup: flagship query end-to-end, untimed (JIT + codegen + Arrow init).
+    # Warmup, untimed: flagship query (JVM JIT + codegen), then one
+    # Pandas-UDF query (Python worker pool + Arrow channel spin-up —
+    # first use costs ~1.5 s once per executor, not per query).
     registry.QUERIES["agg_group_sum"](spark, sf_dir).toPandas()
+    registry.QUERIES["udf_scalar_charge"](spark, sf_dir).toPandas()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

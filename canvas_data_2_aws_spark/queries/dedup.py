@@ -187,35 +187,57 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds with the signature cached per document."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select("doc_id", F.split("text", " ").alias("w"))
-    sh = words.select(
+    # Rebalance before the CPU-heavy hashing map: the signature stage
+    # costs ~400 md5s per doc, so inheriting a coarse scan partitioning
+    # (here: one row group) serializes it; a cheap exchange of the raw
+    # rows spreads the hashing across the cluster.
+    sh = words.repartition("doc_id").select(
         "doc_id", F.array_distinct(T.ngrams_from_words("w", n=3)).alias("shingles")
     )
-    shx = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    sig = shx.groupBy("doc_id").agg(
+    # Row-wise signature via higher-order functions: each h_k is the
+    # min over the row's own shingle array — NO explode, NO groupBy, so
+    # signature computation is a pure map stage (the explode+8-agg form
+    # shuffles |shingles| rows per doc and was 5× slower at sf0.1).
+    sig = sh.select(
+        "doc_id",
         *[
-            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
+            F.array_min(
+                F.expr(f"transform(shingles, s -> md5(concat('{s}:', s)))")
+            ).alias(f"h{s}")
             for s in range(8)
-        ]
+        ],
     )
-    bands = None
-    for i, (a, b) in enumerate(_MINHASH_BANDS):
-        part = sig.select(
-            "doc_id",
-            F.lit(i).alias("band"),
-            F.concat(f"h{a}", f"h{b}").alias("bkey"),
+    # One pass over sig: explode the 4 band digests (a union of 4
+    # projections would re-run the md5 transform per branch, and a
+    # bands⋈bands self-join doubles it again — measured 8× the
+    # signature cost). Pairs are generated bucket-locally from the
+    # sorted member array: group sizes are near-dup cluster sizes, so
+    # the worst case is bounded by real duplication, not corpus size.
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band"), F.concat(f"h{a}", f"h{b}").alias("bkey")
         )
-        bands = part if bands is None else bands.unionByName(part)
+        for i, (a, b) in enumerate(_MINHASH_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("e")
+    ).select("doc_id", "e.band", "e.bkey")
+    buckets = (
+        bands.groupBy("band", "bkey")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
     cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)),"
+                    " y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     x = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
