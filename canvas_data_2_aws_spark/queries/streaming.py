@@ -299,3 +299,39 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@graded("stream_stream_join_smoke", oracle=None)
+def stream_stream_join_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchase ← same-user clicks in the
+    trailing hour) over the 3-micro-batch replay. State eviction is
+    driven by both sides' 30-minute watermarks + the join's time
+    bound; append-mode output. Batch equivalence (same join on the
+    static table) is asserted in tests/test_streaming.py."""
+    from ..streaming.windows import purchase_click_attribution_stream
+
+    base = _replay_dir(spark, sf_dir)
+    try:
+        with _few_state_partitions(spark):
+
+            def leg(event_type: str, prefix: str) -> DataFrame:
+                return (
+                    read_event_stream(spark, f"{base}/part*")
+                    .where(F.col("event_type") == event_type)
+                    .select(
+                        F.col("user_id").alias(f"{prefix}_user"),
+                        F.col("ts").alias(f"{prefix}_ts"),
+                        F.col("event_id").alias(
+                            "click_id" if prefix == "c" else "buy_id"
+                        ),
+                    )
+                    .withWatermark(f"{prefix}_ts", "30 minutes")
+                )
+
+            pairs = purchase_click_attribution_stream(
+                leg("click", "c"), leg("purchase", "b")
+            )
+            rows = run_available_now(pairs, "ssj_smoke", output_mode="append")
+        return spark.createDataFrame(rows, pairs.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

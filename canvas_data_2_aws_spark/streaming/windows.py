@@ -114,3 +114,23 @@ def run_available_now(
     )
     q.awaitTermination()
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}").collect()
+
+
+def purchase_click_attribution_stream(
+    clicks: DataFrame, purchases: DataFrame, lookback: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding ``lookback`` window.
+
+    Both inputs must be watermarked: the engine buffers each side in
+    state and the join-time bound (c_ts ∈ [b_ts − lookback, b_ts])
+    plus the watermarks tell it when buffered rows can never match
+    again and are safe to evict — unbounded state otherwise.
+    """
+    return purchases.join(
+        clicks,
+        (F.col("b_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("b_ts") - F.expr(f"interval {lookback}"))
+        & (F.col("c_ts") <= F.col("b_ts")),
+        "inner",
+    ).select("buy_id", "click_id", "b_user")

@@ -146,3 +146,39 @@ def test_merge_sink_vacuum_keeps_current(spark, sf_dir, tmp_path):
     assert removed == [0, 1]
     assert sink.current_version() == 3
     assert sink.current_snapshot().count() == 100
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """The streaming interval join must produce exactly the pairs the
+    identical batch join produces on the static events table."""
+    from pyspark.sql import functions as F
+
+    from canvas_data_2_aws_spark.session import load_table
+
+    stream_rows = {
+        (r.buy_id, r.click_id)
+        for r in registry.QUERIES["stream_stream_join_smoke"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where("event_type = 'click'").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    buys = ev.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_id").alias("buy_id"),
+    )
+    batch_rows = {
+        (r.buy_id, r.click_id)
+        for r in buys.join(
+            clicks,
+            (F.col("b_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("b_ts") - F.expr("interval 1 hour"))
+            & (F.col("c_ts") <= F.col("b_ts")),
+        )
+        .select("buy_id", "click_id")
+        .collect()
+    }
+    assert stream_rows == batch_rows and len(batch_rows) > 0
