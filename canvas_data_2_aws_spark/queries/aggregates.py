@@ -175,3 +175,28 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- A8 companion: ordered string aggregation (listagg) -------------------------
+
+_STRING_AGG_ORACLE = """
+SELECT lang,
+       string_agg(DISTINCT source, ',' ORDER BY source) AS sources_csv,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents
+GROUP BY lang
+"""
+
+
+@graded("agg_string_concat", oracle=_STRING_AGG_ORACLE)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listagg/string_agg: Spark has no ordered string_agg, so the
+    deterministic form is array_join(array_sort(collect_set)) — same
+    rule as A8: never grade bare collect order (SURVEY §8.4)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.array_join(F.array_sort(F.collect_set("source")), ",").alias(
+            "sources_csv"
+        ),
+        F.countDistinct("source").alias("n_sources"),
+    )

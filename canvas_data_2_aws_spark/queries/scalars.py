@@ -400,3 +400,35 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright("o_orderkey", 3).alias("shr3"),
         F.bit_count("o_orderkey").alias("popcount"),
     )
+
+
+# --- F1 extension: regexp_extract_all (multi-match extraction) ------------------
+
+# RE2-safe pattern (no backrefs/lookahead — SURVEY §2.7 F1): word
+# tokens ending in 'e'. Arrays are order-preserving in both engines
+# (match order), joined to one string for the graded schema. DuckDB's
+# array_to_string([]) is NULL where Spark's array_join is '' —
+# COALESCE aligns the no-match rows.
+_REGEX_ALL_ORACLE = r"""
+SELECT doc_id,
+       COALESCE(array_to_string(regexp_extract_all(text, '\b[a-z]+e\b'), '|'),
+                '') AS e_words,
+       LEN(regexp_extract_all(text, '\b[a-z]+e\b')) AS n_e_words
+FROM documents
+WHERE doc_id % 16 = 0
+"""
+
+
+@graded("scalar_regexp_extract_all", oracle=_REGEX_ALL_ORACLE)
+def scalar_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""regexp_extract_all: every match, in match order (both engines
+    scan left-to-right, so the joined string is deterministic)."""
+    docs = load_table(spark, sf_dir, "documents").where("doc_id % 16 = 0")
+    pat = r"\b[a-z]+e\b"
+    return docs.select(
+        "doc_id",
+        F.array_join(F.regexp_extract_all("text", F.lit(pat), 0), "|").alias(
+            "e_words"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias("n_e_words"),
+    )

@@ -3,7 +3,7 @@ EXT: language-ID, quality scoring, token counting, fingerprinting)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators import text as T
 from ..registry import graded
@@ -226,4 +226,39 @@ def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("split", split)
         .groupBy("split", "lang")
         .agg(F.count("*").alias("n"))
+    )
+
+
+# --- deterministic stratified sample (fixed n per stratum) ----------------------
+
+_STRATIFIED_ORACLE = """
+SELECT doc_id, lang, rk
+FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+) t
+WHERE rk <= 20
+"""
+
+
+@graded("sample_stratified", oracle=_STRATIFIED_ORACLE)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-20-per-language sample: rank by md5(key) inside each
+    stratum and keep the first 20 — a deterministic reservoir
+    (hash order is uniform pseudo-random but reproducible across
+    engines/runs, unlike rand() or TABLESAMPLE). Complements the
+    proportional hash split: this form guarantees per-stratum counts
+    for eval sets. WindowGroupLimit keeps it one shuffle + truncated
+    per-group sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 20)
     )
