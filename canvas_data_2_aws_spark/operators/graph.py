@@ -106,3 +106,54 @@ def resolve_duplicates(
         .select(F.col("node").alias(id_col))
     )
     return docs.join(losers, on=id_col, how="left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected pair list.
+
+    Returns (node, rank) after ``iterations`` synchronous updates:
+    rank'(v) = (1−d)/n + d·Σ_{u→v} rank(u)/deg(u).
+
+    Determinism discipline: every per-edge contribution is cast to
+    DECIMAL(28,12) before summation, so the aggregate is exact and
+    order-independent — the ranks are bit-identical run-to-run AND
+    engine-to-engine (an unrolled SQL form computes the same values).
+    Each round is one join + one partial-aggregated groupBy;
+    localCheckpoint truncates the growing lineage like
+    :func:`connected_components`.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    n = nodes.count()
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    teleport = F.lit((1.0 - damping) / n)
+    for _ in range(iterations):
+        contribs = (
+            sym.join(ranks, sym.a == ranks.node)
+            .join(deg, "a")
+            .select(
+                F.col("b").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("contrib"),
+            )
+        )
+        ranks = contribs.groupBy("node").agg(
+            (
+                teleport
+                + F.lit(damping)
+                * F.sum(F.col("contrib").cast("decimal(28,12)")).cast("double")
+            ).alias("rank")
+        )
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks

@@ -378,3 +378,90 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, src="doc_a", dst="doc_b").select(
         "node", "comp"
     )
+
+
+# --- graph centrality over the near-dup graph (iterative, still SQL-oracled) ----
+
+# Unrolled 5-iteration PageRank: standard SQL forbids aggregation in a
+# recursive CTE member, so the oracle unrolls pr1..pr5 — same exact
+# decimal-contribution arithmetic as operators/graph.pagerank, so the
+# doubles agree bit-for-bit before the final ROUND. All numeric
+# literals are CAST to DOUBLE (bare 0.15/1.0 parse as DECIMAL in both
+# engines and would poison the column type).
+_PR_ITER = """
+pr{i} AS (
+  SELECT e.dst AS node,
+         CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+         + CAST(0.85 AS DOUBLE)
+           * CAST(SUM(CAST(p.rank / d.deg AS DECIMAL(28,12))) AS DOUBLE)
+           AS rank
+  FROM edges e
+  JOIN pr{j} p ON p.node = e.src
+  JOIN deg d ON d.node = e.src
+  GROUP BY e.dst
+)"""
+
+_PAGERANK_ORACLE = (
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+codes AS (
+  SELECT doc_id, ascii(substring(token, 1, 1)) * 31 + length(token) AS code
+  FROM tok
+),
+bits AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (code // (1 << bit)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM codes, range(0, 16) t(bit)
+  GROUP BY doc_id, bit
+),
+sh AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS pa, b.doc_id AS pb
+  FROM sh a
+  JOIN sh b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION
+  SELECT pb AS src, pa AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+pr0 AS (
+  SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes
+),"""
+    + ",".join(_PR_ITER.format(i=i, j=i - 1) for i in range(1, 6))
+    + """
+SELECT node, ROUND(rank, 6) AS rank FROM pr5
+"""
+)
+
+
+@graded("graph_pagerank", oracle=_PAGERANK_ORACLE)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the SimHash near-dup graph (edges =
+    same-bucket pairs) — ranks the most-duplicated documents, the
+    signal for picking cluster canonicals or down-weighting
+    over-represented content in training mixes. Iterative joins
+    Spark-side (operators/graph.py); the oracle unrolls the same five
+    exact-decimal iterations, making even this iterative operator
+    hash-checkable. Bucket cliques are quadratic in bucket size — at
+    100 TB cap or sample oversized buckets before pair expansion."""
+    from ..operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = T.simhash16(docs)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    pairs = a.join(
+        b, (F.col("ha") == F.col("hb")) & (F.col("doc_a") < F.col("doc_b"))
+    ).select("doc_a", "doc_b")
+    ranks = pagerank(pairs, src="doc_a", dst="doc_b", iterations=5)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -43,3 +43,15 @@ def test_resolve_duplicates_keeps_min_per_cluster(spark):
         r.doc_id for r in resolve_duplicates(docs, pairs).collect()
     )
     assert survivors == [0, 1, 3, 4]
+
+
+def test_pagerank_invariants(spark, sf_dir):
+    """Ranks are positive, and total rank stays ≈ 1 (the similarity
+    graph is symmetric, so no dangling-node leak)."""
+    from canvas_data_2_aws_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["graph_pagerank"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r.rank > 0 for r in rows)
+    assert abs(sum(r.rank for r in rows) - 1.0) < 1e-3
