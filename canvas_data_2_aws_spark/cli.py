@@ -69,6 +69,43 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_validate(args) -> int:
+    """Post-sync replica audit: order-insensitive content checksum of
+    the replica table vs a reference snapshot (the same md5-fold
+    recipe as the graded ``validate_table_checksum``), plus row count
+    and PK uniqueness. Exit 0 iff all three agree — the check a
+    scheduler runs after every ``syncdb`` before advancing the token.
+    """
+    from pyspark.sql import functions as F
+
+    spark = session.get_spark(app="cda2-validate")
+    replica = spark.read.parquet(_replica_path(args.replica, args.table))
+    reference = session.load_table(spark, args.source_dir, args.table)
+    key = args.key
+
+    def digest(df):
+        cols = [c for c, t in df.dtypes if t in ("string", "int", "bigint")]
+        row = F.concat_ws("|", *[F.col(c).cast("string") for c in sorted(cols)])
+        fold = F.conv(F.substring(F.md5(row), 1, 8), 16, 10).cast("long")
+        return df.agg(
+            F.sum(fold).alias("checksum"),
+            F.count("*").alias("n"),
+            F.countDistinct(key).alias("n_keys"),
+        ).first()
+
+    rep, ref = digest(replica), digest(reference)
+    ok_checksum = rep.checksum == ref.checksum
+    ok_rows = rep.n == ref.n
+    ok_pk = rep.n == rep.n_keys
+    print(
+        f"validate {args.table}: rows {rep.n} vs {ref.n} "
+        f"({'OK' if ok_rows else 'MISMATCH'}), "
+        f"checksum {'OK' if ok_checksum else 'MISMATCH'}, "
+        f"pk-unique {'OK' if ok_pk else 'VIOLATED'}"
+    )
+    return 0 if (ok_checksum and ok_rows and ok_pk) else 1
+
+
 def cmd_list(args) -> int:
     registry.load_all()
     for name in sorted(registry.QUERIES):
@@ -102,6 +139,15 @@ def main(argv: list[str] | None = None) -> int:
         "--explain", action="store_true", help="print the formatted physical plan"
     )
     p_query.set_defaults(fn=cmd_query)
+
+    p_val = sub.add_parser(
+        "validate", help="audit a replica table against a snapshot"
+    )
+    p_val.add_argument("--table", required=True)
+    p_val.add_argument("--source-dir", required=True)
+    p_val.add_argument("--replica", required=True)
+    p_val.add_argument("--key", required=True, help="primary-key column")
+    p_val.set_defaults(fn=cmd_validate)
 
     p_list = sub.add_parser("list", help="list all graded queries")
     p_list.set_defaults(fn=cmd_list)

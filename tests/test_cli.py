@@ -65,3 +65,32 @@ def test_cli_list_and_query(capsys, spark, sf_dir):
 
     assert cli.main(["query", "--name", "agg_group_sum", "--sf-dir", sf_dir]) == 0
     assert cli.main(["query", "--name", "nope", "--sf-dir", sf_dir]) == 2
+
+
+def test_validate_verb_detects_drift(spark, sf_dir, tmp_path):
+    """validate exits 0 on a faithful replica, 1 after it drifts."""
+    replica = str(tmp_path / "vreplica")
+    rc = cli.main(
+        ["initdb", "--table", "orders", "--source-dir", sf_dir, "--replica", replica]
+    )
+    assert rc == 0
+    base_args = [
+        "validate",
+        "--table", "orders",
+        "--source-dir", sf_dir,
+        "--replica", replica,
+        "--key", "o_orderkey",
+    ]
+    assert cli.main(base_args) == 0
+
+    # Drift: drop some rows from the replica in place (stage-then-swap).
+    import shutil
+
+    drifted = spark.read.parquet(f"{replica}/orders").where(
+        F.col("o_orderkey") % 5 != 0
+    )
+    staging = str(tmp_path / "vstaging")
+    drifted.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(f"{replica}/orders")
+    shutil.move(staging, f"{replica}/orders")
+    assert cli.main(base_args) == 1
