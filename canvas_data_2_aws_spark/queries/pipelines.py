@@ -226,3 +226,93 @@ def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+# --- corpus-curation funnel (quality → dedup → split, composed) -----------------
+
+# The end-to-end training-data preparation shape: quality-gate the
+# corpus, keep one canonical doc per SimHash bucket, assign the stable
+# hash split, and report the surviving token budget per (lang, split).
+# Every stage is an operator graded elsewhere (text_quality,
+# dedup_keep_canonical, sample_train_test_split); this query proves
+# they COMPOSE — one plan, no materialization between stages.
+_CURATION_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+codes AS (
+  SELECT doc_id, ascii(substring(token, 1, 1)) * 31 + length(token) AS code
+  FROM tok
+),
+bits AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (code // (1 << bit)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM codes, range(0, 16) t(bit)
+  GROUP BY doc_id, bit
+),
+sh AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id
+),
+quality AS (
+  SELECT d.doc_id, d.lang,
+         LEN(string_split(d.text, ' ')) AS n_tokens,
+         CAST(LEN(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
+           / LEN(string_split(d.text, ' ')) AS uniq_ratio
+  FROM documents d
+),
+gated AS (
+  SELECT q.doc_id, q.lang, q.n_tokens, s.simhash
+  FROM quality q JOIN sh s ON s.doc_id = q.doc_id
+  WHERE q.n_tokens >= 8 AND q.uniq_ratio >= 0.3
+),
+canonical AS (
+  SELECT doc_id, lang, n_tokens
+  FROM (SELECT doc_id, lang, n_tokens,
+               MIN(doc_id) OVER (PARTITION BY simhash) AS keeper
+        FROM gated) t
+  WHERE doc_id = keeper
+)
+SELECT lang,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+            THEN 'test' ELSE 'train' END AS split,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS n_tokens
+FROM canonical
+GROUP BY lang, split
+"""
+
+
+@graded("pipeline_corpus_curation", oracle=_CURATION_ORACLE)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate → SimHash canonical dedup → stable hash split →
+    per-(lang, split) doc/token budget: the full corpus-curation
+    funnel as ONE Catalyst plan. At 100 TB each stage keeps its scale
+    path (quality is a map, dedup shuffles on the 16-bit bucket,
+    split is a stateless hash) — composing them adds no extra wide
+    exchange beyond the dedup shuffle."""
+    from ..operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens()
+    n_tokens = F.size(toks)
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    gated = (
+        docs.select("doc_id", "lang", "text", n_tokens.alias("n_tokens"))
+        .where((F.col("n_tokens") >= 8) & (uniq_ratio >= 0.3))
+    )
+    sh = T.simhash16(gated).select("doc_id", "simhash")
+    keeper = F.min("doc_id").over(Window.partitionBy("simhash"))
+    canonical = (
+        gated.join(sh, "doc_id")
+        .withColumn("keeper", keeper)
+        .where(F.col("doc_id") == F.col("keeper"))
+    )
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a", "test"
+    ).otherwise("train")
+    return (
+        canonical.groupBy("lang", split.alias("split"))
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+    )
