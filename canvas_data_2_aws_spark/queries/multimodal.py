@@ -63,3 +63,67 @@ def multimodal_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.round("mean_byte", 4).alias("mean_byte"),
     ).orderBy("doc_id", "frame_idx")
+
+
+# --- decode path, oracle-checked: the fake codec is SQL-reproducible ------------
+
+# The stand-in codec is a pure function of the payload bytes, and the
+# fixture payloads are ASCII — so the oracle re-derives every frame
+# (substring slices + ascii sums) and checks the ENTIRE mapInPandas
+# decode path against DuckDB. Aggregates are integer-exact: widths and
+# FLOOR(mean_byte) — floor of the same IEEE quotient is identical in
+# every engine, unlike ROUND of a raw double (SURVEY §8.3 trap).
+_DECODE_STATS_ORACLE = """
+WITH f AS (
+  SELECT doc_id, lang, text, length(text) AS n,
+         least(3, greatest(1, length(text) // 64)) AS n_frames
+  FROM documents WHERE doc_id % 4 = 0
+),
+frames AS (
+  SELECT doc_id, lang, i.i AS frame_idx,
+         64 + (n % 64) AS width,
+         substring(text, i.i * (n // n_frames) + 1, n // n_frames) AS chunk
+  FROM f, range(0, 3) i(i)
+  WHERE i.i < n_frames
+),
+means AS (
+  SELECT doc_id, lang, frame_idx, width,
+         CASE WHEN length(chunk) = 0 THEN CAST(0 AS DOUBLE)
+              ELSE CAST(list_sum(list_transform(
+                     range(1, length(chunk) + 1),
+                     j -> ascii(substring(chunk, j, 1)))) AS DOUBLE)
+                   / length(chunk)
+         END AS mean_byte
+  FROM frames
+)
+SELECT lang,
+       COUNT(*) AS n_frames,
+       SUM(width) AS sum_width,
+       SUM(CAST(FLOOR(mean_byte) AS BIGINT)) AS sum_floor_mean
+FROM means
+GROUP BY lang
+"""
+
+
+@graded("multimodal_decode_stats", oracle=_DECODE_STATS_ORACLE)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stats over DECODED frames — the full binary →
+    mapInPandas(codec) → frame rows → aggregate pipeline with a hash
+    oracle: the fake codec's features are re-derived in SQL, so a
+    drift anywhere (payload encoding, Arrow batch shape, frame
+    slicing, 1→N expansion) breaks the match. With a real codec this
+    becomes the rows-only path (multimodal_decode_frames); the
+    Spark-side plumbing is identical."""
+    docs = load_table(spark, sf_dir, "documents").where("doc_id % 4 = 0")
+    media = MM.attach_payload(docs)
+    frames = MM.decode_media(media, codec=MM.fake_codec)
+    lang = docs.select("doc_id", "lang")
+    return (
+        frames.join(lang, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.sum("width").alias("sum_width"),
+            F.sum(F.floor("mean_byte").cast("long")).alias("sum_floor_mean"),
+        )
+    )

@@ -316,3 +316,53 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         canonical.groupBy("lang", split.alias("split"))
         .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
     )
+
+
+# --- month-over-month growth + share-of-total -----------------------------------
+
+# Revenue per month is an exact decimal sum; growth and share divide
+# those exact doubles pairwise (identical operands both engines), so
+# only the final ratios are rounded. ORDER inside the window ends on
+# the unique month key.
+_MOM_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+  FROM orders
+  GROUP BY month
+)
+SELECT month, revenue,
+       ROUND(revenue / lag(revenue) OVER (ORDER BY month) - 1, 6) AS mom_growth,
+       ROUND(revenue / SUM(revenue) OVER (), 6) AS share_of_total
+FROM monthly
+"""
+
+
+@graded("analytics_mom_growth", oracle=_MOM_ORACLE)
+def analytics_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed aggregates OVER an aggregate: monthly revenue with
+    month-over-month growth (lag) and share-of-total (unpartitioned
+    frame) — the dashboard time-series shape. The window input is the
+    already-tiny monthly rollup, so the global window's single
+    partition holds months, not orders (safe at any scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w_ord = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(F.col("revenue") / F.lag("revenue").over(w_ord) - 1, 6).alias(
+            "mom_growth"
+        ),
+        F.round(
+            F.col("revenue")
+            / F.sum("revenue").over(Window.partitionBy()),
+            6,
+        ).alias("share_of_total"),
+    )
