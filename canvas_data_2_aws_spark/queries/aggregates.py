@@ -200,3 +200,28 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.countDistinct("source").alias("n_sources"),
     )
+
+
+# --- A6 companion: explicit GROUPING SETS (beyond rollup/cube) ------------------
+
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@graded("agg_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-picked GROUPING SETS (each dimension alone + grand total —
+    a selection no rollup/cube produces). Byte-identical SQL runs on
+    both engines; GROUPING() flags disambiguate the padding NULLs
+    (SURVEY §2.4 note)."""
+    from ..session import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)

@@ -304,3 +304,24 @@ def scalar_date_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.weekofyear("o_orderdate").alias("iso_week"),
         F.add_months("o_orderdate", 3).alias("plus3m"),
     )
+
+
+# --- correlated LATERAL subquery (top-k per outer row) --------------------------
+
+_LATERAL_SQL = """
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n,
+LATERAL (SELECT c_custkey, c_acctbal FROM customer
+         WHERE c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+"""
+
+
+@graded("sql_lateral_topk", oracle=_LATERAL_SQL)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-outer-row ORDER BY/LIMIT —
+    the other spelling of top-k-per-group (W2's window form is the
+    scale path; Catalyst decorrelates this one into a join). Same
+    statement runs on both engines; LIMIT tie-broken by the PK."""
+    register_tables(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)

@@ -432,3 +432,44 @@ def scalar_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias("n_e_words"),
     )
+
+
+# --- F4 extension: error-safe evaluation (try_*) --------------------------------
+
+# ANSI-mode-safe arithmetic: malformed casts, div-by-zero, and int64
+# overflow yield NULL instead of failing the job — the semantics a
+# fault-tolerant ingest pipeline needs. Oracle spellings differ:
+# DuckDB has TRY_CAST but no try_divide/try_add, so the oracle uses
+# NULLIF guards and an explicit overflow CASE (key + INT64_MAX
+# overflows for every key > 0; key 0 — which the fixture contains —
+# adds exactly).
+_TRY_OPS_ORACLE = """
+SELECT o_orderkey,
+       TRY_CAST(o_orderpriority AS INTEGER) AS bad_int,
+       TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit,
+       o_totalprice / NULLIF(o_orderkey % 3, 0) AS safe_div,
+       CASE WHEN o_orderkey > 0 THEN CAST(NULL AS BIGINT)
+            ELSE 9223372036854775807 + o_orderkey END AS overflow_add,
+       TRY_CAST(o_orderpriority AS TIMESTAMP) AS bad_ts
+FROM orders
+WHERE o_orderkey % 16 = 0
+"""
+
+
+@graded("scalar_try_ops", oracle=_TRY_OPS_ORACLE)
+def scalar_try_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_cast / try_divide / try_add: NULL-on-error evaluation.
+    o_orderpriority is '1-URGENT'-style, so its first char try_casts
+    to a digit while the whole string does not; div-by-zero hits every
+    third key; try_add overflows int64 for every positive key."""
+    o = load_table(spark, sf_dir, "orders").where("o_orderkey % 16 = 0")
+    return o.select(
+        "o_orderkey",
+        F.expr("try_cast(o_orderpriority AS INT)").alias("bad_int"),
+        F.expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").alias(
+            "prio_digit"
+        ),
+        F.expr("try_divide(o_totalprice, o_orderkey % 3)").alias("safe_div"),
+        F.expr("try_add(o_orderkey, 9223372036854775807)").alias("overflow_add"),
+        F.expr("try_cast(o_orderpriority AS TIMESTAMP)").alias("bad_ts"),
+    )
