@@ -80,3 +80,49 @@ def test_aggregation_is_hash_with_partial_combine(plans):
     assert "HashAggregate" in p
     assert "partial_sum" in p
     assert "Exchange hashpartitioning" in p or "Exchange" in p
+
+
+# Queries allowed to plan a cartesian/nested-loop join: brute-force KNN
+# is DELIBERATELY O(n²) (the exact baseline ANN is measured against);
+# the rest cross-join a broadcast 1-ROW aggregate (min/max bounds,
+# corpus N, max PK) into the fact side — a constant × fact scalar
+# distribution, not a real product (the broadcast side is one row by
+# construction: global agg or LIMIT-free bounds).
+_NESTED_LOOP_OK = {
+    "knn_cosine_exact",
+    "knn_topk_per_query",
+    "dedup_embedding_cosine",
+    "agg_histogram",
+    "timeseries_gapfill",
+    "text_tfidf",  # ln(N/df): N = 1-row corpus count
+    "merge_upsert_apply",  # fresh-insert keys = max(PK) 1-row broadcast
+    "merge_incremental_agg",  # same changeset derivation
+    "validate_snapshot_diff",  # same changeset derivation
+    "jsonl_envelope_roundtrip",  # same changeset derivation
+}
+
+# Construction-time side effects or non-DataFrame surfaces — no static
+# plan to inspect.
+_NO_PLAN = {
+    "stream_watermark_smoke",
+    "stream_dedup_smoke",
+    "stream_merge_smoke",
+    "stream_stateful_totals",
+    "stream_stream_join_smoke",
+    "sink_roundtrip",
+    "csv_decode_smoke",
+    "ann_lsh",
+    "ann_ivf",
+}
+
+
+def test_no_accidental_cartesian_products(spark, sf_dir):
+    """Sweep EVERY deterministic graded query's plan: a cartesian or
+    broadcast-nested-loop join outside the whitelist is an accident
+    that turns into an O(n²) explosion at 100 TB."""
+    offenders = []
+    for name in sorted(set(registry.QUERIES) - _NO_PLAN - _NESTED_LOOP_OK):
+        plan = plan_text(registry.QUERIES[name](spark, sf_dir))
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
