@@ -225,3 +225,98 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_tables(spark, sf_dir)
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+# --- equi-depth histogram (quantile-bounded buckets) ----------------------------
+
+# Depth boundaries are the exact interpolated quartiles; bucket id =
+# number of boundaries strictly below the value (0..3). Boundary
+# comparison uses the same doubles in both engines (quantile_cont ≡
+# percentile, verified by agg_percentile), so bucketing is exact.
+_HISTOGRAM_EQ_ORACLE = """
+WITH q AS (
+  SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+         quantile_cont(o_totalprice, 0.50) AS q2,
+         quantile_cont(o_totalprice, 0.75) AS q3
+  FROM orders
+)
+SELECT CAST(o_totalprice > q1 AS INTEGER) + CAST(o_totalprice > q2 AS INTEGER)
+         + CAST(o_totalprice > q3 AS INTEGER) AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS bucket_rev
+FROM orders, q
+GROUP BY bucket
+"""
+
+
+@graded("agg_histogram_equidepth", oracle=_HISTOGRAM_EQ_ORACLE)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile-bounded equi-depth histogram — the profile-then-bucket
+    shape with data-driven boundaries (equal-width twin:
+    agg_histogram). 1-row quartile aggregate broadcast over the fact
+    scan; at 100 TB swap the exact quantiles for approx_percentile
+    and the plan is unchanged."""
+    o = load_table(spark, sf_dir, "orders")
+    q = o.agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.50)").alias("q2"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    )
+    p = F.col("o_totalprice")
+    bucket = (
+        (p > F.col("q1")).cast("int")
+        + (p > F.col("q2")).cast("int")
+        + (p > F.col("q3")).cast("int")
+    )
+    return (
+        o.crossJoin(F.broadcast(q))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(p.cast("decimal(18,6)")).cast("double").alias("bucket_rev"),
+        )
+    )
+
+
+# --- deterministic mode (most frequent value, tie-broken) -----------------------
+
+_MODE_ORACLE = """
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (
+  SELECT lang, token, COUNT(*) AS c FROM tok GROUP BY lang, token
+)
+SELECT lang, token AS top_token, c AS n_occurrences
+FROM (
+  SELECT lang, token, c,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, token) AS rk
+  FROM counts
+) t
+WHERE rk = 1
+"""
+
+
+@graded("agg_mode_deterministic", oracle=_MODE_ORACLE)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode via count + rank with a total tie-break — the
+    native ``mode()`` picks an arbitrary value on ties in both engines
+    and can never be graded (same rule as max_by, SURVEY §8.4)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), "token")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "lang",
+            F.col("token").alias("top_token"),
+            F.col("c").alias("n_occurrences"),
+        )
+    )

@@ -473,3 +473,34 @@ def scalar_try_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_add(o_orderkey, 9223372036854775807)").alias("overflow_add"),
         F.expr("try_cast(o_orderpriority AS TIMESTAMP)").alias("bad_ts"),
     )
+
+
+# --- F2 extension: date/time formatting -----------------------------------------
+
+# Formatting dialects differ (Java SimpleDateFormat vs strftime) but
+# the same numeric patterns exist in both; only locale-dependent names
+# (month/day words) are ungradable and excluded.
+_DATE_FORMAT_ORACLE = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m') AS ym,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M') AS ymdhm,
+       strftime(o_orderdate, '%j') AS day_of_year,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS iso_date
+FROM orders
+WHERE o_orderkey % 16 = 0
+"""
+
+
+@graded("scalar_date_format", oracle=_DATE_FORMAT_ORACLE)
+def scalar_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_format surface: numeric patterns only (Spark 'yyyy-MM' ≡
+    strftime '%Y-%m'; 'DDD' zero-padded ≡ '%j'); ISO date via the
+    string cast both engines share."""
+    o = load_table(spark, sf_dir, "orders").where("o_orderkey % 16 = 0")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm").alias("ymdhm"),
+        F.date_format("o_orderdate", "DDD").alias("day_of_year"),
+        F.col("o_orderdate").cast("date").cast("string").alias("iso_date"),
+    )
