@@ -93,6 +93,7 @@ _NESTED_LOOP_OK = {
     "knn_topk_per_query",
     "dedup_embedding_cosine",
     "agg_histogram",
+    "agg_histogram_equidepth",  # 1-row quartile broadcast
     "timeseries_gapfill",
     "text_tfidf",  # ln(N/df): N = 1-row corpus count
     "merge_upsert_apply",  # fresh-insert keys = max(PK) 1-row broadcast
