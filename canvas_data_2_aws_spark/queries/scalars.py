@@ -504,3 +504,62 @@ def scalar_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "DDD").alias("day_of_year"),
         F.col("o_orderdate").cast("date").cast("string").alias("iso_date"),
     )
+
+
+# --- F5 completion: zip_with (element-wise binary HOF) --------------------------
+
+_ZIP_DOT_ORACLE = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[])), 4) AS dot
+FROM embeddings a
+JOIN embeddings b ON b.vec_id = a.vec_id + 1
+WHERE a.vec_id % 4 = 0
+"""
+
+
+@graded("scalar_zip_dot", oracle=_ZIP_DOT_ORACLE)
+def scalar_zip_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zip_with + aggregate dot product over adjacent-key vector pairs
+    — the element-wise binary HOF (transform/aggregate cover the unary
+    side in scalar_array). ROUND(,4) per SURVEY §8.5."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    dot = F.expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return (
+        a.where("vec_a % 4 = 0")
+        .join(b, F.col("vec_b") == F.col("vec_a") + 1)
+        .select("vec_a", "vec_b", F.round(dot, 4).alias("dot"))
+    )
+
+
+# --- F8 completion: null-preserving explode (explode_outer) ---------------------
+
+# Rows whose filtered array is EMPTY must survive as a NULL row —
+# the left-join semantics batch feature extraction needs (a document
+# with no matches still exists downstream). Oracle: LEFT JOIN LATERAL
+# unnest (verified: DuckDB emits the NULL row for empty lists).
+_EXPLODE_OUTER_ORACLE = """
+SELECT e.vec_id, ROUND(CAST(u.v AS DOUBLE), 4) AS big_val
+FROM embeddings e
+LEFT JOIN LATERAL (
+  SELECT unnest(list_filter(e.embedding, x -> x > 0.25)) AS v
+) u ON true
+WHERE e.vec_id % 4 = 0
+"""
+
+
+@graded("explode_outer_sparse", oracle=_EXPLODE_OUTER_ORACLE)
+def explode_outer_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer over a sparse higher-order filter (~20% of rows
+    filter to empty at this threshold) — inner explode would silently
+    drop those vectors."""
+    emb = load_table(spark, sf_dir, "embeddings").where("vec_id % 4 = 0")
+    big = F.expr("filter(embedding, x -> x > CAST(0.25 AS FLOAT))")
+    return emb.select(
+        "vec_id", F.explode_outer(big).alias("raw")
+    ).select("vec_id", F.round(F.col("raw").cast("double"), 4).alias("big_val"))
