@@ -11,6 +11,7 @@ Invariants under random changesets:
 from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
 
 from canvas_data_2_aws_spark.operators.merge import apply_changeset, compact_changeset
 
@@ -107,3 +108,41 @@ def test_asof_tie_inclusive(spark):
     }
     # inclusive: the t=10 right row is visible to the t=10 left row
     assert out == {"a": 100.0, "b": 50.0}
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 40)), min_size=1, max_size=12
+    ),
+    right=st.dictionaries(
+        st.tuples(st.integers(0, 3), st.integers(0, 40)),
+        st.integers(0, 999),
+        min_size=0,
+        max_size=12,
+    ),
+)
+def test_asof_matches_bruteforce(spark, left, right):
+    """asof_join ≡ per-row latest-prior lookup on random event sets.
+
+    Right-side (key, ts) pairs are unique (dict keys) — the operator's
+    documented contract; duplicate right timestamps per key have no
+    defined winner."""
+    from canvas_data_2_aws_spark.operators.asof import asof_join
+
+    left_rows = [(i, k, ts) for i, (k, ts) in enumerate(left)]
+    right_rows = [(k, ts, v) for (k, ts), v in right.items()]
+    ldf = spark.createDataFrame(left_rows, "id long, k long, lts long")
+    rdf = spark.createDataFrame(
+        right_rows or [(None, None, None)], "k long, rts long, v long"
+    ).where(F.col("k").isNotNull())
+    got = {
+        r.id: r.asof_value
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="lts", right_ts="rts", right_value="v"
+        ).collect()
+    }
+    for i, k, ts in left_rows:
+        cands = [(rts, v) for (rk, rts), v in right.items() if rk == k and rts <= ts]
+        expected = max(cands)[1] if cands else None
+        assert got[i] == expected, (i, k, ts, got[i], expected)
