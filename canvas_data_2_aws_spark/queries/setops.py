@@ -97,3 +97,46 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = _status_keys(spark, sf_dir, "F")
     o = _status_keys(spark, sf_dir, "O")
     return f.subtract(o)
+
+
+# --- O5/O6 bag semantics: INTERSECT ALL / EXCEPT ALL ----------------------------
+
+# Multiplicity-preserving set ops: a customer with 3 'F' orders and
+# 1 'O' order contributes min(3,1)=1 row to INTERSECT ALL and
+# 3−1=2 rows to EXCEPT ALL — semantics the distinct forms erase.
+_BAG_OPS_ORACLE = """
+WITH ia AS (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT ALL
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+),
+ea AS (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+  EXCEPT ALL
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+)
+SELECT custkey, COUNT(*) AS n, 'intersect_all' AS op FROM ia GROUP BY custkey
+UNION ALL
+SELECT custkey, COUNT(*) AS n, 'except_all' AS op FROM ea GROUP BY custkey
+"""
+
+
+@graded("set_bag_ops", oracle=_BAG_OPS_ORACLE)
+def set_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersectAll / exceptAll with per-key multiplicities (counted,
+    since the raw bags are order-free duplicate rows)."""
+    f = _status_keys(spark, sf_dir, "F")
+    o = _status_keys(spark, sf_dir, "O")
+    ia = (
+        f.intersectAll(o)
+        .groupBy("custkey")
+        .agg(F.count("*").alias("n"))
+        .withColumn("op", F.lit("intersect_all"))
+    )
+    ea = (
+        f.exceptAll(o)
+        .groupBy("custkey")
+        .agg(F.count("*").alias("n"))
+        .withColumn("op", F.lit("except_all"))
+    )
+    return ia.unionByName(ea)
