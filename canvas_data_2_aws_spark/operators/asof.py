@@ -25,14 +25,25 @@ def asof_join(
     right_value: str,
     value_alias: str = "asof_value",
     inclusive: bool = True,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the ``right_value`` of the latest right
-    row with ``right_ts <= left_ts`` (or ``<`` when inclusive=False)
-    sharing the join key.
+    """For each left row, attach the ``right_value`` of the closest
+    right row sharing the join key: the latest with ``right_ts <=
+    left_ts`` (direction='backward') or the earliest with ``right_ts >=
+    left_ts`` (direction='forward'); ``inclusive=False`` makes the
+    bound strict.
 
-    Ties at equal timestamps are deterministic: the right side sorts
-    before (inclusive) or after (exclusive) the left row via a side tag.
+    Ties at equal timestamps are deterministic: a side tag sorts the
+    right row inside or outside the carry frame.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    backward = direction == "backward"
+    # Side ordering: the right row is visible at equal ts iff inclusive.
+    # backward: carry frame is (preceding..current) → visible right
+    # sorts BEFORE the left row; forward: frame is (current..following)
+    # → visible right sorts AFTER.
+    visible, hidden = (0, 2) if backward else (2, 0)
     lhs = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
@@ -43,18 +54,19 @@ def asof_join(
     rhs = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
-        F.lit(0 if inclusive else 2).alias("_side"),
+        F.lit(visible if inclusive else hidden).alias("_side"),
         F.lit(None).cast(left.select(F.struct(*left.columns)).schema[0].dataType).alias(
             "_row"
         ),
         F.col(right_value).alias("_val"),
     )
-    w = (
-        Window.partitionBy("_k")
-        .orderBy("_ts", "_side")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried: Column = F.last("_val", ignorenulls=True).over(w)
+    w = Window.partitionBy("_k").orderBy("_ts", "_side")
+    if backward:
+        w = w.rowsBetween(Window.unboundedPreceding, 0)
+        carried: Column = F.last("_val", ignorenulls=True).over(w)
+    else:
+        w = w.rowsBetween(0, Window.unboundedFollowing)
+        carried = F.first("_val", ignorenulls=True).over(w)
     return (
         lhs.unionByName(rhs)
         .withColumn(value_alias, carried)

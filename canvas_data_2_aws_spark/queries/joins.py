@@ -358,3 +358,42 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
+
+
+# --- J9 forward variant: next-after match ---------------------------------------
+
+_ASOF_FWD_ORACLE = """
+SELECT
+  e.event_id,
+  e.user_id,
+  e.ts AS signup_ts,
+  (SELECT MIN(p.ts) FROM events p
+    WHERE p.user_id = e.user_id
+      AND p.event_type = 'purchase'
+      AND p.ts >= e.ts) AS next_purchase_ts
+FROM events e
+WHERE e.event_type = 'signup'
+"""
+
+
+@graded("join_asof_forward", oracle=_ASOF_FWD_ORACLE)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each signup gets its user's NEXT purchase
+    timestamp (time-to-convert attribution) — the mirror plan of the
+    backward form: same one shuffle, carry frame flipped to
+    (current → following) with first(ignoreNulls)."""
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "event_id", "user_id", F.col("ts").alias("signup_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    return asof_join(
+        signups,
+        purchases,
+        on="user_id",
+        left_ts="signup_ts",
+        right_ts="ts",
+        right_value="ts",
+        value_alias="next_purchase_ts",
+        direction="forward",
+    )

@@ -216,3 +216,39 @@ def window_weighted_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") > 5)
         .select("user_id", "event_id", "ts", "wma6")
     )
+
+
+# --- W2 with ties: rank-based top-k (keeps all tied rows) -----------------------
+
+# row_number top-k needs a total tie-break (SURVEY §8.4); the
+# rank-with-ties form is the OTHER deterministic spelling — the result
+# SET is well-defined under ties because every tied row is kept.
+_TOPK_TIES_ORACLE = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rnk
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         RANK() OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC) AS rnk
+  FROM orders
+) t
+WHERE rnk <= 3
+"""
+
+
+@graded("window_topk_ties", oracle=_TOPK_TIES_ORACLE)
+def window_topk_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 order prices per priority INCLUDING ties: rank() without
+    a unique tie-break is still hash-safe because tied rows are all
+    emitted, never chosen between. WindowGroupLimit prunes per
+    partition exactly as in the row_number form."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).alias("rnk"),
+        )
+        .where(F.col("rnk") <= 3)
+    )
