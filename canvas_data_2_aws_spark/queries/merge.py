@@ -345,3 +345,20 @@ def validate_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(change.alias("change_type"))
         .agg(F.count("*").alias("n"))
     )
+
+
+# --- M1 idempotence, graded: re-applying the changeset is a no-op ---------------
+
+
+@graded("merge_idempotent_reapply", oracle=_MERGE_ORACLE)
+def merge_idempotent_reapply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the SAME changeset twice and grade against the
+    once-applied oracle: upserts re-replace identical rows, deletes
+    find nothing — syncdb retries after a partial failure must
+    converge to the same replica. (Random-changeset idempotence is
+    property-tested in tests/test_merge.py; this makes the guarantee
+    cross-engine-checkable on the canonical changeset.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    changeset = derive_changeset(orders)
+    once = apply_changeset(orders, changeset, keys=["o_orderkey"])
+    return apply_changeset(once, changeset, keys=["o_orderkey"])
