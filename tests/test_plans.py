@@ -97,6 +97,7 @@ _NESTED_LOOP_OK = {
     "timeseries_gapfill",
     "text_tfidf",  # ln(N/df): N = 1-row corpus count
     "merge_upsert_apply",  # fresh-insert keys = max(PK) 1-row broadcast
+    "merge_idempotent_reapply",  # same changeset derivation, applied twice
     "merge_incremental_agg",  # same changeset derivation
     "validate_snapshot_diff",  # same changeset derivation
     "jsonl_envelope_roundtrip",  # same changeset derivation
