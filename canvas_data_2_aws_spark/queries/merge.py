@@ -362,3 +362,57 @@ def merge_idempotent_reapply(spark: SparkSession, sf_dir: str) -> DataFrame:
     changeset = derive_changeset(orders)
     once = apply_changeset(orders, changeset, keys=["o_orderkey"])
     return apply_changeset(once, changeset, keys=["o_orderkey"])
+
+
+# --- S2 via the Spark 4 Python DataSource API -----------------------------------
+
+
+@graded("source_python_datasource", oracle=_ENVELOPE_ORACLE)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The envelope changeset read back through the CUSTOM Python
+    DataSource (``format("cd2_envelope")``,
+    sources/cd2_datasource.py): changeset → JSONL part-files on disk →
+    planner maps one part to one input partition → per-partition
+    Python decode → typed flat rows. Graded against the same
+    changeset-definition oracle as the from_json codec
+    (jsonl_envelope_roundtrip), so BOTH ingest paths are proven
+    equivalent. o_orderdate is excluded for the same reason as there
+    (JSON timestamp formatting is the codec test's concern, not the
+    source's)."""
+    import shutil
+    import tempfile
+
+    from ..sources.cd2_datasource import register
+    from ..sources.envelope import encode_envelope
+
+    orders = load_table(spark, sf_dir, "orders")
+    changeset = derive_changeset(orders).drop("o_orderdate")
+    wire = encode_envelope(changeset, key_cols=["o_orderkey"])
+    out = tempfile.mkdtemp(prefix="cda2_pysrc_")
+    try:
+        # Two part-files → two source partitions (the reference's
+        # multi-part download unit).
+        wire.where(F.crc32("record") % 2 == 0).coalesce(1).write.mode(
+            "overwrite"
+        ).text(f"{out}/part0")
+        wire.where(F.crc32("record") % 2 == 1).coalesce(1).write.mode(
+            "overwrite"
+        ).text(f"{out}/part1")
+        register(spark)
+        df = (
+            spark.read.format("cd2_envelope")
+            .option("path", f"{out}/part*/*.txt")
+            .option("table", "orders")
+            .option("keys", "o_orderkey")
+            .load()
+        )
+        rows = df.select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority", "action",
+        ).collect()
+        return spark.createDataFrame(rows, df.select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority", "action",
+        ).schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -77,3 +77,53 @@ def test_malformed_records_surface_as_null_keys(spark):
     good = [r for r in rows if r.o_orderkey is not None]
     assert len(good) == 1 and good[0].o_custkey == 7
     assert sum(1 for r in rows if r.o_orderkey is None) == 2
+
+
+def test_python_datasource_equals_from_json_codec(spark, sf_dir):
+    """format('cd2_envelope') must yield exactly the rows the from_json
+    codec yields from the same JSONL files, with one input partition
+    per part-file."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from canvas_data_2_aws_spark.queries.merge import derive_changeset
+    from canvas_data_2_aws_spark.session import load_table
+    from canvas_data_2_aws_spark.sources.cd2_datasource import register
+    from canvas_data_2_aws_spark.sources.envelope import (
+        encode_envelope,
+        read_changeset_jsonl,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    wire = encode_envelope(
+        derive_changeset(orders).drop("o_orderdate"), key_cols=["o_orderkey"]
+    )
+    out = tempfile.mkdtemp(prefix="cda2_pysrc_t_")
+    try:
+        for i in range(3):
+            wire.where(F.crc32("record") % 3 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).text(f"{out}/part{i}")
+        register(spark)
+        via_source = (
+            spark.read.format("cd2_envelope")
+            .option("path", f"{out}/part*/*.txt")
+            .option("table", "orders")
+            .option("keys", "o_orderkey")
+            .load()
+        )
+        assert via_source.rdd.getNumPartitions() == 3
+        cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderpriority", "action"]
+        got = {tuple(r) for r in via_source.select(*cols).collect()}
+        want = {
+            tuple(r)
+            for r in read_changeset_jsonl(
+                spark, f"{out}/part*/*.txt", table="orders", key_cols=["o_orderkey"]
+            ).select(*cols).collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
