@@ -325,3 +325,56 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     statement runs on both engines; LIMIT tie-broken by the PK."""
     register_tables(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+# --- higher moments + regression aggregates (same exact-sum technique) ----------
+
+_REGR_MOMENTS = {
+    "n": "COUNT(*)",
+    "sx": "CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE)",
+    "sxx": "CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE)",
+    "sxxx": "CAST(SUM(CAST(l_quantity * l_quantity * l_quantity"
+    " AS DECIMAL(38,8))) AS DOUBLE)",
+    "sxxxx": "CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity"
+    " AS DECIMAL(38,8))) AS DOUBLE)",
+    "sy": "CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE)",
+    "sxy": "CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE)",
+}
+
+# Population skewness/kurtosis and OLS slope/intercept from raw power
+# sums — one aggregation pass, closed-form finals on identical doubles
+# in both engines (the native accumulators stream in partition order
+# and can never hash-match; the moment route is also the one-pass
+# 100 TB plan). ROUND(,4) absorbs final-arithmetic ulps.
+_REGR_FINAL = """
+SELECT l_linestatus,
+       ROUND((sxxx / n - 3 * (sx / n) * (sxx / n) + 2 * pow(sx / n, 3))
+             / pow(sxx / n - pow(sx / n, 2), 1.5), 4) AS skewness,
+       ROUND((sxxxx / n - 4 * (sx / n) * (sxxx / n)
+              + 6 * pow(sx / n, 2) * (sxx / n) - 3 * pow(sx / n, 4))
+             / pow(sxx / n - pow(sx / n, 2), 2) - 3, 4) AS excess_kurtosis,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
+         AS intercept
+FROM regr_moments
+"""
+
+_REGR_ORACLE = (
+    "WITH regr_moments AS (SELECT l_linestatus, "
+    + ", ".join(f"{v} AS {k}" for k, v in _REGR_MOMENTS.items())
+    + " FROM lineitem GROUP BY l_linestatus) "
+    + _REGR_FINAL
+)
+
+
+@graded("agg_regression_moments", oracle=_REGR_ORACLE)
+def agg_regression_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness, excess kurtosis, and OLS price-on-quantity slope/
+    intercept per linestatus — 3rd/4th-moment and bivariate extensions
+    of agg_stats (rationale above the oracle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    moments = li.groupBy("l_linestatus").agg(
+        *[F.expr(v).alias(k) for k, v in _REGR_MOMENTS.items()]
+    )
+    moments.createOrReplaceTempView("regr_moments")
+    return spark.sql(_REGR_FINAL)

@@ -335,3 +335,66 @@ def stream_stream_join_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, pairs.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@graded("stream_python_source", oracle=None)
+def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read through the custom Python DataSource
+    (sources/cd2_datasource.py): two part-files, two separate
+    trigger-once runs SHARING one checkpoint — the second run resumes
+    from the committed offset and reads only the unconsumed part,
+    proving the since-token persistence the reference's syncdb relies
+    on. Returns per-run row counts plus the combined action counts
+    (equality with the full changeset asserted in
+    tests/test_envelope.py)."""
+    import tempfile
+
+    from .merge import derive_changeset
+    from ..sources.cd2_datasource import register
+    from ..sources.envelope import encode_envelope
+
+    orders = load_table(spark, sf_dir, "orders")
+    wire = encode_envelope(
+        derive_changeset(orders).drop("o_orderdate"), key_cols=["o_orderkey"]
+    )
+    out = tempfile.mkdtemp(prefix="cda2_pystream_")
+    ckpt = tempfile.mkdtemp(prefix="cda2_pystream_ckpt_")
+    sink_dir = tempfile.mkdtemp(prefix="cda2_pystream_sink_")
+    try:
+        for i in range(2):
+            wire.where(F.crc32("record") % 2 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).text(f"{out}/part{i}")
+        register(spark)
+
+        def run_once() -> int:
+            # Memory sinks cannot recover a checkpoint; the parquet
+            # sink can — which is also the honest replica-landing shape.
+            q = (
+                spark.readStream.format("cd2_envelope")
+                .option("path", f"{out}/part*/*.txt")
+                .option("table", "orders")
+                .option("keys", "o_orderkey")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", sink_dir)
+                .option("checkpointLocation", ckpt)
+                .trigger(once=True)
+                .start()
+            )
+            q.awaitTermination()
+            return spark.read.parquet(sink_dir).count()
+
+        total1 = run_once()  # consumes part0 only
+        total2 = run_once()  # resumes from the committed offset → part1
+        landed = spark.read.parquet(sink_dir)
+        rows = [
+            (r.action, r.n, total1, total2 - total1)
+            for r in landed.groupBy("action").agg(F.count("*").alias("n")).collect()
+        ]
+        return spark.createDataFrame(
+            rows, "action string, n long, run1_rows long, run2_rows long"
+        ).orderBy("action")
+    finally:
+        for d in (out, ckpt, sink_dir):
+            shutil.rmtree(d, ignore_errors=True)

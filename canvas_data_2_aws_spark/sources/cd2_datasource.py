@@ -24,7 +24,12 @@ import datetime as dt
 import glob
 import json
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     BooleanType,
     DateType,
@@ -86,6 +91,9 @@ class CD2EnvelopeDataSource(DataSource):
     def reader(self, schema: StructType) -> "CD2EnvelopeReader":
         return CD2EnvelopeReader(dict(self.options), schema)
 
+    def simpleStreamReader(self, schema: StructType) -> "CD2EnvelopeStreamReader":
+        return CD2EnvelopeStreamReader(dict(self.options), schema)
+
 
 class CD2EnvelopeReader(DataSourceReader):
     def __init__(self, options: dict, schema: StructType) -> None:
@@ -104,23 +112,63 @@ class CD2EnvelopeReader(DataSourceReader):
     def read(self, partition):
         if partition.value is None:
             return
-        fields = self._schema.fields[:-1]  # all but the action flag
-        with open(partition.value, encoding="utf-8") as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
-                rec = json.loads(line)
-                key = rec.get("key") or {}
-                val = rec.get("value") or {}
-                row = tuple(
-                    _convert(
-                        key.get(f.name) if f.name in self._key_cols else val.get(f.name),
-                        f.dataType,
-                    )
-                    for f in fields
-                ) + (rec["meta"]["action"],)
-                yield row
+        yield from _parse_file(partition.value, self._schema, self._key_cols)
+
+
+def _parse_file(path: str, schema: StructType, key_cols: list[str]):
+    """Decode one JSONL part-file into flattened typed tuples."""
+    fields = schema.fields[:-1]  # all but the action flag
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            rec = json.loads(line)
+            key = rec.get("key") or {}
+            val = rec.get("value") or {}
+            yield tuple(
+                _convert(
+                    key.get(f.name) if f.name in key_cols else val.get(f.name),
+                    f.dataType,
+                )
+                for f in fields
+            ) + (rec["meta"]["action"],)
+
+
+def _list_parts(path: str) -> list[str]:
+    pattern = path
+    if not any(ch in pattern for ch in "*?["):
+        pattern = pattern.rstrip("/") + "/*"
+    return sorted(f for f in glob.glob(pattern) if not f.endswith("_SUCCESS"))
+
+
+class CD2EnvelopeStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form: one micro-batch = one part-file, in filename
+    order — the pull-based ``since/until`` window of the reference's
+    incremental API. The offset ({"consumed": n}) lives in the query
+    checkpoint, so a restarted query resumes at the first unconsumed
+    part: the exact analog of the reference persisting its sync token
+    transactionally with the merge (SURVEY §3.1).
+    """
+
+    def __init__(self, options: dict, schema: StructType) -> None:
+        self._path = options["path"]
+        self._schema = schema
+        self._key_cols = options["keys"].split(",")
+
+    def initialOffset(self) -> dict:
+        return {"consumed": 0}
+
+    def read(self, start: dict):
+        files = _list_parts(self._path)
+        n = start["consumed"]
+        if n >= len(files):
+            return iter([]), {"consumed": n}
+        rows = list(_parse_file(files[n], self._schema, self._key_cols))
+        return iter(rows), {"consumed": n + 1}
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: parts are immutable landed files
 
 
 def register(spark) -> None:

@@ -127,3 +127,26 @@ def test_python_datasource_equals_from_json_codec(spark, sf_dir):
         assert got == want and len(want) > 0
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_streaming_python_source_resumes_from_checkpoint(spark, sf_dir):
+    """Two trigger-once runs over one checkpoint must split the parts
+    between them (offset persisted = since-token semantics) and land
+    exactly the full changeset."""
+    from canvas_data_2_aws_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["stream_python_source"](spark, sf_dir).collect()
+    assert rows, "no actions landed"
+    total = sum(r.n for r in rows)
+    run1, run2 = rows[0].run1_rows, rows[0].run2_rows
+    assert run1 > 0 and run2 > 0  # both runs consumed a part
+    assert run1 + run2 == total
+
+    from pyspark.sql import functions as F
+
+    from canvas_data_2_aws_spark.queries.merge import derive_changeset
+    from canvas_data_2_aws_spark.session import load_table
+
+    expected = derive_changeset(load_table(spark, sf_dir, "orders")).count()
+    assert total == expected
