@@ -320,3 +320,27 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").alias("n_occurrences"),
         )
     )
+
+
+# --- boolean aggregates (bool_and / bool_or / conditional count) ----------------
+
+_BOOL_AGG_ORACLE = """
+SELECT o_orderpriority,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_orderstatus = 'P') AS any_pending,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@graded("agg_boolean", oracle=_BOOL_AGG_ORACLE)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool_and / bool_or / filtered count — the data-quality assertion
+    aggregates (\"every row satisfies X\" as a query result)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+    )

@@ -262,3 +262,50 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
         .where(F.col("rk") <= 20)
     )
+
+
+# --- per-source language-diversity entropy --------------------------------------
+
+# Shannon entropy of each source's language mix: p = n/total is an
+# exact int÷int double; ln(double) may differ by 1 ulp across libm
+# implementations → ROUND(,4), same policy as text_tfidf.
+_ENTROPY_ORACLE = """
+WITH counts AS (
+  SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang
+),
+tot AS (
+  SELECT source, SUM(n) AS total FROM counts GROUP BY source
+)
+SELECT c.source,
+       CAST(t.total AS BIGINT) AS n_docs,
+       COUNT(*) AS n_langs,
+       ROUND(-SUM((CAST(c.n AS DOUBLE) / t.total)
+                  * ln(CAST(c.n AS DOUBLE) / t.total)), 4) AS lang_entropy
+FROM counts c JOIN tot t ON c.source = t.source
+GROUP BY c.source, t.total
+"""
+
+
+@graded("text_entropy", oracle=_ENTROPY_ORACLE)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix Shannon entropy per source — the diversity metric
+    a pretraining mix uses to spot monolingual or over-concentrated
+    shards. Two cheap aggregations over the same (source) shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    tot = counts.groupBy("source").agg(F.sum("n").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    return (
+        counts.join(tot, "source")
+        .groupBy("source", "total")
+        .agg(
+            F.count("*").alias("n_langs"),
+            F.round(-F.sum(p * F.log(p)), 4).alias("lang_entropy"),
+        )
+        .select(
+            "source",
+            F.col("total").cast("long").alias("n_docs"),
+            "n_langs",
+            "lang_entropy",
+        )
+    )
