@@ -191,3 +191,61 @@ def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         _doc_stats, "doc_id long, n_bytes long, root_chars double"
     )
+
+
+# --- U2 at depth: true sequential recurrence (EWMA) -----------------------------
+
+# EWMA is an infinite-memory recurrence (window_weighted_ma's FIR
+# cousin): e₁ = v₁, eₙ = 0.5·vₙ + 0.5·eₙ₋₁. No frame aggregate can
+# express it; Spark-side it is a per-group pandas loop, oracle-side a
+# recursive CTE walking rn → rn+1. α = 0.5 keeps every coefficient
+# dyadic and both engines run the identical multiply-add per step, so
+# the raw doubles are BIT-IDENTICAL and graded unrounded — adding
+# ROUND(,6) actually broke the match (Python round is decimal-correct,
+# DuckDB rounds via a ×10⁶ multiply; ~1/700 values straddled the grid:
+# identical-op-sequence beats rounding, SURVEY §8.3 corollary).
+_EWMA_ORACLE = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, ts, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id % 11 = 0
+),
+r(user_id, rn, ewma) AS (
+  SELECT user_id, rn, value FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn,
+         CAST(0.5 AS DOUBLE) * e.value + CAST(0.5 AS DOUBLE) * r.ewma
+  FROM r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+)
+SELECT e.user_id, e.event_id, r.ewma AS ewma
+FROM r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn
+"""
+
+
+@graded("udf_ewma_recurrence", oracle=_EWMA_ORACLE)
+def udf_ewma_recurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA via applyInPandas — the shape that justifies the
+    grouped-map UDF: a genuinely sequential recurrence no built-in
+    window expresses. The explicit Python loop (not pandas .ewm) pins
+    the exact multiply-add order the oracle's recursive CTE replays."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").where("user_id % 11 = 0")
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out, acc = [], None
+        for v in pdf["value"].to_numpy():
+            acc = float(v) if acc is None else 0.5 * float(v) + 0.5 * acc
+            out.append(acc)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "event_id": pdf["event_id"].to_numpy(),
+                "ewma": out,
+            }
+        )
+
+    return ev.select("user_id", "ts", "event_id", "value").groupBy(
+        "user_id"
+    ).applyInPandas(ewma, "user_id long, event_id long, ewma double")

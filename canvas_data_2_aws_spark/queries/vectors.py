@@ -208,3 +208,74 @@ def vector_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("vec_id", "label", "dist", "rn")
     )
+
+
+# --- EXT: int8 scalar quantization (vector storage compression) -----------------
+
+# Symmetric per-vector quantization: scale = 127/max|v|, q = floor of
+# the scaled value clamped to [-127, 127]. FLOOR and comparisons on
+# identical IEEE doubles are engine-exact (no ROUND-on-raw-double
+# anywhere); the reconstruction error is decimal-summed then rounded.
+_QUANTIZE_ORACLE = """
+WITH prep AS (
+  SELECT vec_id,
+         CAST(embedding AS DOUBLE[]) AS e,
+         list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS mx
+  FROM embeddings WHERE vec_id % 8 = 0
+),
+q AS (
+  SELECT vec_id, mx,
+         list_transform(e, v -> GREATEST(-127, LEAST(127,
+           CAST(FLOOR(v * 127 / mx) AS BIGINT)))) AS qv,
+         e
+  FROM prep
+)
+SELECT vec_id,
+       ROUND(mx, 4) AS max_abs,
+       list_sum(list_transform(qv, v -> abs(v))) AS l1_quantized,
+       ROUND(CAST(list_sum(list_transform(
+               range(1, LEN(e) + 1),
+               i -> CAST(CAST((e[i] - qv[i] * mx / 127)
+                    * (e[i] - qv[i] * mx / 127) AS DECIMAL(38,12)) AS DOUBLE)))
+             AS DOUBLE), 6) AS mse_x_dim
+FROM q
+"""
+
+
+@graded("vector_quantize_int8", oracle=_QUANTIZE_ORACLE)
+def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embeddings + reconstruction
+    error — the 4× storage compression a 100 TB vector corpus applies
+    before ANN indexing (floats only re-materialize in the re-rank).
+    Pure higher-order functions, one map stage, no shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings").where("vec_id % 8 = 0")
+    prep = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, v -> CAST(v AS DOUBLE))").alias("e"),
+        F.expr(
+            "array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE))))"
+        ).alias("mx"),
+    )
+    q = prep.withColumn(
+        "qv",
+        F.expr(
+            "transform(e, v -> GREATEST(-127L, LEAST(127L,"
+            " CAST(FLOOR(v * 127 / mx) AS BIGINT))))"
+        ),
+    )
+    return q.select(
+        "vec_id",
+        F.round("mx", 4).alias("max_abs"),
+        F.expr("aggregate(transform(qv, v -> abs(v)), 0L, (a, b) -> a + b)").alias(
+            "l1_quantized"
+        ),
+        F.round(
+            F.expr(
+                "CAST(aggregate(transform(sequence(1, size(e)),"
+                " i -> CAST(CAST((e[i-1] - qv[i-1] * mx / 127)"
+                " * (e[i-1] - qv[i-1] * mx / 127) AS DECIMAL(38,12)) AS DOUBLE)),"
+                " CAST(0.0 AS DOUBLE), (a, b) -> a + b) AS DOUBLE)"
+            ),
+            6,
+        ).alias("mse_x_dim"),
+    )
