@@ -161,3 +161,55 @@ def csv_decode_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, back.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# --- S3 oracle-checked: typed gzipped-CSV round-trip ----------------------------
+
+_CSV_ORACLE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_orderkey % 8 = 0
+"""
+
+
+@graded("csv_roundtrip_typed", oracle=_CSV_ORACLE)
+def csv_roundtrip_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzipped-CSV decode with a full hash oracle: write an orders
+    slice as compressed CSV, read it back against the server-declared
+    schema, grade the typed rows against the source selection — any
+    formatting/parse/type drift (doubles don't round-trip, quoting
+    bugs, gzip issues) breaks the hash. Doubles survive because Spark
+    writes shortest-repr decimal and IEEE parse restores the exact
+    bits; the chosen columns carry no delimiters."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").where("o_orderkey % 8 = 0")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderpriority", StringType()),
+        ]
+    )
+    path = tempfile.mkdtemp(prefix="cda2_csv_")
+    try:
+        (
+            orders.select(*cols)
+            .write.mode("overwrite")
+            .option("compression", "gzip")
+            .option("header", "true")
+            .csv(path)
+        )
+        back = spark.read.csv(path, schema=schema, header=True)
+        rows = back.collect()
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
