@@ -213,3 +213,45 @@ def csv_roundtrip_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# --- S4 counterpart: schema evolution across snapshot versions ------------------
+
+_EVOLUTION_ORACLE = """
+SELECT o_orderkey, o_totalprice,
+       CAST(NULL AS VARCHAR) AS sync_origin
+FROM orders WHERE o_orderkey % 10 = 3
+UNION ALL
+SELECT o_orderkey, o_totalprice,
+       'v2' AS sync_origin
+FROM orders WHERE o_orderkey % 10 = 7
+"""
+
+
+@graded("schema_evolution_merge", oracle=_EVOLUTION_ORACLE)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-version bump across landed snapshot parts: a v1 part
+    (old schema) and a v2 part (adds ``sync_origin``) read together
+    with ``mergeSchema`` — v1 rows surface NULL for the new column,
+    exactly how the replica absorbs a CD2 schema-version increment
+    without rewriting history (SURVEY §1.1: client regenerates DDL on
+    version bump; strict per-version reads stay the default — S4
+    rejects drift unless evolution is explicit like here)."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="cda2_evo_")
+    try:
+        v1 = orders.where("o_orderkey % 10 = 3").select("o_orderkey", "o_totalprice")
+        v2 = (
+            orders.where("o_orderkey % 10 = 7")
+            .select("o_orderkey", "o_totalprice")
+            .withColumn("sync_origin", F.lit("v2"))
+        )
+        v1.write.mode("overwrite").parquet(f"{path}/p1")
+        v2.write.mode("overwrite").parquet(f"{path}/p2")
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            f"{path}/p1", f"{path}/p2"
+        )
+        rows = merged.collect()
+        return spark.createDataFrame(rows, merged.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
