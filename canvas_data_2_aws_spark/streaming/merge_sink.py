@@ -103,3 +103,82 @@ class StreamingMergeSink:
             .trigger(availableNow=True)
             .start()
         )
+
+
+class StreamingIVMSink(StreamingMergeSink):
+    """Merge sink that ALSO maintains an aggregate view incrementally —
+    the streaming materialized view: each micro-batch updates the
+    replica (M1) and delta-updates a (group → count, sum) view from
+    the same changeset, never re-aggregating the replica. View deltas
+    use exact decimal sums, so the maintained view equals a fresh
+    recompute bit-for-bit (asserted in tests/test_streaming.py);
+    snapshot and view commit under the same MVCC version.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_dir: str,
+        keys: Sequence[str],
+        compact_by: Sequence[str],
+        view_group: str,
+        view_sum: str,
+    ) -> None:
+        super().__init__(spark, table_dir, keys, compact_by)
+        self.view_group = view_group
+        self.view_sum = view_sum
+
+    # -- view bookkeeping --------------------------------------------------
+
+    def _view_agg(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        return df.groupBy(self.view_group).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col(self.view_sum).cast("decimal(28,6)")).alias("total"),
+        )
+
+    def current_view(self) -> DataFrame:
+        v = self.current_version()
+        return self.spark.read.parquet(os.path.join(self.table_dir, f"view_v{v}"))
+
+    def bootstrap(self, base: DataFrame) -> None:
+        self._view_agg(base).write.mode("overwrite").parquet(
+            os.path.join(self.table_dir, "view_v0")
+        )
+        super().bootstrap(base)
+
+    def apply_batch(self, changes: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from ..operators.merge import compact_changeset
+
+        base = self.current_snapshot()
+        old_view = self.current_view()
+        compacted = compact_changeset(changes, self.keys, self.compact_by)
+        dec = F.col(self.view_sum).cast("decimal(28,6)")
+        adds = compacted.where(F.col("action") == "U").select(
+            self.view_group,
+            F.lit(1).cast("long").alias("n"),
+            dec.alias("total"),
+        )
+        touched = compacted.select(*self.keys).distinct()
+        rems = base.join(touched, self.keys, "left_semi").select(
+            self.view_group,
+            F.lit(-1).cast("long").alias("n"),
+            (-dec).alias("total"),
+        )
+        new_view = (
+            old_view.unionByName(adds)
+            .unionByName(rems)
+            .groupBy(self.view_group)
+            .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+            .where(F.col("n") > 0)
+        )
+        next_v = self.current_version() + 1
+        new_view.write.mode("overwrite").parquet(
+            os.path.join(self.table_dir, f"view_v{next_v}")
+        )
+        # Superclass merges the replica and commits next_v — the view
+        # written above becomes visible atomically with its snapshot.
+        super().apply_batch(changes, batch_id)

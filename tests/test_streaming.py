@@ -233,3 +233,46 @@ def test_tws_totals_equals_batch_if_protobuf_available(spark, sf_dir):
         assert final == batch
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_ivm_view_equals_recompute(spark, sf_dir, tmp_path):
+    """After streaming the changeset through StreamingIVMSink in two
+    micro-batches, the delta-maintained (status → n, total) view must
+    equal a fresh aggregation of the final replica exactly."""
+    from pyspark.sql import functions as F
+
+    from canvas_data_2_aws_spark.queries.merge import derive_changeset
+    from canvas_data_2_aws_spark.session import load_table
+    from canvas_data_2_aws_spark.streaming.merge_sink import StreamingIVMSink
+
+    orders = load_table(spark, sf_dir, "orders")
+    changeset = derive_changeset(orders).withColumn(
+        "chg_ts", F.monotonically_increasing_id() * 0  # constant, compaction no-op
+    )
+    sink = StreamingIVMSink(
+        spark,
+        str(tmp_path / "ivm"),
+        keys=["o_orderkey"],
+        compact_by=["chg_ts"],
+        view_group="o_orderstatus",
+        view_sum="o_totalprice",
+    )
+    sink.bootstrap(orders)
+    for i in range(2):
+        sink.apply_batch(changeset.where(F.col("o_orderkey") % 2 == i), i)
+
+    maintained = {
+        r.o_orderstatus: (r.n, float(r.total))
+        for r in sink.current_view().collect()
+    }
+    recomputed = {
+        r.o_orderstatus: (r.n, float(r.total))
+        for r in sink.current_snapshot()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("total"),
+        )
+        .collect()
+    }
+    assert maintained == recomputed and len(maintained) >= 3
