@@ -132,21 +132,23 @@ def pagerank(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint(eager=False)
     )
     nodes = sym.select(F.col("a").alias("node")).distinct()
     n = nodes.count()
+    # Attach out-degrees to the edge list ONCE; per iteration the big
+    # edge side then joins only the small broadcast ranks table — the
+    # edges never re-shuffle across iterations (at cluster scale the
+    # same plan holds with ranks co-partitioned instead of broadcast).
     deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
+    sym_deg = sym.join(deg, "a").localCheckpoint(eager=False)
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     teleport = F.lit((1.0 - damping) / n)
     for _ in range(iterations):
-        contribs = (
-            sym.join(ranks, sym.a == ranks.node)
-            .join(deg, "a")
-            .select(
-                F.col("b").alias("node"),
-                (F.col("rank") / F.col("deg")).alias("contrib"),
-            )
+        contribs = sym_deg.join(
+            F.broadcast(ranks), sym_deg.a == ranks.node
+        ).select(
+            F.col("b").alias("node"),
+            (F.col("rank") / F.col("deg")).alias("contrib"),
         )
         ranks = contribs.groupBy("node").agg(
             (
