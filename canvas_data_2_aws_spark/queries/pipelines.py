@@ -366,3 +366,53 @@ def analytics_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share_of_total"),
     )
+
+
+# --- per-user behavioral feature vector ------------------------------------------
+
+_USER_FEATURES_ORACLE = """
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS n_views,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+       CAST(SUM(CAST(value AS DECIMAL(18,6)))
+            FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_value,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS DOUBLE)
+         / GREATEST(COUNT(*) FILTER (WHERE event_type = 'view'), 1)
+         AS click_through
+FROM events
+GROUP BY user_id
+"""
+
+
+@graded("analytics_user_features", oracle=_USER_FEATURES_ORACLE)
+def analytics_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity feature extraction: event-type counts, decimal spend,
+    and a guarded ratio in ONE conditional-aggregation pass — the
+    feature-engineering shape feeding a training table (wide features
+    per key, single shuffle). Ratio is exact: int ÷ int with a
+    GREATEST(,1) zero-guard, identical IEEE division both engines."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def n_of(t: str):
+        return F.count(F.when(F.col("event_type") == t, 1))
+
+    return ev.groupBy("user_id").agg(
+        n_of("view").alias("n_views"),
+        n_of("click").alias("n_clicks"),
+        n_of("purchase").alias("n_purchases"),
+        n_of("error").alias("n_errors"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,6)"),
+            )
+        )
+        .cast("double")
+        .alias("purchase_value"),
+        (
+            n_of("click").cast("double")
+            / F.greatest(n_of("view"), F.lit(1))
+        ).alias("click_through"),
+    )

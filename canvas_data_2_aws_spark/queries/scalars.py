@@ -563,3 +563,32 @@ def explode_outer_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id", F.explode_outer(big).alias("raw")
     ).select("vec_id", F.round(F.col("raw").cast("double"), 4).alias("big_val"))
+
+
+# --- F1 extension: binary encodings (base64 / hex) ------------------------------
+
+# Dialect deltas: DuckDB base64 takes a BLOB (encode()); to_hex of an
+# integer omits leading zeros and upcases — Spark hex() matches the
+# integer form exactly; md5 hex is lowercase in both.
+_ENCODE_ORACLE = """
+SELECT doc_id,
+       base64(encode(lang)) AS lang_b64,
+       to_hex(doc_id) AS id_hex,
+       md5(lang) AS lang_md5
+FROM documents
+WHERE doc_id % 16 = 0
+"""
+
+
+@graded("scalar_binary_encode", oracle=_ENCODE_ORACLE)
+def scalar_binary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """base64 / hex / md5 encodings — content-addressing and wire-safe
+    transport primitives (the payload-digest path multimodal columns
+    use at scale)."""
+    docs = load_table(spark, sf_dir, "documents").where("doc_id % 16 = 0")
+    return docs.select(
+        "doc_id",
+        F.base64(F.encode("lang", "UTF-8")).alias("lang_b64"),
+        F.hex("doc_id").alias("id_hex"),
+        F.md5(F.encode("lang", "UTF-8")).alias("lang_md5"),
+    )

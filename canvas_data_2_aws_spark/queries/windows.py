@@ -252,3 +252,39 @@ def window_topk_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rnk") <= 3)
     )
+
+
+# --- W5 explicit: first_value / last_value / nth_value --------------------------
+
+# Full-partition frame everywhere: the default window frame stops at
+# the CURRENT row, which silently breaks last_value/nth_value — the
+# classic window bug, pinned here with the correct explicit frame.
+_VALUE_FNS_ORACLE = """
+SELECT o_orderkey, o_orderpriority,
+       first_value(o_orderkey) OVER w AS first_key,
+       last_value(o_orderkey)  OVER w AS last_key,
+       nth_value(o_orderkey, 3) OVER w AS third_key
+FROM orders
+WHERE o_orderkey % 16 = 0
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@graded("window_value_functions", oracle=_VALUE_FNS_ORACLE)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value with the explicit full-partition frame
+    (ordering ends on the unique PK per SURVEY §8.4)."""
+    o = load_table(spark, sf_dir, "orders").where("o_orderkey % 16 = 0")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w).alias("last_key"),
+        F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
+    )
