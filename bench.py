@@ -48,6 +48,7 @@ HEADLINE = [
     "vector_centroid_outliers",
     "merge_incremental_agg",
     "analytics_retention",
+    "pipeline_corpus_curation",
 ]
 
 

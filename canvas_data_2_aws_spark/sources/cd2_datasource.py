@@ -100,6 +100,7 @@ class CD2EnvelopeReader(DataSourceReader):
         self._path = options["path"]
         self._schema = schema
         self._key_cols = options["keys"].split(",")
+        self._permissive = options.get("mode", "strict").lower() == "permissive"
 
     def partitions(self):
         pattern = self._path
@@ -112,27 +113,43 @@ class CD2EnvelopeReader(DataSourceReader):
     def read(self, partition):
         if partition.value is None:
             return
-        yield from _parse_file(partition.value, self._schema, self._key_cols)
+        yield from _parse_file(
+            partition.value, self._schema, self._key_cols, self._permissive
+        )
 
 
-def _parse_file(path: str, schema: StructType, key_cols: list[str]):
-    """Decode one JSONL part-file into flattened typed tuples."""
+def _parse_file(
+    path: str, schema: StructType, key_cols: list[str], permissive: bool = False
+):
+    """Decode one JSONL part-file into flattened typed tuples.
+
+    ``permissive`` skips undecodable lines (malformed JSON, missing
+    meta/action, unconvertible values) instead of failing the task —
+    the landing-zone reality where one corrupt record must not sink a
+    sync; strict mode (default) fails fast like the S4 schema gate.
+    """
     fields = schema.fields[:-1]  # all but the action flag
     with open(path, encoding="utf-8") as fh:
         for line in fh:
             line = line.strip()
             if not line:
                 continue
-            rec = json.loads(line)
-            key = rec.get("key") or {}
-            val = rec.get("value") or {}
-            yield tuple(
-                _convert(
-                    key.get(f.name) if f.name in key_cols else val.get(f.name),
-                    f.dataType,
-                )
-                for f in fields
-            ) + (rec["meta"]["action"],)
+            try:
+                rec = json.loads(line)
+                key = rec.get("key") or {}
+                val = rec.get("value") or {}
+                yield tuple(
+                    _convert(
+                        key.get(f.name)
+                        if f.name in key_cols
+                        else val.get(f.name),
+                        f.dataType,
+                    )
+                    for f in fields
+                ) + (rec["meta"]["action"],)
+            except (ValueError, KeyError, TypeError):
+                if not permissive:
+                    raise
 
 
 def _list_parts(path: str) -> list[str]:
