@@ -397,3 +397,42 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_alias="next_purchase_ts",
         direction="forward",
     )
+
+
+# --- null-safe equality join (<=> / IS NOT DISTINCT FROM) -----------------------
+
+# Nullable join keys silently drop rows under plain equality (NULL =
+# NULL is NULL) — the bug class that corrupts merges on tables with
+# nullable natural keys. The null-safe form matches NULL to NULL.
+_NULLSAFE_ORACLE = """
+WITH a AS (
+  SELECT o_orderkey, NULLIF(o_orderkey % 5, 0) AS grp FROM orders
+  WHERE o_orderkey % 16 = 0
+),
+b AS (
+  SELECT NULLIF(n, 0) AS grp, 100 + n AS payload
+  FROM (SELECT unnest(generate_series(0, 4)) AS n)
+)
+SELECT a.o_orderkey, a.grp, b.payload
+FROM a JOIN b ON a.grp IS NOT DISTINCT FROM b.grp
+"""
+
+
+@graded("join_null_safe", oracle=_NULLSAFE_ORACLE)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (Spark ``<=>`` ≡ SQL IS NOT DISTINCT FROM):
+    rows with NULL group keys still pair with the NULL dimension row.
+    Still a hash join — null-safe equality remains an equi-key, no
+    nested-loop fallback."""
+    o = load_table(spark, sf_dir, "orders").where("o_orderkey % 16 = 0")
+    a = o.select(
+        "o_orderkey", F.nullif(F.col("o_orderkey") % 5, F.lit(0)).alias("grp")
+    )
+    b = spark.range(0, 5).select(
+        F.nullif(F.col("id"), F.lit(0)).alias("bgrp"),
+        (F.col("id") + 100).alias("payload"),
+    )
+    return (
+        a.join(F.broadcast(b), a["grp"].eqNullSafe(b["bgrp"]))
+        .select("o_orderkey", "grp", "payload")
+    )
