@@ -255,3 +255,40 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, merged.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# --- S5 oracle-checked: partitioned sink + partition-pruned read ----------------
+
+_PARTITIONED_SINK_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+"""
+
+
+@graded("sink_partitioned_pruned", oracle=_PARTITIONED_SINK_ORACLE)
+def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned replica write (partitionBy status) + a pruned
+    read-back of ONE partition, aggregated and hash-checked against
+    the source — the at-rest layout §1 of SCALE.md prescribes, proven
+    lossless through the write/prune/read cycle. The status filter
+    resolves at planning time to a single directory (partition
+    pruning; no data-file scan outside it)."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="cda2_psink_")
+    try:
+        orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+        back = spark.read.parquet(path).where(F.col("o_orderstatus") == "F")
+        out = back.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -592,3 +592,38 @@ def scalar_binary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex("doc_id").alias("id_hex"),
         F.md5(F.encode("lang", "UTF-8")).alias("lang_md5"),
     )
+
+
+# --- F3 extension: transcendental functions -------------------------------------
+
+# libm implementations may differ in the last ulp across engines →
+# ROUND(,4) on every output, the same policy as ln in text_tfidf;
+# atan2/exp/sin/cos inputs are exact fixture doubles.
+_TRIG_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(sin(l_quantity), 4) AS sin_q,
+       ROUND(cos(l_discount), 4) AS cos_d,
+       ROUND(atan2(l_quantity, l_extendedprice / 1000), 4) AS angle,
+       ROUND(exp(l_discount), 4) AS exp_d,
+       ROUND(ln(l_quantity + 1), 4) AS ln_q1
+FROM lineitem
+WHERE l_orderkey % 64 = 0
+"""
+
+
+@graded("scalar_trig", oracle=_TRIG_ORACLE)
+def scalar_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sin/cos/atan2/exp/ln — the transcendental tail of F3 (rounded
+    per the libm policy above)."""
+    li = load_table(spark, sf_dir, "lineitem").where("l_orderkey % 64 = 0")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sin("l_quantity"), 4).alias("sin_q"),
+        F.round(F.cos("l_discount"), 4).alias("cos_d"),
+        F.round(
+            F.atan2(F.col("l_quantity"), F.col("l_extendedprice") / 1000), 4
+        ).alias("angle"),
+        F.round(F.exp("l_discount"), 4).alias("exp_d"),
+        F.round(F.log(F.col("l_quantity") + 1), 4).alias("ln_q1"),
+    )
