@@ -416,3 +416,70 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# --- M3 standalone: changeset compaction (latest change per PK wins) ------------
+
+# Two conflicting versions per updated key in one batch (v1 then v2,
+# ordered by chg_seq); compaction must keep exactly the v2 image.
+_COMPACTION_ORACLE = """
+WITH versions AS (
+  SELECT o_orderkey, 'X1' AS o_orderstatus, o_totalprice + 1.0 AS o_totalprice,
+         1 AS chg_seq, 'U' AS action
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, 'X2' AS o_orderstatus, o_totalprice + 2.0 AS o_totalprice,
+         2 AS chg_seq, 'U' AS action
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS chg_seq, 'D' AS action
+  FROM orders WHERE o_orderkey % 97 = 3
+)
+SELECT o_orderkey, o_orderstatus, o_totalprice, action
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                               ORDER BY chg_seq DESC) AS rn
+  FROM versions
+) t
+WHERE rn = 1
+"""
+
+
+@graded("merge_compaction", oracle=_COMPACTION_ORACLE)
+def merge_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 graded standalone: a batch carrying two versions of every
+    updated key collapses to the latest by change sequence
+    (operators/merge.compact_changeset) — the pre-merge step without
+    which upserts become arrival-order-dependent. (%97 = 3 keeps the
+    delete keys disjoint from the %10 update keys, so every PK has an
+    unambiguous winner.)"""
+    from ..operators.merge import compact_changeset
+
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+
+    def version(status: str, bump: float, seq: int):
+        return (
+            orders.where(key % 10 == 0)
+            .select(
+                "o_orderkey",
+                F.lit(status).alias("o_orderstatus"),
+                (F.col("o_totalprice") + bump).alias("o_totalprice"),
+                F.lit(seq).alias("chg_seq"),
+                F.lit("U").alias("action"),
+            )
+        )
+
+    deletes = orders.where(key % 97 == 3).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(1).alias("chg_seq"),
+        F.lit("D").alias("action"),
+    )
+    versions = version("X1", 1.0, 1).unionByName(version("X2", 2.0, 2)).unionByName(
+        deletes
+    )
+    return compact_changeset(
+        versions, keys=["o_orderkey"], order_by=["chg_seq"]
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "action")
