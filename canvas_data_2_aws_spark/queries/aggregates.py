@@ -137,7 +137,7 @@ _COLLECT_ORACLE = """
 SELECT
   lang,
   COUNT(*) AS n_docs,
-  list_sort(list(DISTINCT source)) AS sources
+  COALESCE(array_to_string(list_sort(list(DISTINCT source)), ','), '') AS sources
 FROM documents
 GROUP BY lang
 """
@@ -146,11 +146,13 @@ GROUP BY lang
 @graded("agg_collect_sorted", oracle=_COLLECT_ORACLE)
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set normalized with array_sort — bare collect order is
-    engine-nondeterministic and must never be graded (SURVEY §8.4)."""
+    engine-nondeterministic and must never be graded (SURVEY §8.4).
+    Graded as a joined string: the driver's canonicalizer (pandas)
+    cannot hash list cells (ADVICE r1)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.array_sort(F.collect_set("source")).alias("sources"),
+        F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources"),
     )
 
 
@@ -169,8 +171,11 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_orderpriority")
         .agg(
             F.expr(
-                "approx_percentile(o_totalprice, array(0.5, 0.9), 10000)"
-            ).alias("approx_p50_p90"),
+                "approx_percentile(o_totalprice, 0.5, 10000)"
+            ).alias("approx_p50"),
+            F.expr(
+                "approx_percentile(o_totalprice, 0.9, 10000)"
+            ).alias("approx_p90"),
             F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
         )
         .orderBy("o_orderpriority")

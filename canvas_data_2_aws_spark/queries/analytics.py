@@ -208,9 +208,9 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         "o_orderpriority",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.percent_rank().over(w).alias("prk"),
         F.cume_dist().over(w).alias("cd"),
     )
@@ -299,9 +299,9 @@ def scalar_date_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         F.last_day("o_orderdate").alias("month_end"),
-        F.dayofweek("o_orderdate").alias("dow"),
-        F.quarter("o_orderdate").alias("qtr"),
-        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
         F.add_months("o_orderdate", 3).alias("plus3m"),
     )
 

@@ -29,7 +29,7 @@ bits AS (
 ),
 sh AS (
   SELECT doc_id,
-         SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
   FROM bits GROUP BY doc_id
 )
 SELECT doc_id, simhash,
@@ -299,7 +299,7 @@ bits AS (
 ),
 sh AS (
   SELECT doc_id,
-         SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
   FROM bits GROUP BY doc_id
 )
 SELECT doc_id, simhash
@@ -418,7 +418,7 @@ bits AS (
 ),
 sh AS (
   SELECT doc_id,
-         SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
   FROM bits GROUP BY doc_id
 ),
 pairs AS (

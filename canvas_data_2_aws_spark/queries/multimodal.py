@@ -37,10 +37,10 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.attach_payload(docs)
     return media.where(F.col("meta.media_lang").isin("en", "zh")).select(
         "doc_id",
-        F.octet_length("payload").alias("n_bytes"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
         F.sha2("payload", 256).alias("payload_sha"),
         F.col("meta.media_lang").alias("media_lang"),
-        F.col("meta.content_length").alias("content_length"),
+        F.col("meta.content_length").cast("long").alias("content_length"),
     )
 
 
@@ -98,8 +98,8 @@ means AS (
 )
 SELECT lang,
        COUNT(*) AS n_frames,
-       SUM(width) AS sum_width,
-       SUM(CAST(FLOOR(mean_byte) AS BIGINT)) AS sum_floor_mean
+       CAST(SUM(width) AS BIGINT) AS sum_width,
+       CAST(SUM(CAST(FLOOR(mean_byte) AS BIGINT)) AS BIGINT) AS sum_floor_mean
 FROM means
 GROUP BY lang
 """

@@ -252,7 +252,7 @@ bits AS (
 ),
 sh AS (
   SELECT doc_id,
-         SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
   FROM bits GROUP BY doc_id
 ),
 quality AS (
@@ -278,7 +278,7 @@ SELECT lang,
        CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
             THEN 'test' ELSE 'train' END AS split,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS n_tokens
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
 FROM canonical
 GROUP BY lang, split
 """

@@ -159,7 +159,7 @@ SELECT
   ROUND(SQRT(list_sum(list_transform(embedding,
         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
   ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
-  list_transform(embedding[1:2], x -> ROUND(CAST(x AS DOUBLE), 4)) AS head2,
+  ROUND(CAST(embedding[2] AS DOUBLE), 4) AS second_val,
   ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) AS max_val
 FROM embeddings
 """
@@ -181,9 +181,7 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").alias("dim"),
         F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
         F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
-        F.expr(
-            "transform(slice(embedding, 1, 2), x -> ROUND(CAST(x AS DOUBLE), 4))"
-        ).alias("head2"),
+        F.round(F.element_at("embedding", 2).cast("double"), 4).alias("second_val"),
         F.round(F.array_max("embedding").cast("double"), 4).alias("max_val"),
     )
 
@@ -194,7 +192,7 @@ _JSON_ORACLE = """
 SELECT
   event_id,
   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
-  list_sort(json_keys(props)) AS prop_keys,
+  COALESCE(array_to_string(list_sort(json_keys(props)), ','), '') AS prop_keys,
   CAST(LEN(json_keys(props)) AS INTEGER) AS n_keys
 FROM events
 """
@@ -212,7 +210,7 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k_val"),
-        F.array_sort(F.map_keys(parsed)).alias("prop_keys"),
+        F.array_join(F.array_sort(F.map_keys(parsed)), ",").alias("prop_keys"),
         F.size(F.map_keys(parsed)).alias("n_keys"),
     )
 
@@ -361,8 +359,8 @@ def scalar_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "key_a",
             "key_b",
-            F.levenshtein("name_a", "name_b").alias("edit_dist"),
-            F.levenshtein("brand_a", "brand_b").alias("brand_dist"),
+            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+            F.levenshtein("brand_a", "brand_b").cast("long").alias("brand_dist"),
         )
     )
 
@@ -379,7 +377,7 @@ SELECT o_orderkey,
        xor(o_orderkey, 255) AS flipped,
        o_orderkey << 2 AS shl2,
        o_orderkey >> 3 AS shr3,
-       bit_count(o_orderkey) AS popcount
+       CAST(bit_count(o_orderkey) AS INTEGER) AS popcount
 FROM orders
 WHERE o_orderkey % 16 = 0
 """
@@ -430,7 +428,9 @@ def scalar_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.regexp_extract_all("text", F.lit(pat), 0), "|").alias(
             "e_words"
         ),
-        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias("n_e_words"),
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).cast("long").alias(
+            "n_e_words"
+        ),
     )
 
 

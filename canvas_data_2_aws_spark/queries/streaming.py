@@ -115,7 +115,7 @@ per_session AS (
 )
 SELECT user_id,
        COUNT(*) AS n_sessions,
-       SUM(n_events) AS n_events,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
        CAST(SUM(dur_us) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_session_s
 FROM per_session
 GROUP BY user_id

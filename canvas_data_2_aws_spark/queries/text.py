@@ -180,8 +180,8 @@ WITH tok AS (
   WHERE pos <= LEN(string_split(text, ' '))
 )
 SELECT doc_id,
-       SUM((ascii(substring(token, 1, 1)) * 31 + length(token)) * pos)
-         % {T.FINGERPRINT_MOD} AS fingerprint,
+       CAST(SUM((ascii(substring(token, 1, 1)) * 31 + length(token)) * pos)
+         % {T.FINGERPRINT_MOD} AS BIGINT) AS fingerprint,
        COUNT(*) AS n_tokens
 FROM tok
 GROUP BY doc_id
@@ -259,7 +259,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("doc_id").cast("string")), "doc_id"
     )
     return (
-        docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        docs.select("doc_id", "lang", F.row_number().over(w).cast("long").alias("rk"))
         .where(F.col("rk") <= 20)
     )
 

@@ -96,11 +96,11 @@ def validate_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Addition is commutative → order-insensitive; md5 is identical
 # everywhere → the same table yields the same checksum in any engine.
 _CHECKSUM_ORACLE = """
-SELECT SUM(CAST(concat('0x', substring(md5(
+SELECT CAST(SUM(CAST(concat('0x', substring(md5(
          concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus,
                    CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR),
                    o_orderpriority)
-       ), 1, 8)) AS BIGINT)) AS checksum,
+       ), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum,
        COUNT(*) AS n_rows
 FROM orders
 """

@@ -70,7 +70,9 @@ def knn_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
     )
-    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
+    return scored.withColumn("rn", F.row_number().over(w).cast("long")).where(
+        F.col("rn") <= 5
+    )
 
 
 # --- EXT: embedding-cosine near-dup detection --------------------------------------
@@ -204,7 +206,7 @@ def vector_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("label").orderBy(F.col("dist").desc(), "vec_id")
     return (
-        dist.withColumn("rn", F.row_number().over(w))
+        dist.withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= 5)
         .select("vec_id", "label", "dist", "rn")
     )
@@ -232,7 +234,7 @@ q AS (
 )
 SELECT vec_id,
        ROUND(mx, 4) AS max_abs,
-       list_sum(list_transform(qv, v -> abs(v))) AS l1_quantized,
+       CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS l1_quantized,
        ROUND(CAST(list_sum(list_transform(
                range(1, LEN(e) + 1),
                i -> CAST(CAST((e[i] - qv[i] * mx / 127)

@@ -42,7 +42,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             "o_totalprice",
-            F.row_number().over(w).alias("rn"),
+            F.row_number().over(w).cast("long").alias("rn"),
         )
         .where(F.col("rn") <= 3)
     )
@@ -147,10 +147,10 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RANGE_FRAME_ORACLE = """
 SELECT event_id, user_id,
-       SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER (
          PARTITION BY user_id ORDER BY epoch_us(ts)
          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
-       ) AS hour_cents
+       ) AS BIGINT) AS hour_cents
 FROM events
 """
 
@@ -248,7 +248,7 @@ def window_topk_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             "o_orderkey",
             "o_totalprice",
-            F.rank().over(w).alias("rnk"),
+            F.rank().over(w).cast("long").alias("rnk"),
         )
         .where(F.col("rnk") <= 3)
     )

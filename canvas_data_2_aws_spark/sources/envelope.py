@@ -66,7 +66,12 @@ def encode_envelope(
 
 
 def decode_envelope(
-    records: DataFrame, table: str, key_cols: list[str], record_col: str = "record"
+    records: DataFrame,
+    table: str,
+    key_cols: list[str],
+    record_col: str = "record",
+    ts_col: str | None = None,
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """Parse envelope JSONL into typed flat columns + ``action``.
 
@@ -74,18 +79,55 @@ def decode_envelope(
     drift surfaces as nulls that the merge's compaction stage rejects —
     the Spark analog of the reference regenerating DDL on a schema
     version bump.
+
+    ``ts_col`` surfaces ``meta.ts`` under that name (aliased, never
+    bare ``ts`` — value blocks may carry their own ``ts`` column) so
+    callers can compact multi-change-per-PK batches by arrival time
+    (M3). ``passthrough`` forwards caller-added columns (e.g. a file
+    sequence number) unchanged.
     """
     schema = envelope_schema(table, key_cols)
+    extra = list(passthrough or [])
     parsed = records.select(
-        F.from_json(F.col(record_col), schema).alias("env")
+        *[F.col(c) for c in extra],
+        F.from_json(F.col(record_col), schema).alias("env"),
     )
-    return parsed.select("env.key.*", "env.value.*", "env.meta.action")
+    cols = ["env.key.*", "env.value.*", "env.meta.action"]
+    out = parsed.select(*cols, *extra)
+    if ts_col is not None:
+        out = parsed.select(
+            *cols, F.col("env.meta.ts").alias(ts_col), *extra
+        )
+    return out
 
 
 def read_changeset_jsonl(
-    spark: SparkSession, path: str, table: str, key_cols: list[str]
+    spark: SparkSession,
+    path: str,
+    table: str,
+    key_cols: list[str],
+    ts_col: str | None = None,
+    seq_col: str | None = None,
 ) -> DataFrame:
     """Read an incremental JSONL change file from disk (S2+S6 batch
     form; the streaming twin is ``spark.readStream.text`` + the same
-    ``decode_envelope``)."""
-    return decode_envelope(spark.read.text(path), table, key_cols, record_col="value")
+    ``decode_envelope``).
+
+    ``seq_col`` attaches a monotonically increasing id BEFORE the
+    decode — for text sources Spark's splits follow file offsets, so
+    the id is consistent with line order and serves as the in-file
+    tie-break when two changes to one PK share a ``meta.ts``.
+    """
+    records = spark.read.text(path)
+    passthrough = []
+    if seq_col is not None:
+        records = records.withColumn(seq_col, F.monotonically_increasing_id())
+        passthrough = [seq_col]
+    return decode_envelope(
+        records,
+        table,
+        key_cols,
+        record_col="value",
+        ts_col=ts_col,
+        passthrough=passthrough,
+    )

@@ -14,6 +14,7 @@ table data, ever.
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -77,6 +78,20 @@ class StreamingMergeSink:
         )
         self._commit(next_v)
 
+    # Strict snapshot-dir pattern: a prefix match on 'v' would also
+    # catch StreamingIVMSink's 'view_v{n}' directories and crash on
+    # int('iew_v0').
+    _SNAPSHOT_RE = re.compile(r"v(\d+)")
+
+    def _reclaimable(self, pattern: re.Pattern, keep_last: int) -> list[int]:
+        current = self.current_version()
+        out = []
+        for name in os.listdir(self.table_dir):
+            m = pattern.fullmatch(name)
+            if m and int(m.group(1)) <= current - keep_last:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Drop snapshot versions older than the ``keep_last`` most
         recent (the lakehouse VACUUM analog — a 100 TB replica cannot
@@ -84,15 +99,9 @@ class StreamingMergeSink:
         version; returns the versions removed."""
         import shutil
 
-        current = self.current_version()
-        removed = []
-        for name in sorted(os.listdir(self.table_dir)):
-            if not name.startswith("v"):
-                continue
-            v = int(name[1:])
-            if v <= current - keep_last:
-                shutil.rmtree(os.path.join(self.table_dir, name))
-                removed.append(v)
+        removed = self._reclaimable(self._SNAPSHOT_RE, keep_last)
+        for v in removed:
+            shutil.rmtree(os.path.join(self.table_dir, f"v{v}"))
         return removed
 
     def start(self, change_stream: DataFrame, checkpoint_dir: str):
@@ -182,3 +191,14 @@ class StreamingIVMSink(StreamingMergeSink):
         # Superclass merges the replica and commits next_v — the view
         # written above becomes visible atomically with its snapshot.
         super().apply_batch(changes, batch_id)
+
+    _VIEW_RE = re.compile(r"view_v(\d+)")
+
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Also reclaim view snapshots — each table version has a
+        paired ``view_v{n}`` that must age out with it."""
+        import shutil
+
+        for v in self._reclaimable(self._VIEW_RE, keep_last):
+            shutil.rmtree(os.path.join(self.table_dir, f"view_v{v}"))
+        return super().vacuum(keep_last)

@@ -83,6 +83,6 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
     }
     for r in rows:
         p50e, p90e = exact[r.o_orderpriority]
-        a50, a90 = r.approx_p50_p90
+        a50, a90 = r.approx_p50, r.approx_p90
         assert abs(a50 - p50e) <= 0.02 * p50e, (r.o_orderpriority, a50, p50e)
         assert abs(a90 - p90e) <= 0.02 * p90e, (r.o_orderpriority, a90, p90e)

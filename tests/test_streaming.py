@@ -276,3 +276,34 @@ def test_streaming_ivm_view_equals_recompute(spark, sf_dir, tmp_path):
         .collect()
     }
     assert maintained == recomputed and len(maintained) >= 3
+
+
+def test_ivm_sink_vacuum_reclaims_views(spark, sf_dir, tmp_path):
+    """vacuum on an IVM table must not crash on view_v* dirs (r1
+    ADVICE: int('iew_v0') ValueError) and must age paired view
+    snapshots out with their table versions."""
+    import os
+
+    from canvas_data_2_aws_spark.session import load_table
+    from canvas_data_2_aws_spark.streaming.merge_sink import StreamingIVMSink
+
+    orders = load_table(spark, sf_dir, "orders").limit(100)
+    sink = StreamingIVMSink(
+        spark,
+        str(tmp_path / "ivmvac"),
+        keys=["o_orderkey"],
+        compact_by=["o_orderkey"],
+        view_group="o_orderstatus",
+        view_sum="o_totalprice",
+    )
+    sink.bootstrap(orders)
+    empty = orders.limit(0).withColumn("action", F.lit("U"))
+    for b in range(3):
+        sink.apply_batch(empty, b)  # v1..v3 + view_v1..view_v3
+    removed = sink.vacuum(keep_last=2)
+    assert removed == [0, 1]
+    names = set(os.listdir(sink.table_dir))
+    assert {"v2", "v3", "view_v2", "view_v3"} <= names
+    assert not ({"v0", "v1", "view_v0", "view_v1"} & names)
+    assert sink.current_snapshot().count() == 100
+    assert sink.current_view().count() > 0

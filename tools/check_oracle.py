@@ -52,6 +52,64 @@ def canon_cell(v):
     return f"{type(v).__name__}:{v}"
 
 
+_SPARK_DTYPE = {
+    "bigint": "int64", "int": "int32", "smallint": "int16",
+    "tinyint": "int8", "double": "float64", "float": "float32",
+    "string": "str", "boolean": "bool", "date": "date",
+    "binary": "bytes",
+}
+
+
+def spark_dtype_label(simple: str) -> str:
+    """Map a Spark simpleString dtype to a pandas-equivalence label."""
+    if simple in _SPARK_DTYPE:
+        return _SPARK_DTYPE[simple]
+    if simple.startswith("timestamp"):
+        return "datetime"
+    if simple.startswith("decimal"):
+        return "decimal"
+    if simple.startswith(("array", "map", "struct")):
+        return "nested"
+    return simple
+
+
+_DUCK_DTYPE = {
+    "BIGINT": "int64", "INTEGER": "int32", "SMALLINT": "int16",
+    "TINYINT": "int8", "HUGEINT": "int128!", "UHUGEINT": "int128!",
+    "UBIGINT": "uint64!", "UINTEGER": "uint32!", "USMALLINT": "uint16!",
+    "UTINYINT": "uint8!", "DOUBLE": "float64", "FLOAT": "float32",
+    "VARCHAR": "str", "BOOLEAN": "bool", "DATE": "date", "BLOB": "bytes",
+}
+
+
+def duck_dtype_label(t: str) -> str:
+    """Map a DuckDB type string to the same label space."""
+    t = str(t)
+    if t in _DUCK_DTYPE:
+        return _DUCK_DTYPE[t]
+    if t.startswith("TIMESTAMP"):
+        return "datetime"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t.endswith("[]") or t.startswith(("STRUCT", "MAP", "UNION")):
+        return "nested"
+    return t
+
+
+def dtype_mismatches(sdf, rel) -> list[str]:
+    """Compare Spark vs DuckDB physical column types the way the
+    driver's type-sensitive value hash sees them (ADVICE r1: DuckDB
+    SUM(BIGINT) widens to HUGEINT → pandas float64 → hash mismatch
+    even when values are equal). Returns human-readable diffs."""
+    s_map = {f.name: spark_dtype_label(f.dataType.simpleString()) for f in sdf.schema.fields}
+    d_map = {c: duck_dtype_label(t) for c, t in zip(rel.columns, rel.types)}
+    out = []
+    for col in sorted(set(s_map) & set(d_map)):
+        if s_map[col] != d_map[col]:
+            out.append(f"{col}: spark={s_map[col]} duckdb={d_map[col]}")
+    return out
+
+
 def canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(canon_cell(r[i]) for i in order) for r in rows]
@@ -70,14 +128,22 @@ def run_one(spark, con, name: str, sf_dir: str) -> tuple[bool, str, float]:
     if oracle is None:
         ok = len(s_rows) >= 0
         return ok, f"rows-only: {len(s_rows)} rows", elapsed
-    cur = con.execute(oracle)
-    d_cols = [d[0] for d in cur.description]
-    d_rows = cur.fetchall()
+    rel = con.sql(oracle)
+    d_cols = list(rel.columns)
+    d_types = list(rel.types)
+    d_rows = rel.fetchall()
     msgs = []
     if len(s_rows) != len(d_rows):
         msgs.append(f"ROWCOUNT spark={len(s_rows)} duckdb={len(d_rows)}")
     if sorted(s_cols) != sorted(d_cols):
         msgs.append(f"SCHEMA spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+    dt = dtype_mismatches(sdf, rel)
+    if dt:
+        msgs.append("DTYPE " + "; ".join(dt))
+    nested = [f.name for f in sdf.schema.fields
+              if spark_dtype_label(f.dataType.simpleString()) == "nested"]
+    if nested:
+        msgs.append(f"NESTED-OUTPUT (driver canonicalizer crashes on lists): {nested}")
     if not msgs:
         cs = canon_rows(s_cols, [tuple(r) for r in s_rows])
         cd = canon_rows(d_cols, d_rows)
