@@ -349,3 +349,79 @@ def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
         F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
     )
+
+
+# --- robust statistics: median / IQR / MAD on integer cents ---------------------
+
+# Interpolated quantiles of INTEGER cents are cross-engine exact: the
+# position fraction is a small dyadic (0, .25, .5, .75), b−a is an
+# integer, and a + frac·(b−a) incurs zero IEEE rounding — so Spark
+# percentile() and DuckDB quantile_cont() agree bit-for-bit. Raw-double
+# quantiles would NOT (interpolating arbitrary doubles rounds).
+_ROBUST_ORACLE = """
+WITH cents AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+  FROM lineitem
+),
+q AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         quantile_cont(c, 0.5) AS median_cents,
+         quantile_cont(c, 0.25) AS p25_cents,
+         quantile_cont(c, 0.75) AS p75_cents
+  FROM cents GROUP BY l_returnflag
+),
+dev AS (
+  SELECT cents.l_returnflag, ABS(cents.c - q.median_cents) AS ad
+  FROM cents JOIN q USING (l_returnflag)
+)
+SELECT q.l_returnflag, q.n, q.median_cents, q.p25_cents, q.p75_cents,
+       q.p75_cents - q.p25_cents AS iqr_cents,
+       m.mad_cents
+FROM q JOIN (
+  SELECT l_returnflag, quantile_cont(ad, 0.5) AS mad_cents
+  FROM dev GROUP BY l_returnflag
+) m USING (l_returnflag)
+"""
+
+
+@graded("agg_robust_stats", oracle=_ROBUST_ORACLE)
+def agg_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median / IQR / MAD per group — the outlier-resistant profile
+    stats. Two aggregation passes (medians, then deviations from the
+    broadcast-joined group median); quantiles interpolate integer
+    cents, which is bit-exact in both engines (see oracle comment).
+    At scale the second pass re-shuffles only (group, deviation) pairs
+    and the medians table is broadcast — no full re-sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("c"),
+    )
+    q = cents.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.expr("percentile(c, 0.5)").alias("median_cents"),
+        F.expr("percentile(c, 0.25)").alias("p25_cents"),
+        F.expr("percentile(c, 0.75)").alias("p75_cents"),
+    )
+    dev = cents.join(
+        F.broadcast(q.select("l_returnflag", "median_cents")), "l_returnflag"
+    ).select(
+        "l_returnflag", F.abs(F.col("c") - F.col("median_cents")).alias("ad")
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad_cents")
+    )
+    return (
+        q.join(F.broadcast(mad), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n",
+            "median_cents",
+            "p25_cents",
+            "p75_cents",
+            (F.col("p75_cents") - F.col("p25_cents")).alias("iqr_cents"),
+            "mad_cents",
+        )
+    )

@@ -1,0 +1,174 @@
+"""Graded sketch/approximate-structure queries (EXT beyond SURVEY §2.4
+A4): bitmap-exact distinct, Apache DataSketches HLL with union-merge,
+and a deterministic count-min sketch.
+
+Why these exist at 100 TB: COUNT(DISTINCT) over a high-cardinality key
+shuffles every distinct value; all three structures here shrink the
+shuffle to fixed-size partial states that merge associatively —
+map-side combine does almost all the work and the reduce stage moves
+kilobytes. The bitmap variant stays EXACT (dense int keyspace), HLL is
+the unbounded-keyspace estimate, count-min bounds per-item frequency
+error. The CMS uses an md5 hash family so both engines compute the
+identical sketch — a full SQL hash-match grade on an approximate
+structure."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import text as T
+from ..registry import graded
+from ..session import load_table
+
+# --- bitmap-exact distinct count ------------------------------------------------
+
+_BITMAP_ORACLE = """
+SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_distinct_custs
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@graded("agg_bitmap_distinct", oracle=_BITMAP_ORACLE)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count via roaring-style bitmaps:
+    ``bitmap_construct_agg(bitmap_bit_position(key))`` per 32k-bucket,
+    then sum of ``bitmap_count`` per group. Unlike COUNT(DISTINCT) —
+    which shuffles every distinct (group, key) pair — the partial state
+    is a fixed ≤4 KiB bitmap per (group, bucket): the map side
+    compresses miles of keys into OR-able bitmaps, and the final agg
+    is a sum of popcounts. The scale path for dense integer keys."""
+    o = load_table(spark, sf_dir, "orders")
+    per_bucket = o.groupBy(
+        "o_orderpriority",
+        F.expr("bitmap_bucket_number(o_custkey)").alias("bkt"),
+    ).agg(
+        F.expr(
+            "bitmap_count(bitmap_construct_agg(bitmap_bit_position(o_custkey)))"
+        ).alias("cnt")
+    )
+    return per_bucket.groupBy("o_orderpriority").agg(
+        F.sum("cnt").alias("n_distinct_custs")
+    )
+
+
+# --- HLL sketch with union merge (rows-only: DuckDB has no DataSketches) --------
+
+
+@graded("agg_hll_sketch_merge", oracle=None)
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token estimate via DataSketches HLL, plus a
+    corpus-wide row computed by ``hll_union_agg`` over the per-source
+    sketches — the re-aggregation property that makes sketches the
+    100 TB answer: per-partition sketches union without re-reading
+    data. Deterministic given the data (no RNG), but DuckDB cannot
+    reproduce the estimator ⇒ rows-only grade; the ±5%-of-exact bound
+    is asserted in tests/test_sketches.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(T.tokens()).alias("token"))
+    sketches = tok.groupBy("source").agg(
+        F.expr("hll_sketch_agg(token, 14)").alias("sk")
+    )
+    per_source = sketches.select(
+        "source",
+        F.expr("hll_sketch_estimate(sk)").cast("long").alias("est_tokens"),
+    )
+    merged = sketches.agg(
+        F.lit("__all__").alias("source"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk, false))")
+        .cast("long")
+        .alias("est_tokens"),
+    )
+    return per_source.unionByName(merged)
+
+
+# --- count-min sketch, deterministic md5 hash family (SQL hash-match) -----------
+
+_CMS_W = 512  # buckets per row
+_CMS_D = 4  # hash rows
+
+_CMS_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+seeds AS (SELECT unnest(range(0, {_CMS_D})) AS j),
+hashed AS (
+  SELECT token, j,
+         CAST(concat('0x', substring(md5(CAST(j AS VARCHAR) || ':' || token),
+                                     1, 8)) AS BIGINT) % {_CMS_W} AS bucket
+  FROM tok, seeds
+),
+cms AS (
+  SELECT j, bucket, COUNT(*) AS cnt FROM hashed GROUP BY j, bucket
+),
+exact AS (
+  SELECT token, COUNT(*) AS exact_cnt FROM tok GROUP BY token
+  ORDER BY exact_cnt DESC, token LIMIT 20
+),
+probes AS (
+  SELECT e.token, e.exact_cnt, s.j,
+         CAST(concat('0x', substring(md5(CAST(s.j AS VARCHAR) || ':' ||
+                                         e.token), 1, 8)) AS BIGINT)
+           % {_CMS_W} AS bucket
+  FROM exact e, seeds s
+)
+SELECT p.token, p.exact_cnt,
+       MIN(c.cnt) AS cms_est,
+       MIN(c.cnt) - p.exact_cnt AS overcount
+FROM probes p JOIN cms c ON c.j = p.j AND c.bucket = p.bucket
+GROUP BY p.token, p.exact_cnt
+"""
+
+
+@graded("agg_cms_freq", oracle=_CMS_ORACLE)
+def agg_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the token stream: d=4 md5-derived hash
+    rows × w=512 buckets, probe = min over rows of the bucket count.
+    The sketch is a fixed d×w count grid — partial grids add
+    elementwise, so the map side reduces an unbounded token stream to
+    a 4×512 matrix regardless of scale. Estimates only ever OVER-count
+    (asserted per row via ``overcount >= 0`` in tests). The md5 family
+    makes the whole sketch engine-deterministic ⇒ full SQL hash-match
+    grade — rare for an approximate structure."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(T.tokens()).alias("token"))
+    seeds = spark.range(_CMS_D).select(F.col("id").alias("j"))
+
+    def bucket(token_col: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("j").cast("string"), F.col(token_col))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    cms = (
+        tok.crossJoin(F.broadcast(seeds))
+        .groupBy("j", bucket("token").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "token")
+        .limit(20)
+    )
+    probes = exact.crossJoin(F.broadcast(seeds)).select(
+        "token", "exact_cnt", "j", bucket("token").alias("bucket")
+    )
+    return (
+        probes.join(cms, ["j", "bucket"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "token",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+        )
+    )

@@ -398,3 +398,41 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for d in (out, ckpt, sink_dir):
             shutil.rmtree(d, ignore_errors=True)
+
+
+# --- OHLC downsample (hypertable rollup shape) ----------------------------------
+
+_OHLC_ORACLE = """
+SELECT user_id,
+       epoch_us(ts) // 3600000000 AS hr,
+       first(value ORDER BY ts, event_id) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       last(value ORDER BY ts, event_id) AS close,
+       COUNT(*) AS n
+FROM events
+GROUP BY user_id, hr
+"""
+
+
+@graded("timeseries_downsample_ohlc", oracle=_OHLC_ORACLE)
+def timeseries_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, hour) open/high/low/close downsample — the
+    hypertable-rollup shape that turns a raw tick stream into a
+    fixed-rate series. ``min_by``/``max_by`` on a (ts, event_id)
+    struct pick open/close in the same single hash-agg pass as
+    high/low — no sort, no window; values are picked (never summed)
+    so doubles are exact. Partial min_by/max_by states combine
+    map-side, so the shuffle carries one row per (user, hour)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("hr", F.expr("unix_micros(ts) DIV 3600000000"))
+        .groupBy("user_id", "hr")
+        .agg(
+            F.expr("min_by(value, struct(ts, event_id))").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr("max_by(value, struct(ts, event_id))").alias("close"),
+            F.count("*").alias("n"),
+        )
+    )

@@ -288,3 +288,58 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w).alias("last_key"),
         F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
     )
+
+
+# --- gaps-and-islands: consecutive-run detection --------------------------------
+
+_GAPS_ISLANDS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn_all,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn_type
+  FROM events
+),
+islands AS (
+  SELECT user_id, event_type, rn_all - rn_type AS grp,
+         COUNT(*) AS streak
+  FROM seq GROUP BY user_id, event_type, grp
+)
+SELECT user_id, event_type,
+       COUNT(*) AS n_islands,
+       CAST(MAX(streak) AS BIGINT) AS max_streak,
+       CAST(SUM(streak) AS BIGINT) AS n_events
+FROM islands
+GROUP BY user_id, event_type
+"""
+
+
+@graded("window_gaps_islands", oracle=_GAPS_ISLANDS_ORACLE)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: runs of consecutive same-type events per user
+    via the two-row_number difference trick (the streak / uptime /
+    consecutive-day primitive). Both windows share one partition-by-
+    user sort prefix, so Catalyst evaluates them in a single exchange
+    + sort per user partition; ordering ends on the unique event_id
+    (SURVEY §8.4)."""
+    ev = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias(
+            "grp"
+        ),
+    )
+    islands = seq.groupBy("user_id", "event_type", "grp").agg(
+        F.count("*").alias("streak")
+    )
+    return islands.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_islands"),
+        F.max("streak").alias("max_streak"),
+        F.sum("streak").alias("n_events"),
+    )

@@ -52,7 +52,9 @@ def load_all() -> None:
         pipelines,
         relational,
         scalars,
+        semistructured,
         setops,
+        sketches,
         streaming,
         text,
         udfs,

@@ -1,0 +1,82 @@
+"""Semantic invariants for the sketch family (queries/sketches.py) —
+the properties the oracle hash can't express: estimator error bounds,
+one-sided CMS error, and sketch-merge consistency."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from canvas_data_2_aws_spark import registry
+from canvas_data_2_aws_spark.session import load_table
+
+registry.load_all()
+
+
+def test_hll_estimates_within_bound(spark, sf_dir):
+    """Per-source HLL estimates land within 5% of exact distinct
+    counts at lgConfigK=14, and the union row covers the union."""
+    rows = {
+        r.source: r.est_tokens
+        for r in registry.QUERIES["agg_hll_sketch_merge"](spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+    exact = {
+        r.source: r.n
+        for r in tok.groupBy("source")
+        .agg(F.countDistinct("token").alias("n"))
+        .collect()
+    }
+    exact["__all__"] = tok.select("token").distinct().count()
+    assert set(rows) == set(exact)
+    for src, est in rows.items():
+        assert abs(est - exact[src]) <= max(2, 0.05 * exact[src]), (
+            src,
+            est,
+            exact[src],
+        )
+
+
+def test_hll_union_at_least_max_source(spark, sf_dir):
+    """Union estimate can never be below any single source's (merge
+    monotonicity — the property that makes partial sketches safe)."""
+    rows = {
+        r.source: r.est_tokens
+        for r in registry.QUERIES["agg_hll_sketch_merge"](spark, sf_dir).collect()
+    }
+    union = rows.pop("__all__")
+    # 1% slack: estimates are ±rel-error, monotone only in expectation.
+    assert union >= max(rows.values()) * 0.99
+
+
+def test_cms_never_undercounts(spark, sf_dir):
+    """Count-min's one-sided guarantee: est >= exact for every probed
+    token, and overestimate is bounded by the grid's collision mass."""
+    rows = registry.QUERIES["agg_cms_freq"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = docs.select(F.explode(F.split("text", " "))).count()
+    for r in rows:
+        assert r.overcount >= 0, (r.token, r.cms_est, r.exact_cnt)
+        assert r.cms_est == r.exact_cnt + r.overcount
+        # CMS bound: overcount <= e/w * N with prob 1 - (1/e)^d; use
+        # the deterministic worst case (all other mass in one bucket
+        # is impossible) loosely: 4x the expected collision mass.
+        assert r.overcount <= 4 * (2.718 / 512) * n_tokens + 1
+
+
+def test_bitmap_distinct_equals_exact(spark, sf_dir):
+    """The bitmap path is exact, not approximate — equal to
+    countDistinct group by group."""
+    got = {
+        r.o_orderpriority: r.n_distinct_custs
+        for r in registry.QUERIES["agg_bitmap_distinct"](spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    exact = {
+        r.o_orderpriority: r.n
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert got == exact
