@@ -47,6 +47,7 @@ def load_all() -> None:
         analytics,
         dedup,
         joins,
+        layout,
         merge,
         multimodal,
         pipelines,

@@ -1,0 +1,84 @@
+"""Z-order layout (operators/zorder.py, queries/layout.py): interleave
+correctness against a Python Morton reference, and the locality
+property that makes the layout worth writing — every z-bucket covers a
+narrow rectangle in BOTH dimensions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from canvas_data_2_aws_spark import registry
+from canvas_data_2_aws_spark.operators.zorder import z_expr
+
+registry.load_all()
+
+
+def _morton_ref(x: int, y: int, bits: int = 16) -> int:
+    z = 0
+    for k in range(bits):
+        z |= ((x >> k) & 1) << (2 * k)
+        z |= ((y >> k) & 1) << (2 * k + 1)
+    return z
+
+
+def test_z_expr_matches_python_reference(spark):
+    pairs = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (7, 8)]
+    df = spark.createDataFrame(pairs, "x BIGINT, y BIGINT")
+    rows = df.select("x", "y", F.expr(z_expr("x", "y")).alias("z")).collect()
+    for r in rows:
+        assert r.z == _morton_ref(r.x, r.y), (r.x, r.y)
+
+
+def test_zbuckets_are_local_in_both_dims(spark, sf_dir):
+    """1024 z-buckets over two 16-bit dims each fix the top 5 bits of
+    BOTH x and y → per-bucket extent ≤ 2^11 in each dim. A single-key
+    sort would leave the second dim's extent at the full 65536."""
+    rows = registry.QUERIES["layout_zorder_stats"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.max_x - r.min_x <= 2048, r
+        assert r.max_y - r.min_y <= 2048, r
+
+
+def test_zorder_write_clusters_partitions(spark, sf_dir):
+    """End-to-end layout: repartitionByRange + sortWithinPartitions on
+    the z value yields write partitions (≈ files) whose min/max
+    rectangles are narrow in both dims — the stats a scan would skip
+    on. Compare against the same write sorted by x alone: y-extent
+    collapses only under z-order. Uses a deterministic uniform grid
+    rather than fixture keys — at sf0.001 l_suppkey has only 10
+    distinct values, which makes extents degenerate."""
+    z = (
+        spark.range(20000)
+        .select(
+            ((F.col("id") * 48271) % 65536).alias("x"),
+            ((F.col("id") * 69621) % 65536).alias("y"),
+        )
+        .withColumn("z", F.expr(z_expr("x", "y")))
+    )
+
+    def extents(df, key):
+        parts = (
+            df.repartitionByRange(64, F.col(key))
+            .sortWithinPartitions(key)
+            .select(
+                F.spark_partition_id().alias("pid"), "x", "y"
+            )
+            .groupBy("pid")
+            .agg(
+                (F.max("x") - F.min("x")).alias("ex"),
+                (F.max("y") - F.min("y")).alias("ey"),
+            )
+            .collect()
+        )
+        n = len(parts)
+        return sum(p.ex for p in parts) / n, sum(p.ey for p in parts) / n
+
+    ex_z, ey_z = extents(z, "z")
+    ex_x, ey_x = extents(z, "x")
+    # x-sorted layout: x extent tiny, y extent ~full range (~65 k).
+    # z-ordered layout: BOTH extents well below the full 65536 range
+    # (measured ≈13 k / ≈10 k at 64 partitions; bounds leave slack for
+    # range-sampling boundary jitter).
+    assert ex_z < 20000 and ey_z < 20000, (ex_z, ey_z)
+    assert ey_z < ey_x * 0.3, (ey_z, ey_x)

@@ -128,3 +128,39 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_runtime_bloom_filter_join_available(spark, sf_dir):
+    """Runtime row-level bloom filters (the shuffle-reduction path for
+    selective fact⋈filtered-dim joins at scale): with the optimizer
+    flags on, Spark injects a bloom_filter_agg on the creation side
+    and a might_contain probe above the application-side scan. Pinned
+    here so an engine upgrade that silently loses the rewrite fails."""
+    from canvas_data_2_aws_spark.session import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").where("o_orderstatus = 'P'")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
