@@ -49,6 +49,11 @@ HEADLINE = [
     "merge_incremental_agg",
     "analytics_retention",
     "pipeline_corpus_curation",
+    # round-2 extensions: sketches, layout, semi-structured, rollup
+    "agg_bitmap_distinct",
+    "layout_zorder_stats",
+    "text_pii_redact",
+    "timeseries_downsample_ohlc",
 ]
 
 

@@ -53,6 +53,29 @@ def session_stats_stream(events: DataFrame, gap: str = "30 minutes") -> DataFram
     )
 
 
+def ohlc_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of ``timeseries_downsample_ohlc``: watermarked
+    hourly windows with the same min_by/max_by (ts, event_id) picks.
+    The partial states merge across micro-batches exactly like they
+    merge across partitions in batch, so state per (user, hour) is one
+    row and is evicted when the watermark passes the window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "user_id")
+        .agg(
+            F.expr("min_by(value, struct(ts, event_id))").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr("max_by(value, struct(ts, event_id))").alias("close"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.col("win.start").alias("hour_start"),
+            "user_id", "open", "high", "low", "close", "n",
+        )
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """T5: stateful PK-dedup bounded by the watermark (state is dropped
     once the PK can no longer collide — the only way dedup state stays

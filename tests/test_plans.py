@@ -99,6 +99,7 @@ _NESTED_LOOP_OK = {
     "merge_upsert_apply",  # fresh-insert keys = max(PK) 1-row broadcast
     "merge_idempotent_reapply",  # same changeset derivation, applied twice
     "merge_incremental_agg",  # same changeset derivation
+    "agg_cms_freq",  # deliberate 4-row hash-seed fan-out broadcast
     "validate_snapshot_diff",  # same changeset derivation
     "jsonl_envelope_roundtrip",  # same changeset derivation
 }

@@ -307,3 +307,44 @@ def test_ivm_sink_vacuum_reclaims_views(spark, sf_dir, tmp_path):
     assert not ({"v0", "v1", "view_v0", "view_v1"} & names)
     assert sink.current_snapshot().count() == 100
     assert sink.current_view().count() > 0
+
+
+def test_streaming_ohlc_equals_batch(spark, sf_dir):
+    """The watermarked hourly OHLC stream converges to the batch
+    downsample: same open/high/low/close/n per (user, hour)."""
+    import shutil
+
+    from canvas_data_2_aws_spark.queries.streaming import (
+        _few_state_partitions,
+        _replay_dir,
+    )
+    from canvas_data_2_aws_spark.streaming.windows import (
+        ohlc_stream,
+        read_event_stream,
+        run_available_now,
+    )
+
+    base = _replay_dir(spark, sf_dir)
+    try:
+        with _few_state_partitions(spark):
+            stream_rows = run_available_now(
+                ohlc_stream(read_event_stream(spark, f"{base}/part*")),
+                "ohlc_mem",
+                output_mode="complete",
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    batch = registry.QUERIES["timeseries_downsample_ohlc"](spark, sf_dir)
+    batch_rows = batch.collect()
+
+    def key_b(r):
+        return (r.user_id, r.hr)
+
+    def key_s(r):
+        # batch hr = unix_micros DIV 3600e6 — derive the same from the
+        # streaming window start
+        return (r.user_id, int(r.hour_start.timestamp()) // 3600)
+
+    b = {key_b(r): (r.open, r.high, r.low, r.close, r.n) for r in batch_rows}
+    s = {key_s(r): (r.open, r.high, r.low, r.close, r.n) for r in stream_rows}
+    assert b == s and len(b) > 10
