@@ -127,3 +127,46 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor("mean_byte").cast("long")).alias("sum_floor_mean"),
         )
     )
+
+
+# --- resize plumbing: SQL-graded geometry, byte content pinned in tests ---------
+
+# The fake resize keeps every k-th byte, k = ceil(n/1024) → output
+# length ceil(n/k) is pure integer arithmetic on octet_length, which
+# DuckDB reproduces exactly. Byte-level equality against the Python
+# reference is asserted in
+# tests/test_approx.py::test_resize_bytes_match_python_reference.
+_RESIZE_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
+       32 AS out_w, 32 AS out_h,
+       CAST(CASE WHEN octet_length(encode(text)) <= 1024
+                 THEN octet_length(encode(text))
+                 ELSE (octet_length(encode(text))
+                       + CAST(CEIL(octet_length(encode(text)) / 1024.0) AS BIGINT)
+                       - 1)
+                      // CAST(CEIL(octet_length(encode(text)) / 1024.0) AS BIGINT)
+            END AS BIGINT) AS resized_bytes
+FROM documents
+"""
+
+
+@graded("multimodal_resize_stats", oracle=_RESIZE_ORACLE)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail/resize plumbing end-to-end: payloads stream through a
+    mapInPandas resize stage (operators/multimodal.resize_media) and
+    the graded output checks the geometry contract — original size,
+    target dims, resized size — against the oracle's closed-form
+    arithmetic. The resize runs in the same scan-parallel narrow stage
+    a real thumbnailer would."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_payload(docs)
+    resized = MM.resize_media(media, resizer=MM.fake_resize)
+    orig = media.select("doc_id", F.octet_length("payload").cast("long").alias("orig_bytes"))
+    return orig.join(resized, "doc_id").select(
+        "doc_id",
+        "orig_bytes",
+        F.col("out_w").cast("int").alias("out_w"),
+        F.col("out_h").cast("int").alias("out_h"),
+        F.octet_length("resized").cast("long").alias("resized_bytes"),
+    )

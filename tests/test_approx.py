@@ -86,3 +86,43 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
         a50, a90 = r.approx_p50, r.approx_p90
         assert abs(a50 - p50e) <= 0.02 * p50e, (r.o_orderpriority, a50, p50e)
         assert abs(a90 - p90e) <= 0.02 * p90e, (r.o_orderpriority, a90, p90e)
+
+
+def test_resize_bytes_match_python_reference(spark, sf_dir):
+    """The mapInPandas resize stage returns byte-for-byte what the
+    reference fake_resize computes driver-side (pins the Arrow binary
+    round-trip, not just the graded geometry)."""
+    from canvas_data_2_aws_spark.operators.multimodal import (
+        attach_payload,
+        fake_resize,
+        resize_media,
+    )
+    from canvas_data_2_aws_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where("doc_id % 25 = 0")
+    media = attach_payload(docs)
+    got = {
+        r.doc_id: bytes(r.resized)
+        for r in resize_media(media, resizer=fake_resize).collect()
+    }
+    want = {
+        r.doc_id: fake_resize(bytes(r.payload))
+        for r in media.select("doc_id", "payload").collect()
+    }
+    assert got == want and len(got) >= 10
+
+
+def test_resize_without_resizer_raises(spark, sf_dir):
+    """The real-codec path is explicitly NotImplemented in this
+    environment — never a silent fake."""
+    import pytest as _pytest
+
+    from canvas_data_2_aws_spark.operators.multimodal import (
+        attach_payload,
+        resize_media,
+    )
+    from canvas_data_2_aws_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(1)
+    with _pytest.raises(NotImplementedError):
+        resize_media(attach_payload(docs))
