@@ -378,3 +378,37 @@ def agg_regression_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     moments.createOrReplaceTempView("regr_moments")
     return spark.sql(_REGR_FINAL)
+
+
+# --- recursive CTE (Spark 4 WITH RECURSIVE — hierarchy walk) --------------------
+
+# Byte-identical statement on both engines. Implicit binary-tree
+# hierarchy over the order PKs (parent = floor(k/2)): the recursive
+# member walks each node to the root, then the outer query aggregates
+# walk depth — the org-chart / category-tree traversal shape. Integer
+# halving spelled floor(k / 2.0) because `/` is float division in both
+# dialects and CAST(double AS BIGINT) rounds in DuckDB but truncates
+# in Spark — floor agrees everywhere (SURVEY §8.3 family).
+_RECURSIVE_SQL = """
+WITH RECURSIVE walk(k, cur, depth) AS (
+  SELECT o_orderkey AS k, o_orderkey AS cur, 0 AS depth
+  FROM orders WHERE o_orderkey % 16 = 0
+  UNION ALL
+  SELECT k, CAST(FLOOR(cur / 2.0) AS BIGINT) AS cur, depth + 1 AS depth
+  FROM walk WHERE cur > 0
+)
+SELECT k, MAX(depth) AS depth_to_root, COUNT(*) AS n_ancestors
+FROM walk GROUP BY k
+"""
+
+
+@graded("sql_recursive_cte", oracle=_RECURSIVE_SQL)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4): per-node root-path walk over an
+    implicit hierarchy, ~log2(max_key) iterations. Spark executes each
+    recursive step as a fresh plan over the previous frontier — the
+    same loop-of-DataFrames shape as operators/graph.py, but expressed
+    in pure SQL and oracle-checked byte-for-byte against DuckDB's
+    recursive executor."""
+    register_tables(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)

@@ -130,11 +130,24 @@ def udf_grouped_agg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- U4: Python UDTF (1→N table function, Spark ≥3.5) — rows-only ---------------
 
 
-@graded("udf_udtf_bigrams", oracle=None)
+_BIGRAMS_ORACLE = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE doc_id % 50 = 0
+)
+SELECT d.doc_id, CAST(t.i AS INTEGER) AS pos,
+       d.w[t.i + 1] || ' ' || d.w[t.i + 2] AS bigram
+FROM d, LATERAL (SELECT unnest(range(GREATEST(LEN(d.w) - 1, 0))) AS i) t
+"""
+
+
+@graded("udf_udtf_bigrams", oracle=_BIGRAMS_ORACLE)
 def udf_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U4: Python UDTF expanding each document into its word bigrams
-    via a lateral join. Rows-only: DuckDB has no UDTF analog; the
-    equivalent relational expansion is graded as `explode_array` (F8)."""
+    via a lateral join. DuckDB has no UDTF, but the expansion is a
+    deterministic function of the text, so the oracle re-derives it
+    relationally (LATERAL unnest over the split array) — a full
+    hash-match on a Python-UDTF path."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="pos int, bigram string")

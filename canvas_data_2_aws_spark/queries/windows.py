@@ -343,3 +343,38 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("streak").alias("max_streak"),
         F.sum("streak").alias("n_events"),
     )
+
+
+# --- running distinct count over a window ---------------------------------------
+
+_RUNNING_DISTINCT_ORACLE = """
+SELECT event_id, user_id,
+       CAST(COUNT(DISTINCT event_type) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS INTEGER) AS n_types_seen
+FROM events
+"""
+
+
+@graded("window_distinct_running", oracle=_RUNNING_DISTINCT_ORACLE)
+def window_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-count per user (how many event types has this
+    user touched so far — the engagement-breadth signal). Spark has no
+    DISTINCT window aggregate; the equivalent is
+    ``size(collect_set() OVER w)``, which keeps one hash set per
+    (user, frame) in the window operator. Bounded: the set holds
+    distinct event TYPES (small domain), not rows — the trick is only
+    safe when the distinct domain is bounded, which is exactly when a
+    running distinct count is meaningful."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).alias("n_types_seen"),
+    )
