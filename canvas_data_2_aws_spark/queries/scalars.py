@@ -627,3 +627,44 @@ def scalar_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp("l_discount"), 4).alias("exp_d"),
         F.round(F.log(F.col("l_quantity") + 1), 4).alias("ln_q1"),
     )
+
+
+# --- Spark 4 collations: case-insensitive semantics without lower() wrapping ----
+
+# Mixed-case column synthesized deterministically; the oracle expresses
+# the collation as lower() (DuckDB has no collation-typed strings —
+# UTF8_LCASE equality/distinctness is definitionally lowercase-equality
+# for ASCII fixture data).
+_COLLATION_ORACLE = """
+SELECT CAST(p_size % 5 AS BIGINT) AS size_bucket,
+       COUNT(DISTINCT CASE WHEN p_partkey % 2 = 0 THEN lower(p_brand)
+                           ELSE p_brand END) AS n_raw,
+       COUNT(DISTINCT lower(CASE WHEN p_partkey % 2 = 0 THEN lower(p_brand)
+                                 ELSE p_brand END)) AS n_ci
+FROM part
+GROUP BY size_bucket
+"""
+
+
+@graded("scalar_collation", oracle=_COLLATION_ORACLE)
+def scalar_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collated strings (Spark 4): DISTINCT under UTF8_LCASE merges
+    case variants at the type level — the hash agg itself compares
+    case-insensitively, no lower() projection in the plan. The raw
+    count sees the synthesized case split; the collated count undoes
+    it."""
+    p = load_table(spark, sf_dir, "part")
+    mixed = F.expr(
+        "CASE WHEN p_partkey % 2 = 0 THEN lower(p_brand) ELSE p_brand END"
+    )
+    return (
+        p.select(
+            (F.col("p_size") % 5).cast("long").alias("size_bucket"),
+            mixed.alias("mix"),
+        )
+        .groupBy("size_bucket")
+        .agg(
+            F.countDistinct("mix").alias("n_raw"),
+            F.countDistinct(F.expr("collate(mix, 'UTF8_LCASE')")).alias("n_ci"),
+        )
+    )

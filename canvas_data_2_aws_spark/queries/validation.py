@@ -122,3 +122,48 @@ def validate_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.agg(
         F.sum(digest).alias("checksum"), F.count("*").alias("n_rows")
     )
+
+
+# --- Merkle-style range checksums: LOCALIZE replica divergence ------------------
+
+# Same engine-neutral digest as validate_table_checksum, but grouped by
+# PK range — when a replica diverges, comparing range checksums finds
+# WHICH ~1k-key slice to re-sync instead of re-pulling the table (the
+# anti-entropy repair pattern; the reference's validate only detects
+# whole-table drift).
+_MERKLE_ORACLE = """
+SELECT o_orderkey // 1024 AS range_id,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(concat('0x', substring(md5(
+         concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus,
+                   CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR),
+                   o_orderpriority)
+       ), 1, 8)) AS BIGINT)) AS BIGINT) AS range_checksum
+FROM orders
+GROUP BY range_id
+"""
+
+
+@graded("validate_merkle_ranges", oracle=_MERKLE_ORACLE)
+def validate_merkle_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-range content checksums (addition over per-row md5 folds —
+    commutative, order-insensitive, engine-neutral). Compare source vs
+    replica range lists to localize drift to a PK slice; ranges align
+    with the PK bucketing of SCALE.md §1, so a repair re-reads one
+    bucket."""
+    o = load_table(spark, sf_dir, "orders")
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+        "o_orderpriority",
+    )
+    fold = F.conv(F.substring(F.md5(row), 1, 8), 16, 10).cast("long")
+    return (
+        o.groupBy(F.expr("o_orderkey DIV 1024").alias("range_id"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(fold).alias("range_checksum"),
+        )
+    )
