@@ -416,3 +416,136 @@ def analytics_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(n_of("view"), F.lit(1))
         ).alias("click_through"),
     )
+
+
+# --- benchmark decontamination: n-gram overlap against a held-out set -----------
+
+# The held-out "benchmark" slice is doc_id % 10 = 0; a training doc is
+# contaminated when it shares ANY distinct word 4-gram with any
+# benchmark doc (the n-gram-overlap decontamination rule used by
+# pretraining pipelines; 4 stands in for the usual 13 at fixture doc
+# lengths). Output = the removal list with evidence strength.
+_DECONTAMINATE_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, GREATEST(LEN(w) - 2, 1)),
+           i -> concat_ws(' ', list_extract(w, i), list_extract(w, i + 1),
+                          list_extract(w, i + 2), list_extract(w, i + 3))
+         )) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 10 = 0),
+train AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 10 <> 0)
+SELECT t.doc_id, COUNT(*) AS n_matched
+FROM train t JOIN bench b ON t.s = b.s
+GROUP BY t.doc_id
+"""
+
+
+@graded("pipeline_decontaminate", oracle=_DECONTAMINATE_ORACLE)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop training docs sharing any
+    4-gram with the held-out slice. The benchmark shingle set is tiny
+    relative to the corpus (it's a benchmark), so it broadcasts — the
+    train-side explode never shuffles: explode → broadcast-hash semi
+    probe → per-doc count. At 100 TB the train shingle stream is the
+    scan itself; only matches (rare) reach the aggregation."""
+    from ..operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(
+            T.ngrams_from_words("split(text, ' ')", 4)
+        ).alias("shingles"),
+    )
+    bench = (
+        sh.where(F.col("doc_id") % 10 == 0)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    train = sh.where(F.col("doc_id") % 10 != 0).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    return (
+        train.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matched"))
+    )
+
+
+# --- sequence packing: greedy capacity-reset fill per shard ---------------------
+
+# Greedy packing is inherently sequential (each doc's bin depends on
+# the running fill), so it shards by source — parallel across shards,
+# ordered fold within (exactly how a 100 TB packing job runs: one
+# sequential pass per partition, partitions in parallel). The fold is
+# applyInPandas; the oracle replays it as a DuckDB recursive CTE over
+# the same md5-shuffled order — hash-matched despite being beyond
+# single-statement SQL on the Spark side.
+_PACK_BUDGET = 256
+
+_PACK_ORACLE = f"""
+WITH RECURSIVE rows_ AS (
+  SELECT source, LEN(string_split(text, ' ')) AS tok,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+),
+packed AS (
+  SELECT source, rn, tok, 0 AS seq_id, tok AS acc
+  FROM rows_ WHERE rn = 1
+  UNION ALL
+  SELECT r.source, r.rn, r.tok,
+         CASE WHEN p.acc + r.tok > {_PACK_BUDGET}
+              THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.acc + r.tok > {_PACK_BUDGET}
+              THEN r.tok ELSE p.acc + r.tok END
+  FROM packed p JOIN rows_ r ON r.source = p.source AND r.rn = p.rn + 1
+)
+SELECT source, CAST(seq_id AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS seq_tokens
+FROM packed
+GROUP BY source, seq_id
+"""
+
+
+@graded("pipeline_pack_sequences", oracle=_PACK_ORACLE)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: md5-shuffle docs within each source
+    shard, then greedily fill fixed token-budget sequences, opening a
+    new sequence when the next doc would overflow. One shuffle (by
+    source), one ordered Arrow-batch fold per shard, aggregation done
+    inside the fold — no second shuffle."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
+        F.col("doc_id"),
+        F.size(F.split("text", " ")).cast("long").alias("tok"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["shuffle_key", "doc_id"])
+        seq_ids, seq, acc = [], 0, 0
+        for tok in pdf["tok"]:
+            if acc > 0 and acc + tok > _PACK_BUDGET:
+                seq, acc = seq + 1, tok
+            else:
+                acc += tok
+            seq_ids.append(seq)
+        pdf = pdf.assign(seq_id=seq_ids)
+        out = (
+            pdf.groupby("seq_id", as_index=False)
+            .agg(n_docs=("tok", "size"), seq_tokens=("tok", "sum"))
+        )
+        out.insert(0, "source", pdf["source"].iloc[0])
+        return out
+
+    return docs.groupBy("source").applyInPandas(
+        pack,
+        "source string, seq_id long, n_docs long, seq_tokens long",
+    )

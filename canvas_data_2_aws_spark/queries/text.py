@@ -309,3 +309,120 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang_entropy",
         )
     )
+
+
+# --- Gopher-style quality rule ensemble -----------------------------------------
+
+# Thresholds tuned so every rule splits the fixture corpus both ways
+# (token count 10–99, avg token length 4.67–6.24, uniq ratio 0.28–1.0).
+# All ratios are single int÷int IEEE divisions — identical operand,
+# identical result in both engines, so the booleans grade unrounded.
+_GOPHER_ORACLE = f"""
+SELECT doc_id,
+       CAST(LEN(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(n_chars AS DOUBLE) / LEN(string_split(text, ' ')) AS avg_len,
+       CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         / LEN(string_split(text, ' ')) AS uniq_ratio,
+       CAST(LENGTH(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+         / n_chars AS sym_ratio,
+       LEN(string_split(text, ' ')) BETWEEN 16 AND 80 AS r_len,
+       CAST(n_chars AS DOUBLE) / LEN(string_split(text, ' '))
+         BETWEEN 5.0 AND 6.0 AS r_avg,
+       CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         / LEN(string_split(text, ' ')) >= 0.5 AS r_uniq,
+       CAST(LENGTH(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+         / n_chars < 0.1 AS r_sym,
+       LEN(list_intersect(list_distinct(string_split(text, ' ')),
+           {_STOP_SQL})) >= 2 AS r_stop,
+       (LEN(string_split(text, ' ')) BETWEEN 16 AND 80)
+         AND (CAST(n_chars AS DOUBLE) / LEN(string_split(text, ' '))
+              BETWEEN 5.0 AND 6.0)
+         AND (CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / LEN(string_split(text, ' ')) >= 0.5)
+         AND (CAST(LENGTH(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+              / n_chars < 0.1)
+         AND (LEN(list_intersect(list_distinct(string_split(text, ' ')),
+              {_STOP_SQL})) >= 2) AS keep
+FROM documents
+"""
+
+
+@graded("text_gopher_rules", oracle=_GOPHER_ORACLE)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-ensemble quality filter (the Gopher-rules shape): length
+    bounds, mean-token-length band, lexical-diversity floor, symbol
+    ceiling, and a function-word floor, each a pure-codegen expression
+    over one scan — the per-document gate a pretraining corpus applies
+    before any model-based scoring. One projection, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = T.tokens()
+    n_tok = F.size(w)
+    avg_len = F.col("n_chars").cast("double") / n_tok
+    uniq = F.size(F.array_distinct(w)).cast("double") / n_tok
+    sym = (
+        F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).cast("double")
+        / F.col("n_chars")
+    )
+    r_len = (n_tok >= 16) & (n_tok <= 80)
+    r_avg = (avg_len >= 5.0) & (avg_len <= 6.0)
+    r_uniq = uniq >= 0.5
+    r_sym = sym < 0.1
+    r_stop = T.stopword_hits() >= 2
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        avg_len.alias("avg_len"),
+        uniq.alias("uniq_ratio"),
+        sym.alias("sym_ratio"),
+        r_len.alias("r_len"),
+        r_avg.alias("r_avg"),
+        r_uniq.alias("r_uniq"),
+        r_sym.alias("r_sym"),
+        r_stop.alias("r_stop"),
+        (r_len & r_avg & r_uniq & r_sym & r_stop).alias("keep"),
+    )
+
+
+# --- unigram LM surprisal: model-based quality proxy ----------------------------
+
+# Per-token surprisal ln(N/count) may differ by 1 ulp between engines
+# (ln is not guaranteed correctly-rounded); the DECIMAL(38,9) per-term
+# quantization absorbs that before the order-independent decimal sum,
+# and the final double division is identical-operand IEEE.
+_SURPRISAL_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+n AS (SELECT COUNT(*) AS n FROM tok)
+SELECT tok.doc_id,
+       COUNT(*) AS n_tok,
+       CAST(SUM(CAST(ln(CAST(n.n AS DOUBLE) / cnt.c) AS DECIMAL(38,9)))
+            AS DOUBLE) / COUNT(*) AS avg_surprisal
+FROM tok JOIN cnt USING (token), n
+GROUP BY tok.doc_id
+"""
+
+
+@graded("text_unigram_logprob", oracle=_SURPRISAL_ORACLE)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM scoring: mean −ln p(token) per document under the
+    corpus's own unigram distribution — the cheapest model-based
+    quality/typicality score (rare-token-heavy docs score high). The
+    token→count table is corpus-vocabulary-sized, so it broadcasts;
+    the probe side is the token stream itself — one shuffle for the
+    vocabulary agg, one for the per-doc agg, nothing quadratic."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens()).alias("token"))
+    cnt = tok.groupBy("token").agg(F.count("*").alias("c"))
+    n = tok.agg(F.count("*").alias("n"))
+    term = F.log(F.col("n").cast("double") / F.col("c")).cast("decimal(38,9)")
+    return (
+        tok.join(F.broadcast(cnt), "token")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            (F.sum(term).cast("double") / F.count("*")).alias("avg_surprisal"),
+        )
+    )

@@ -66,3 +66,41 @@ def test_centroid_outliers_topk_shape(spark, sf_dir):
         # rn order agrees with (dist desc, vec_id) order
         ranked = sorted(label_rows, key=lambda r: (-r.dist, r.vec_id))
         assert [r.rn for r in ranked] == sorted(r.rn for r in label_rows)
+
+
+def test_pack_sequences_budget_respected(spark, sf_dir):
+    from canvas_data_2_aws_spark.queries.pipelines import _PACK_BUDGET
+
+    rows = registry.QUERIES["pipeline_pack_sequences"](spark, sf_dir).collect()
+    for r in rows:
+        # A sequence only exceeds the budget when a single oversized
+        # doc occupies it alone (greedy capacity-reset semantics).
+        assert r.seq_tokens <= _PACK_BUDGET or r.n_docs == 1
+    # seq ids are dense from 0 within each source
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, set()).add(r.seq_id)
+    for ids in by_src.values():
+        assert ids == set(range(len(ids)))
+
+
+def test_decontaminate_only_flags_train_docs(spark, sf_dir):
+    rows = registry.QUERIES["pipeline_decontaminate"](spark, sf_dir).collect()
+    assert rows, "fixture corpus should contain contaminated docs"
+    for r in rows:
+        assert r.doc_id % 10 != 0  # benchmark docs are never in the list
+        assert r.n_matched >= 1
+
+
+def test_gopher_keep_is_rule_conjunction(spark, sf_dir):
+    rows = registry.QUERIES["text_gopher_rules"](spark, sf_dir).collect()
+    kept = sum(1 for r in rows if r.keep)
+    assert 0 < kept < len(rows)  # thresholds split the corpus
+    for r in rows:
+        assert r.keep == (r.r_len and r.r_avg and r.r_uniq and r.r_sym and r.r_stop)
+
+
+def test_unigram_surprisal_positive_and_rare_heavy(spark, sf_dir):
+    rows = registry.QUERIES["text_unigram_logprob"](spark, sf_dir).collect()
+    assert all(r.avg_surprisal > 0 for r in rows)
+    assert len(rows) == 500
