@@ -10,7 +10,7 @@ are exactly what makes a file skippable."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators.zorder import z_expr
 from ..registry import graded
@@ -61,4 +61,70 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("x").alias("max_x"),
         F.min("y").alias("min_y"),
         F.max("y").alias("max_y"),
+    )
+
+
+# --- small-file compaction planning ---------------------------------------------
+
+_COMPACT_TARGET = 120_000  # bytes per output bin (fixture-scaled)
+
+_COMPACTION_ORACLE = f"""
+WITH files AS (
+  SELECT o_orderkey // 512 AS file_id,
+         COUNT(*) AS n_rows,
+         CAST(SUM(32 + LENGTH(o_orderstatus) + LENGTH(o_orderpriority))
+              AS BIGINT) AS bytes
+  FROM orders GROUP BY file_id
+),
+planned AS (
+  SELECT file_id, n_rows, bytes,
+         CAST(SUM(bytes) OVER (ORDER BY file_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - bytes AS start_off
+  FROM files
+)
+SELECT start_off // {_COMPACT_TARGET} AS bin_id,
+       COUNT(*) AS n_files,
+       CAST(SUM(n_rows) AS BIGINT) AS bin_rows,
+       CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+       MIN(file_id) AS first_file, MAX(file_id) AS last_file
+FROM planned
+GROUP BY bin_id
+"""
+
+
+@graded("layout_compaction_bins", oracle=_COMPACTION_ORACLE)
+def layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: roll the file manifest (per-file
+    row/byte stats) into contiguous target-sized output bins by byte
+    offset — contiguity preserves the table's key clustering, so the
+    rewrite is a pure concat per bin. The manifest is tiny (one row
+    per file) — the window runs on the driver-sized side, never on
+    row-level data; the actual 100 TB rewrite reads only the files of
+    each bin. Assignment by cumulative start offset is one window
+    pass, no iteration."""
+    o = load_table(spark, sf_dir, "orders")
+    files = o.groupBy(F.expr("o_orderkey DIV 512").alias("file_id")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.lit(32)
+            + F.length("o_orderstatus")
+            + F.length("o_orderpriority")
+        ).alias("bytes"),
+    )
+    w = Window.orderBy("file_id").rowsBetween(Window.unboundedPreceding, 0)
+    planned = files.withColumn(
+        "start_off", F.sum("bytes").over(w) - F.col("bytes")
+    )
+    return (
+        planned.groupBy(
+            F.expr(f"start_off DIV {_COMPACT_TARGET}").alias("bin_id")
+        )
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("n_rows").alias("bin_rows"),
+            F.sum("bytes").alias("bin_bytes"),
+            F.min("file_id").alias("first_file"),
+            F.max("file_id").alias("last_file"),
+        )
     )

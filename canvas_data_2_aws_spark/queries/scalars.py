@@ -668,3 +668,42 @@ def scalar_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(F.expr("collate(mix, 'UTF8_LCASE')")).alias("n_ci"),
         )
     )
+
+
+# --- map higher-order functions: build → filter → transform → explode -----------
+
+_MAP_HOF_ORACLE = """
+SELECT p_type AS ptype, p_brand AS brand,
+       CAST(COUNT(*) * 2 AS BIGINT) AS boosted
+FROM part
+GROUP BY p_type, p_brand
+HAVING COUNT(*) >= 3
+"""
+
+
+@graded("scalar_map_hof", oracle=_MAP_HOF_ORACLE)
+def scalar_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed HOF pipeline: per-type brand histogram packed into a
+    map column (map_from_entries), pruned with map_filter, rescaled
+    with transform_values, then exploded back to rows for grading —
+    the round-trip every map-valued feature column takes. The oracle
+    states the same result relationally (DuckDB's map surface can't
+    express the HOF chain). Map build is one hash agg; the HOFs are
+    per-row codegen over driver-bounded map sizes (≤ brand count)."""
+    p = load_table(spark, sf_dir, "part")
+    counts = p.groupBy("p_type", "p_brand").agg(F.count("*").alias("cnt"))
+    packed = counts.groupBy("p_type").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("p_brand", "cnt"))
+        ).alias("brand_counts")
+    )
+    boosted = packed.select(
+        "p_type",
+        F.transform_values(
+            F.map_filter("brand_counts", lambda _, v: v >= 3),
+            lambda _, v: v * 2,
+        ).alias("m"),
+    )
+    return boosted.select(
+        F.col("p_type").alias("ptype"), F.explode("m").alias("brand", "boosted")
+    )

