@@ -54,6 +54,11 @@ HEADLINE = [
     "layout_zorder_stats",
     "text_pii_redact",
     "timeseries_downsample_ohlc",
+    # round-2 training-corpus ops: decontamination (broadcast n-gram
+    # probe), sequence packing (sharded sequential fold), gap repair
+    "pipeline_decontaminate",
+    "pipeline_pack_sequences",
+    "timeseries_interpolate",
 ]
 
 

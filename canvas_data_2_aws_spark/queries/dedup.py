@@ -575,9 +575,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("a", "b", "c")
     )
-    roles = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+    # explode, not union-of-projections: a 3-branch union re-runs the
+    # whole two-hop join per branch (measured in the plan); the array
+    # explode emits all three roles from ONE join pass.
+    roles = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
     )
     return roles.groupBy("node").agg(F.count("*").alias("n_tri"))
