@@ -582,3 +582,126 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array("a", "b", "c")).alias("node")
     )
     return roles.groupBy("node").agg(F.count("*").alias("n_tri"))
+
+
+# --- incremental dedup: probe a NEW batch against the corpus index --------------
+
+# Steady-state dedup is incremental: the corpus's band index is already
+# materialized (here rebuilt — the fixture has no stored state), and a
+# new ingest batch (doc_id % 10 = 9) probes it. Only new×old band
+# collisions become candidates — never old×old (already deduped) or
+# new×new (a separate intra-batch pass) — so per-ingest cost tracks
+# BATCH size, not corpus size.
+_INCREMENTAL_PROBE_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, GREATEST(LEN(w) - 1, 1)),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+  FROM w
+),
+shx AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+),
+sig AS (
+  SELECT doc_id,
+          {_MINHASH_SIG}
+  FROM shx GROUP BY doc_id
+),
+bands AS (
+  {_MINHASH_BANDS_SQL}
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+  FROM bands n
+  JOIN bands o ON n.band = o.band AND n.bkey = o.bkey
+  WHERE n.doc_id % 10 = 9 AND o.doc_id % 10 <> 9
+)
+SELECT c.doc_new, c.doc_old,
+       CAST(LEN(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+         / (LEN(x.shingles) + LEN(y.shingles)
+            - LEN(list_intersect(x.shingles, y.shingles))) AS jaccard
+FROM cand c
+JOIN sh x ON x.doc_id = c.doc_new
+JOIN sh y ON y.doc_id = c.doc_old
+"""
+
+
+def _minhash_sig_bands(docs: DataFrame):
+    """(shingles, band-keys) for the deterministic md5 MinHash —
+    the shared front of the banded and incremental dedup pipelines
+    (same stages and rationale as dedup_minhash_banded's inline
+    form; see its comments for the measured design choices)."""
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    sh = words.repartition("doc_id").select(
+        "doc_id", F.array_distinct(T.ngrams_from_words("w", n=3)).alias("shingles")
+    )
+    digests = sh.select(
+        "doc_id",
+        "shingles",
+        F.expr("transform(shingles, s -> md5(concat('0:', s)))").alias("d0"),
+        F.expr("transform(shingles, s -> md5(concat('1:', s)))").alias("d1"),
+    )
+    sig = digests.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.expr(
+                    f"transform(d{s // 4},"
+                    f" x -> substring(x, {1 + 8 * (s % 4)}, 8))"
+                )
+            ).alias(f"h{s}")
+            for s in range(8)
+        ],
+    )
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band"), F.concat(f"h{a}", f"h{b}").alias("bkey")
+        )
+        for i, (a, b) in enumerate(_MINHASH_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("e")
+    ).select("doc_id", "e.band", "e.bkey")
+    return sh, bands
+
+
+@graded("dedup_incremental_probe", oracle=_INCREMENTAL_PROBE_ORACLE)
+def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: a new ingest batch probes the existing
+    corpus's band index. In production the old side is the STORED
+    signature/band table (computed once per doc, ever); here both
+    sides are rebuilt from the fixture, materialized once
+    (localCheckpoint) so the old/new split doesn't recompute the
+    signature per branch. The probe join keys on the band digest —
+    batch-sized build side, so it broadcasts; candidates are verified
+    with exact Jaccard exactly like the batch pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh, bands = _minhash_sig_bands(docs)
+    sh = sh.localCheckpoint()
+    bands = bands.localCheckpoint()
+    is_new = F.col("doc_id") % 10 == 9
+    new_b = bands.where(is_new).select(
+        F.col("doc_id").alias("doc_new"), "band", "bkey"
+    )
+    old_b = bands.where(~is_new).select(
+        F.col("doc_id").alias("doc_old"), "band", "bkey"
+    )
+    cand = (
+        old_b.join(F.broadcast(new_b), ["band", "bkey"])
+        .select("doc_new", "doc_old")
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_new"), F.col("shingles").alias("sh_n"))
+    y = sh.select(F.col("doc_id").alias("doc_old"), F.col("shingles").alias("sh_o"))
+    inter = F.size(F.array_intersect("sh_n", "sh_o"))
+    union = F.size("sh_n") + F.size("sh_o") - inter
+    return (
+        cand.join(x, "doc_new")
+        .join(y, "doc_old")
+        .select(
+            "doc_new", "doc_old", (inter.cast("double") / union).alias("jaccard")
+        )
+    )

@@ -436,3 +436,98 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(F.broadcast(b), a["grp"].eqNullSafe(b["bgrp"]))
         .select("o_orderkey", "grp", "payload")
     )
+
+
+# --- interval overlap join, bucketized ------------------------------------------
+
+# "Errors inside purchase windows": purchase events open a
+# deterministic validity window (15–104 min from the integer cents of
+# the value), error events open a 10-min window; pairs that overlap
+# within a user are joined. The Spark side is the SCALABLE form: each
+# interval explodes to the hour buckets it covers, the join is a plain
+# equi hash join on (user, bucket), and a pair is emitted only in the
+# bucket holding the later start — exactly-once without a distinct.
+# The oracle states the same result as the naive theta join.
+_INTERVAL_OVERLAP_ORACLE = """
+WITH p AS (
+  SELECT user_id, event_id AS p_id, ts AS p_start,
+         ts + INTERVAL 1 MINUTE
+            * (CAST(round(value * 100, 0) AS BIGINT) % 90 + 15) AS p_end
+  FROM events WHERE event_type = 'purchase'
+),
+e AS (
+  SELECT user_id, event_id AS e_id, ts AS e_start,
+         ts + INTERVAL 10 MINUTE AS e_end
+  FROM events WHERE event_type = 'error'
+)
+SELECT p.user_id, p.p_id, e.e_id,
+       (epoch_us(LEAST(p.p_end, e.e_end))
+        - epoch_us(GREATEST(p.p_start, e.e_start))) // 1000000 AS overlap_sec
+FROM p JOIN e
+  ON p.user_id = e.user_id
+ AND p.p_start <= e.e_end AND e.e_start <= p.p_end
+"""
+
+
+@graded("join_interval_overlap", oracle=_INTERVAL_OVERLAP_ORACLE)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap as an equi join: bucketize time (1 h), explode
+    each interval to its covered buckets, hash-join on (user, bucket),
+    and keep a pair only in the bucket of the later interval start —
+    each overlapping pair survives in exactly one bucket, so there is
+    no distinct and no O(n²) per-user theta scan. At 100 TB the
+    bucket width trades replication (intervals span few buckets)
+    against bucket population; durations here span ≤ 2 buckets."""
+    ev = load_table(spark, sf_dir, "events")
+    W = 3600
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_start"),
+        F.expr(
+            "ts + make_interval(0, 0, 0, 0, 0,"
+            " CAST(round(value * 100, 0) AS BIGINT) % 90 + 15, 0)"
+        ).alias("p_end"),
+    )
+    e = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("e_id"),
+        F.col("ts").alias("e_start"),
+        F.expr("ts + interval 10 minutes").alias("e_end"),
+    )
+
+    def burst(df: DataFrame, s: str, t: str) -> DataFrame:
+        return df.withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp(s) / W),
+                    F.floor(F.unix_timestamp(t) / W),
+                )
+            ),
+        )
+
+    pb = burst(p, "p_start", "p_end")
+    eb = burst(e, "e_start", "e_end")
+    later_start = F.greatest("p_start", "e_start")
+    return (
+        pb.join(eb, ["user_id", "bucket"])
+        .where(
+            (F.col("p_start") <= F.col("e_end"))
+            & (F.col("e_start") <= F.col("p_end"))
+            # emit-once: only the bucket containing the later start
+            & (F.floor(F.unix_timestamp(later_start) / W) == F.col("bucket"))
+        )
+        .select(
+            "user_id",
+            "p_id",
+            "e_id",
+            # exact µs arithmetic: date_diff('second') counts boundary
+            # crossings in DuckDB while timestampdiff floors elapsed
+            # time — integer µs division agrees everywhere
+            F.expr(
+                "(unix_micros(least(p_end, e_end))"
+                " - unix_micros(greatest(p_start, e_start))) DIV 1000000"
+            ).alias("overlap_sec"),
+        )
+    )

@@ -426,3 +426,55 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(term).cast("double") / F.count("*")).alias("avg_surprisal"),
         )
     )
+
+
+# --- weighted reservoir sample (Efraimidis–Spirakis A-ES, deterministic) --------
+
+# Key r = u^(1/w) with u an md5-derived uniform and w = n_chars: the
+# top-k by r IS a weighted random sample without replacement — the
+# data-mixing primitive (sample shards proportional to quality weight)
+# in a form that is reproducible across engines, runs, and appends.
+# The 52-bit md5 slice maps into (0,1]; pow may differ by 1 ulp across
+# engines but keys of distinct docs differ at ~1e-3, so the ranking is
+# stable (ties impossible: md5 is injective on doc ids here).
+_WEIGHTED_SAMPLE_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         POW(
+           (CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                 AS BIGINT) + 1) / 4503599627370497.0,
+           1.0 / n_chars
+         ) AS r
+  FROM documents
+)
+SELECT lang, doc_id, n_chars
+FROM (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY r DESC, doc_id) AS rk
+  FROM keyed
+)
+WHERE rk <= 5
+"""
+
+
+@graded("sample_weighted_reservoir", oracle=_WEIGHTED_SAMPLE_ORACLE)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (A-ES): one projection
+    computes the key, one per-stratum top-k keeps the winners —
+    mergeable across partitions (the max-k of a union is the max-k of
+    per-partition max-ks), so at 100 TB it's a map-side top-k heap per
+    partition plus a tiny final merge, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("bigint")
+        + 1
+    ) / F.lit(4503599627370497.0)
+    r = F.pow(u, F.lit(1.0) / F.col("n_chars"))
+    w = Window.partitionBy("lang").orderBy(F.col("r").desc(), F.col("doc_id"))
+    return (
+        docs.select("lang", "doc_id", "n_chars", r.alias("r"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("lang", "doc_id", "n_chars")
+    )

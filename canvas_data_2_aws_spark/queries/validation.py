@@ -167,3 +167,66 @@ def validate_merkle_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(fold).alias("range_checksum"),
         )
     )
+
+
+# --- cross-table reconciliation: do the money columns agree? --------------------
+
+# o_totalprice vs Σ l_extendedprice·(1+l_tax)·(1−l_discount) per order:
+# the referential AGGREGATE audit (FK integrity says every line has an
+# order; this says the totals agree). The fixture generates the two
+# tables independently, so diffs are real and the report is non-trivial.
+_RECONCILE_ORACLE = """
+WITH line_tot AS (
+  SELECT l_orderkey AS okey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                       AS DECIMAL(38,6))) AS DOUBLE) AS line_total
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       COUNT(line_total) AS n_with_lines,
+       CAST(SUM(CASE WHEN line_total IS NOT NULL
+                      AND ABS(line_total - o_totalprice) > 1.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_diverged,
+       CAST(SUM(CAST(COALESCE(ABS(line_total - o_totalprice), 0.0)
+                     AS DECIMAL(38,6))) AS DOUBLE) AS total_abs_drift
+FROM orders LEFT JOIN line_tot ON o_orderkey = okey
+GROUP BY o_orderstatus
+"""
+
+
+@graded("validate_reconcile_totals", oracle=_RECONCILE_ORACLE)
+def validate_reconcile_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Totals reconciliation between fact and header tables — the
+    aggregate-level referential audit a replica runs after syncdb.
+    One shuffle on the natural key (removable by co-bucketing both
+    tables at rest), decimal-exact drift arithmetic, per-status
+    report rows."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    line_tot = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.sum(
+            F.expr(
+                "CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+                " AS DECIMAL(38,6))"
+            )
+        )
+        .cast("double")
+        .alias("line_total")
+    )
+    diff = F.abs(F.col("line_total") - F.col("o_totalprice"))
+    return (
+        o.join(line_tot, F.col("o_orderkey") == F.col("okey"), "left")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count("line_total").alias("n_with_lines"),
+            F.sum(
+                F.when(F.col("line_total").isNotNull() & (diff > 1.0), 1)
+                .otherwise(0)
+            ).alias("n_diverged"),
+            F.sum(F.coalesce(diff, F.lit(0.0)).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_abs_drift"),
+        )
+    )
