@@ -666,3 +666,51 @@ def timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.isNull().alias("is_gap"),
         filled.alias("filled"),
     )
+
+
+# --- equal-frequency feature binning (decile stats) -----------------------------
+
+_BINNING_ORACLE = """
+WITH binned AS (
+  SELECT o_totalprice, o_orderstatus,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT decile, COUNT(*) AS n,
+       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+         AS mean_price,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_finished
+FROM binned
+GROUP BY decile
+"""
+
+
+@graded("analytics_feature_binning", oracle=_BINNING_ORACLE)
+def analytics_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning (deciles) of a numeric feature with
+    per-bin target stats — the discretization step before WOE/monotone
+    encodings in feature pipelines. ntile's ORDER BY ends in the
+    unique key, so bin assignment is total and reproducible. The
+    global sort is the scale cost; at 100 TB swap ntile for
+    approx-quantile cut points broadcast to a map-side bucketer."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    binned = o.select(
+        "o_totalprice",
+        "o_orderstatus",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+    return binned.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("mean_price"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        ).alias("n_finished"),
+    )

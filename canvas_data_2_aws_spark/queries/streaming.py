@@ -436,3 +436,77 @@ def timeseries_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+# --- duration-capped sessionization (sequential state per user) -----------------
+
+# Session break rule: gap > 30 min since the previous event OR the
+# session would exceed 2 h total duration — the second condition makes
+# assignment inherently sequential (each break depends on the running
+# session START, which earlier breaks determine), so no fixed window
+# or gaps-islands trick expresses it. Spark: ordered applyInPandas
+# fold per user. Oracle: DuckDB recursive CTE replays the same fold.
+_CAPPED_SESSION_ORACLE = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+walk AS (
+  SELECT user_id, ts, rn, 0 AS sess, ts AS sess_start
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.ts, e.rn,
+         CASE WHEN e.ts > w.ts + INTERVAL 30 MINUTE
+                OR e.ts > w.sess_start + INTERVAL 2 HOUR
+              THEN w.sess + 1 ELSE w.sess END,
+         CASE WHEN e.ts > w.ts + INTERVAL 30 MINUTE
+                OR e.ts > w.sess_start + INTERVAL 2 HOUR
+              THEN e.ts ELSE w.sess_start END
+  FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+)
+SELECT user_id, CAST(sess AS BIGINT) AS session_id,
+       COUNT(*) AS n_events, MIN(ts) AS t_start, MAX(ts) AS t_end
+FROM walk
+GROUP BY user_id, sess
+"""
+
+
+@graded("stream_session_capped", oracle=_CAPPED_SESSION_ORACLE)
+def stream_session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with BOTH a 30-min inactivity gap and a 2-h
+    duration cap. The cap couples every assignment to the running
+    session start, so this is a true sequential fold — per-user
+    ordered applyInPandas (state: previous ts + session start),
+    parallel across users; the same fold runs under
+    applyInPandasWithState in the streaming twin of
+    stream_stateful_totals. Oracle: recursive-CTE replay, so even
+    this beyond-SQL operator hash-matches."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+
+    def sessionize(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        gap = pd.Timedelta(minutes=30)
+        cap = pd.Timedelta(hours=2)
+        sess, prev_ts, start = -1, None, None
+        ids = []
+        for ts in pdf["ts"]:
+            if prev_ts is None or ts > prev_ts + gap or ts > start + cap:
+                sess += 1
+                start = ts
+            ids.append(sess)
+            prev_ts = ts
+        pdf = pdf.assign(session_id=ids)
+        out = pdf.groupby("session_id", as_index=False).agg(
+            n_events=("ts", "size"), t_start=("ts", "min"), t_end=("ts", "max")
+        )
+        out.insert(0, "user_id", pdf["user_id"].iloc[0])
+        return out
+
+    return ev.groupBy("user_id").applyInPandas(
+        sessionize,
+        "user_id long, session_id long, n_events long,"
+        " t_start timestamp, t_end timestamp",
+    )

@@ -378,3 +378,58 @@ def window_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.size(F.collect_set("event_type").over(w)).alias("n_types_seen"),
     )
+
+
+# --- rolling median over a trailing frame ---------------------------------------
+
+# Exact rolling median in integer cents: both engines collect the
+# trailing 7-value frame, sort it, and interpolate the middle in cent
+# space — (a+b)/2.0 on integers is IEEE-exact, so the double output
+# grades unrounded (the robust-stats recipe applied to a moving frame).
+_ROLLING_MEDIAN_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY d
+),
+framed AS (
+  SELECT d, cents,
+         list_sort(list(cents) OVER (
+           ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS f
+  FROM daily
+)
+SELECT d, cents,
+       CASE WHEN LEN(f) % 2 = 1
+            THEN CAST(f[(LEN(f) + 1) // 2] AS DOUBLE) / 100.0
+            ELSE (CAST(f[LEN(f) // 2] AS DOUBLE)
+                  + CAST(f[LEN(f) // 2 + 1] AS DOUBLE)) / 2.0 / 100.0
+       END AS rolling_median
+FROM framed
+"""
+
+
+@graded("window_rolling_median", oracle=_ROLLING_MEDIAN_ORACLE)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day median of daily revenue: collect_list over a ROWS
+    frame + array_sort + middle pick — the robust rolling statistic
+    SQL windows lack natively. Frame size is a constant, so per-row
+    cost is O(7 log 7) and the state never grows; at 100 TB the window
+    partitions by series key exactly like the interpolation spine."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    framed = daily.withColumn("f", F.array_sort(F.collect_list("cents").over(w)))
+    n = F.size("f")
+    odd = F.element_at("f", ((n + 1) / 2).cast("int")).cast("double") / 100.0
+    even = (
+        F.element_at("f", (n / 2).cast("int")).cast("double")
+        + F.element_at("f", (n / 2 + 1).cast("int")).cast("double")
+    ) / 2.0 / 100.0
+    return framed.select(
+        "d",
+        "cents",
+        F.when(n % 2 == 1, odd).otherwise(even).alias("rolling_median"),
+    )

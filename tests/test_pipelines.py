@@ -119,3 +119,36 @@ def test_interpolate_fills_every_hour(spark, sf_dir):
         hi = max(x.filled for x in rows if not x.is_gap)
         assert lo <= r.filled <= hi
     assert len(hrs) == (max(hrs) - min(hrs)).total_seconds() / 3600 + 1
+
+
+def test_capped_sessions_respect_both_rules(spark, sf_dir):
+    import datetime as dt
+
+    rows = registry.QUERIES["stream_session_capped"](spark, sf_dir).collect()
+    for r in rows:
+        # a session never spans more than cap + one trailing gap
+        assert r.t_end - r.t_start <= dt.timedelta(hours=2, minutes=30)
+        assert r.n_events >= 1
+    # session ids dense per user
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, set()).add(r.session_id)
+    for ids in by_user.values():
+        assert ids == set(range(len(ids)))
+
+
+def test_feature_binning_deciles_balanced(spark, sf_dir):
+    rows = registry.QUERIES["analytics_feature_binning"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    sizes = [r.n for r in rows]
+    assert max(sizes) - min(sizes) <= 1  # ntile balance property
+    by_decile = sorted(rows, key=lambda r: r.decile)
+    for a, b in zip(by_decile, by_decile[1:]):
+        assert a.hi <= b.lo  # bins are ordered ranges
+
+
+def test_rolling_median_window_bounds(spark, sf_dir):
+    rows = registry.QUERIES["window_rolling_median"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.rolling_median > 0
