@@ -281,3 +281,117 @@ def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mse_x_dim"),
     )
+
+
+# --- deterministic k-means: 2 unrolled Lloyd iterations, hash-matched -----------
+
+# Every numeric step is cross-engine exact: init centroids are
+# decimal-mean per (vec_id % 4) bucket, distances are decimal sums of
+# identical-IEEE (v−c)² terms, and argmin breaks (impossible) ties by
+# cluster id — so the ASSIGNMENTS (pure integers) hash-match DuckDB,
+# upgrading clustering from the usual rows-only check (ann_ivf's
+# MLlib k-means has private seeds) to a full value match.
+_KMEANS_ORACLE = """
+WITH pos AS (
+  SELECT vec_id, pos AS dim,
+         CAST(list_extract(embedding, pos) AS DOUBLE) AS v
+  FROM embeddings, range(1, 65) t(pos)
+),
+cent0 AS (
+  SELECT vec_id % 4 AS j, dim,
+         CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS c
+  FROM pos GROUP BY j, dim
+),
+d1 AS (
+  SELECT p.vec_id, c.j,
+         SUM(CAST((p.v - c.c) * (p.v - c.c) AS DECIMAL(38,12))) AS dist
+  FROM pos p JOIN cent0 c ON p.dim = c.dim
+  GROUP BY p.vec_id, c.j
+),
+a1 AS (
+  SELECT vec_id, j AS c1
+  FROM (SELECT vec_id, j,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rk
+        FROM d1)
+  WHERE rk = 1
+),
+cent1 AS (
+  SELECT a1.c1 AS j, p.dim,
+         CAST(SUM(CAST(p.v AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS c
+  FROM pos p JOIN a1 ON p.vec_id = a1.vec_id
+  GROUP BY j, p.dim
+),
+d2 AS (
+  SELECT p.vec_id, c.j,
+         SUM(CAST((p.v - c.c) * (p.v - c.c) AS DECIMAL(38,12))) AS dist
+  FROM pos p JOIN cent1 c ON p.dim = c.dim
+  GROUP BY p.vec_id, c.j
+),
+a2 AS (
+  SELECT vec_id, j AS c2
+  FROM (SELECT vec_id, j,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rk
+        FROM d2)
+  WHERE rk = 1
+)
+SELECT a1.vec_id, CAST(a1.c1 AS BIGINT) AS c1, CAST(a2.c2 AS BIGINT) AS c2
+FROM a1 JOIN a2 ON a1.vec_id = a2.vec_id
+"""
+
+
+@graded("vector_kmeans_assign", oracle=_KMEANS_ORACLE)
+def vector_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=4), two iterations, fully deterministic:
+    id-bucket init, decimal-exact distances, id tie-break. Per
+    iteration the plan is: centroid table (k·64 rows — broadcast) ⋈
+    exploded vectors → per-(vec, cluster) decimal distance agg →
+    per-vec argmin. The vector side shuffles once per iteration on
+    vec_id; centroids always broadcast, so iterations scale linearly
+    in corpus size and the 100 TB path just adds iterations (or
+    mini-batches) — same plan as ann_ivf's training loop, minus
+    MLlib's private RNG."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "vf")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("vf").cast("double").alias("v"),
+    )
+
+    def centroids(assign: DataFrame | None) -> DataFrame:
+        if assign is None:
+            src = pos.withColumn("j", F.col("vec_id") % 4)
+        else:
+            src = pos.join(assign, "vec_id").withColumnRenamed("c", "j")
+        return src.groupBy("j", "dim").agg(
+            (
+                F.sum(F.col("v").cast("decimal(38,10)")).cast("double")
+                / F.count("*")
+            ).alias("c")
+        )
+
+    def assign_step(cent: DataFrame) -> DataFrame:
+        d = (
+            pos.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "j")
+            .agg(
+                F.sum(
+                    F.expr("CAST((v - c) * (v - c) AS DECIMAL(38,12))")
+                ).alias("dist")
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "j")
+        return (
+            d.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("vec_id", F.col("j").alias("c"))
+        )
+
+    a1 = assign_step(centroids(None)).localCheckpoint()
+    a2 = assign_step(centroids(a1))
+    return (
+        a1.withColumnRenamed("c", "c1")
+        .join(a2.withColumnRenamed("c", "c2"), "vec_id")
+        .select("vec_id", F.col("c1").cast("long"), F.col("c2").cast("long"))
+    )

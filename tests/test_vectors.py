@@ -27,3 +27,15 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
 
     # probing 4/16 cells must still recover most of the true top-10
     assert len(exact_ids & approx_ids) >= 6, (exact_ids, approx_ids)
+
+
+def test_kmeans_assignments_valid_and_moving(spark, sf_dir):
+    from canvas_data_2_aws_spark import registry
+    from canvas_data_2_aws_spark.session import load_table
+
+    rows = registry.QUERIES["vector_kmeans_assign"](spark, sf_dir).collect()
+    assert len(rows) == load_table(spark, sf_dir, "embeddings").count()
+    assert {r.c1 for r in rows} <= {0, 1, 2, 3}
+    assert {r.c2 for r in rows} <= {0, 1, 2, 3}
+    # Lloyd iteration refines the id-bucket init: some vectors move
+    assert any(r.c1 != r.c2 for r in rows)
