@@ -205,3 +205,61 @@ def tws_user_totals_stream(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def capped_session_stream(events: DataFrame) -> DataFrame:
+    """Duration-capped sessionization as a custom stateful operator
+    (the streaming twin of the graded ``stream_session_capped`` batch
+    fold): state per user is (session id, previous-event µs, session
+    start µs, events-in-session); each micro-batch advances the fold
+    and emits the running row per touched session. Emitted counters
+    are monotone per (user, session), so the final state is the MAX
+    row per key — the same finalization trick as
+    ``stateful_user_totals_stream``. Requires per-user event-time
+    order across micro-batches (true for the time-split replay; a
+    production stream would pre-sort per batch on the watermark)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    GAP_US = 30 * 60 * 1_000_000
+    CAP_US = 2 * 60 * 60 * 1_000_000
+
+    def update(key, pdfs, state):
+        sess, prev_us, start_us, n = (
+            state.get if state.exists else (-1, None, None, 0)
+        )
+        out = {}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts in pdf["ts"]:
+                us = ts.value // 1000  # pandas ns → µs
+                if (
+                    prev_us is None
+                    or us > prev_us + GAP_US
+                    or us > start_us + CAP_US
+                ):
+                    sess += 1
+                    start_us = us
+                    n = 0
+                n += 1
+                prev_us = us
+                out[sess] = (n, start_us, us)
+        state.update((sess, prev_us, start_us, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out),
+                "session_id": list(out),
+                "n_events": [v[0] for v in out.values()],
+                "start_us": [v[1] for v in out.values()],
+                "end_us": [v[2] for v in out.values()],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id long, session_id long, n_events long,"
+        " start_us long, end_us long",
+        "sess long, prev_us long, start_us long, n long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

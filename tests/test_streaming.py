@@ -348,3 +348,43 @@ def test_streaming_ohlc_equals_batch(spark, sf_dir):
     b = {key_b(r): (r.open, r.high, r.low, r.close, r.n) for r in batch_rows}
     s = {key_s(r): (r.open, r.high, r.low, r.close, r.n) for r in stream_rows}
     assert b == s and len(b) > 10
+
+
+def test_streaming_capped_sessions_equal_batch(spark, sf_dir):
+    """The applyInPandasWithState capped-sessionization twin replays to
+    exactly the batch applyInPandas fold (same break rule, same state,
+    micro-batched)."""
+    import shutil
+
+    from canvas_data_2_aws_spark.queries.streaming import (
+        _few_state_partitions,
+        _replay_dir,
+    )
+    from canvas_data_2_aws_spark.streaming.windows import (
+        capped_session_stream,
+        read_event_stream,
+        run_available_now,
+    )
+
+    base = _replay_dir(spark, sf_dir)
+    try:
+        with _few_state_partitions(spark):
+            stream = read_event_stream(spark, f"{base}/part*")
+            sess = capped_session_stream(stream)
+            run_available_now(sess, "capped_sess_sink", output_mode="update")
+        stream_final = spark.sql(
+            """
+            SELECT user_id, session_id,
+                   MAX(n_events) AS n_events,
+                   timestamp_micros(MIN(start_us)) AS t_start,
+                   timestamp_micros(MAX(end_us)) AS t_end
+            FROM capped_sess_sink
+            GROUP BY user_id, session_id
+            """
+        ).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+    batch = registry.QUERIES["stream_session_capped"](spark, sf_dir).collect()
+    cols = ("user_id", "session_id", "n_events", "t_start", "t_end")
+    assert _as_set(stream_final, cols) == _as_set(batch, cols)
