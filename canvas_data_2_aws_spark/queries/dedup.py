@@ -199,7 +199,7 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows spreads the hashing across the cluster.
     sh = words.repartition("doc_id").select(
         "doc_id", F.array_distinct(T.ngrams_from_words("w", n=3)).alias("shingles")
-    )
+    ).localCheckpoint()  # consumed 3× (signature + both verify legs)
     # Row-wise signature via higher-order functions: each h_k is the
     # min over the row's own shingle array — NO explode, NO groupBy, so
     # signature computation is a pure map stage (the explode+8-agg form

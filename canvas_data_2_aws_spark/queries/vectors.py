@@ -182,9 +182,16 @@ def vector_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     so partial aggregation collapses each vector before any shuffle;
     at 100 TB the only wide exchange is the per-vector re-group."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pos = emb.select(
-        "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
-    ).withColumn("v", F.col("v").cast("double"))
+    # materialize the exploded view once: centroid and distance both
+    # consume it, and the duplicate explode subtree costs ~0.4 s of
+    # plan compile + compute per cold run at sf0.1
+    pos = (
+        emb.select(
+            "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
+        )
+        .withColumn("v", F.col("v").cast("double"))
+        .localCheckpoint()
+    )
     cent = pos.groupBy("label", "dim").agg(
         (
             F.sum(F.col("v").cast("decimal(38,10)")).cast("double") / F.count("*")
