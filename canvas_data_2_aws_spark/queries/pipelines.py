@@ -714,3 +714,69 @@ def analytics_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
         ).alias("n_finished"),
     )
+
+
+# --- training-mix budget allocation (largest-remainder apportionment) -----------
+
+_MIX_BUDGET = 100_000  # tokens to allocate across languages
+
+_MIX_ORACLE = f"""
+WITH counts AS (
+  SELECT lang, CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS toks
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS total FROM counts),
+quota AS (
+  SELECT lang, toks,
+         ({_MIX_BUDGET} * toks) // total AS base,
+         ({_MIX_BUDGET} * toks) % total AS rem
+  FROM counts, tot
+),
+ranked AS (
+  SELECT lang, toks, base, rem,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk,
+         CAST({_MIX_BUDGET} - SUM(base) OVER () AS BIGINT) AS leftover
+  FROM quota
+)
+SELECT lang, toks, CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                        AS BIGINT) AS alloc
+FROM ranked
+"""
+
+
+@graded("pipeline_mix_allocation", oracle=_MIX_ORACLE)
+def pipeline_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mix apportionment: allocate a global token budget across
+    languages proportionally, distributing the rounding leftover to
+    the largest remainders (Hamilton's method) — Σalloc == budget
+    exactly, all integer arithmetic, no float anywhere. The per-lang
+    rollup is the only data-scale pass; apportionment runs on the
+    lang-cardinality table (broadcast-sized at any corpus scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).alias("toks")
+    )
+    tot = counts.agg(F.sum("toks").alias("total"))
+    quota = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "toks",
+        F.expr(f"({_MIX_BUDGET} * toks) DIV total").alias("base"),
+        F.expr(f"({_MIX_BUDGET} * toks) % total").alias("rem"),
+    )
+    w_all = Window.partitionBy()
+    w_rk = Window.orderBy(F.col("rem").desc(), "lang")
+    ranked = quota.select(
+        "lang",
+        "toks",
+        "base",
+        F.row_number().over(w_rk).alias("rk"),
+        (F.lit(_MIX_BUDGET) - F.sum("base").over(w_all)).alias("leftover"),
+    )
+    return ranked.select(
+        "lang",
+        "toks",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("alloc"),
+    )

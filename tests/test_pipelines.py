@@ -152,3 +152,15 @@ def test_rolling_median_window_bounds(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.rolling_median > 0
+
+
+def test_mix_allocation_sums_to_budget(spark, sf_dir):
+    from canvas_data_2_aws_spark.queries.pipelines import _MIX_BUDGET
+
+    rows = registry.QUERIES["pipeline_mix_allocation"](spark, sf_dir).collect()
+    assert sum(r.alloc for r in rows) == _MIX_BUDGET
+    total = sum(r.toks for r in rows)
+    for r in rows:
+        # allocation within 1 of the exact proportional share
+        exact = _MIX_BUDGET * r.toks / total
+        assert abs(r.alloc - exact) < 1.0
