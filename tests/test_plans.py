@@ -102,6 +102,8 @@ _NESTED_LOOP_OK = {
     "agg_cms_freq",  # deliberate 4-row hash-seed fan-out broadcast
     "validate_snapshot_diff",  # same changeset derivation
     "jsonl_envelope_roundtrip",  # same changeset derivation
+    "text_unigram_logprob",  # ln(N/c): N = 1-row corpus token count
+    "pipeline_mix_allocation",  # 1-row total-tokens broadcast
 }
 
 # Construction-time side effects or non-DataFrame surfaces — no static
