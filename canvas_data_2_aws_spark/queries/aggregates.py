@@ -425,3 +425,67 @@ def agg_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mad_cents",
         )
     )
+
+
+# --- EXT: weighted percentiles (quantity-weighted price quartiles) -------------
+
+# Weighted quantile = smallest value whose peer-inclusive cumulative
+# weight reaches q·W. Both engines' default window frame with an ORDER
+# BY is RANGE UNBOUNDED PRECEDING → CURRENT ROW, which for tied order
+# keys includes ALL peers — so the cumulative weight at a given price is
+# the total weight of rows priced ≤ it, independent of intra-tie row
+# order. Weights and values are exact longs (integer quantity, integer
+# cents); thresholds compare as 4·cum ≥ k·W in integer arithmetic — no
+# division, no rounding, no float anywhere.
+_WEIGHTED_PCTL_ORACLE = """
+WITH cum AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+         SUM(CAST(round(l_quantity, 0) AS BIGINT)) OVER (
+           PARTITION BY l_returnflag ORDER BY round(l_extendedprice * 100, 0)
+         ) AS cw,
+         SUM(CAST(round(l_quantity, 0) AS BIGINT)) OVER (
+           PARTITION BY l_returnflag
+         ) AS w_total
+  FROM lineitem
+)
+SELECT l_returnflag,
+       MIN(CASE WHEN 4 * cw >= w_total     THEN cents END) AS wp25_cents,
+       MIN(CASE WHEN 2 * cw >= w_total     THEN cents END) AS wp50_cents,
+       MIN(CASE WHEN 4 * cw >= 3 * w_total THEN cents END) AS wp75_cents
+FROM cum
+GROUP BY l_returnflag
+"""
+
+
+@graded("agg_weighted_percentile", oracle=_WEIGHTED_PCTL_ORACLE)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price quartiles per returnflag — the weighted
+    median family (training-mix reweighting, cost attribution). One
+    window shuffle on (flag, price) + one hash agg; at 100 TB the
+    cumulative pass partitions by group exactly like any running sum,
+    and the final agg is map-side combinable."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    wgt = F.round(F.col("l_quantity"), 0).cast("long")
+    # Default (RANGE) frame on purpose: peer rows must share one
+    # cumulative value or tied prices would be order-dependent.
+    w_cum = Window.partitionBy("l_returnflag").orderBy(cents)
+    w_all = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        cents.alias("cents"),
+        F.sum(wgt).over(w_cum).alias("cw"),
+        F.sum(wgt).over(w_all).alias("w_total"),
+    )
+    def pick(mult: int) -> F.Column:
+        cond = 4 * F.col("cw") >= mult * F.col("w_total")
+        return F.min(F.when(cond, F.col("cents")))
+
+    return cum.groupBy("l_returnflag").agg(
+        pick(1).alias("wp25_cents"),
+        pick(2).alias("wp50_cents"),
+        pick(3).alias("wp75_cents"),
+    )

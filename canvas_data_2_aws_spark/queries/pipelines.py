@@ -780,3 +780,100 @@ def pipeline_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
         ).alias("alloc"),
     )
+
+
+# --- EXT: RFM customer scoring (recency / frequency / monetary quintiles) ------
+
+# ntile ties are broken by the window ORDER BY, so every ordering ends
+# with the unique c_custkey (SURVEY §8.4); Spark emits int32 ntile vs
+# DuckDB int64 → cast to long on the Spark side (ADVICE r1 law).
+# Monetary is an exact decimal-cents sum; recency orders by DATE then
+# key — no floats anywhere before the scores.
+_RFM_ORACLE = """
+WITH base AS (
+  SELECT o_custkey AS custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders
+  GROUP BY o_custkey
+)
+SELECT custkey,
+       CAST(ntile(5) OVER (ORDER BY last_order DESC, custkey) AS BIGINT) AS r_score,
+       CAST(ntile(5) OVER (ORDER BY n_orders DESC, custkey) AS BIGINT)   AS f_score,
+       CAST(ntile(5) OVER (ORDER BY cents DESC, custkey) AS BIGINT)      AS m_score
+FROM base
+"""
+
+
+@graded("analytics_rfm_scores", oracle=_RFM_ORACLE)
+def analytics_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM segmentation: quintile scores for recency, frequency
+    and monetary value per customer. The agg is one map-side-combinable
+    pass over orders; the three global ntiles are a single
+    range-partitioned sort each at scale (Spark's global window = one
+    partition here — at 100 TB you'd swap ntile for percentile
+    boundaries computed once and broadcast, same output contract)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents"),
+    )
+    w_r = Window.orderBy(F.col("last_order").desc(), "custkey")
+    w_f = Window.orderBy(F.col("n_orders").desc(), "custkey")
+    w_m = Window.orderBy(F.col("cents").desc(), "custkey")
+    return base.select(
+        "custkey",
+        F.ntile(5).over(w_r).cast("long").alias("r_score"),
+        F.ntile(5).over(w_f).cast("long").alias("f_score"),
+        F.ntile(5).over(w_m).cast("long").alias("m_score"),
+    )
+
+
+# --- EXT: first-order Markov transition matrix over event streams --------------
+
+# Transition counts are exact; the probability is one division of two
+# BIGINTs — the identical IEEE operation on identical operands in both
+# engines — then ROUND(,4). lead() ordering ends with unique event_id.
+_MARKOV_ORACLE = """
+WITH hops AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS nxt
+  FROM events
+)
+SELECT cur, nxt, COUNT(*) AS n_trans,
+       ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY cur) AS DOUBLE),
+             4) AS p
+FROM hops
+WHERE nxt IS NOT NULL
+GROUP BY cur, nxt
+"""
+
+
+@graded("analytics_markov_transitions", oracle=_MARKOV_ORACLE)
+def analytics_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    stream — the session-behavior model behind next-action prediction.
+    One window shuffle on user_id produces the (cur, next) pairs; the
+    count agg and the per-cur normalizing window both run on the tiny
+    |types|² matrix, so scale cost is the single user_id exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    counts = hops.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n_trans"))
+    w_cur = Window.partitionBy("cur")
+    return counts.select(
+        "cur",
+        "nxt",
+        "n_trans",
+        F.round(
+            F.col("n_trans") / F.sum("n_trans").over(w_cur).cast("double"), 4
+        ).alias("p"),
+    )

@@ -433,3 +433,63 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.when(n % 2 == 1, odd).otherwise(even).alias("rolling_median"),
     )
+
+
+# --- EXT: rolling z-score anomaly flags ----------------------------------------
+
+# The trailing-20 frame statistics come from exact BIGINT power sums of
+# integer cents (cents ≤ ~10^5 → Σx² over 20 rows ≪ 2^63), so mean and
+# sample variance are closed-form doubles over identical operands in
+# both engines; the z-score then runs the same IEEE op sequence →
+# bit-identical before ROUND(,4). Rows without a full 20-row history
+# are excluded by row_number, same filter both sides.
+_ANOMALY_ORACLE = """
+WITH framed AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER w20 AS sx,
+         SUM(CAST(round(value * 100, 0) AS BIGINT)
+             * CAST(round(value * 100, 0) AS BIGINT)) OVER w20 AS sxx,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+  WINDOW w20 AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id,
+       ROUND((cents - sx / 20.0)
+             / sqrt((sxx - sx * sx / 20.0) / 19.0), 4) AS z,
+       (abs((cents - sx / 20.0)
+            / sqrt((sxx - sx * sx / 20.0) / 19.0)) > 2.0) AS is_anomaly
+FROM framed
+WHERE rn >= 20
+"""
+
+
+@graded("timeseries_anomaly_zscore", oracle=_ANOMALY_ORACLE)
+def timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 20-event z-score per user with |z| > 2 anomaly flags —
+    the streaming outlier monitor in batch form. One window shuffle on
+    user_id serves the two power sums and the row_number; per-row state
+    is two BIGINTs regardless of history length, so the operator is
+    O(1)-memory per row at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w20 = w_ord.rowsBetween(-19, 0)
+    framed = ev.select(
+        "event_id",
+        "user_id",
+        cents.alias("cents"),
+        F.sum(cents).over(w20).alias("sx"),
+        F.sum(cents * cents).over(w20).alias("sxx"),
+        F.row_number().over(w_ord).alias("rn"),
+    ).where(F.col("rn") >= 20)
+    z = (F.col("cents") - F.col("sx") / 20.0) / F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / 20.0) / 19.0
+    )
+    return framed.select(
+        "event_id",
+        "user_id",
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )

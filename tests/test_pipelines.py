@@ -164,3 +164,43 @@ def test_mix_allocation_sums_to_budget(spark, sf_dir):
         # allocation within 1 of the exact proportional share
         exact = _MIX_BUDGET * r.toks / total
         assert abs(r.alloc - exact) < 1.0
+
+
+def test_rfm_scores_quintiles_balanced(spark, sf_dir):
+    rows = registry.QUERIES["analytics_rfm_scores"](spark, sf_dir).collect()
+    assert rows
+    from collections import Counter
+
+    for field in ("r_score", "f_score", "m_score"):
+        sizes = Counter(getattr(r, field) for r in rows)
+        assert set(sizes) == {1, 2, 3, 4, 5}
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_markov_transition_rows_normalized(spark, sf_dir):
+    from collections import defaultdict
+
+    rows = registry.QUERIES["analytics_markov_transitions"](spark, sf_dir).collect()
+    assert rows
+    by_cur = defaultdict(float)
+    for r in rows:
+        assert 0.0 < r.p <= 1.0
+        by_cur[r.cur] += r.p
+    for total in by_cur.values():
+        assert abs(total - 1.0) < 1e-2  # rounding to 4 dp per cell
+
+
+def test_anomaly_zscore_flag_consistency(spark, sf_dir):
+    rows = registry.QUERIES["timeseries_anomaly_zscore"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # flag comes from the unrounded z; allow the 4-dp boundary band
+        if abs(abs(r.z) - 2.0) > 1e-4:
+            assert r.is_anomaly == (abs(r.z) > 2.0)
+
+
+def test_weighted_percentile_ordered(spark, sf_dir):
+    rows = registry.QUERIES["agg_weighted_percentile"](spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.wp25_cents <= r.wp50_cents <= r.wp75_cents
