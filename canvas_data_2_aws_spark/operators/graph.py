@@ -159,3 +159,50 @@ def pagerank(
         )
         ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source BFS: (node, level) with level = min hop distance
+    from any seed, capped at ``max_hops``.
+
+    ``edges`` is undirected (symmetrized here); unreachable nodes are
+    absent from the output. Each hop is one equi join + one anti join
+    against the visited set — the canonical Spark frontier expansion.
+    Frontiers are localCheckpoint-ed: without it every hop re-executes
+    the whole prefix once per downstream consumer (the round-2 shared-
+    subtree law). Deterministic: min-level semantics, no randomness.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("level", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier.node == sym.a)
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("level", F.lit(hop).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited

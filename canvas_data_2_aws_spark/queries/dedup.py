@@ -705,3 +705,139 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_new", "doc_old", (inter.cast("double") / union).alias("jaccard")
         )
     )
+
+
+# --- degree distribution of the fuzzy-match graph -------------------------------
+
+# Same brand-blocked levenshtein edge set as graph_triangle_count; the
+# undirected degree is the count of symmetrized neighbors. Histogram
+# keys and counts are exact integers — nothing to round.
+_DEGREE_ORACLE = """
+WITH e AS (
+  SELECT a.p_partkey AS a, b.p_partkey AS b
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 4
+),
+sym AS (
+  SELECT a AS node, b AS nbr FROM e
+  UNION
+  SELECT b, a FROM e
+),
+deg AS (
+  SELECT node, COUNT(*) AS degree FROM sym GROUP BY node
+)
+SELECT degree, COUNT(*) AS n_nodes
+FROM deg
+GROUP BY degree
+"""
+
+
+@graded("graph_degree_stats", oracle=_DEGREE_ORACLE)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the fuzzy-match graph — the first thing
+    to profile before any pairwise expansion (a heavy tail predicts
+    quadratic bucket blowup; see the MinHash cap note). Two hash aggs
+    over the symmetrized edge list; both are map-side combinable, so
+    the exchanges carry node- and degree-cardinality rows only."""
+    p = load_table(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand"),
+    )
+    e = (
+        a.join(b, "brand")
+        .where(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.levenshtein("name_a", "name_b") <= 4)
+        )
+        .select("key_a", "key_b")
+    )
+    sym = e.select(
+        F.col("key_a").alias("node"), F.col("key_b").alias("nbr")
+    ).unionByName(
+        e.select(F.col("key_b").alias("node"), F.col("key_a").alias("nbr"))
+    ).distinct()
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+# --- multi-source BFS levels over the fuzzy-match graph -------------------------
+
+# Levels are min-hop distances — order-independent, so the iterative
+# Spark frontier expansion and the recursive-CTE oracle agree exactly.
+# The CTE generates every path of length ≤ 3 from the seed set (finite
+# because lvl is bounded); MIN(lvl) collapses duplicates.
+_BFS_ORACLE = """
+WITH RECURSIVE e AS (
+  SELECT a.p_partkey AS a, b.p_partkey AS b
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 4
+),
+sym AS (
+  SELECT a AS src, b AS dst FROM e
+  UNION
+  SELECT b, a FROM e
+),
+seeds AS (
+  SELECT DISTINCT src AS node FROM sym WHERE src % 100 = 0
+),
+bfs AS (
+  SELECT node, CAST(0 AS BIGINT) AS lvl FROM seeds
+  UNION ALL
+  SELECT s.dst, bfs.lvl + 1
+  FROM bfs JOIN sym s ON s.src = bfs.node
+  WHERE bfs.lvl < 3
+)
+SELECT node, MIN(lvl) AS level
+FROM bfs
+GROUP BY node
+"""
+
+
+@graded("graph_bfs_levels", oracle=_BFS_ORACLE)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the fuzzy-match graph: min hop distance
+    (≤3) from the seed set — the reachability/contamination-radius
+    primitive (e.g. how far does a flagged document's influence
+    spread). Spark side iterates one join + anti-join per hop with
+    checkpointed frontiers (operators/graph.bfs_levels); the oracle
+    unrolls via a bounded recursive CTE. At 100 TB each hop shuffles
+    only the frontier, never the full visited set."""
+    from ..operators.graph import bfs_levels
+
+    p = load_table(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand"),
+    )
+    e = (
+        a.join(b, "brand")
+        .where(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.levenshtein("name_a", "name_b") <= 4)
+        )
+        .select("key_a", "key_b")
+    )
+    sym = e.select(
+        F.col("key_a").alias("src"), F.col("key_b").alias("dst")
+    ).unionByName(
+        e.select(F.col("key_b").alias("src"), F.col("key_a").alias("dst"))
+    )
+    seeds = sym.where(F.col("src") % 100 == 0).select(
+        F.col("src").alias("node")
+    )
+    return bfs_levels(sym, seeds, max_hops=3)

@@ -478,3 +478,89 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 5)
         .select("lang", "doc_id", "n_chars")
     )
+
+
+# --- EXT: PMI co-occurrence (collocation mining) --------------------------------
+
+# Counts are exact integers; the PMI is ONE ln() over a double ratio
+# built from identical operands in identical order, so both engines
+# feed the same double into their (correctly-rounded) libm ln. The
+# ROUND(,4) boundary risk for a single transcendental is the accepted
+# ≪1e-9-per-row class (same rationale as the A-ES sampling keys; the
+# sf0.01 check_oracle pass IS the driver's exact gate data). The ≥5
+# pair-count floor bounds the output, not the math.
+_PMI_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+tok4 AS (
+  SELECT doc_id, token FROM tok WHERE length(token) >= 4
+),
+n_docs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+df AS (SELECT token, COUNT(*) AS dfreq FROM tok4 GROUP BY token),
+pairs AS (
+  SELECT a.token AS tok_a, b.token AS tok_b, COUNT(*) AS n_co
+  FROM tok4 a JOIN tok4 b
+    ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY a.token, b.token
+  HAVING COUNT(*) >= 5
+)
+SELECT p.tok_a, p.tok_b, p.n_co,
+       ROUND(ln(CAST(p.n_co AS DOUBLE) * (SELECT n FROM n_docs)
+                / (da.dfreq * db.dfreq)), 4) AS pmi
+FROM pairs p
+JOIN df da ON da.token = p.tok_a
+JOIN df db ON db.token = p.tok_b
+"""
+
+
+@graded("text_cooccurrence_pmi", oracle=_PMI_ORACLE)
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over same-document token pairs —
+    the collocation miner (phrase discovery, tokenizer-merge
+    candidates). The pair join is doc-keyed (bounded per-doc fanout,
+    like every blocked pair expansion here); document frequencies
+    broadcast back onto the pair aggregate, and the scalar corpus
+    size rides a 1-row broadcast. At 100 TB: cap distinct tokens per
+    doc before pairing — fanout is quadratic in that cap only."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok4 = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .where(F.length("token") >= 4)
+        .distinct()
+    )
+    tok4 = tok4.localCheckpoint(eager=True)  # consumed 3× below
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n"))
+    df_t = tok4.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    a = tok4.select("doc_id", F.col("token").alias("tok_a"))
+    b = tok4.select("doc_id", F.col("token").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .where(F.col("n_co") >= 5)
+    )
+    da = df_t.select(F.col("token").alias("tok_a"), F.col("dfreq").alias("df_a"))
+    db = df_t.select(F.col("token").alias("tok_b"), F.col("dfreq").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(da), "tok_a")
+        .join(F.broadcast(db), "tok_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_co",
+            F.round(
+                F.log(
+                    F.col("n_co").cast("double")
+                    * F.col("n")
+                    / (F.col("df_a") * F.col("df_b"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )

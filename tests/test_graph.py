@@ -55,3 +55,28 @@ def test_pagerank_invariants(spark, sf_dir):
     assert len(rows) > 0
     assert all(r.rank > 0 for r in rows)
     assert abs(sum(r.rank for r in rows) - 1.0) < 1e-3
+
+
+def test_bfs_levels_min_hop_semantics(spark):
+    from canvas_data_2_aws_spark.operators.graph import bfs_levels
+
+    # chain 0-1-2-3-4-5 plus a shortcut 0-3: node 3 is 1 hop, not 3
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (0, 3)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    levels = {r.node: r.level for r in bfs_levels(edges, seeds, max_hops=3).collect()}
+    assert levels == {0: 0, 1: 1, 3: 1, 2: 2, 4: 2, 5: 3}
+
+
+def test_bfs_levels_unreachable_and_cap(spark):
+    from canvas_data_2_aws_spark.operators.graph import bfs_levels
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    levels = {r.node: r.level for r in bfs_levels(edges, seeds, max_hops=2).collect()}
+    # capped at 2 hops; disconnected 10-11 island absent
+    assert levels == {0: 0, 1: 1, 2: 2}

@@ -104,6 +104,7 @@ _NESTED_LOOP_OK = {
     "jsonl_envelope_roundtrip",  # same changeset derivation
     "text_unigram_logprob",  # ln(N/c): N = 1-row corpus token count
     "pipeline_mix_allocation",  # 1-row total-tokens broadcast
+    "text_cooccurrence_pmi",  # ln(n_co·N/df²): N = 1-row corpus doc count
 }
 
 # Construction-time side effects or non-DataFrame surfaces — no static
