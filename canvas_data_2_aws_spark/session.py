@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from . import schemas
 
@@ -79,18 +79,26 @@ def configure(spark: SparkSession) -> SparkSession:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Schema-true read of one fixture table (SURVEY §2.1 S1/S4).
 
-    ``events`` needs the nanos→µs normalization: the parquet column is
-    TIMESTAMP(NANOS); with nanosAsLong it surfaces as LongType ns, and
-    ``timestamp_micros(ts DIV 1000)`` (integer DIV — double division
-    loses precision near 1.7e18) matches DuckDB's native µs-truncated
-    read bit-for-bit (SURVEY §8.2).
+    ``events.ts`` normalization is *type-adaptive*: older fixture drops
+    encoded it as TIMESTAMP(NANOS) (surfacing as LongType ns under
+    nanosAsLong, needing ``timestamp_micros(ts DIV 1000)``); current
+    drops are plain timestamp[us] and read directly as a timestamp.
+    Branching on the observed read type keeps both encodings loading
+    bit-identically to DuckDB's µs read (SURVEY §8.2).
     """
     if name not in schemas.TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {schemas.TABLE_NAMES}")
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # Downstream ops (unix_micros, asof interpolation) require
+            # TIMESTAMP; with the session TZ pinned to UTC the NTZ→LTZ
+            # cast is wall-clock-identity, matching DuckDB's naive read.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _reject_drift(name, df)
     return df
 
