@@ -412,3 +412,83 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive executor."""
     register_tables(spark, sf_dir)
     return spark.sql(_RECURSIVE_SQL)
+
+
+# --- EXT: market-basket association rules ----------------------------------------
+
+# Support / confidence / lift over same-order brand pairs — the classic
+# association miner. Pair fanout is order-keyed (quadratic only in the
+# per-order distinct-brand count, ~4), the brand-support table and the
+# scalar order count broadcast back onto the pair aggregate.
+_BASKET_ORACLE = """
+WITH b AS (
+  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+n AS (SELECT COUNT(DISTINCT ok) AS n FROM b),
+s AS (SELECT brand, COUNT(*) AS sup FROM b GROUP BY brand),
+pr AS (
+  SELECT a.brand AS brand_a, c.brand AS brand_b, COUNT(*) AS sup_ab
+  FROM b a JOIN b c ON a.ok = c.ok AND a.brand < c.brand
+  GROUP BY a.brand, c.brand
+  HAVING COUNT(*) >= 10
+)
+SELECT pr.brand_a, pr.brand_b, pr.sup_ab,
+       ROUND(CAST(pr.sup_ab AS DOUBLE) / sa.sup, 4) AS confidence,
+       ROUND(CAST(pr.sup_ab AS DOUBLE) * n.n
+             / (CAST(sa.sup AS DOUBLE) * sb.sup), 4) AS lift
+FROM pr
+JOIN s sa ON sa.brand = pr.brand_a
+JOIN s sb ON sb.brand = pr.brand_b, n
+"""
+
+
+@graded("analytics_market_basket", oracle=_BASKET_ORACLE)
+def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand co-purchase rules (support ≥ 10) with confidence and lift.
+    The basket table materializes once (localCheckpoint — it feeds the
+    scalar count, the per-brand supports, and both sides of the pair
+    join); the pair join is an order-keyed self-join so its shuffle
+    co-partitions both sides on the same key. At 100 TB: cap distinct
+    items per basket before pairing (fanout is quadratic in that cap
+    only) and salt mega-baskets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    b = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    b = b.localCheckpoint(eager=True)  # consumed 4× below
+    n = b.agg(F.countDistinct("ok").alias("n"))
+    s = b.groupBy("brand").agg(F.count(F.lit(1)).alias("sup"))
+    a = b.select("ok", F.col("brand").alias("brand_a"))
+    c = b.select("ok", F.col("brand").alias("brand_b"))
+    pr = (
+        a.join(c, "ok")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("sup_ab"))
+        .where(F.col("sup_ab") >= 10)
+    )
+    sa = s.select(F.col("brand").alias("brand_a"), F.col("sup").alias("sup_a"))
+    sb = s.select(F.col("brand").alias("brand_b"), F.col("sup").alias("sup_b"))
+    return (
+        pr.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "sup_ab",
+            F.round(F.col("sup_ab").cast("double") / F.col("sup_a"), 4).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("sup_ab").cast("double")
+                * F.col("n")
+                / (F.col("sup_a").cast("double") * F.col("sup_b")),
+                4,
+            ).alias("lift"),
+        )
+    )

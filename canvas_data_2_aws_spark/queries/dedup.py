@@ -841,3 +841,79 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("node")
     )
     return bfs_levels(sym, seeds, max_hops=3)
+
+
+# --- EXT: duplicated-span detection ----------------------------------------------
+
+# Exact-substring dedup at n-gram granularity (the "dedup training data
+# by long repeated substrings" op): 5-gram shingles with positions,
+# keep those appearing in ≥2 docs, then merge adjacent hit positions
+# per doc into maximal spans with the two-key gaps-and-islands trick.
+# Spans shorter than 2 shingles (6 words) are noise and dropped.
+_DUP_SPANS_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, greatest(len(w) - 4, 0))) AS INTEGER) AS pos,
+         unnest(list_transform(range(0, greatest(len(w) - 4, 0)),
+           i -> concat_ws(' ', w[i+1], w[i+2], w[i+3], w[i+4], w[i+5]))) AS shingle
+  FROM w
+),
+dup AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(DISTINCT doc_id) >= 2
+),
+hits AS (SELECT sh.doc_id, sh.pos FROM sh JOIN dup USING (shingle)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS INTEGER) AS grp
+  FROM hits
+)
+SELECT doc_id,
+       MIN(pos) AS span_start,
+       MAX(pos) + 4 AS span_end,
+       MAX(pos) + 4 - MIN(pos) + 1 AS n_words
+FROM isl
+GROUP BY doc_id, grp
+HAVING COUNT(*) >= 2
+"""
+
+
+@graded("dedup_duplicate_spans", oracle=_DUP_SPANS_ORACLE)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicated spans per doc — the
+    repeated-substring dedup pass (boilerplate/license-block removal)
+    at 5-gram granularity. One positional shingle explode feeds both
+    the cross-doc frequency agg and the probe side (localCheckpoint —
+    consumed twice); adjacent hits merge into spans via a doc-keyed
+    window, so the only shuffles are the shingle agg and one window
+    exchange on doc_id. At 100 TB the shingle agg is the big shuffle:
+    partial map-side combine applies, and the dup set stays small
+    enough to broadcast back (cross-doc repeats are the tail)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    sh = words.select(
+        "doc_id", F.posexplode(T.ngrams_from_words("w", 5)).alias("pos", "shingle")
+    )
+    sh = sh.localCheckpoint(eager=True)  # consumed 2× below
+    dup = (
+        sh.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("shingle")
+    )
+    hits = sh.join(F.broadcast(dup), "shingle").select("doc_id", "pos")
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w_ord).cast("int")
+    )
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + 4).alias("span_end"),
+            (F.max("pos") + 4 - F.min("pos") + 1).alias("n_words"),
+            F.count(F.lit(1)).alias("n_sh"),
+        )
+        .where(F.col("n_sh") >= 2)
+        .select("doc_id", "span_start", "span_end", "n_words")
+    )

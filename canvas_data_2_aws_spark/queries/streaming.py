@@ -11,7 +11,7 @@ from __future__ import annotations
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.numeric import dsum, oracle_dsum
 from ..registry import graded
@@ -509,4 +509,76 @@ def stream_session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessionize,
         "user_id long, session_id long, n_events long,"
         " t_start timestamp, t_end timestamp",
+    )
+
+
+# --- EXT: CUSUM changepoint flags ------------------------------------------------
+
+# Mean-free cumulative-sum drift detection per event_type. The CUSUM
+# statistic C_k = Σ_{i≤k}(x_i − μ) is kept exact by clearing the
+# denominator: dev_k = cum_k·n − k·sum (pure BIGINT; cents ≤ 1e5,
+# n ≤ 1e5 → |dev| < 1e15 ≪ 2^63). The flag threshold compares
+# integers (|dev| ≥ 1000·n ⇔ |C_k| ≥ $10), so row membership is
+# exact; only the reported magnitude goes through one double division.
+_CUSUM_ORACLE = """
+WITH e AS (
+  SELECT event_type, ts, event_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+st AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t,
+         CAST(SUM(cents) AS BIGINT) AS sum_t
+  FROM e GROUP BY event_type
+),
+cu AS (
+  SELECT event_type, ts, event_id,
+         CAST(SUM(cents) OVER (PARTITION BY event_type ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+              AS BIGINT) AS k
+  FROM e
+)
+SELECT cu.event_type, cu.ts, cu.event_id,
+       ROUND(CAST(cu.cum * st.n_t - cu.k * st.sum_t AS DOUBLE)
+             / st.n_t / 100.0, 4) AS cusum_usd
+FROM cu JOIN st USING (event_type)
+WHERE abs(cu.cum * st.n_t - cu.k * st.sum_t) >= 1000 * st.n_t
+"""
+
+
+@graded("timeseries_changepoint", oracle=_CUSUM_ORACLE)
+def timeseries_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift monitor: rows where the mean-free cumulative sum of
+    a series exceeds $10 — the changepoint/level-shift detector. One
+    window exchange on event_type serves the running sum and the row
+    counter; the per-type totals broadcast back. Per-row state is one
+    BIGINT, so the operator streams at any scale (and maps 1:1 onto
+    the stateful-aggregation form for the online variant)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    e = ev.select("event_type", "ts", "event_id", cents.alias("cents"))
+    st = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_t"), F.sum("cents").alias("sum_t")
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    cu = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum("cents")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.row_number().over(w_ord).cast("long").alias("k"),
+    )
+    dev = F.col("cum") * F.col("n_t") - F.col("k") * F.col("sum_t")
+    return (
+        cu.join(F.broadcast(st), "event_type")
+        .where(F.abs(dev) >= 1000 * F.col("n_t"))
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.round(dev.cast("double") / F.col("n_t") / 100.0, 4).alias("cusum_usd"),
+        )
     )

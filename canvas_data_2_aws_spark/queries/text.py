@@ -564,3 +564,107 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+# --- EXT: BM25 retrieval scoring -------------------------------------------------
+
+# Okapi BM25 with the Lucene idf form, k1=1.2, b=0.75. Every input (tf,
+# df, dl, N) is an exact integer aggregate; avgdl and the score are then
+# the same IEEE op sequence over identical operands in both engines, so
+# ROUND(,4) is bit-stable (same recipe as text_tfidf / text_unigram).
+_BM25_ORACLE = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl)
+SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+       ROUND(
+         LN(1.0 + (CAST(stats.n - dfreq.df AS DOUBLE) + 0.5)
+                  / (CAST(dfreq.df AS DOUBLE) + 0.5))
+         * (CAST(tf.tf AS DOUBLE) * 2.2)
+         / (CAST(tf.tf AS DOUBLE)
+            + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl))),
+         4) AS bm25
+FROM tf
+JOIN dl USING (doc_id)
+JOIN dfreq USING (token), stats
+"""
+
+
+@graded("text_bm25", oracle=_BM25_ORACLE)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75, Lucene idf) per (doc, term) — the
+    ranking function a corpus-retrieval stage runs over the inverted
+    index. Three hash aggs off one token explode; df and the scalar
+    (N, avgdl) stats broadcast back onto the tf stream, and dl rides a
+    doc-keyed join that co-partitions with tf's grouping — so the only
+    full shuffle of the token stream is the tf aggregation itself, same
+    as text_tfidf."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("n") - F.col("df")).cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    score = (
+        idf
+        * (F.col("tf").cast("double") * 2.2)
+        / (
+            F.col("tf").cast("double")
+            + 1.2 * (0.25 + 0.75 * (F.col("dl").cast("double") / F.col("avgdl")))
+        )
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "token", "tf", "df", F.round(score, 4).alias("bm25"))
+    )
+
+
+# --- EXT: inverted-index construction --------------------------------------------
+
+_INVERTED_ORACLE = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+post AS (SELECT token, doc_id, COUNT(*) AS tf FROM tok GROUP BY token, doc_id)
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS cf,
+       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+FROM post
+GROUP BY token
+HAVING COUNT(*) >= 3
+"""
+
+
+@graded("text_inverted_index", oracle=_INVERTED_ORACLE)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term → sorted postings-list construction (df ≥ 3) — the search
+    index build step. Two hash aggs: (token, doc) tf partials, then a
+    token-keyed collect; ``sort_array`` pins the postings order that
+    ``collect_list`` alone leaves nondeterministic. At 100 TB the
+    postings list for a stop-term is the scale hazard — cap or
+    tier hot terms (df cutoff here models the tiering gate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens()).alias("token"))
+    post = tok.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        post.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias(
+                "postings"
+            ),
+        )
+        .where(F.col("df") >= 3)
+    )

@@ -402,3 +402,59 @@ def vector_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(a2.withColumnRenamed("c", "c2"), "vec_id")
         .select("vec_id", F.col("c1").cast("long"), F.col("c2").cast("long"))
     )
+
+
+# --- EXT: Johnson-Lindenstrauss random projection --------------------------------
+
+# 64 → 8 dim reduction with a deterministic ±1 projection matrix:
+# sign(i,j) = parity of the first md5 hex digit of "i_j" — the same
+# construction in both engines, no RNG. Inputs quantize to exact
+# 1e-4 ticks (BIGINT), so each output coordinate is one integer dot
+# product; only the final rescale is floating point.
+_RANDPROJ_ORACLE = """
+WITH pos AS (
+  SELECT vec_id, pos AS i,
+         CAST(round(CAST(list_extract(embedding, pos + 1) AS DOUBLE)
+                    * 10000, 0) AS BIGINT) AS xi
+  FROM embeddings, range(0, 64) t(pos)
+),
+pj AS (SELECT vec_id, i, xi, j FROM pos, range(0, 8) t2(j)),
+y AS (
+  SELECT vec_id, CAST(j AS INTEGER) AS j,
+         SUM(CASE WHEN contains('02468ace',
+                    substring(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1))
+             THEN xi ELSE -xi END) AS y
+  FROM pj GROUP BY vec_id, j
+)
+SELECT vec_id, j, ROUND(CAST(y AS DOUBLE) / 10000.0, 4) AS yv FROM y
+"""
+
+
+@graded("vector_random_projection", oracle=_RANDPROJ_ORACLE)
+def vector_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 sketch of the embedding column
+    (64 → 8 dims) — the cheap-distance-preserving compression stage
+    before clustering/ANN at corpus scale. The projection matrix is a
+    hash function, not a broadcast artifact, so executors need zero
+    setup state; the explode stays parent-partition-local and partial
+    aggregation collapses each vector's 512 terms map-side before the
+    one per-vector shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).withColumn(
+        "xi", F.round(F.col("x").cast("double") * 10000, 0).cast("long")
+    )
+    pj = pos.select(
+        "vec_id", "i", "xi", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("j")
+    )
+    sgn_pos = F.expr(
+        "contains('02468ace', substring(md5(concat(cast(i as string), '_',"
+        " cast(j as string))), 1, 1))"
+    )
+    y = pj.groupBy("vec_id", "j").agg(
+        F.sum(F.when(sgn_pos, F.col("xi")).otherwise(-F.col("xi"))).alias("y")
+    )
+    return y.select(
+        "vec_id", "j", F.round(F.col("y").cast("double") / 10000.0, 4).alias("yv")
+    )
