@@ -1,0 +1,96 @@
+"""Distributed exact global ranks — no single-partition WindowExec.
+
+A bare ``Window.orderBy(...)`` (no PARTITION BY) makes Spark move every
+row to ONE task (WindowExec warns "No Partition Defined"); fine on 60 k
+rows, fatal at 100 TB. These builders produce the *same exact results*
+with bounded per-task memory:
+
+1. ``repartitionByRange`` on the sort key → each task holds one
+   contiguous key range (Spark's range partitioner samples
+   deterministically, and ties can split across partitions safely
+   because the full sort key is required to be unique);
+2. local ``row_number`` within each range partition;
+3. add the partition's global offset (a ≤ #partitions-row aggregate,
+   broadcast back).
+
+Cost: two exchanges of the data (range + the pid-hash the window
+needs) instead of one single-task sort — the classic distributed
+total-order trade. ``exact_ntile`` reproduces ANSI NTILE's bucket
+sizing (first n%k buckets get ⌈n/k⌉ rows) from the global rank, so
+results hash-match the naive form bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+_PID = "__rank_pid"
+_OFF = "__rank_off"
+_CNT = "__rank_cnt"
+
+
+def _cols(order_cols) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in order_cols]
+
+
+def global_row_number(
+    df: DataFrame, order_cols, out: str = "rn", num_partitions: int | None = None
+) -> DataFrame:
+    """Exact 1-based global row_number over a total order, distributed.
+
+    ``order_cols`` MUST form a total order (end with a unique key) —
+    the same contract the graded queries already obey (SURVEY §8.4).
+    """
+    cols = _cols(order_cols)
+    parts = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    )
+    withpid = parts.withColumn(_PID, F.spark_partition_id())
+    counts = withpid.groupBy(_PID).agg(F.count(F.lit(1)).alias(_CNT))
+    # ≤ #partitions rows: the single-partition window here is over the
+    # partition *manifest*, not the data.
+    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        _PID, F.coalesce(F.sum(_CNT).over(w_off), F.lit(0)).alias(_OFF)
+    )
+    local = F.row_number().over(Window.partitionBy(_PID).orderBy(*cols))
+    return (
+        withpid.join(F.broadcast(offs), _PID)
+        .withColumn(out, (F.col(_OFF) + local).cast("long"))
+        .drop(_PID, _OFF)
+    )
+
+
+def exact_ntile(
+    df: DataFrame, k: int, order_cols, out: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """ANSI NTILE(k) over a total order without a single-task sort.
+
+    Derives the bucket from the distributed global rank: with n rows,
+    q = n÷k and r = n mod k, the first r buckets take q+1 rows —
+    identical to the engine NTILE the oracles run.
+    """
+    rn = "__rank_rn"
+    ranked = global_row_number(df, order_cols, out=rn, num_partitions=num_partitions)
+    n_df = ranked.agg(F.count(F.lit(1)).alias("__rank_n"))
+    q = F.expr(f"__rank_n DIV {k}")
+    r = F.expr(f"__rank_n % {k}")
+    rnc = F.col(rn)
+    bucket = (
+        F.when(rnc <= (q + 1) * r, F.expr(f"({rn} - 1) DIV (__rank_n DIV {k} + 1)"))
+        .otherwise(
+            r + F.expr(
+                f"({rn} - 1 - (__rank_n DIV {k} + 1) * (__rank_n % {k}))"
+                f" DIV (__rank_n DIV {k})"
+            )
+        )
+        + 1
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n_df))
+        .withColumn(out, bucket.cast("long"))
+        .drop(rn, "__rank_n")
+    )

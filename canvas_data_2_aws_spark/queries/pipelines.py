@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.numeric import dsum_col
+from ..operators.ranks import exact_ntile
 from ..registry import graded
 from ..session import load_table
 
@@ -691,16 +692,16 @@ GROUP BY decile
 def analytics_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-frequency binning (deciles) of a numeric feature with
     per-bin target stats — the discretization step before WOE/monotone
-    encodings in feature pipelines. ntile's ORDER BY ends in the
-    unique key, so bin assignment is total and reproducible. The
-    global sort is the scale cost; at 100 TB swap ntile for
-    approx-quantile cut points broadcast to a map-side bucketer."""
+    encodings in feature pipelines. The decile comes from
+    ``operators.ranks.exact_ntile`` (range-partitioned distributed
+    rank, bit-identical to NTILE): no single-task global sort, so the
+    assignment stays exact at 100 TB with bounded per-task memory."""
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    binned = o.select(
-        "o_totalprice",
-        "o_orderstatus",
-        F.ntile(10).over(w).cast("long").alias("decile"),
+    binned = exact_ntile(
+        o.select("o_totalprice", "o_orderstatus", "o_orderkey"),
+        10,
+        ["o_totalprice", "o_orderkey"],
+        out="decile",
     )
     return binned.groupBy("decile").agg(
         F.count("*").alias("n"),
@@ -811,25 +812,26 @@ FROM base
 def analytics_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic RFM segmentation: quintile scores for recency, frequency
     and monetary value per customer. The agg is one map-side-combinable
-    pass over orders; the three global ntiles are a single
-    range-partitioned sort each at scale (Spark's global window = one
-    partition here — at 100 TB you'd swap ntile for percentile
-    boundaries computed once and broadcast, same output contract)."""
+    pass over orders; each quintile is a range-partitioned distributed
+    rank (``operators.ranks.exact_ntile`` — bit-identical to NTILE, no
+    single-task sort), so the op survives a customer table that
+    doesn't fit one executor."""
     o = load_table(spark, sf_dir, "orders")
     base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents"),
     )
-    w_r = Window.orderBy(F.col("last_order").desc(), "custkey")
-    w_f = Window.orderBy(F.col("n_orders").desc(), "custkey")
-    w_m = Window.orderBy(F.col("cents").desc(), "custkey")
-    return base.select(
-        "custkey",
-        F.ntile(5).over(w_r).cast("long").alias("r_score"),
-        F.ntile(5).over(w_f).cast("long").alias("f_score"),
-        F.ntile(5).over(w_m).cast("long").alias("m_score"),
+    scored = exact_ntile(
+        base, 5, [F.col("last_order").desc(), "custkey"], out="r_score"
     )
+    scored = exact_ntile(
+        scored, 5, [F.col("n_orders").desc(), "custkey"], out="f_score"
+    )
+    scored = exact_ntile(
+        scored, 5, [F.col("cents").desc(), "custkey"], out="m_score"
+    )
+    return scored.select("custkey", "r_score", "f_score", "m_score")
 
 
 # --- EXT: first-order Markov transition matrix over event streams --------------
