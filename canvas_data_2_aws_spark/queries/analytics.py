@@ -419,7 +419,10 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Support / confidence / lift over same-order brand pairs — the classic
 # association miner. Pair fanout is order-keyed (quadratic only in the
 # per-order distinct-brand count, ~4), the brand-support table and the
-# scalar order count broadcast back onto the pair aggregate.
+# scalar order count broadcast back onto the pair aggregate. Scores
+# are unrounded: every operand is an exact integer, so the divisions
+# are bit-identical cross-engine, and ROUND(,4) would *introduce* a
+# half-tie hazard on exact .xxxx5 quotients.
 _BASKET_ORACLE = """
 WITH b AS (
   SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
@@ -434,9 +437,9 @@ pr AS (
   HAVING COUNT(*) >= 10
 )
 SELECT pr.brand_a, pr.brand_b, pr.sup_ab,
-       ROUND(CAST(pr.sup_ab AS DOUBLE) / sa.sup, 4) AS confidence,
-       ROUND(CAST(pr.sup_ab AS DOUBLE) * n.n
-             / (CAST(sa.sup AS DOUBLE) * sb.sup), 4) AS lift
+       CAST(pr.sup_ab AS DOUBLE) / sa.sup AS confidence,
+       CAST(pr.sup_ab AS DOUBLE) * n.n
+         / (CAST(sa.sup AS DOUBLE) * sb.sup) AS lift
 FROM pr
 JOIN s sa ON sa.brand = pr.brand_a
 JOIN s sb ON sb.brand = pr.brand_b, n
@@ -481,14 +484,11 @@ def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brand_a",
             "brand_b",
             "sup_ab",
-            F.round(F.col("sup_ab").cast("double") / F.col("sup_a"), 4).alias(
-                "confidence"
-            ),
-            F.round(
+            (F.col("sup_ab").cast("double") / F.col("sup_a")).alias("confidence"),
+            (
                 F.col("sup_ab").cast("double")
                 * F.col("n")
-                / (F.col("sup_a").cast("double") * F.col("sup_b")),
-                4,
+                / (F.col("sup_a").cast("double") * F.col("sup_b"))
             ).alias("lift"),
         )
     )

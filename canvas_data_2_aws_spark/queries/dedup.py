@@ -917,3 +917,108 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_sh") >= 2)
         .select("doc_id", "span_start", "span_end", "n_words")
     )
+
+
+# --- EXT: common-neighbor / Jaccard link prediction ------------------------------
+
+# Link prediction over the fuzzy-match graph: for non-adjacent node
+# pairs reachable in 2 hops, score = |N(a)∩N(b)| / |N(a)∪N(b)|.
+# Everything is exact integers until the one final division, which is
+# left unrounded (bit-identical cross-engine; ROUND would add a
+# half-tie hazard on exact .xxxx5 quotients like 1/16).
+_LINKPRED_ORACLE = """
+WITH e AS (
+  SELECT a.p_partkey AS a, b.p_partkey AS b
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 4
+),
+sym AS (
+  SELECT a AS node, b AS nbr FROM e
+  UNION
+  SELECT b, a FROM e
+),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY node),
+hop2 AS (
+  SELECT s1.node AS x, s2.node AS y, CAST(COUNT(*) AS BIGINT) AS common
+  FROM sym s1 JOIN sym s2
+    ON s1.nbr = s2.nbr AND s1.node < s2.node
+  GROUP BY s1.node, s2.node
+),
+cand AS (
+  SELECT h.x, h.y, h.common FROM hop2 h
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = h.x AND e.b = h.y)
+    AND h.common >= 2
+)
+SELECT c.x, c.y, c.common,
+       CAST(c.common AS DOUBLE)
+         / (dx.degree + dy.degree - c.common) AS jaccard
+FROM cand c
+JOIN deg dx ON dx.node = c.x
+JOIN deg dy ON dy.node = c.y
+"""
+
+
+@graded("graph_link_prediction", oracle=_LINKPRED_ORACLE)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-Jaccard link prediction (common ≥ 2) over the
+    fuzzy-match graph — the "suggest a merge" signal in entity
+    resolution. The 2-hop candidate join is keyed on the shared
+    neighbor (fanout bounded by degree, the same arboricity argument
+    as triangle counting); existing edges drop via one anti-join and
+    the degree table broadcasts back onto the candidates."""
+    p = load_table(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand"),
+    )
+    e = (
+        a.join(b, "brand")
+        .where(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.levenshtein("name_a", "name_b") <= 4)
+        )
+        .select(F.col("key_a").alias("ea"), F.col("key_b").alias("eb"))
+        .localCheckpoint()  # feeds sym (×2), the anti-join, and deg
+    )
+    sym = (
+        e.select(F.col("ea").alias("node"), F.col("eb").alias("nbr"))
+        .unionByName(e.select(F.col("eb").alias("node"), F.col("ea").alias("nbr")))
+        .distinct()
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    s1 = sym.select(F.col("node").alias("x"), "nbr")
+    s2 = sym.select(F.col("node").alias("y"), "nbr")
+    hop2 = (
+        s1.join(s2, "nbr")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= 2)
+    )
+    cand = hop2.join(
+        e,
+        (F.col("x") == F.col("ea")) & (F.col("y") == F.col("eb")),
+        "left_anti",
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("degree").alias("deg_x"))
+    dy = deg.select(F.col("node").alias("y"), F.col("degree").alias("deg_y"))
+    return (
+        cand.join(F.broadcast(dx), "x")
+        .join(F.broadcast(dy), "y")
+        .select(
+            "x",
+            "y",
+            "common",
+            (
+                F.col("common").cast("double")
+                / (F.col("deg_x") + F.col("deg_y") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )

@@ -519,7 +519,9 @@ def stream_session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # denominator: dev_k = cum_k·n − k·sum (pure BIGINT; cents ≤ 1e5,
 # n ≤ 1e5 → |dev| < 1e15 ≪ 2^63). The flag threshold compares
 # integers (|dev| ≥ 1000·n ⇔ |C_k| ≥ $10), so row membership is
-# exact; only the reported magnitude goes through one double division.
+# exact; the reported magnitude is one unrounded double division over
+# identical integer operands (bit-identical — ROUND(,4) would add a
+# cross-engine half-tie hazard on exact .xxxx5 quotients).
 _CUSUM_ORACLE = """
 WITH e AS (
   SELECT event_type, ts, event_id,
@@ -540,8 +542,8 @@ cu AS (
   FROM e
 )
 SELECT cu.event_type, cu.ts, cu.event_id,
-       ROUND(CAST(cu.cum * st.n_t - cu.k * st.sum_t AS DOUBLE)
-             / st.n_t / 100.0, 4) AS cusum_usd
+       CAST(cu.cum * st.n_t - cu.k * st.sum_t AS DOUBLE)
+         / st.n_t / 100.0 AS cusum_usd
 FROM cu JOIN st USING (event_type)
 WHERE abs(cu.cum * st.n_t - cu.k * st.sum_t) >= 1000 * st.n_t
 """
@@ -579,6 +581,69 @@ def timeseries_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "ts",
             "event_id",
-            F.round(dev.cast("double") / F.col("n_t") / 100.0, 4).alias("cusum_usd"),
+            (dev.cast("double") / F.col("n_t") / 100.0).alias("cusum_usd"),
+        )
+    )
+
+
+# --- EXT: hour-of-day seasonality profile ----------------------------------------
+
+# Seasonal decomposition's first factor: the hour-of-day load/value
+# profile per event type. Exact BIGINT cents keep the mean and the
+# share to one double division each over identical operands, so the
+# raw doubles are bit-identical — deliberately NOT rounded: ROUND(,4)
+# would introduce cross-engine half-tie hazards (s/n/100 lands on
+# exact .xxxx5 decimals for small n), the opposite of its usual role.
+_SEASONALITY_ORACLE = """
+WITH e AS (
+  SELECT event_type, CAST(hour(ts) AS INTEGER) AS hod,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+g AS (
+  SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents
+  FROM e GROUP BY event_type, hod
+),
+t AS (
+  SELECT event_type, CAST(SUM(sum_cents) AS BIGINT) AS total_cents
+  FROM g GROUP BY event_type
+)
+SELECT g.event_type, g.hod, g.n,
+       CAST(g.sum_cents AS DOUBLE) / g.n / 100.0 AS mean_usd,
+       CAST(g.sum_cents AS DOUBLE) / t.total_cents AS value_share
+FROM g JOIN t USING (event_type)
+"""
+
+
+@graded("timeseries_seasonality", oracle=_SEASONALITY_ORACLE)
+def timeseries_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per event type (count, mean value,
+    share of the type's total) — the seasonal-naive baseline a
+    forecaster or anomaly detector subtracts first. Two map-side-
+    combinable hash aggs; the per-type totals re-aggregate the 24-row
+    profile, not the raw stream, and broadcast back."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    g = e.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents")
+    )
+    t = g.groupBy("event_type").agg(F.sum("sum_cents").alias("total_cents"))
+    return (
+        g.join(F.broadcast(t), "event_type")
+        .select(
+            "event_type",
+            "hod",
+            "n",
+            (F.col("sum_cents").cast("double") / F.col("n") / 100.0).alias(
+                "mean_usd"
+            ),
+            (F.col("sum_cents").cast("double") / F.col("total_cents")).alias(
+                "value_share"
+            ),
         )
     )

@@ -668,3 +668,36 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("df") >= 3)
     )
+
+
+# --- EXT: top-k keyword extraction per document ----------------------------------
+
+# Keyword extraction = per-doc top-5 tf-idf terms. Reuses the tf-idf
+# contract verbatim (same CTE text), then a doc-partitioned
+# WindowGroupLimit — ties on the rounded score break on the token, so
+# the top-k set is total-ordered (SURVEY §8.4).
+_KEYWORDS_ORACLE = f"""
+WITH base AS ({_TFIDF_ORACLE})
+SELECT doc_id, token, tfidf, rk FROM (
+  SELECT doc_id, token, tfidf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, token) AS INTEGER) AS rk
+  FROM base
+) t WHERE rk <= 5
+"""
+
+
+@graded("text_keywords_topk", oracle=_KEYWORDS_ORACLE)
+def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tf-idf keywords per document — the per-doc salience tags
+    a curation UI or topic index consumes. Composes the graded tf-idf
+    dataflow with a doc-partitioned rank; Spark turns the rank filter
+    into WindowGroupLimit, so each doc's candidate list is pruned
+    before the final sort (no full tf-idf table materialization)."""
+    scored = text_tfidf(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("doc_id", "token", "tfidf", "rk")
+    )

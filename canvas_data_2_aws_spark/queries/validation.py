@@ -230,3 +230,61 @@ def validate_reconcile_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_abs_drift"),
         )
     )
+
+
+# --- EXT: Benford first-digit audit ----------------------------------------------
+
+# Fabricated or corrupted monetary columns drift from Benford's law;
+# this is the standard forensic screen over a replicated fact table.
+# The first significant digit comes from the exact integer-cents
+# string (no float log10 edge cases); expected shares are ln(1+1/d)
+# computed by the same libm sequence in both engines.
+_BENFORD_ORACLE = """
+WITH d AS (
+  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM orders
+  WHERE o_totalprice > 0
+),
+g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
+SELECT g.digit, g.n,
+       ROUND(CAST(g.n AS DOUBLE) / t.total, 4) AS observed,
+       ROUND(LN(1.0 + 1.0 / CAST(g.digit AS DOUBLE)) / LN(10.0), 4) AS benford,
+       ROUND(CAST(g.n AS DOUBLE) / t.total
+             - LN(1.0 + 1.0 / CAST(g.digit AS DOUBLE)) / LN(10.0), 4) AS delta
+FROM g, t
+"""
+
+
+@graded("validate_benford_digits", oracle=_BENFORD_ORACLE)
+def validate_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs the
+    Benford expectation — the fraud/corruption screen run after each
+    replication cycle. One map-side-combinable agg over a 9-key space;
+    the scalar total rides a 1-row broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    digit = (
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"), 1, 1
+        )
+    ).cast("int")
+    g = (
+        o.where(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = g.agg(F.sum("n").alias("total"))
+    benford = F.log(1.0 + 1.0 / F.col("digit").cast("double")) / F.log(F.lit(10.0))
+    obs = F.col("n").cast("double") / F.col("total")
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            F.round(obs, 4).alias("observed"),
+            F.round(benford, 4).alias("benford"),
+            F.round(obs - benford, 4).alias("delta"),
+        )
+    )
