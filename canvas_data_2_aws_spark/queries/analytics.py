@@ -9,7 +9,7 @@ inline per query.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.numeric import dsum_col
 from ..registry import graded
@@ -504,4 +504,147 @@ def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("sup_a").cast("double") * F.col("sup_b"))
             ).alias("lift"),
         )
+    )
+
+
+# --- EXT: last-touch attribution -------------------------------------------------
+
+# Marketing-style attribution: each purchase credits the user's most
+# recent preceding non-purchase event type ('direct' if none). The
+# ignore-nulls running last_value over the user timeline is the same
+# machinery as gap interpolation; revenue stays exact cents until one
+# unrounded division.
+_ATTRIBUTION_ORACLE = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+  FROM events
+)
+SELECT COALESCE(channel, 'direct') AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+       CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue_usd
+FROM tagged
+WHERE event_type = 'purchase'
+GROUP BY COALESCE(channel, 'direct')
+"""
+
+
+@graded("analytics_attribution", oracle=_ATTRIBUTION_ORACLE)
+def analytics_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution of purchase revenue to the preceding
+    event type per user. One window exchange on user_id computes the
+    running ignore-nulls last non-purchase type; the attribution agg
+    then runs on the tiny |channels| keyspace. At 100 TB this is the
+    single-exchange form — no per-purchase asof join back into the
+    event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    channel = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    tagged = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        channel.alias("channel"),
+    )
+    return (
+        tagged.where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .withColumn("revenue_usd", F.col("revenue_cents").cast("double") / 100.0)
+    )
+
+
+# --- EXT: A/B lift with a two-proportion z-score ---------------------------------
+
+# Experiment readout: arms from the stable user-id parity, conversion
+# = at least one purchase over $200 (the threshold keeps rates off 0
+# and 1 at every fixture SF — a saturated rate zeroes the pooled
+# variance). Every input is an exact integer count; the
+# proportions, pooled variance, and z-statistic are one mirrored IEEE
+# expression tree — emitted unrounded (bit-identical cross-engine).
+_AB_ORACLE = """
+WITH u AS (
+  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS arm,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 200 THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(converted) AS BIGINT) AS conv
+  FROM u GROUP BY arm
+),
+wide AS (
+  SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n_a,
+         MAX(CASE WHEN arm = 0 THEN conv END) AS conv_a,
+         MAX(CASE WHEN arm = 1 THEN n END) AS n_b,
+         MAX(CASE WHEN arm = 1 THEN conv END) AS conv_b
+  FROM arms
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       CAST(conv_a AS DOUBLE) / n_a AS p_a,
+       CAST(conv_b AS DOUBLE) / n_b AS p_b,
+       (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+         / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                * (1.0 / n_a + 1.0 / n_b)) AS z
+FROM wide
+"""
+
+
+@graded("analytics_ab_lift", oracle=_AB_ORACLE)
+def analytics_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between user-parity arms (conversion =
+    any purchase) — the experiment-readout primitive. Two hash aggs
+    (per-user collapse, then the 2-row arm table); everything after is
+    a scalar projection, so the whole statistic costs one scan +
+    user-keyed exchange at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 200), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("arm"), "converted"
+    )
+    arms = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("conv"))).alias("conv_b"),
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (p_a - p_b) / F.sqrt(
+        pp * (1.0 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return wide.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        z.alias("z"),
     )

@@ -647,3 +647,88 @@ def timeseries_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- EXT: autocorrelation function over the hourly series ------------------------
+
+# ACF at lags {1,2,3,6,12,24} of the hourly value series — the
+# periodicity detector that justifies the seasonality profile. The
+# series is an exact integer aggregate (cents per hour); each lag's
+# Pearson r comes from six BIGINT power sums over the joined pairs
+# (hourly cents < 2^20, ≤ 2^10 hours → every sum ≪ 2^63), finished by
+# one mirrored IEEE expression. n·Σxy − Σx·Σy style products stay
+# inside the double-exact 2^53 window after the CAST.
+_ACF_ORACLE = """
+WITH hourly AS (
+  SELECT epoch_us(ts) // 3600000000 AS hr,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY hr
+),
+lags AS (SELECT unnest([1, 2, 3, 6, 12, 24]) AS lag),
+pairs AS (
+  SELECT l.lag, a.cents AS x, b.cents AS y
+  FROM lags l
+  JOIN hourly a ON TRUE
+  JOIN hourly b ON b.hr = a.hr + l.lag
+),
+sums AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS INTEGER) AS lag, n,
+       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS acf
+FROM sums
+"""
+
+
+@graded("timeseries_acf", oracle=_ACF_ORACLE)
+def timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly total-value series at standard
+    lags. The raw stream collapses to the hour grain FIRST (map-side-
+    combinable agg) — the lag self-join and the per-lag sums then run
+    on calendar-sized data (rows = hours), so the op costs one event
+    scan plus metadata-scale joins at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            F.expr("unix_micros(ts) DIV 3600000000").alias("hr"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("hr")
+        .agg(F.sum("cents").alias("cents"))
+        .localCheckpoint(eager=True)  # both sides of the lag join
+    )
+    lags = spark.range(0, 1).select(
+        F.explode(F.array(*[F.lit(x) for x in (1, 2, 3, 6, 12, 24)])).alias("lag")
+    )
+    a = hourly.select(F.col("hr"), F.col("cents").alias("x"))
+    b = hourly.select(F.col("hr").alias("hr_b"), F.col("cents").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("hr_b") == F.col("hr") + F.col("lag"))
+    )
+    sums = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    ) * F.sqrt(
+        F.col("n").cast("double") * F.col("syy")
+        - F.col("sy").cast("double") * F.col("sy")
+    )
+    return sums.select(
+        F.col("lag").cast("int").alias("lag"), "n", (num / den).alias("acf")
+    )
