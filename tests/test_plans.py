@@ -105,6 +105,14 @@ _NESTED_LOOP_OK = {
     "text_unigram_logprob",  # ln(N/c): N = 1-row corpus token count
     "pipeline_mix_allocation",  # 1-row total-tokens broadcast
     "text_cooccurrence_pmi",  # ln(n_co·N/df²): N = 1-row corpus doc count
+    # round-3 additions, all the same constant-side shapes:
+    "text_bm25",  # (N, avgdl) = 1-row corpus stats broadcast
+    "text_keywords_topk",  # composes text_tfidf (1-row N broadcast)
+    "analytics_market_basket",  # 1-row order-count broadcast
+    "analytics_feature_binning",  # exact_ntile: 1-row total-n broadcast
+    "analytics_rfm_scores",  # exact_ntile ×3: 1-row total-n broadcasts
+    "validate_benford_digits",  # 1-row total-count broadcast
+    "timeseries_acf",  # deliberate 6-row lag fan-out broadcast
 }
 
 # Construction-time side effects or non-DataFrame surfaces — no static
