@@ -483,3 +483,40 @@ def merge_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compact_changeset(
         versions, keys=["o_orderkey"], order_by=["chg_seq"]
     ).select("o_orderkey", "o_orderstatus", "o_totalprice", "action")
+
+
+# --- EXT: tombstone retention / GC ----------------------------------------------
+
+# Replication keeps delete tombstones so late-replayed changesets stay
+# idempotent; a GC pass purges tombstones older than the retention
+# horizon (here: 365 days before the newest change). Disposition is a
+# pure timestamp comparison against a 1-row data-derived cutoff — the
+# vacuum/GC planner of every log-structured replica.
+_TOMBSTONE_ORACLE = """
+WITH tomb AS (
+  SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey % 97 = 0
+),
+h AS (SELECT MAX(o_orderdate) - INTERVAL 365 DAY AS cutoff FROM orders)
+SELECT t.o_orderkey, t.o_orderdate AS tomb_ts,
+       (t.o_orderdate < h.cutoff) AS purged
+FROM tomb t, h
+"""
+
+
+@graded("merge_tombstone_gc", oracle=_TOMBSTONE_ORACLE)
+def merge_tombstone_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone GC disposition for the derived delete set: purge
+    tombstones older than the 365-day retention horizon, retain the
+    rest (replay idempotence inside the horizon). The cutoff is a
+    1-row broadcast; the scan is partition-prunable on the tombstone
+    log's date layout at scale — GC never touches live data."""
+    orders = load_table(spark, sf_dir, "orders")
+    tomb = orders.where(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey", F.col("o_orderdate").alias("tomb_ts")
+    )
+    h = orders.agg(
+        F.expr("MAX(o_orderdate) - INTERVAL 365 DAYS").alias("cutoff")
+    )
+    return tomb.crossJoin(F.broadcast(h)).select(
+        "o_orderkey", "tomb_ts", (F.col("tomb_ts") < F.col("cutoff")).alias("purged")
+    )

@@ -113,6 +113,7 @@ _NESTED_LOOP_OK = {
     "analytics_rfm_scores",  # exact_ntile ×3: 1-row total-n broadcasts
     "validate_benford_digits",  # 1-row total-count broadcast
     "timeseries_acf",  # deliberate 6-row lag fan-out broadcast
+    "merge_tombstone_gc",  # 1-row retention-cutoff broadcast
 }
 
 # Construction-time side effects or non-DataFrame surfaces — no static
