@@ -138,6 +138,43 @@ def cmd_validate(args) -> int:
     return 0 if (ok_checksum and ok_rows and ok_pk) else 1
 
 
+def cmd_optimize(args) -> int:
+    """Replica maintenance: rewrite a table's small files into
+    ~``--target-mb`` files range-clustered on the PK (the actionable
+    form of the graded compaction planner + Z-order layout ops).
+    Clustering on the key keeps footer min/max selective, so post-
+    compaction scans skip files on PK predicates; stage-then-swap like
+    ``syncdb``. At 100 TB the same verb runs per partition off the
+    manifest bins (`layout_compaction_bins`)."""
+    import glob
+    import os
+
+    spark = session.get_spark(app="cda2-optimize")
+    path = _replica_path(args.replica, args.table)
+    files_before = glob.glob(f"{path}/part-*")
+    bytes_total = sum(os.path.getsize(f) for f in files_before)
+    target = max(1, round(bytes_total / (args.target_mb * 1024 * 1024)) or 1)
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    clustered = df.repartitionByRange(target, F.col(args.key)).sortWithinPartitions(
+        args.key
+    )
+    staging = f"{path}__staging"
+    clustered.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path)
+    shutil.move(staging, path)
+    files_after = glob.glob(f"{path}/part-*")
+    n = spark.read.parquet(path).count()
+    print(
+        f"optimize: {args.table} rewrote {len(files_before)} files "
+        f"({bytes_total >> 20} MiB) into {len(files_after)} "
+        f"PK-clustered files, {n} rows"
+    )
+    return 0
+
+
 def cmd_list(args) -> int:
     registry.load_all()
     for name in sorted(registry.QUERIES):
@@ -180,6 +217,15 @@ def main(argv: list[str] | None = None) -> int:
     p_val.add_argument("--replica", required=True)
     p_val.add_argument("--key", required=True, help="primary-key column")
     p_val.set_defaults(fn=cmd_validate)
+
+    p_opt = sub.add_parser(
+        "optimize", help="compact a replica table into PK-clustered files"
+    )
+    p_opt.add_argument("--table", required=True)
+    p_opt.add_argument("--replica", required=True)
+    p_opt.add_argument("--key", required=True, help="clustering key column")
+    p_opt.add_argument("--target-mb", type=int, default=256)
+    p_opt.set_defaults(fn=cmd_optimize)
 
     p_list = sub.add_parser("list", help="list all graded queries")
     p_list.set_defaults(fn=cmd_list)

@@ -197,3 +197,39 @@ def test_validate_detects_double_and_date_drift(spark, sf_dir, tmp_path):
         .otherwise(F.col("o_orderdate")),
     ))
     assert cli.main(base_args) == 1
+
+
+def test_optimize_compacts_and_preserves_content(spark, sf_dir, tmp_path):
+    import glob
+
+    replica = str(tmp_path / "replica")
+    rc = cli.main(
+        ["initdb", "--table", "orders", "--source-dir", sf_dir, "--replica", replica]
+    )
+    assert rc == 0
+    # fragment the replica into many small files first
+    frag = spark.read.parquet(f"{replica}/orders").repartition(16)
+    frag.write.mode("overwrite").parquet(f"{replica}/orders__staging")
+    import shutil
+
+    shutil.rmtree(f"{replica}/orders")
+    shutil.move(f"{replica}/orders__staging", f"{replica}/orders")
+    before = spark.read.parquet(f"{replica}/orders")
+    before_rows = before.count()
+    before_sum = before.agg(F.sum("o_orderkey")).first()[0]
+    assert len(glob.glob(f"{replica}/orders/part-*")) >= 16
+
+    rc = cli.main(
+        [
+            "optimize",
+            "--table", "orders",
+            "--replica", replica,
+            "--key", "o_orderkey",
+            "--target-mb", "256",
+        ]
+    )
+    assert rc == 0
+    after = spark.read.parquet(f"{replica}/orders")
+    assert after.count() == before_rows
+    assert after.agg(F.sum("o_orderkey")).first()[0] == before_sum
+    assert len(glob.glob(f"{replica}/orders/part-*")) < 16
