@@ -648,3 +648,65 @@ def analytics_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_b.alias("p_b"),
         z.alias("z"),
     )
+
+
+# --- EXT: per-group OLS regression ----------------------------------------------
+
+# Grouped least squares (price-vs-size per brand) from exact BIGINT
+# power sums — the per-segment trend fit behind pricing/elasticity
+# dashboards. Slope and intercept are mirrored IEEE expression trees
+# over identical integer operands, emitted unrounded.
+_GROUP_REGR_ORACLE = """
+WITH s AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(p_size) AS BIGINT) AS sx,
+         CAST(SUM(CAST(p_size AS BIGINT) * p_size) AS BIGINT) AS sxx,
+         CAST(SUM(CAST(round(p_retailprice * 100, 0) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(SUM(p_size * CAST(round(p_retailprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS sxy
+  FROM part GROUP BY p_brand
+)
+SELECT p_brand, n,
+       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / 100.0
+         AS slope_usd_per_size,
+       (CAST(sy AS DOUBLE)
+        - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+          / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx)
+         / n / 100.0 AS intercept_usd
+FROM s
+WHERE n >= 2 AND CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx <> 0
+"""
+
+
+@graded("analytics_group_regression", oracle=_GROUP_REGR_ORACLE)
+def analytics_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS fit of retail price against size. One map-side-
+    combinable hash agg produces the five power sums; the closed-form
+    finals are scalar projections — so a grouped regression over
+    100 TB costs exactly one shuffle of |groups| rows."""
+    p = load_table(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100, 0).cast("long")
+    s = p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p_size").alias("sx"),
+        F.sum(F.col("p_size").cast("long") * F.col("p_size")).alias("sxx"),
+        F.sum(cents).alias("sy"),
+        F.sum(F.col("p_size") * cents).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    den = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    slope = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / den
+    intercept = (
+        (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n") / 100.0
+    )
+    return (
+        s.where((F.col("n") >= 2) & (den != 0))
+        .select(
+            "p_brand",
+            "n",
+            (slope / 100.0).alias("slope_usd_per_size"),
+            intercept.alias("intercept_usd"),
+        )
+    )
