@@ -701,3 +701,121 @@ def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 5)
         .select("doc_id", "token", "tfidf", "rk")
     )
+
+
+# --- EXT: first-occurrence novelty scoring ---------------------------------------
+
+# Novelty = fraction of a doc's distinct 3-gram shingles whose FIRST
+# corpus occurrence (min doc_id — ingest order) is this doc. The
+# content-freshness signal a curation pipeline uses to down-weight
+# recombinations of already-seen text. Pure integer counts until one
+# unrounded division.
+_NOVELTY_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, GREATEST(LEN(w) - 1, 1)),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS shingle
+  FROM w
+),
+first_seen AS (
+  SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS novelty
+FROM sh JOIN first_seen f USING (shingle)
+GROUP BY sh.doc_id
+"""
+
+
+@graded("text_novelty_score", oracle=_NOVELTY_ORACLE)
+def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty: share of distinct shingles first seen (by
+    ingest order) in this doc. One shingle explode feeds both the
+    first-occurrence agg and the probe (localCheckpoint); the
+    first-seen table joins back shingle-keyed, then one doc-keyed agg.
+    The same two-shuffle profile as the duplicated-span op — at 100 TB
+    the first-seen agg is the wide exchange and combines map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    sh = words.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.ngrams_from_words("w", 3))).alias("shingle"),
+    ).distinct()
+    sh = sh.localCheckpoint(eager=True)  # consumed 2× below
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        sh.join(first_seen, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.alias("n_novel"),
+        )
+        .withColumn(
+            "novelty", F.col("n_novel").cast("double") / F.col("n_shingles")
+        )
+    )
+
+
+# --- EXT: per-source dataset card ------------------------------------------------
+
+# The "dataset card" rollup a corpus registry publishes per source:
+# volume, token mass, language spread, exact-dup rate (md5 identity),
+# and the mean quality score — one scan, one hash agg. Ratios are
+# integer-operand divisions, unrounded; the quality mean reuses the
+# graded text_quality formula via a DECIMAL(38,10)-exact sum of
+# identical per-row doubles.
+_DATASET_CARD_ORACLE = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+       1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*) AS dup_rate,
+       CAST(SUM(CAST(
+           0.6 * (CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / LEN(string_split(text, ' ')))
+         + 0.4 * LEAST(CAST(LEN(string_split(text, ' ')) AS DOUBLE) / 64.0, 1.0)
+         AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS mean_quality
+FROM documents
+GROUP BY source
+"""
+
+
+@graded("pipeline_dataset_card", oracle=_DATASET_CARD_ORACLE)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: volume, token mass, language spread,
+    exact-dup rate, mean quality. Single hash agg over one scan — the
+    registry artifact every corpus release ships. The DECIMAL sum of
+    the per-row quality doubles makes the mean independent of
+    aggregation order (the per-row values are already bit-identical
+    cross-engine)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens()
+    n_tokens = F.size(toks)
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    quality = 0.6 * uniq_ratio + 0.4 * F.least(
+        n_tokens.cast("double") / 64.0, F.lit(1.0)
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens).alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+        (
+            F.lit(1.0)
+            - F.countDistinct(F.md5("text")).cast("double") / F.count(F.lit(1))
+        ).alias("dup_rate"),
+        (
+            F.sum(quality.cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_quality"),
+    )
