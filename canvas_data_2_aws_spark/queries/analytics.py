@@ -710,3 +710,35 @@ def analytics_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             intercept.alias("intercept_usd"),
         )
     )
+
+
+# --- Spark 4 SQL pipe syntax (same semantics, new surface) ----------------------
+
+# Spark 4's pipe operator chains read top-down (FROM |> WHERE
+# |> AGGREGATE); Catalyst resolves them to the identical plan as the
+# classic form, which is what the DuckDB oracle runs — proving the new
+# syntax surface against the old semantics.
+_PIPE_SQL = """
+FROM orders
+|> WHERE o_orderstatus = 'F'
+|> AGGREGATE COUNT(*) AS n,
+     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+   GROUP BY o_orderpriority
+"""
+
+_PIPE_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+"""
+
+
+@graded("sql_pipe_syntax", oracle=_PIPE_ORACLE)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (`FROM ... |> WHERE ... |> AGGREGATE`)
+    over the registered views; the oracle is the classic equivalent —
+    same Catalyst plan, same decimal aggregate recipe."""
+    register_tables(spark, sf_dir)
+    return spark.sql(_PIPE_SQL)
