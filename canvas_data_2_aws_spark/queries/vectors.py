@@ -458,3 +458,83 @@ def vector_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return y.select(
         "vec_id", "j", F.round(F.col("y").cast("double") / 10000.0, 4).alias("yv")
     )
+
+
+# --- EXT: deterministic hyperplane LSH (cosine ANN, hash-matched) ----------------
+
+# Random-hyperplane LSH made engine-deterministic: 3 ±1 hyperplanes
+# from the same md5-parity construction as the JL sketch; the sign
+# pattern of the three integer projections is the bucket (8 buckets).
+# Candidates are bucket-local pairs; the exact rerank reuses the
+# rounded-cosine recipe. Unlike MLlib MinHashLSH (seeded, rows-only),
+# every stage here is reproducible in plain SQL — a full hash-match
+# oracle for an ANN pipeline.
+_HYPERPLANE_ORACLE = """
+WITH pos AS (
+  SELECT vec_id, pos AS i,
+         CAST(round(CAST(list_extract(embedding, pos + 1) AS DOUBLE)
+                    * 10000, 0) AS BIGINT) AS xi
+  FROM embeddings, range(0, 64) t(pos)
+),
+pj AS (SELECT vec_id, i, xi, j FROM pos, range(0, 3) t2(j)),
+y AS (
+  SELECT vec_id, j,
+         SUM(CASE WHEN contains('02468ace',
+                    substring(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1))
+             THEN xi ELSE -xi END) AS y
+  FROM pj GROUP BY vec_id, j
+),
+bkt AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN y > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+  FROM y GROUP BY vec_id
+)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, ba.bucket,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS score
+FROM bkt ba
+JOIN bkt bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+JOIN embeddings a ON a.vec_id = ba.vec_id
+JOIN embeddings b ON b.vec_id = bb.vec_id
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.2
+"""
+
+
+@graded("ann_hyperplane_lsh", oracle=_HYPERPLANE_ORACLE)
+def ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine ANN via deterministic random-hyperplane LSH: integer
+    sign projections bucket the corpus (md5-derived planes — zero
+    broadcast state), then the BLAS rerank runs bucket-locally.
+    Candidate volume is Σ bucket² instead of n² — the scale path the
+    exact-KNN docstrings point at, here as a first-class graded op."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select(
+        "vec_id",
+        "i",
+        F.round(F.col("x").cast("double") * 10000, 0).cast("long").alias("xi"),
+    )
+    pj = pos.select(
+        "vec_id", "i", "xi", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j")
+    )
+    sgn_pos = F.expr(
+        "contains('02468ace', substring(md5(concat(cast(i as string), '_',"
+        " cast(j as string))), 1, 1))"
+    )
+    y = pj.groupBy("vec_id", "j").agg(
+        F.sum(F.when(sgn_pos, F.col("xi")).otherwise(-F.col("xi"))).alias("y")
+    )
+    bkt = y.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("y") > 0, F.expr("CAST(1 << j AS BIGINT)")).otherwise(0)
+        ).alias("bucket")
+    )
+    embb = emb.join(bkt, "vec_id")
+    pairs = cosine_blas(
+        embb, embb, mode="pairs_threshold", threshold=0.2, block_col="bucket"
+    )
+    return pairs.select(
+        "vec_id_a", "vec_id_b", F.col("bucket").cast("long").alias("bucket"), "score"
+    )
