@@ -65,6 +65,8 @@ HEADLINE = [
     "dedup_duplicate_spans",
     "vector_random_projection",
     "analytics_market_basket",
+    "ann_hyperplane_lsh",
+    "timeseries_changepoint",
 ]
 
 
