@@ -26,12 +26,16 @@ def asof_join(
     value_alias: str = "asof_value",
     inclusive: bool = True,
     direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the ``right_value`` of the closest
     right row sharing the join key: the latest with ``right_ts <=
     left_ts`` (direction='backward') or the earliest with ``right_ts >=
     left_ts`` (direction='forward'); ``inclusive=False`` makes the
-    bound strict.
+    bound strict. ``tolerance`` (an interval string, e.g. "2 hours")
+    nulls the match when the carried row is further away than the
+    bound — pandas ``merge_asof(tolerance=...)`` semantics, at the
+    cost of one extra carried column, no plan change.
 
     Ties at equal timestamps are deterministic: a side tag sorts the
     right row inside or outside the carry frame.
@@ -60,16 +64,45 @@ def asof_join(
         ),
         F.col(right_value).alias("_val"),
     )
+    # Carry (right_ts, value) as ONE struct so the timestamp used for
+    # the tolerance check always belongs to the same right row as the
+    # carried value — two independently-carried columns desynchronize
+    # when right_value is itself null.
+    lhs = lhs.withColumn(
+        "_pair",
+        F.lit(None).cast(
+            f"struct<_rts:timestamp,_v:{right.schema[right_value].dataType.simpleString()}>"
+        ),
+    )
+    rhs = rhs.withColumn(
+        "_pair",
+        F.struct(
+            F.col("_ts").cast("timestamp").alias("_rts"), F.col("_val").alias("_v")
+        ),
+    )
     w = Window.partitionBy("_k").orderBy("_ts", "_side")
     if backward:
         w = w.rowsBetween(Window.unboundedPreceding, 0)
-        carried: Column = F.last("_val", ignorenulls=True).over(w)
+        carried: Column = F.last("_pair", ignorenulls=True).over(w)
     else:
         w = w.rowsBetween(0, Window.unboundedFollowing)
-        carried = F.first("_val", ignorenulls=True).over(w)
+        carried = F.first("_pair", ignorenulls=True).over(w)
+    out = lhs.unionByName(rhs).withColumn("_carried", carried)
+    value = F.col("_carried._v")
+    if tolerance is not None:
+        bound = (
+            F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
+            if backward
+            else F.col("_ts") + F.expr(f"INTERVAL {tolerance}")
+        )
+        in_tol = (
+            F.col("_carried._rts") >= bound
+            if backward
+            else F.col("_carried._rts") <= bound
+        )
+        value = F.when(in_tol, value)
     return (
-        lhs.unionByName(rhs)
-        .withColumn(value_alias, carried)
+        out.withColumn(value_alias, value)
         .where(F.col("_side") == 1)
         .select("_row.*", value_alias)
     )

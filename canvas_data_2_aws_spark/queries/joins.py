@@ -531,3 +531,51 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_sec"),
         )
     )
+
+
+# --- J9 variant: as-of with tolerance -------------------------------------------
+
+# pandas merge_asof(tolerance=...) semantics: the latest prior signup
+# per purchase, but only if it happened within the last 14 days —
+# otherwise NULL. Same one-shuffle union-and-carry plan; the bound is
+# a post-carry null-out, not a join condition.
+_ASOF_TOL_ORACLE = """
+SELECT
+  e.event_id,
+  e.user_id,
+  e.ts AS purchase_ts,
+  (SELECT MAX(s.ts) FROM events s
+    WHERE s.user_id = e.user_id
+      AND s.event_type = 'signup'
+      AND s.ts <= e.ts
+      AND s.ts >= e.ts - INTERVAL 14 DAY) AS recent_signup_ts
+FROM events e
+WHERE e.event_type = 'purchase'
+"""
+
+
+@graded("join_asof_tolerance", oracle=_ASOF_TOL_ORACLE)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 14-day tolerance (operators/asof.py): carried
+    matches further away than the bound become NULL instead of stale
+    attributions. Plan is unchanged from join_asof — one key shuffle,
+    one in-partition sort, one extra carried struct column."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("ts").alias("signup_ts")
+    )
+    return asof_join(
+        purchases,
+        signups,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="ts",
+        right_value="signup_ts",
+        value_alias="recent_signup_ts",
+        tolerance="14 DAY",
+    )

@@ -146,3 +146,29 @@ def test_asof_matches_bruteforce(spark, left, right):
         cands = [(rts, v) for (rk, rts), v in right.items() if rk == k and rts <= ts]
         expected = max(cands)[1] if cands else None
         assert got[i] == expected, (i, k, ts, got[i], expected)
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    import datetime as dt
+
+    from canvas_data_2_aws_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, t0, "fresh"), (2, t0 + dt.timedelta(days=30), "stale")],
+        "k LONG, t TIMESTAMP, id STRING",
+    )
+    right = spark.createDataFrame(
+        [(1, t0 - dt.timedelta(days=2), 100.0),
+         (2, t0 - dt.timedelta(days=2), 200.0)],
+        "k LONG, t TIMESTAMP, v DOUBLE",
+    )
+    out = {
+        r.id: r.asof_value
+        for r in asof_join(
+            left, right, on="k", left_ts="t", right_ts="t", right_value="v",
+            tolerance="14 DAY",
+        ).collect()
+    }
+    # k=1 match is 2 days old → kept; k=2 match is 32 days old → nulled
+    assert out == {"fresh": 100.0, "stale": None}
