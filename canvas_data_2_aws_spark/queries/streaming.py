@@ -732,3 +732,47 @@ def timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         F.col("lag").cast("int").alias("lag"), "n", (num / den).alias("acf")
     )
+
+
+# --- EXT: online CUSUM, true streaming form (full oracle) -----------------------
+
+# The streaming stateful op folds Σ(x − target) per event_type across
+# micro-batches in integer cents; because the state is an exact
+# integer and intra-batch order is pinned, the emitted flag set equals
+# the batch window computation — giving a custom STREAMING operator a
+# full DuckDB hash-match oracle (same rationale as
+# stream_stateful_totals).
+_CUSUM_STREAM_ORACLE = """
+WITH c AS (
+  SELECT event_type, ts, event_id,
+         SUM(CAST(round(value * 100, 0) AS BIGINT) - 3000) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM events
+)
+SELECT event_type, ts, event_id, CAST(cum AS BIGINT) AS cusum_cents
+FROM c WHERE abs(cum) >= 100000
+"""
+
+
+@graded("stream_cusum_flags", oracle=_CUSUM_STREAM_ORACLE)
+def stream_cusum_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online CUSUM drift flags (fixed $30 control target, $1000
+    threshold) over a 3-micro-batch replay via applyInPandasWithState
+    — the control-chart monitor that never sees the full series.
+    Exact integer state makes the streaming output hash-equal to the
+    batch window form the oracle runs."""
+    from ..streaming.windows import cusum_flags_stream
+
+    base = _replay_dir(spark, sf_dir)
+    try:
+        with _few_state_partitions(spark):
+            stream = cusum_flags_stream(
+                read_event_stream(spark, f"{base}/part*"), 3000, 100_000
+            )
+            rows = run_available_now(stream, "cusum_flags_sink", output_mode="update")
+        return spark.createDataFrame(
+            rows, "event_type string, ts timestamp, event_id long, cusum_cents long"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -263,3 +263,46 @@ def capped_session_stream(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def cusum_flags_stream(
+    events: DataFrame, target_cents: int, threshold_cents: int
+) -> DataFrame:
+    """Online CUSUM drift monitor: per event_type running Σ(xᵢ − target)
+    in integer cents, emitting every event whose cumulative deviation
+    crosses the threshold. The streaming form of
+    ``timeseries_changepoint`` — online CUSUM tracks a FIXED reference
+    mean (the control-chart target), so state is one BIGINT per key
+    and the result is exactly reproducible by a batch scan with the
+    same target (tests/test_streaming.py equivalence).
+
+    Rows inside one micro-batch are sorted by (ts, event_id) before
+    folding — state-op input order within a batch is not guaranteed,
+    and CUSUM is order-sensitive.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        (cum,) = state.get if state.exists else (0,)
+        flagged = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            cents = np.rint(pdf["value"].to_numpy() * 100).astype("int64")
+            for eid, ts, c in zip(pdf["event_id"], pdf["ts"], cents):
+                cum += int(c) - target_cents
+                if abs(cum) >= threshold_cents:
+                    flagged.append((key[0], ts, int(eid), cum))
+        state.update((cum,))
+        yield pd.DataFrame(
+            flagged, columns=["event_type", "ts", "event_id", "cusum_cents"]
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        "event_type string, ts timestamp, event_id long, cusum_cents long",
+        "cum long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -123,6 +123,7 @@ _NO_PLAN = {
     "stream_dedup_smoke",
     "stream_merge_smoke",
     "stream_stateful_totals",
+    "stream_cusum_flags",
     "stream_stream_join_smoke",
     "sink_roundtrip",
     "csv_decode_smoke",

@@ -388,3 +388,50 @@ def test_streaming_capped_sessions_equal_batch(spark, sf_dir):
     batch = registry.QUERIES["stream_session_capped"](spark, sf_dir).collect()
     cols = ("user_id", "session_id", "n_events", "t_start", "t_end")
     assert _as_set(stream_final, cols) == _as_set(batch, cols)
+
+
+def test_streaming_cusum_equals_batch(spark, sf_dir):
+    """Online CUSUM over a 3-micro-batch replay == one batch pass with
+    the same fixed target mean (integer state, order pinned)."""
+    import shutil
+
+    from pyspark.sql import Window, functions as F
+
+    from canvas_data_2_aws_spark.queries.streaming import (
+        _few_state_partitions,
+        _replay_dir,
+    )
+    from canvas_data_2_aws_spark.session import load_table
+    from canvas_data_2_aws_spark.streaming.windows import (
+        cusum_flags_stream,
+        read_event_stream,
+        run_available_now,
+    )
+
+    target, threshold = 3000, 100_000
+    base = _replay_dir(spark, sf_dir)
+    try:
+        with _few_state_partitions(spark):
+            stream = cusum_flags_stream(
+                read_event_stream(spark, f"{base}/part*"), target, threshold
+            )
+            rows = run_available_now(stream, "cusum_sink", output_mode="update")
+        got = {(r.event_type, r.event_id): r.cusum_cents for r in rows}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    batch = (
+        ev.withColumn("cum", F.sum(cents - target).over(w))
+        .where(F.abs("cum") >= threshold)
+        .select("event_type", "event_id", "cum")
+        .collect()
+    )
+    want = {(r.event_type, r.event_id): r.cum for r in batch}
+    assert got == want and len(want) > 0
