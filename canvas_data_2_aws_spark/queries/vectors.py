@@ -538,3 +538,75 @@ def ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "vec_id_a", "vec_id_b", F.col("bucket").cast("long").alias("bucket"), "score"
     )
+
+
+# --- EXT: IVF cell profile off the deterministic k-means ------------------------
+
+# The observability table an IVF index ships with: per-cell size,
+# label spread, and majority-label purity — how balanced the cells
+# are decides probe cost, and purity is the clustering-quality proxy
+# when labels exist. Reuses the graded deterministic k-means verbatim
+# (same CTE text), so the stats inherit its hash-match.
+_IVF_STATS_ORACLE = f"""
+WITH assign AS ({_KMEANS_ORACLE}),
+lab AS (
+  SELECT a.c2 AS cell, e.label, COUNT(*) AS cnt
+  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+  GROUP BY a.c2, e.label
+),
+tot AS (
+  SELECT cell, CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_labels,
+         CAST(MAX(cnt) AS BIGINT) AS top_cnt
+  FROM lab GROUP BY cell
+),
+top AS (
+  SELECT cell, label AS top_label FROM (
+    SELECT cell, label,
+           ROW_NUMBER() OVER (PARTITION BY cell
+                              ORDER BY cnt DESC, label) AS rk
+    FROM lab) t
+  WHERE rk = 1
+)
+SELECT tot.cell, tot.n, tot.n_labels,
+       CAST(top.top_label AS INTEGER) AS top_label,
+       CAST(tot.top_cnt AS DOUBLE) / tot.n AS purity
+FROM tot JOIN top USING (cell)
+"""
+
+
+@graded("vector_ivf_cell_stats", oracle=_IVF_STATS_ORACLE)
+def vector_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell IVF index profile (size, label spread, majority
+    purity) over the deterministic k-means assignment. The assignment
+    dataflow re-runs unchanged (its own hash-matched query); the
+    profile itself is two tiny hash aggs + a k-row window — metadata
+    scale at any corpus size."""
+    assign = vector_kmeans_assign(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    lab = (
+        assign.join(emb, "vec_id")
+        .groupBy(F.col("c2").alias("cell"), "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = lab.groupBy("cell").agg(
+        F.sum("cnt").alias("n"),
+        F.count(F.lit(1)).alias("n_labels"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    w = Window.partitionBy("cell").orderBy(F.col("cnt").desc(), "label")
+    top = (
+        lab.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("cell", F.col("label").cast("int").alias("top_label"))
+    )
+    return (
+        tot.join(top, "cell")
+        .select(
+            "cell",
+            "n",
+            "n_labels",
+            "top_label",
+            (F.col("top_cnt").cast("double") / F.col("n")).alias("purity"),
+        )
+    )
