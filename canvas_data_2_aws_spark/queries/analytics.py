@@ -742,3 +742,65 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     same Catalyst plan, same decimal aggregate recipe."""
     register_tables(spark, sf_dir)
     return spark.sql(_PIPE_SQL)
+
+
+# --- EXT: 2-D equi-width histogram (heat grid) ----------------------------------
+
+# The qty × price density grid behind heatmap dashboards and 2-D
+# histogram statistics for join-selectivity estimation. Bucket edges
+# derive from the data (1-row min/max broadcast); bucket ids are
+# floor((x−min)/w) over identical doubles in both engines, clamped to
+# the top cell, so binning is exact. Revenue uses the decimal recipe.
+_HEAT2D_ORACLE = """
+WITH b AS (
+  SELECT MIN(l_quantity) AS qlo, MAX(l_quantity) AS qhi,
+         MIN(l_extendedprice) AS plo, MAX(l_extendedprice) AS phi
+  FROM lineitem
+)
+SELECT
+  CAST(LEAST(FLOOR((l_quantity - b.qlo) / ((b.qhi - b.qlo) / 10.0)), 9)
+       AS INTEGER) AS qbin,
+  CAST(LEAST(FLOOR((l_extendedprice - b.plo) / ((b.phi - b.plo) / 10.0)), 9)
+       AS INTEGER) AS pbin,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+FROM lineitem, b
+GROUP BY qbin, pbin
+"""
+
+
+@graded("analytics_heatmap_2d", oracle=_HEAT2D_ORACLE)
+def analytics_heatmap_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10×10 equi-width qty × price grid with per-cell count and
+    revenue — one scan + one hash agg over a ≤100-key space (fully
+    map-side-combinable); the bucket-edge row broadcasts. The
+    histogram-statistics shape a CBO or dashboard tiles at any
+    scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.agg(
+        F.min("l_quantity").alias("qlo"),
+        F.max("l_quantity").alias("qhi"),
+        F.min("l_extendedprice").alias("plo"),
+        F.max("l_extendedprice").alias("phi"),
+    )
+    qbin = F.least(
+        F.floor((F.col("l_quantity") - F.col("qlo")) / ((F.col("qhi") - F.col("qlo")) / 10.0)),
+        F.lit(9),
+    ).cast("int")
+    pbin = F.least(
+        F.floor(
+            (F.col("l_extendedprice") - F.col("plo"))
+            / ((F.col("phi") - F.col("plo")) / 10.0)
+        ),
+        F.lit(9),
+    ).cast("int")
+    return (
+        li.crossJoin(F.broadcast(b))
+        .groupBy(qbin.alias("qbin"), pbin.alias("pbin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("rev"),
+        )
+    )

@@ -114,6 +114,7 @@ _NESTED_LOOP_OK = {
     "validate_benford_digits",  # 1-row total-count broadcast
     "timeseries_acf",  # deliberate 6-row lag fan-out broadcast
     "merge_tombstone_gc",  # 1-row retention-cutoff broadcast
+    "analytics_heatmap_2d",  # 1-row bucket-edge broadcast
 }
 
 # Construction-time side effects or non-DataFrame surfaces — no static
