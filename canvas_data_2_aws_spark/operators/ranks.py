@@ -94,3 +94,43 @@ def exact_ntile(
         .withColumn(out, bucket.cast("long"))
         .drop(rn, "__rank_n")
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols,
+    value_col: str,
+    out: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact running sum over a total order, distributed — the prefix
+    sum behind Pareto/Lorenz curves and cumulative-share reports.
+
+    Same architecture as :func:`global_row_number`: range-repartition
+    on the sort key, local window cumsum per range partition, add the
+    broadcast sum of all earlier partitions. Exact for integer/decimal
+    ``value_col`` (use cents for money); ``order_cols`` must form a
+    total order.
+    """
+    cols = _cols(order_cols)
+    parts = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    )
+    withpid = parts.withColumn(_PID, F.spark_partition_id())
+    sums = withpid.groupBy(_PID).agg(F.sum(value_col).alias(_CNT))
+    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offs = sums.select(
+        _PID, F.coalesce(F.sum(_CNT).over(w_off), F.lit(0)).alias(_OFF)
+    )
+    local = F.sum(value_col).over(
+        Window.partitionBy(_PID)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        withpid.join(F.broadcast(offs), _PID)
+        .withColumn(out, F.col(_OFF) + local)
+        .drop(_PID, _OFF)
+    )

@@ -804,3 +804,86 @@ def analytics_heatmap_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev"),
         )
     )
+
+
+# --- EXT: Pareto / cumulative revenue concentration ------------------------------
+
+# "Which slice of customers carries which share of revenue" — the
+# Lorenz-curve rollup. Customers rank by exact-cent revenue (total
+# order via the custkey tie-break); rank and running sum both come
+# from the distributed primitives in operators/ranks.py, so there is
+# no single-task sort anywhere. Shares are integer-operand divisions,
+# unrounded.
+_PARETO_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT o_custkey, cents,
+         CAST(ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS BIGINT) AS rn,
+         CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM cust
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cust,
+         CAST(SUM(cents) AS BIGINT) AS total
+  FROM cust
+)
+SELECT CAST((r.rn - 1) * 10 // t.n_cust AS INTEGER) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(r.cents) AS BIGINT) AS cents,
+       CAST(SUM(r.cents) AS DOUBLE) / t.total AS revenue_share,
+       CAST(MAX(r.cum) AS DOUBLE) / t.total AS cum_share_at_end
+FROM ranked r, tot t
+GROUP BY decile, t.n_cust, t.total
+"""
+
+
+@graded("analytics_pareto_share", oracle=_PARETO_ORACLE)
+def analytics_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration by customer decile (Pareto/Lorenz
+    rollup). Rank and cumulative revenue use the range-partitioned
+    distributed primitives — bounded per-task memory at any customer
+    count — then one 10-key agg; the (n, total) scalars broadcast."""
+    from ..operators.ranks import global_cumsum, global_row_number
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents")
+    )
+    keys = [F.col("cents").desc(), F.col("o_custkey")]
+    rn = global_row_number(cust, keys, out="rn").select("o_custkey", "rn")
+    cum = global_cumsum(cust, keys, "cents", out="cum")
+    ranked = cum.join(rn, "o_custkey")
+    tot = cust.agg(
+        F.count(F.lit(1)).alias("n_cust"), F.sum("cents").alias("total")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.expr("CAST((rn - 1) * 10 DIV n_cust AS INT)").alias("decile"),
+            "n_cust",
+            "total",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_cust_d"),
+            F.sum("cents").alias("cents"),
+            (F.sum("cents").cast("double") / F.first("total")).alias(
+                "revenue_share"
+            ),
+            (F.max("cum").cast("double") / F.first("total")).alias(
+                "cum_share_at_end"
+            ),
+        )
+        .select(
+            "decile",
+            F.col("n_cust_d").alias("n_cust"),
+            "cents",
+            "revenue_share",
+            "cum_share_at_end",
+        )
+    )

@@ -115,6 +115,7 @@ _NESTED_LOOP_OK = {
     "timeseries_acf",  # deliberate 6-row lag fan-out broadcast
     "merge_tombstone_gc",  # 1-row retention-cutoff broadcast
     "analytics_heatmap_2d",  # 1-row bucket-edge broadcast
+    "analytics_pareto_share",  # 1-row (n_cust, total) broadcast + rank offsets
 }
 
 # Construction-time side effects or non-DataFrame surfaces — no static

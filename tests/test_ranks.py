@@ -91,3 +91,26 @@ def test_no_single_partition_window_in_plan(spark, sf_dir):
         line = m.group(0)
         if "__rank_pid" not in line:
             assert "partitionBy" not in line or "[]" not in line
+
+
+def test_global_cumsum_matches_naive(spark, sf_dir):
+    from canvas_data_2_aws_spark.operators.ranks import global_cumsum
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    keys = [F.col("cents").desc(), F.col("o_orderkey")]
+    dist = global_cumsum(o, keys, "cents", out="cum")
+    naive = o.withColumn(
+        "cum",
+        F.sum("cents").over(
+            Window.orderBy(*keys).rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    assert (
+        dist.select("o_orderkey", "cum")
+        .exceptAll(naive.select("o_orderkey", "cum"))
+        .count()
+        == 0
+    )
