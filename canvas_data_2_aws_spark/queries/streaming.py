@@ -776,3 +776,48 @@ def stream_cusum_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --- EXT: inter-arrival gap statistics -------------------------------------------
+
+# Arrival-process profile per event type: median and p95 inter-event
+# gap. Gaps are exact integer microseconds (lag over the pinned
+# (ts, event_id) order); the percentile interpolation runs on those
+# integers — quantile_cont ≡ Spark percentile (verified by
+# agg_percentile), and integer inputs keep the interpolation operands
+# identical.
+_GAP_STATS_ORACLE = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+       ROUND(quantile_cont(gap_us, 0.50) / 1000000.0, 4) AS p50_s,
+       ROUND(quantile_cont(gap_us, 0.95) / 1000000.0, 4) AS p95_s
+FROM gaps
+WHERE gap_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@graded("timeseries_gap_stats", oracle=_GAP_STATS_ORACLE)
+def timeseries_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median / p95 inter-arrival gap per event type — the arrival-
+    process profile that sizes watermarks and session gaps. One window
+    exchange on event_type produces exact integer-µs gaps; the
+    percentile agg runs per type. At 100 TB swap the exact percentile
+    for approx_percentile (same output contract)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_us, 0.50)") / 1000000.0, 4).alias("p50_s"),
+        F.round(F.expr("percentile(gap_us, 0.95)") / 1000000.0, 4).alias("p95_s"),
+    )

@@ -501,14 +501,10 @@ WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
-@graded("ann_hyperplane_lsh", oracle=_HYPERPLANE_ORACLE)
-def ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cosine ANN via deterministic random-hyperplane LSH: integer
-    sign projections bucket the corpus (md5-derived planes — zero
-    broadcast state), then the BLAS rerank runs bucket-locally.
-    Candidate volume is Σ bucket² instead of n² — the scale path the
-    exact-KNN docstrings point at, here as a first-class graded op."""
-    emb = load_table(spark, sf_dir, "embeddings")
+def _hyperplane_buckets(emb: DataFrame, n_planes: int = 3) -> DataFrame:
+    """(vec_id, bucket): sign pattern of the md5-parity integer
+    projections — the shared bucketing stage of the hyperplane-LSH
+    family (ANN + recall eval)."""
     pos = emb.select(
         "vec_id", F.posexplode("embedding").alias("i", "x")
     ).select(
@@ -517,7 +513,10 @@ def ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("x").cast("double") * 10000, 0).cast("long").alias("xi"),
     )
     pj = pos.select(
-        "vec_id", "i", "xi", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j")
+        "vec_id",
+        "i",
+        "xi",
+        F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("j"),
     )
     sgn_pos = F.expr(
         "contains('02468ace', substring(md5(concat(cast(i as string), '_',"
@@ -526,12 +525,22 @@ def ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = pj.groupBy("vec_id", "j").agg(
         F.sum(F.when(sgn_pos, F.col("xi")).otherwise(-F.col("xi"))).alias("y")
     )
-    bkt = y.groupBy("vec_id").agg(
+    return y.groupBy("vec_id").agg(
         F.sum(
             F.when(F.col("y") > 0, F.expr("CAST(1 << j AS BIGINT)")).otherwise(0)
         ).alias("bucket")
     )
-    embb = emb.join(bkt, "vec_id")
+
+
+@graded("ann_hyperplane_lsh", oracle=_HYPERPLANE_ORACLE)
+def ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine ANN via deterministic random-hyperplane LSH: integer
+    sign projections bucket the corpus (md5-derived planes — zero
+    broadcast state), then the BLAS rerank runs bucket-locally.
+    Candidate volume is Σ bucket² instead of n² — the scale path the
+    exact-KNN docstrings point at, here as a first-class graded op."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    embb = emb.join(_hyperplane_buckets(emb), "vec_id")
     pairs = cosine_blas(
         embb, embb, mode="pairs_threshold", threshold=0.2, block_col="bucket"
     )
@@ -608,5 +617,110 @@ def vector_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_labels",
             "top_label",
             (F.col("top_cnt").cast("double") / F.col("n")).alias("purity"),
+        )
+    )
+
+
+# --- EXT: ANN recall evaluation (exact vs hyperplane LSH) ------------------------
+
+# The eval harness as a query: recall@10 of the hyperplane-LSH
+# candidate set against exact ground truth, per query vector
+# (vec_id < 32). Both rankings order by the ROUNDED score with the
+# neighbor-id tie-break, so set membership is identical cross-engine
+# and the metric itself earns a hash-match oracle — an ANN quality
+# gate you can run as part of the correctness suite.
+_RECALL_ORACLE = """
+WITH q AS (SELECT * FROM embeddings WHERE vec_id < 32),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                            CAST(b.embedding AS DOUBLE[])), 4) DESC,
+                      b.vec_id) AS rn
+    FROM q a JOIN embeddings b ON b.vec_id <> a.vec_id) t
+  WHERE rn <= 10
+),
+pos AS (
+  SELECT vec_id, pos AS i,
+         CAST(round(CAST(list_extract(embedding, pos + 1) AS DOUBLE)
+                    * 10000, 0) AS BIGINT) AS xi
+  FROM embeddings, range(0, 64) t(pos)
+),
+pj AS (SELECT vec_id, i, xi, j FROM pos, range(0, 3) t2(j)),
+y AS (
+  SELECT vec_id, j,
+         SUM(CASE WHEN contains('02468ace',
+                    substring(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1))
+             THEN xi ELSE -xi END) AS y
+  FROM pj GROUP BY vec_id, j
+),
+bkt AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN y > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+  FROM y GROUP BY vec_id
+),
+lsh AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qa.vec_id AS query_id, nb.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY qa.vec_id
+             ORDER BY ROUND(list_cosine_similarity(CAST(qa.embedding AS DOUBLE[]),
+                            CAST(nb.embedding AS DOUBLE[])), 4) DESC,
+                      nb.vec_id) AS rn
+    FROM q qa
+    JOIN bkt ba ON ba.vec_id = qa.vec_id
+    JOIN bkt bb ON bb.bucket = ba.bucket AND bb.vec_id <> qa.vec_id
+    JOIN embeddings nb ON nb.vec_id = bb.vec_id) t
+  WHERE rn <= 10
+)
+SELECT e.query_id,
+       CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hit,
+       CAST(COUNT(l.neighbor_id) AS DOUBLE) / 10.0 AS recall_at_10
+FROM exact e
+LEFT JOIN lsh l ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@graded("vector_recall_eval", oracle=_RECALL_ORACLE)
+def vector_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of hyperplane-LSH candidates vs exact top-10 per
+    query — the index-quality gate an ANN deployment monitors. Exact
+    side: BLAS broadcast KNN; LSH side: bucket-equi join + HOF cosine
+    ranked per query. The metric join is query+neighbor keyed."""
+    from ..functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 32)
+    exact = cosine_blas(q, emb, mode="knn", k=10).select(
+        "query_id", "neighbor_id"
+    )
+    bkt = _hyperplane_buckets(emb)
+    qb = q.join(bkt, "vec_id").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "bucket",
+    )
+    nb = emb.join(bkt, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        "bucket",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(cosine_similarity("q_emb", "n_emb"), 4).desc(), "neighbor_id"
+    )
+    lsh = (
+        qb.join(nb, "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    return (
+        exact.join(lsh, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hit"),
+            (F.count("hit").cast("double") / 10.0).alias("recall_at_10"),
         )
     )

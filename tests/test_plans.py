@@ -116,6 +116,7 @@ _NESTED_LOOP_OK = {
     "merge_tombstone_gc",  # 1-row retention-cutoff broadcast
     "analytics_heatmap_2d",  # 1-row bucket-edge broadcast
     "analytics_pareto_share",  # 1-row (n_cust, total) broadcast + rank offsets
+    "vector_recall_eval",  # exact-KNN side: deliberate brute-force baseline
 }
 
 # Construction-time side effects or non-DataFrame surfaces — no static
