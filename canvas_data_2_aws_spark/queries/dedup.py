@@ -1022,3 +1022,93 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --- EXT: span removal (the dedup ACTION) ----------------------------------------
+
+# Applying the duplicated-span detector: rebuild each affected doc's
+# text with every cross-document duplicated span cut out (the
+# boilerplate-strip step that actually edits the corpus). Span
+# positions explode to a covered-position set; surviving words rejoin
+# in order. Only docs that lost words are emitted.
+_REMOVE_SPANS_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, greatest(len(w) - 4, 0))) AS INTEGER) AS pos,
+         unnest(list_transform(range(0, greatest(len(w) - 4, 0)),
+           i -> concat_ws(' ', w[i+1], w[i+2], w[i+3], w[i+4], w[i+5]))) AS shingle
+  FROM w
+),
+dup AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(DISTINCT doc_id) >= 2
+),
+hits AS (SELECT sh.doc_id, sh.pos FROM sh JOIN dup USING (shingle)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS INTEGER) AS grp
+  FROM hits
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 4 AS e
+  FROM isl GROUP BY doc_id, grp HAVING COUNT(*) >= 2
+),
+covered AS (
+  SELECT DISTINCT doc_id, CAST(unnest(range(s, e + 1)) AS INTEGER) AS pos
+  FROM spans
+),
+toks AS (
+  SELECT doc_id, CAST(unnest(range(0, len(w))) AS INTEGER) AS pos,
+         unnest(w) AS tok
+  FROM w
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) FILTER (WHERE c.pos IS NOT NULL) AS BIGINT) AS n_removed,
+       COALESCE(string_agg(CASE WHEN c.pos IS NULL THEN t.tok END, ' '
+                           ORDER BY t.pos), '') AS cleaned
+FROM toks t
+LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+GROUP BY t.doc_id
+HAVING COUNT(*) FILTER (WHERE c.pos IS NOT NULL) > 0
+"""
+
+
+@graded("dedup_remove_spans", oracle=_REMOVE_SPANS_ORACLE)
+def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut every cross-document duplicated span out of the affected
+    docs and re-emit the cleaned text — the corpus-editing step after
+    span detection. The span table is duplication-sized (broadcasts);
+    covered positions explode from spans, not from text, so the extra
+    work tracks duplication volume; the rebuild is one doc-keyed
+    aggregation with an order-pinned collect."""
+    spans = dedup_duplicate_spans(spark, sf_dir).select(
+        "doc_id", F.col("span_start").alias("s"), F.col("span_end").alias("e")
+    )
+    covered = spans.select(
+        "doc_id", F.explode(F.sequence("s", "e")).alias("pos")
+    ).distinct()
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    flagged = toks.join(
+        F.broadcast(covered.withColumn("cov", F.lit(1))), ["doc_id", "pos"], "left"
+    )
+    # collect_list drops the NULLs the covered positions produce, so
+    # the sorted survivor array rebuilds the text; a fully-covered doc
+    # rebuilds to '' (COALESCE on the oracle side matches).
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("cov").alias("n_removed"),
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    " CASE WHEN cov IS NULL THEN struct(pos, tok) END)),"
+                    " x -> x.tok)"
+                ),
+                " ",
+            ).alias("cleaned"),
+        )
+        .where(F.col("n_removed") > 0)
+    )
