@@ -520,3 +520,63 @@ def merge_tombstone_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tomb.crossJoin(F.broadcast(h)).select(
         "o_orderkey", "tomb_ts", (F.col("tomb_ts") < F.col("cutoff")).alias("purged")
     )
+
+
+# --- EXT: point-in-time reconstruction (time travel) -----------------------------
+
+# Replica state AS OF a cutoff: apply only the changes whose change
+# time (here the row's order date) is ≤ the horizon — the
+# time-travel/PITR read a log-structured replica serves without
+# snapshots. Update/delete log only (fresh inserts carry no
+# pre-existing key to travel over).
+_TIME_TRAVEL_ORACLE = """
+WITH h AS (SELECT MAX(o_orderdate) - INTERVAL 365 DAY AS cutoff FROM orders),
+changes AS (
+  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+         o_totalprice + 1.0 AS o_totalprice, o_orderdate, o_orderpriority,
+         'U' AS action
+  FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         o_orderpriority, 'D' AS action
+  FROM orders WHERE o_orderkey % 97 = 0
+),
+applied AS (SELECT c.* FROM changes c, h WHERE c.o_orderdate <= h.cutoff)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority
+FROM orders
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM applied)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority
+FROM applied WHERE action = 'U'
+"""
+
+
+@graded("merge_time_travel", oracle=_TIME_TRAVEL_ORACLE)
+def merge_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF read: the replica with only the update/delete log up to
+    the 365-day horizon applied (operators/merge.py plan, one keyed
+    anti-join + union). The cutoff is a 1-row broadcast; at scale the
+    change log is date-partitioned so the filter partition-prunes."""
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    updates = (
+        orders.where((key % 10 == 0) & (key % 97 != 0))
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+        .withColumn("action", F.lit("U"))
+    )
+    deletes = orders.where(key % 97 == 0).withColumn("action", F.lit("D"))
+    changes = updates.select(*_ORDER_COLS, "action").unionByName(
+        deletes.select(*_ORDER_COLS, "action")
+    )
+    h = orders.agg(
+        F.expr("MAX(o_orderdate) - INTERVAL 365 DAYS").alias("cutoff")
+    )
+    applied = (
+        changes.crossJoin(F.broadcast(h))
+        .where(F.col("o_orderdate") <= F.col("cutoff"))
+        .drop("cutoff")
+    )
+    return apply_changeset(orders, applied, keys=["o_orderkey"])

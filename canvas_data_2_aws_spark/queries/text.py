@@ -819,3 +819,81 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mean_quality"),
     )
+
+
+# --- EXT: corpus drift detection (token-distribution shift) ----------------------
+
+# Chi-square token-rate shift between two md5-stable halves of the
+# corpus — the drift monitor run between corpus releases (tokenizer
+# retrain / mix-change alarms). Counts are exact integers; expected
+# values and chi² contributions are mirrored integer-operand
+# expressions (unrounded), ranked with a token tie-break.
+_DRIFT_ORACLE = """
+WITH tok AS (
+  SELECT CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS INTEGER) % 2 = 0 THEN 'a' ELSE 'b' END AS split,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT token,
+         CAST(COUNT(*) FILTER (WHERE split = 'a') AS BIGINT) AS ca,
+         CAST(COUNT(*) FILTER (WHERE split = 'b') AS BIGINT) AS cb
+  FROM tok GROUP BY token
+),
+tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+  FROM counts
+)
+SELECT token, ca, cb,
+       (CAST(ca AS DOUBLE) - CAST(ca + cb AS DOUBLE) * na / (na + nb))
+       * (CAST(ca AS DOUBLE) - CAST(ca + cb AS DOUBLE) * na / (na + nb))
+       / (CAST(ca + cb AS DOUBLE) * na / (na + nb))
+       + (CAST(cb AS DOUBLE) - CAST(ca + cb AS DOUBLE) * nb / (na + nb))
+       * (CAST(cb AS DOUBLE) - CAST(ca + cb AS DOUBLE) * nb / (na + nb))
+       / (CAST(ca + cb AS DOUBLE) * nb / (na + nb)) AS chi2
+FROM counts, tot
+WHERE ca + cb >= 20
+ORDER BY chi2 DESC, token
+LIMIT 20
+"""
+
+
+@graded("text_corpus_drift", oracle=_DRIFT_ORACLE)
+def text_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens by chi-square rate shift between two hash-stable
+    corpus halves. One token agg with conditional counts (map-side
+    combinable), two scalar totals broadcast, TakeOrdered top-k — the
+    release-to-release drift alarm at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 2 == 0,
+        "a",
+    ).otherwise("b")
+    tok = docs.select(
+        split.alias("split"), F.explode(T.tokens()).alias("token")
+    )
+    counts = tok.groupBy("token").agg(
+        F.count(F.when(F.col("split") == "a", 1)).alias("ca"),
+        F.count(F.when(F.col("split") == "b", 1)).alias("cb"),
+    )
+    tot = counts.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    ea = (F.col("ca") + F.col("cb")).cast("double") * F.col("na") / (
+        F.col("na") + F.col("nb")
+    )
+    eb = (F.col("ca") + F.col("cb")).cast("double") * F.col("nb") / (
+        F.col("na") + F.col("nb")
+    )
+    chi2 = (F.col("ca").cast("double") - ea) * (
+        F.col("ca").cast("double") - ea
+    ) / ea + (F.col("cb").cast("double") - eb) * (
+        F.col("cb").cast("double") - eb
+    ) / eb
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .where(F.col("ca") + F.col("cb") >= 20)
+        .select("token", "ca", "cb", chi2.alias("chi2"))
+        .orderBy(F.col("chi2").desc(), "token")
+        .limit(20)
+    )

@@ -117,6 +117,8 @@ _NESTED_LOOP_OK = {
     "analytics_heatmap_2d",  # 1-row bucket-edge broadcast
     "analytics_pareto_share",  # 1-row (n_cust, total) broadcast + rank offsets
     "vector_recall_eval",  # exact-KNN side: deliberate brute-force baseline
+    "text_corpus_drift",  # 1-row (na, nb) totals broadcast
+    "merge_time_travel",  # 1-row cutoff broadcast
 }
 
 # Construction-time side effects or non-DataFrame surfaces — no static
