@@ -897,3 +897,63 @@ def text_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("chi2").desc(), "token")
         .limit(20)
     )
+
+
+# --- EXT: tokenizer vocabulary coverage (OOV rate) -------------------------------
+
+# Coverage of a top-100 corpus vocabulary per source — the tokenizer
+# health metric (rising OOV = drifting inputs or an undersized
+# vocab). Vocab selection is total-ordered (count DESC, token); the
+# rate is an integer-operand division, unrounded.
+_OOV_ORACLE = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS c,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rk
+    FROM tok GROUP BY token) t
+  WHERE rk <= 100
+)
+SELECT t.source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) FILTER (WHERE v.token IS NULL) AS BIGINT) AS n_oov,
+       CAST(COUNT(*) FILTER (WHERE v.token IS NULL) AS DOUBLE) / COUNT(*)
+         AS oov_rate
+FROM tok t LEFT JOIN vocab v ON v.token = t.token
+GROUP BY t.source
+"""
+
+
+@graded("text_oov_rate", oracle=_OOV_ORACLE)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against the corpus top-100
+    vocabulary. The vocab is vocabulary-sized (broadcast at any corpus
+    scale); scoring is a map-side membership probe over the token
+    stream + one source-keyed agg — the same broadcast-probe shape as
+    decontamination."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(T.tokens()).alias("token"))
+    # orderBy+limit → TakeOrderedAndProject: per-partition top-100
+    # heaps merged at the driver — no single-task sort even when the
+    # distinct-token table is huge.
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "token")
+        .limit(100)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+            (
+                F.count(F.when(F.col("in_vocab").isNull(), 1)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("oov_rate"),
+        )
+    )
