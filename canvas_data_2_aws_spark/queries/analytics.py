@@ -887,3 +887,56 @@ def analytics_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_share_at_end",
         )
     )
+
+
+# --- EXT: activity survival curve ------------------------------------------------
+
+# Discrete survival: S(w) = share of users still active ≥ w weeks
+# after their first event (lifetime = last − first, floored to whole
+# weeks from exact integer µs). Weeks 0..8 explode from a literal
+# sequence; everything is integer counts until one unrounded division
+# — the churn-analysis curve without a stats library.
+_SURVIVAL_ORACLE = """
+WITH life AS (
+  SELECT user_id,
+         (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 604800000000 AS weeks
+  FROM events GROUP BY user_id
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM life),
+grid AS (SELECT CAST(unnest(range(0, 9)) AS INTEGER) AS week)
+SELECT g.week,
+       CAST(COUNT(l.user_id) AS BIGINT) AS n_surviving,
+       CAST(COUNT(l.user_id) AS DOUBLE) / n.n_users AS survival
+FROM grid g
+LEFT JOIN life l ON l.weeks >= g.week, n
+GROUP BY g.week, n.n_users
+"""
+
+
+@graded("analytics_survival_curve", oracle=_SURVIVAL_ORACLE)
+def analytics_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly activity survival curve S(w) over user lifetimes. One
+    user-keyed agg produces lifetimes; the 9-point grid is a literal
+    explode and the lifetime table re-aggregates per week — at scale
+    this is one event scan plus user-cardinality metadata work."""
+    ev = load_table(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        F.expr(
+            "(unix_micros(MAX(ts)) - unix_micros(MIN(ts))) DIV 604800000000"
+        ).alias("weeks")
+    )
+    n = life.agg(F.count(F.lit(1)).alias("n_users"))
+    grid = spark.range(0, 9).select(F.col("id").cast("int").alias("week"))
+    return (
+        grid.join(life, life.weeks >= grid.week, "left")
+        .groupBy("week")
+        .agg(F.count("user_id").alias("n_surviving"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "week",
+            "n_surviving",
+            (F.col("n_surviving").cast("double") / F.col("n_users")).alias(
+                "survival"
+            ),
+        )
+    )

@@ -119,6 +119,7 @@ _NESTED_LOOP_OK = {
     "vector_recall_eval",  # exact-KNN side: deliberate brute-force baseline
     "text_corpus_drift",  # 1-row (na, nb) totals broadcast
     "merge_time_travel",  # 1-row cutoff broadcast
+    "analytics_survival_curve",  # deliberate 9-row week-grid fan-out
 }
 
 # Construction-time side effects or non-DataFrame surfaces — no static
