@@ -879,3 +879,49 @@ def analytics_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_trans") / F.sum("n_trans").over(w_cur).cast("double"), 4
         ).alias("p"),
     )
+
+
+# --- EXT: deterministic epoch shuffle --------------------------------------------
+
+# Training-order assignment: each epoch permutes the corpus by an
+# md5(seed, doc_id) sort key and materializes the global position via
+# the distributed rank — reproducible across runs AND engines, no
+# RNG. Emits both epochs' positions per doc (the manifest a data
+# loader consumes).
+_EPOCH_SHUFFLE_ORACLE = """
+WITH e0 AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY md5('0_' || CAST(doc_id AS VARCHAR)),
+                                 doc_id) AS BIGINT) AS pos0
+  FROM documents
+),
+e1 AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY md5('1_' || CAST(doc_id AS VARCHAR)),
+                                 doc_id) AS BIGINT) AS pos1
+  FROM documents
+)
+SELECT e0.doc_id, e0.pos0, e1.pos1
+FROM e0 JOIN e1 ON e0.doc_id = e1.doc_id
+"""
+
+
+@graded("pipeline_epoch_shuffle", oracle=_EPOCH_SHUFFLE_ORACLE)
+def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic epoch permutations of the corpus (md5 sort
+    keys → distributed global row_number). The shuffle key is a hash,
+    so re-runs and resumes see the identical order — and the rank uses
+    operators/ranks.py, so assigning positions to 10⁹ docs never
+    single-task sorts."""
+    from ..operators.ranks import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    k0 = F.md5(F.concat(F.lit("0_"), F.col("doc_id").cast("string")))
+    k1 = F.md5(F.concat(F.lit("1_"), F.col("doc_id").cast("string")))
+    e0 = global_row_number(
+        docs.withColumn("_k0", k0), ["_k0", "doc_id"], out="pos0"
+    ).select("doc_id", "pos0")
+    e1 = global_row_number(
+        docs.withColumn("_k1", k1), ["_k1", "doc_id"], out="pos1"
+    ).select("doc_id", "pos1")
+    return e0.join(e1, "doc_id")

@@ -172,3 +172,74 @@ def agg_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
         )
     )
+
+
+# --- EXT: exact distinct-set algebra via bitmaps ---------------------------------
+
+# Audience overlap without a COUNT(DISTINCT) pair shuffle: per-segment
+# 32k-bucket bitmaps OR-merge map-side (the agg_bitmap_distinct
+# machinery); the intersection falls out of inclusion–exclusion over
+# three exact counts. Jaccard is an integer-operand division,
+# unrounded.
+_BITMAP_SET_ORACLE = """
+WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+u AS (SELECT user_id FROM a UNION SELECT user_id FROM b)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_purchasers,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_clickers,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS n_union,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM a)
+         + (SELECT CAST(COUNT(*) AS BIGINT) FROM b)
+         - (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS n_both,
+       CAST((SELECT CAST(COUNT(*) AS BIGINT) FROM a)
+            + (SELECT CAST(COUNT(*) AS BIGINT) FROM b)
+            - (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS DOUBLE)
+         / (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS jaccard
+"""
+
+
+@graded("agg_bitmap_set_algebra", oracle=_BITMAP_SET_ORACLE)
+def agg_bitmap_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact audience overlap (purchasers ∩ clickers) from mergeable
+    bitmap partials: |A|, |B|, |A∪B| each cost one fixed-size bitmap
+    agg; |A∩B| and Jaccard are inclusion–exclusion arithmetic. At
+    100 TB the shuffle carries ≤4 KiB per (segment, bucket) instead of
+    every distinct (segment, user) pair."""
+    ev = load_table(spark, sf_dir, "events")
+    seg = ev.select(
+        "user_id",
+        (F.col("event_type") == "purchase").alias("is_a"),
+        (F.col("event_type") == "click").alias("is_b"),
+    ).where(F.col("is_a") | F.col("is_b"))
+    bucketed = seg.select(
+        "is_a",
+        "is_b",
+        F.expr("user_id DIV 32768").alias("bkt"),
+        F.expr("user_id % 32768 + 1").alias("pos"),
+    )
+
+    def count_of(flag):
+        per_bucket = (
+            bucketed.where(flag)
+            .groupBy("bkt")
+            .agg(F.expr("bitmap_count(bitmap_construct_agg(pos))").alias("c"))
+        )
+        return per_bucket.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n"))
+
+    na = count_of(F.col("is_a")).withColumnRenamed("n", "n_purchasers")
+    nb = count_of(F.col("is_b")).withColumnRenamed("n", "n_clickers")
+    nu = count_of(F.lit(True)).withColumnRenamed("n", "n_union")
+    both = (
+        F.col("n_purchasers") + F.col("n_clickers") - F.col("n_union")
+    )
+    return (
+        na.crossJoin(nb)
+        .crossJoin(nu)
+        .select(
+            "n_purchasers",
+            "n_clickers",
+            "n_union",
+            both.alias("n_both"),
+            (both.cast("double") / F.col("n_union")).alias("jaccard"),
+        )
+    )
