@@ -489,3 +489,55 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(2).alias("wp50_cents"),
         pick(3).alias("wp75_cents"),
     )
+
+
+# --- EXT: exact median by distributed selection ----------------------------------
+
+# The scalable EXACT median: global rank via range repartitioning
+# (operators/ranks.py — no single-task sort), then select the middle
+# rank(s). Interpolation for even n averages two exact integer cents —
+# one mirrored division. This upgrades the "exact percentile needs a
+# per-group sort" scale caveat into a first-class distributed op.
+_MEDIAN_DIST_ORACLE = """
+WITH c AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+r AS (
+  SELECT cents,
+         CAST(ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS BIGINT) AS rn
+  FROM c
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c)
+SELECT n.n AS n_rows,
+       CAST(SUM(r.cents) AS DOUBLE) / COUNT(*) / 100.0 AS median_usd
+FROM r, n
+WHERE r.rn IN ((n.n + 1) // 2, n.n // 2 + 1)
+GROUP BY n.n
+"""
+
+
+@graded("agg_median_distributed", oracle=_MEDIAN_DIST_ORACLE)
+def agg_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global median of order totals by distributed selection:
+    range-partitioned rank, pick the middle rank(s), average exact
+    cents. Bounded per-task memory at any row count — the scale path
+    for exact percentiles (generalizes to any quantile by picking
+    other ranks)."""
+    from ..operators.ranks import global_row_number
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents")
+    )
+    ranked = global_row_number(o, ["cents", "o_orderkey"], out="rn")
+    n = o.agg(F.count(F.lit(1)).alias("n"))
+    mid = ranked.crossJoin(F.broadcast(n)).where(
+        (F.col("rn") == F.expr("(n + 1) DIV 2"))
+        | (F.col("rn") == F.expr("n DIV 2 + 1"))
+    )
+    return mid.groupBy("n").agg(
+        (F.sum("cents").cast("double") / F.count(F.lit(1)) / 100.0).alias(
+            "median_usd"
+        )
+    ).select(F.col("n").alias("n_rows"), "median_usd")

@@ -120,6 +120,7 @@ _NESTED_LOOP_OK = {
     "text_corpus_drift",  # 1-row (na, nb) totals broadcast
     "merge_time_travel",  # 1-row cutoff broadcast
     "analytics_survival_curve",  # deliberate 9-row week-grid fan-out
+    "agg_median_distributed",  # 1-row count broadcast + rank offsets
 }
 
 # Construction-time side effects or non-DataFrame surfaces — no static
