@@ -121,6 +121,7 @@ _NESTED_LOOP_OK = {
     "merge_time_travel",  # 1-row cutoff broadcast
     "analytics_survival_curve",  # deliberate 9-row week-grid fan-out
     "agg_median_distributed",  # 1-row count broadcast + rank offsets
+    "agg_bitmap_set_algebra",  # three 1-row bitmap-count broadcasts
 }
 
 # Construction-time side effects or non-DataFrame surfaces — no static
