@@ -940,3 +940,36 @@ def analytics_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Spark parameterized SQL (named parameters) ----------------------------------
+
+# The injection-safe parameter-binding surface (spark.sql(query,
+# args={...})): markers type as literals in the plan, so Catalyst
+# constant-folds them exactly like inlined constants. Oracle inlines
+# the same values — identical semantics, different binding mechanism.
+_PARAM_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice >= 1000.0
+GROUP BY o_orderpriority
+"""
+
+
+@graded("sql_named_parameters", oracle=_PARAM_ORACLE)
+def sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL: the same aggregate with :status and
+    :min_total bound via spark.sql(..., args=...) — the API a query
+    service uses instead of string interpolation."""
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+        FROM orders
+        WHERE o_orderstatus = :status AND o_totalprice >= :min_total
+        GROUP BY o_orderpriority
+        """,
+        args={"status": "F", "min_total": 1000.0},
+    )
