@@ -821,3 +821,64 @@ def timeseries_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(gap_us, 0.50)") / 1000000.0, 4).alias("p50_s"),
         F.round(F.expr("percentile(gap_us, 0.95)") / 1000000.0, 4).alias("p95_s"),
     )
+
+
+# --- EXT: IQR outlier flags (robust anomaly detection) ---------------------------
+
+# Tukey-fence outliers per event type: values outside
+# [q1 − 1.5·IQR, q3 + 1.5·IQR] of the type's exact-cent quartiles.
+# percentile ≡ quantile_cont on identical integer inputs (verified by
+# agg_percentile), and the fences are mirrored expressions over those
+# interpolated doubles — so flag membership is exact. Complements the
+# z-score detector (timeseries_anomaly_zscore) with the
+# outlier-robust form.
+_IQR_ORACLE = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(CAST(round(value * 100, 0) AS BIGINT), 0.25) AS q1,
+         quantile_cont(CAST(round(value * 100, 0) AS BIGINT), 0.75) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, e.event_id,
+       CAST(round(e.value * 100, 0) AS BIGINT) AS cents,
+       ROUND((q.q3 - q.q1) / 100.0, 4) AS iqr_usd,
+       (CAST(round(e.value * 100, 0) AS BIGINT) < q.q1 - 1.5 * (q.q3 - q.q1)
+        OR CAST(round(e.value * 100, 0) AS BIGINT) > q.q3 + 1.5 * (q.q3 - q.q1))
+         AS is_outlier
+FROM events e JOIN q ON q.event_type = e.event_type
+WHERE CAST(round(e.value * 100, 0) AS BIGINT) < q.q1 - 1.5 * (q.q3 - q.q1)
+   OR CAST(round(e.value * 100, 0) AS BIGINT) > q.q3 + 1.5 * (q.q3 - q.q1)
+"""
+
+
+@graded("timeseries_anomaly_iqr", oracle=_IQR_ORACLE)
+def timeseries_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outliers per event type over exact-cent quartiles —
+    the robust complement to the rolling z-score detector (fences
+    don't move when outliers do). Quartiles are a per-type agg whose
+    tiny result broadcasts back onto the stream; at 100 TB swap the
+    exact percentile for approx_percentile, same contract."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    q = ev.groupBy("event_type").agg(
+        F.expr(
+            "percentile(CAST(round(value * 100, 0) AS BIGINT), 0.25)"
+        ).alias("q1"),
+        F.expr(
+            "percentile(CAST(round(value * 100, 0) AS BIGINT), 0.75)"
+        ).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo, hi = F.col("q1") - 1.5 * iqr, F.col("q3") + 1.5 * iqr
+    flagged = (cents < lo) | (cents > hi)
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .where(flagged)
+        .select(
+            "event_type",
+            "event_id",
+            cents.alias("cents"),
+            F.round(iqr / 100.0, 4).alias("iqr_usd"),
+            flagged.alias("is_outlier"),
+        )
+    )
