@@ -973,3 +973,58 @@ def sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"status": "F", "min_total": 1000.0},
     )
+
+
+# --- EXT: Gini coefficient -------------------------------------------------------
+
+# Inequality of customer revenue as one scalar: for ascending-sorted
+# exact cents with rank i, G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n. The rank
+# comes from the distributed primitive and Σ(i·xᵢ) accumulates in
+# DECIMAL(38,0) (rank·cents ≈ 1e5·1e7 per row — BIGINT-safe here, but
+# decimal keeps the identity at 10⁹ customers). One mirrored
+# expression over exact integers, unrounded.
+_GINI_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT cents,
+         CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS rn
+  FROM cust
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cust,
+       2.0 * CAST(SUM(CAST(rn AS HUGEINT) * cents) AS DOUBLE)
+         / (COUNT(*) * CAST(SUM(cents) AS DOUBLE))
+       - (CAST(COUNT(*) AS DOUBLE) + 1.0) / COUNT(*) AS gini
+FROM r
+"""
+
+
+@graded("analytics_gini_coefficient", oracle=_GINI_ORACLE)
+def analytics_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the single-scalar
+    inequality readout over the Pareto machinery. Ranks come from the
+    range-partitioned primitive; the rank-weighted sum accumulates in
+    DECIMAL(38,0), so the whole statistic is exact until two final
+    divisions."""
+    from ..operators.ranks import global_row_number
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents")
+    )
+    ranked = global_row_number(cust, ["cents", "o_custkey"], out="rn")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        (
+            2.0
+            * F.sum(
+                F.col("rn").cast("decimal(38,0)") * F.col("cents").cast("decimal(38,0)")
+            ).cast("double")
+            / (F.count(F.lit(1)) * F.sum("cents").cast("double"))
+            - (F.count(F.lit(1)).cast("double") + 1.0) / F.count(F.lit(1))
+        ).alias("gini"),
+    )

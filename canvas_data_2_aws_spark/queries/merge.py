@@ -580,3 +580,58 @@ def merge_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("cutoff")
     )
     return apply_changeset(orders, applied, keys=["o_orderkey"])
+
+
+# --- EXT: changeset observability ------------------------------------------------
+
+# The syncdb report line as a query: per-action counts, how many
+# changes hit existing keys vs arrive fresh, and the net row delta
+# the merge will produce — the numbers an operator checks before
+# applying a batch. Pure integer counts.
+_CHANGESET_STATS_ORACLE = """
+WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+ins AS (
+  SELECT mx.m + ROW_NUMBER() OVER (ORDER BY s.o_orderkey) AS o_orderkey,
+         'U' AS action
+  FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 100) s, mx
+),
+changes AS (
+  SELECT o_orderkey, 'U' AS action FROM orders
+  WHERE o_orderkey % 10 = 0 AND o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey, 'D' AS action FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT o_orderkey, action FROM ins
+)
+SELECT c.action,
+       CAST(COUNT(*) AS BIGINT) AS n_changes,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_existing_keys,
+       CAST(COUNT(*) - COUNT(o.o_orderkey) AS BIGINT) AS n_new_keys,
+       CAST(CASE WHEN c.action = 'U' THEN COUNT(*) - COUNT(o.o_orderkey)
+                 ELSE -COUNT(o.o_orderkey) END AS BIGINT) AS net_row_delta
+FROM changes c LEFT JOIN orders o ON o.o_orderkey = c.o_orderkey
+GROUP BY c.action
+"""
+
+
+@graded("merge_changeset_stats", oracle=_CHANGESET_STATS_ORACLE)
+def merge_changeset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-apply changeset audit: per-action counts, existing-vs-fresh
+    key split, and the net row delta — the observability row logged
+    per sync. One key-join of the changeset against the base
+    (bucket-aligned under the §1 layout) + a 2-key agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    changes = derive_changeset(orders).select("o_orderkey", "action")
+    base = orders.select("o_orderkey", F.lit(1).alias("hit"))
+    j = changes.join(base, "o_orderkey", "left")
+    return j.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n_changes"),
+        F.count("hit").alias("n_existing_keys"),
+        (F.count(F.lit(1)) - F.count("hit")).alias("n_new_keys"),
+        F.when(
+            F.col("action") == "U", F.count(F.lit(1)) - F.count("hit")
+        )
+        .otherwise(-F.count("hit"))
+        .cast("long")
+        .alias("net_row_delta"),
+    )

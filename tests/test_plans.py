@@ -122,6 +122,7 @@ _NESTED_LOOP_OK = {
     "analytics_survival_curve",  # deliberate 9-row week-grid fan-out
     "agg_median_distributed",  # 1-row count broadcast + rank offsets
     "agg_bitmap_set_algebra",  # three 1-row bitmap-count broadcasts
+    "merge_changeset_stats",  # max-PK 1-row broadcast (changeset derivation)
 }
 
 # Construction-time side effects or non-DataFrame surfaces — no static
