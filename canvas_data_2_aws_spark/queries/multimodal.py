@@ -170,3 +170,58 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("out_h").cast("int").alias("out_h"),
         F.octet_length("resized").cast("long").alias("resized_bytes"),
     )
+
+
+# --- storage accounting over the binary column -----------------------------------
+
+# The capacity-planning rollup a multimodal lakehouse runs per
+# (source, modality-language): object counts, byte totals, mean
+# object size, and each group's share of the corpus — all computed
+# from metadata + octet_length without ever decoding payload bytes.
+_STORAGE_ORACLE = """
+WITH m AS (
+  SELECT source AS media_source, lang AS media_lang,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+),
+t AS (SELECT CAST(SUM(n_bytes) AS BIGINT) AS total FROM m)
+SELECT m.media_source, m.media_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_objects,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(n_bytes) AS DOUBLE) / COUNT(*) AS mean_bytes,
+       CAST(SUM(n_bytes) AS DOUBLE) / t.total AS byte_share
+FROM m, t
+GROUP BY m.media_source, m.media_lang, t.total
+"""
+
+
+@graded("multimodal_storage_budget", oracle=_STORAGE_ORACLE)
+def multimodal_storage_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, language) storage budget of the binary column:
+    counts, bytes, mean size, corpus share. Pure metadata arithmetic —
+    payload bytes never leave the scan — so the rollup costs one
+    column-pruned scan at any corpus size; shares are integer-operand
+    divisions, unrounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_payload(docs)
+    m = media.select(
+        F.col("meta.media_source").alias("media_source"),
+        F.col("meta.media_lang").alias("media_lang"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+    )
+    t = m.agg(F.sum("n_bytes").alias("total"))
+    return (
+        m.groupBy("media_source", "media_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_objects"),
+            F.sum("n_bytes").alias("total_bytes"),
+            (F.sum("n_bytes").cast("double") / F.count(F.lit(1))).alias(
+                "mean_bytes"
+            ),
+        )
+        .crossJoin(F.broadcast(t))
+        .withColumn(
+            "byte_share", F.col("total_bytes").cast("double") / F.col("total")
+        )
+        .drop("total")
+    )

@@ -123,6 +123,7 @@ _NESTED_LOOP_OK = {
     "agg_median_distributed",  # 1-row count broadcast + rank offsets
     "agg_bitmap_set_algebra",  # three 1-row bitmap-count broadcasts
     "merge_changeset_stats",  # max-PK 1-row broadcast (changeset derivation)
+    "multimodal_storage_budget",  # 1-row byte-total broadcast
 }
 
 # Construction-time side effects or non-DataFrame surfaces — no static
