@@ -1028,3 +1028,61 @@ def analytics_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.count(F.lit(1)).cast("double") + 1.0) / F.count(F.lit(1))
         ).alias("gini"),
     )
+
+
+# --- EXT: first-touch attribution ------------------------------------------------
+
+# The acquisition-credit dual of analytics_attribution: each purchase
+# credits the FIRST non-purchase event in the user's history up to
+# that point (running ignore-nulls first_value over the same
+# user-timeline frame — one shared window exchange shape).
+_FIRST_TOUCH_ORACLE = """
+WITH tagged AS (
+  SELECT user_id, event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                     IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+  FROM events
+)
+SELECT COALESCE(channel, 'direct') AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+       CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue_usd
+FROM tagged
+WHERE event_type = 'purchase'
+GROUP BY COALESCE(channel, 'direct')
+"""
+
+
+@graded("analytics_attribution_first", oracle=_FIRST_TOUCH_ORACLE)
+def analytics_attribution_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: purchase revenue credited to the
+    user's earliest preceding event type — the acquisition-channel
+    view beside the last-touch (conversion-channel) one. Identical
+    single-exchange plan; only the carried value function differs."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    channel = F.first(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    tagged = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        channel.alias("channel"),
+    )
+    return (
+        tagged.where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .withColumn("revenue_usd", F.col("revenue_cents").cast("double") / 100.0)
+    )

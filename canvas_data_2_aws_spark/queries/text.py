@@ -957,3 +957,73 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+# --- EXT: vocabulary coverage curve ----------------------------------------------
+
+# Token-mass coverage of a top-k vocabulary for k ∈ {10,50,100,500} —
+# the sizing curve a tokenizer design reads ("how big must the vocab
+# be to cover 95% of the stream"). Ranking and cumulative mass run on
+# the vocabulary-sized count table (metadata scale); coverage is an
+# integer-operand division, unrounded.
+_VOCAB_CURVE_ORACLE = """
+WITH counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+  GROUP BY token
+),
+ranked AS (
+  SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, token) AS BIGINT) AS rk,
+         CAST(SUM(c) OVER (ORDER BY c DESC, token
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM counts
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM counts),
+ks AS (SELECT CAST(unnest([10, 50, 100, 500]) AS BIGINT) AS k)
+SELECT CAST(ks.k AS INTEGER) AS k,
+       MAX(r.cum) AS covered_tokens,
+       CAST(MAX(r.cum) AS DOUBLE) / t.total AS coverage
+FROM ks JOIN ranked r ON r.rk <= ks.k, tot t
+GROUP BY ks.k, t.total
+"""
+
+
+@graded("text_vocab_coverage_curve", oracle=_VOCAB_CURVE_ORACLE)
+def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-mass coverage at vocab sizes {10,50,100,500}. The
+    token agg is the one data-scale exchange; ranking/cumulating runs
+    on the distinct-token table (vocabulary-sized — use the ranks
+    operator if that ever outgrows one task) and the 4-point grid
+    joins against it."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(T.tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_ord = Window.orderBy(F.col("c").desc(), "token")
+    ranked = counts.select(
+        "c",
+        F.row_number().over(w_ord).cast("long").alias("rk"),
+        F.sum("c")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    tot = counts.agg(F.sum("c").alias("total"))
+    ks = spark.range(0, 1).select(
+        F.explode(F.array(*[F.lit(k) for k in (10, 50, 100, 500)])).alias("k")
+    )
+    return (
+        ks.join(ranked, F.col("rk") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.max("cum").alias("covered_tokens"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("int").alias("k"),
+            "covered_tokens",
+            (F.col("covered_tokens").cast("double") / F.col("total")).alias(
+                "coverage"
+            ),
+        )
+    )

@@ -124,6 +124,7 @@ _NESTED_LOOP_OK = {
     "agg_bitmap_set_algebra",  # three 1-row bitmap-count broadcasts
     "merge_changeset_stats",  # max-PK 1-row broadcast (changeset derivation)
     "multimodal_storage_budget",  # 1-row byte-total broadcast
+    "text_vocab_coverage_curve",  # deliberate 4-row k-grid fan-out
 }
 
 # Construction-time side effects or non-DataFrame surfaces — no static
