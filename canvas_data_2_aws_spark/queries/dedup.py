@@ -1112,3 +1112,90 @@ def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_removed") > 0)
     )
+
+
+# --- EXT: multi-probe SimHash (Hamming ≤ 1 candidates) ---------------------------
+
+# Exact-bucket SimHash misses near-dups that differ in one bit; the
+# multi-probe trick finds them WITHOUT pairwise Hamming scans: each
+# doc also registers its 16 one-bit-flip probes, so any pair within
+# Hamming distance 1 collides on some probe key. Pure integer XOR
+# fan-out (17 keys/doc) + one equi-join — the standard probe-budget /
+# recall trade of multi-probe LSH, all engine-deterministic.
+_MULTIPROBE_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+codes AS (
+  SELECT doc_id, ascii(substring(token, 1, 1)) * 31 + length(token) AS code
+  FROM tok
+),
+bits AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (code // (1 << bit)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM codes, range(0, 16) t(bit)
+  GROUP BY doc_id, bit
+),
+sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+),
+probes AS (
+  SELECT doc_id, simhash, simhash AS probe FROM sh
+  UNION ALL
+  SELECT doc_id, simhash, CAST(xor(simhash, CAST(1 AS BIGINT) << f) AS BIGINT)
+  FROM sh, range(0, 16) t(f)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM probes a JOIN sh b ON b.simhash = a.probe AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM cand
+"""
+
+
+@graded("dedup_simhash_multiprobe", oracle=_MULTIPROBE_ORACLE)
+def dedup_simhash_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates within Hamming distance ≤ 1 of the 16-bit
+    SimHash via multi-probe key fan-out (17 integer keys per doc, one
+    equi-join against the exact-bucket index) — no pairwise Hamming
+    scan anywhere. The probe side explodes map-side; candidate volume
+    tracks true near-duplication. Distances reported exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = T.simhash16(docs).localCheckpoint(eager=True)  # probe + build side
+    flips = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("f"),
+    ).select(
+        "doc_id",
+        "simhash",
+        F.expr("CAST(simhash ^ (CAST(1 AS BIGINT) << f) AS BIGINT)").alias("probe"),
+    )
+    probes = sh.select(
+        "doc_id", "simhash", F.col("simhash").alias("probe")
+    ).unionByName(flips)
+    idx = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b")
+    )
+    cand = (
+        probes.join(idx, probes.probe == idx.sim_b)
+        .where(F.col("doc_id") < F.col("doc_b"))
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            "doc_b",
+            F.col("simhash").alias("sim_a"),
+            "sim_b",
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.expr("CAST(bit_count(sim_a ^ sim_b) AS INT)").alias("hamming"),
+    )

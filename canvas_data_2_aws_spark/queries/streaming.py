@@ -882,3 +882,98 @@ def timeseries_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             flagged.alias("is_outlier"),
         )
     )
+
+
+# --- EXT: cross-correlation between two series -----------------------------------
+
+# Lead–lag discovery: Pearson correlation between the hourly click
+# series and the purchase series shifted by lag ∈ {−3..3} hours (does
+# click volume lead purchases?). Series are exact integer aggregates
+# on a shared hour spine (missing hours = 0 via the spine join), so
+# all six power sums are BIGINT and the final r is one mirrored
+# expression — the ACF machinery generalized across series.
+_XCORR_ORACLE = """
+WITH hours AS (
+  SELECT epoch_us(ts) // 3600000000 AS hr,
+         CAST(SUM(CASE WHEN event_type = 'click'
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY hr
+),
+lags AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag),
+pairs AS (
+  SELECT l.lag, a.x, b.y
+  FROM lags l
+  JOIN hours a ON TRUE
+  JOIN hours b ON b.hr = a.hr + l.lag
+),
+sums AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS INTEGER) AS lag, n,
+       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS xcorr
+FROM sums
+"""
+
+
+@graded("timeseries_xcorr", oracle=_XCORR_ORACLE)
+def timeseries_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation of hourly click value against purchase value
+    at lags −3..+3 — the lead–lag detector behind 'does X drive Y'.
+    One conditional hourly agg builds both series in a single pass;
+    the lag join and power sums run on calendar-sized data."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    hours = (
+        ev.select(
+            F.expr("unix_micros(ts) DIV 3600000000").alias("hr"),
+            F.when(F.col("event_type") == "click", cents).otherwise(0).alias("xc"),
+            F.when(F.col("event_type") == "purchase", cents)
+            .otherwise(0)
+            .alias("yc"),
+        )
+        .groupBy("hr")
+        .agg(F.sum("xc").alias("x"), F.sum("yc").alias("y"))
+        .localCheckpoint(eager=True)  # both sides of the lag join
+    )
+    lags = spark.range(0, 1).select(
+        F.explode(
+            F.array(*[F.lit(x) for x in (-3, -2, -1, 0, 1, 2, 3)])
+        ).alias("lag")
+    )
+    a = hours.select("hr", "x")
+    b = hours.select(F.col("hr").alias("hr_b"), "y")
+    pairs = a.crossJoin(F.broadcast(lags)).join(
+        b, F.col("hr_b") == F.col("hr") + F.col("lag")
+    )
+    sums = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    den = F.sqrt(
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    ) * F.sqrt(
+        F.col("n").cast("double") * F.col("syy")
+        - F.col("sy").cast("double") * F.col("sy")
+    )
+    return sums.select(
+        F.col("lag").cast("int").alias("lag"), "n", (num / den).alias("xcorr")
+    )

@@ -125,6 +125,7 @@ _NESTED_LOOP_OK = {
     "merge_changeset_stats",  # max-PK 1-row broadcast (changeset derivation)
     "multimodal_storage_budget",  # 1-row byte-total broadcast
     "text_vocab_coverage_curve",  # deliberate 4-row k-grid fan-out
+    "timeseries_xcorr",  # deliberate 7-row lag fan-out broadcast
 }
 
 # Construction-time side effects or non-DataFrame surfaces — no static
