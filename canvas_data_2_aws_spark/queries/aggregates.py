@@ -541,3 +541,60 @@ def agg_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_usd"
         )
     ).select(F.col("n").alias("n_rows"), "median_usd")
+
+
+# --- EXT: rollup cell share-of-parent --------------------------------------------
+
+# Drill-down shares from ONE rollup pass: each (flag, status) leaf
+# joined to its flag-level subtotal via the grouping-flag split of the
+# same ROLLUP result — the OLAP "percent of parent" column computed
+# without rescanning the fact table. Decimal-exact sums; the share is
+# one division of two identically-derived doubles.
+_ROLLUP_SHARE_ORACLE = """
+WITH r AS (
+  SELECT l_returnflag, l_linestatus,
+         GROUPING(l_linestatus) AS g,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+  FROM lineitem
+  GROUP BY ROLLUP (l_returnflag, l_linestatus)
+)
+SELECT leaf.l_returnflag, leaf.l_linestatus, leaf.rev,
+       parent.rev AS flag_rev,
+       leaf.rev / parent.rev AS share_of_flag
+FROM r leaf
+JOIN r parent
+  ON parent.l_returnflag = leaf.l_returnflag AND parent.g = 1
+WHERE leaf.g = 0
+"""
+
+
+@graded("agg_rollup_parent_share", oracle=_ROLLUP_SHARE_ORACLE)
+def agg_rollup_parent_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent for every rollup leaf from a single ROLLUP
+    pass: the grouping flag splits leaves from subtotals and a
+    self-join on the parent key attaches each flag's total — no
+    second fact-table scan, and the join runs on the rollup result
+    (groups², metadata scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_linestatus").alias("g"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("rev"),
+    )
+    leaf = r.where(F.col("g") == 0).select(
+        "l_returnflag", "l_linestatus", "rev"
+    )
+    parent = r.where((F.col("g") == 1) & F.col("l_returnflag").isNotNull()).select(
+        "l_returnflag", F.col("rev").alias("flag_rev")
+    )
+    return (
+        leaf.join(F.broadcast(parent), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "rev",
+            "flag_rev",
+            (F.col("rev") / F.col("flag_rev")).alias("share_of_flag"),
+        )
+    )

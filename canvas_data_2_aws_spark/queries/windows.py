@@ -493,3 +493,52 @@ def timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         (F.abs(z) > 2.0).alias("is_anomaly"),
     )
+
+
+# --- EXT: longest consecutive-day streak per user --------------------------------
+
+# The engagement-streak leaderboard: longest run of consecutive active
+# days per user (two-row_number gaps-and-islands on the distinct
+# active-day grid, integer day arithmetic), top-20 with id tie-break.
+_STREAK_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+isl AS (
+  SELECT user_id, d,
+         date_diff('day', DATE '1970-01-01', d)
+           - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS BIGINT)
+           AS grp
+  FROM days
+),
+streaks AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+  FROM isl GROUP BY user_id, grp
+),
+best AS (
+  SELECT user_id, MAX(len) AS longest_streak
+  FROM streaks GROUP BY user_id
+)
+SELECT user_id, longest_streak
+FROM best
+ORDER BY longest_streak DESC, user_id
+LIMIT 20
+"""
+
+
+@graded("window_longest_streak", oracle=_STREAK_ORACLE)
+def window_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 longest consecutive-day activity streaks. One user-keyed
+    window for the island key, two map-side-combinable aggs, then
+    TakeOrdered — the engagement metric at any user count."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "grp",
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(w).cast("long"),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    best = streaks.groupBy("user_id").agg(F.max("len").alias("longest_streak"))
+    return best.orderBy(F.col("longest_streak").desc(), "user_id").limit(20)
