@@ -1086,3 +1086,73 @@ def analytics_attribution_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("revenue_usd", F.col("revenue_cents").cast("double") / 100.0)
     )
+
+
+# --- EXT: ABC classification -----------------------------------------------------
+
+# Inventory ABC classes by revenue concentration: parts sorted by
+# exact-cent revenue descending; A = cumulative share ≤ 80%, B ≤ 95%,
+# C = tail. The running share uses the distributed prefix sum, so the
+# classification never single-task sorts; class membership compares
+# identically-derived doubles (exact integer operands) in both
+# engines.
+_ABC_ORACLE = """
+WITH p AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem GROUP BY l_partkey
+),
+r AS (
+  SELECT l_partkey, cents,
+         CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM p
+),
+t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM p)
+SELECT CASE WHEN CAST(r.cum AS DOUBLE) / t.total <= 0.80 THEN 'A'
+            WHEN CAST(r.cum AS DOUBLE) / t.total <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(r.cents) AS BIGINT) AS revenue_cents,
+       CAST(SUM(r.cents) AS DOUBLE) / t.total AS revenue_share
+FROM r, t
+GROUP BY abc_class, t.total
+"""
+
+
+@graded("analytics_abc_classification", oracle=_ABC_ORACLE)
+def analytics_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classes (80/95 cumulative-revenue cuts) per part.
+    Revenue ranks and the running share come from the distributed
+    prefix sum (operators/ranks.py — bounded per-task memory at any
+    part count); the final rollup is a 3-key agg."""
+    from ..operators.ranks import global_cumsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        ).alias("cents")
+    )
+    r = global_cumsum(
+        p, [F.col("cents").desc(), "l_partkey"], "cents", out="cum"
+    )
+    t = p.agg(F.sum("cents").alias("total"))
+    share = F.col("cum").cast("double") / F.col("total")
+    abc = (
+        F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C")
+    )
+    return (
+        r.crossJoin(F.broadcast(t))
+        .groupBy(abc.alias("abc_class"), "total")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cents").alias("revenue_cents"),
+            (F.sum("cents").cast("double") / F.first("total")).alias(
+                "revenue_share"
+            ),
+        )
+        .select("abc_class", "n_parts", "revenue_cents", "revenue_share")
+    )

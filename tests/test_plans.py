@@ -126,6 +126,7 @@ _NESTED_LOOP_OK = {
     "multimodal_storage_budget",  # 1-row byte-total broadcast
     "text_vocab_coverage_curve",  # deliberate 4-row k-grid fan-out
     "timeseries_xcorr",  # deliberate 7-row lag fan-out broadcast
+    "analytics_abc_classification",  # 1-row total broadcast + rank offsets
 }
 
 # Construction-time side effects or non-DataFrame surfaces — no static
