@@ -579,3 +579,69 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_alias="recent_signup_ts",
         tolerance="14 DAY",
     )
+
+
+# --- J9 variant: as-of nearest ---------------------------------------------------
+
+# pandas merge_asof(direction='nearest'): the closest signup on either
+# side of each purchase, ties (equal µs distance) resolved backward.
+# Composed from two passes of the carry operator (backward then
+# forward — each is one key shuffle); the pick is exact integer-µs
+# arithmetic.
+_ASOF_NEAREST_ORACLE = """
+WITH p AS (
+  SELECT e.event_id, e.user_id, e.ts AS purchase_ts,
+         (SELECT MAX(s.ts) FROM events s
+           WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+             AND s.ts <= e.ts) AS prev_ts,
+         (SELECT MIN(s.ts) FROM events s
+           WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+             AND s.ts >= e.ts) AS next_ts
+  FROM events e
+  WHERE e.event_type = 'purchase'
+)
+SELECT event_id, user_id, purchase_ts,
+       CASE WHEN prev_ts IS NULL THEN next_ts
+            WHEN next_ts IS NULL THEN prev_ts
+            WHEN epoch_us(purchase_ts) - epoch_us(prev_ts)
+                 <= epoch_us(next_ts) - epoch_us(purchase_ts) THEN prev_ts
+            ELSE next_ts END AS nearest_signup_ts
+FROM p
+"""
+
+
+@graded("join_asof_nearest", oracle=_ASOF_NEAREST_ORACLE)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (ties backward), completing the
+    merge_asof surface (backward / forward / tolerance / nearest).
+    Two carry passes share the user-key shuffle shape; the final pick
+    is integer-µs arithmetic, no float anywhere."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("ts").alias("signup_ts")
+    )
+    back = asof_join(
+        purchases, signups, on="user_id", left_ts="purchase_ts",
+        right_ts="ts", right_value="signup_ts", value_alias="prev_ts",
+    )
+    both = asof_join(
+        back, signups, on="user_id", left_ts="purchase_ts",
+        right_ts="ts", right_value="signup_ts", value_alias="next_ts",
+        direction="forward",
+    )
+    d_prev = F.unix_micros("purchase_ts") - F.unix_micros("prev_ts")
+    d_next = F.unix_micros("next_ts") - F.unix_micros("purchase_ts")
+    nearest = (
+        F.when(F.col("prev_ts").isNull(), F.col("next_ts"))
+        .when(F.col("next_ts").isNull(), F.col("prev_ts"))
+        .when(d_prev <= d_next, F.col("prev_ts"))
+        .otherwise(F.col("next_ts"))
+    )
+    return both.select(
+        "event_id", "user_id", "purchase_ts", nearest.alias("nearest_signup_ts")
+    )
