@@ -1156,3 +1156,59 @@ def analytics_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("abc_class", "n_parts", "revenue_cents", "revenue_share")
     )
+
+
+# --- EXT: abandonment detection --------------------------------------------------
+
+# Users whose LAST click has no purchase within the following 24 h —
+# the cart-abandonment audience a re-engagement campaign targets.
+# Last-click selection is an exact MAX per user; the follow-up check
+# is a user-keyed EXISTS with an integer-µs window bound.
+_ABANDON_ORACLE = """
+WITH last_click AS (
+  SELECT user_id, MAX(ts) AS click_ts
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+)
+SELECT lc.user_id, lc.click_ts,
+       NOT EXISTS (
+         SELECT 1 FROM events p
+         WHERE p.user_id = lc.user_id AND p.event_type = 'purchase'
+           AND p.ts >= lc.click_ts
+           AND epoch_us(p.ts) - epoch_us(lc.click_ts) <= 86400000000
+       ) AS abandoned
+FROM last_click lc
+"""
+
+
+@graded("analytics_abandonment", oracle=_ABANDON_ORACLE)
+def analytics_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user abandonment flag: no purchase within 24 h of the last
+    click. The EXISTS decorrelates to a user-keyed left-semi join that
+    co-partitions with the last-click aggregate — one shuffle shape
+    end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    last_click = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("click_ts"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    converted = (
+        last_click.join(purchases, "user_id")
+        .where(
+            (F.col("p_ts") >= F.col("click_ts"))
+            & (
+                F.unix_micros("p_ts") - F.unix_micros("click_ts")
+                <= 86400000000
+            )
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("conv", F.lit(1))
+    )
+    return (
+        last_click.join(converted, "user_id", "left")
+        .select("user_id", "click_ts", F.col("conv").isNull().alias("abandoned"))
+    )
