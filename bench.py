@@ -83,13 +83,28 @@ def main() -> None:
     registry.QUERIES["agg_group_sum"](spark, sf_dir).toPandas()
     registry.QUERIES["udf_scalar_charge"](spark, sf_dir).toPandas()
 
+    # 3 timed repetitions per query; the MEDIAN is the headline number
+    # (machine-load noise here is ±15–40% — a single sample hid a real
+    # 2.3× regression inside it for a round), the MIN is the
+    # low-noise floor for plan-level comparisons across rounds.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).toPandas()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"  {name:30s} {timings[name]:8.3f}s", file=sys.stderr)
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).toPandas()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+        mins[name] = round(samples[0], 3)
+        print(
+            f"  {name:30s} median {timings[name]:8.3f}s"
+            f"  min {mins[name]:8.3f}s",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -99,6 +114,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": mins,
+                "reps": reps,
                 "sf": sf,
             }
         )

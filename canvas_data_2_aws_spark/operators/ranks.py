@@ -27,10 +27,27 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 _PID = "__rank_pid"
 _OFF = "__rank_off"
 _CNT = "__rank_cnt"
+UNIT_GROUP = "__rank_g"
 
 
 def _cols(order_cols) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in order_cols]
+
+
+def attach_unit_group(df: DataFrame, name: str = UNIT_GROUP) -> DataFrame:
+    """Attach a constant-zero group column Catalyst cannot fold away
+    (it is read from a 1-row relation, not a literal), so a global
+    window can declare ``partitionBy(name)`` and keep WindowExec's
+    partition spec non-empty.
+
+    Use ONLY on manifest-/calendar-sized frames where a single task is
+    the intended plan: the column states that intent in the plan
+    instead of tripping the data-scale "No Partition Defined" warning.
+    A plain ``partitionBy(F.lit(0))`` does NOT work — FoldablePropagation
+    strips literal partition keys and the warning fires anyway.
+    """
+    one = df.sparkSession.range(1).select(F.col("id").cast("int").alias(name))
+    return df.crossJoin(F.broadcast(one))
 
 
 def global_row_number(
@@ -49,9 +66,14 @@ def global_row_number(
     )
     withpid = parts.withColumn(_PID, F.spark_partition_id())
     counts = withpid.groupBy(_PID).agg(F.count(F.lit(1)).alias(_CNT))
+    counts = attach_unit_group(counts)
     # ≤ #partitions rows: the single-partition window here is over the
     # partition *manifest*, not the data.
-    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    w_off = (
+        Window.partitionBy(UNIT_GROUP)  # manifest-sized: one group by design
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offs = counts.select(
         _PID, F.coalesce(F.sum(_CNT).over(w_off), F.lit(0)).alias(_OFF)
     )
@@ -60,6 +82,58 @@ def global_row_number(
         withpid.join(F.broadcast(offs), _PID)
         .withColumn(out, (F.col(_OFF) + local).cast("long"))
         .drop(_PID, _OFF)
+    )
+
+
+def global_rank_and_cumsum(
+    df: DataFrame,
+    order_cols,
+    value_col: str,
+    rank_out: str = "rn",
+    cum_out: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global row_number AND running sum over one total order in a
+    single range exchange — the fused form Zipf/coverage curves need
+    (rank tokens by count desc, cumulate the same count).
+
+    One ``repartitionByRange`` on the sort key, then per-partition
+    count and value-sum aggregated together; both offsets broadcast
+    back and added to the local window results. ``order_cols`` must
+    form a total order (SURVEY §8.4).
+    """
+    cols = _cols(order_cols)
+    parts = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    )
+    withpid = parts.withColumn(_PID, F.spark_partition_id())
+    stats = withpid.groupBy(_PID).agg(
+        F.count(F.lit(1)).alias(_CNT), F.sum(value_col).alias("__rank_vsum")
+    )
+    stats = attach_unit_group(stats)
+    # ≤ #partitions rows — manifest-sized, not data-sized.
+    w_off = (
+        Window.partitionBy(UNIT_GROUP)  # manifest-sized: one group by design
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = stats.select(
+        _PID,
+        F.coalesce(F.sum(_CNT).over(w_off), F.lit(0)).alias(_OFF),
+        F.coalesce(F.sum("__rank_vsum").over(w_off), F.lit(0)).alias("__rank_voff"),
+    )
+    w_local = Window.partitionBy(_PID).orderBy(*cols)
+    local_rn = F.row_number().over(w_local)
+    local_cum = F.sum(value_col).over(
+        w_local.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        withpid.join(F.broadcast(offs), _PID)
+        .withColumn(rank_out, (F.col(_OFF) + local_rn).cast("long"))
+        .withColumn(cum_out, F.col("__rank_voff") + local_cum)
+        .drop(_PID, _OFF, "__rank_voff")
     )
 
 
@@ -120,7 +194,12 @@ def global_cumsum(
     )
     withpid = parts.withColumn(_PID, F.spark_partition_id())
     sums = withpid.groupBy(_PID).agg(F.sum(value_col).alias(_CNT))
-    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    sums = attach_unit_group(sums)
+    w_off = (
+        Window.partitionBy(UNIT_GROUP)  # manifest-sized: one group by design
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offs = sums.select(
         _PID, F.coalesce(F.sum(_CNT).over(w_off), F.lit(0)).alias(_OFF)
     )

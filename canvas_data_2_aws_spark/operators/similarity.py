@@ -112,37 +112,54 @@ def cosine_blas(
 
     def gen(batches):
         ids_all, mat_all, norms_all, blocks_all = bc.value
+        n_corpus = len(ids_all)
+        # Bound the B×N working set (sims + mask + argsort output) to
+        # ~16M cells per slice regardless of corpus size.
+        chunk = max(1, (1 << 24) // max(n_corpus, 1))
         for pdf in batches:
-            q_ids = pdf[id_col].to_numpy(np.int64)
-            q_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            q_norms = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
-            # Same formula shape as cosine_similarity(): dot / (‖a‖·‖b‖).
-            sims = (q_mat @ mat_all.T) / (q_norms[:, None] * norms_all[None, :])
-            sims = np.round(sims, round_dp)
-            rows: list[tuple] = []
-            for r in range(len(q_ids)):
+            ids_full = pdf[id_col].to_numpy(np.int64)
+            mat_full = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            blk_full = pdf[block_col].to_numpy() if block_col else None
+            for lo in range(0, len(ids_full), chunk):
+                q_ids = ids_full[lo : lo + chunk]
+                q_mat = mat_full[lo : lo + chunk]
+                q_norms = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
+                # Same formula shape as cosine_similarity(): dot/(‖a‖·‖b‖).
+                sims = (q_mat @ mat_all.T) / (
+                    q_norms[:, None] * norms_all[None, :]
+                )
+                sims = np.round(sims, round_dp)
                 if mode == "knn":
-                    m = ids_all != q_ids[r]
+                    valid = ids_all[None, :] != q_ids[:, None]
                 else:
-                    m = ids_all > q_ids[r]
+                    valid = ids_all[None, :] > q_ids[:, None]
                     if blocks_all is not None:
-                        m &= blocks_all == pdf[block_col].iloc[r]
-                cid, cs = ids_all[m], sims[r][m]
-                if mode == "pairs_threshold":
-                    sel = cs >= threshold
-                    cid, cs = cid[sel], cs[sel]
-                else:
-                    order = np.lexsort((cid, -cs))[:k]
-                    cid, cs = cid[order], cs[order]
-                for j in range(len(cid)):
-                    if block_col:
-                        rows.append(
-                            (q_ids[r], cid[j], cs[j], pdf[block_col].iloc[r])
+                        valid &= (
+                            blocks_all[None, :]
+                            == blk_full[lo : lo + chunk, None]
                         )
-                    else:
-                        rows.append((q_ids[r], cid[j], cs[j]))
-            cols = [*out_ids, "score"] + ([block_col] if block_col else [])
-            yield pd.DataFrame(rows, columns=cols)
+                if mode == "pairs_threshold":
+                    valid &= sims >= threshold
+                    r_idx, c_idx = np.nonzero(valid)
+                else:
+                    masked = np.where(valid, sims, -np.inf)
+                    # _np_corpus id-sorts the corpus, so a STABLE
+                    # descending-score argsort breaks rounded-score
+                    # ties by ascending neighbor id — same order as
+                    # np.lexsort((cid, -cs)), no per-row Python loop.
+                    order = np.argsort(-masked, axis=1, kind="stable")[:, :k]
+                    r_idx = np.repeat(np.arange(len(q_ids)), order.shape[1])
+                    c_idx = order.ravel()
+                    keep = np.isfinite(masked[r_idx, c_idx])
+                    r_idx, c_idx = r_idx[keep], c_idx[keep]
+                data = {
+                    out_ids[0]: q_ids[r_idx],
+                    out_ids[1]: ids_all[c_idx],
+                    "score": sims[r_idx, c_idx],
+                }
+                if block_col:
+                    data[block_col] = blk_full[lo : lo + chunk][r_idx]
+                yield pd.DataFrame(data)
 
     return queries.select(
         id_col, vec_col, *([block_col] if block_col else [])

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..operators import ranks as R
 from ..operators.zorder import z_expr
 from ..registry import graded
 from ..session import load_table
@@ -112,7 +113,12 @@ def layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.length("o_orderpriority")
         ).alias("bytes"),
     )
-    w = Window.orderBy("file_id").rowsBetween(Window.unboundedPreceding, 0)
+    w = (
+        Window.partitionBy(R.UNIT_GROUP)  # file manifest: tiny by design
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    files = R.attach_unit_group(files)
     planned = files.withColumn(
         "start_off", F.sum("bytes").over(w) - F.col("bytes")
     )

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators.merge import apply_changeset
+from ..operators import ranks as R
 from ..registry import graded
 from ..session import load_table
 
@@ -67,10 +68,13 @@ def derive_changeset(orders: DataFrame) -> DataFrame:
     )
     deletes = orders.where(key % 97 == 0).withColumn("action", F.lit("D"))
     max_key = orders.agg(F.max("o_orderkey").alias("m"))
-    smallest = orders.orderBy("o_orderkey").limit(100)
+    smallest = R.attach_unit_group(orders.orderBy("o_orderkey").limit(100))
     inserts = (
         smallest.withColumn(
-            "_rn", F.row_number().over(Window.orderBy("o_orderkey"))
+            "_rn", F.row_number().over(
+                # 100-row frame; unit group keeps the spec non-empty
+                Window.partitionBy(R.UNIT_GROUP).orderBy("o_orderkey")
+            )
         )
         .crossJoin(F.broadcast(max_key))
         .withColumn("o_orderkey", F.col("m") + F.col("_rn"))

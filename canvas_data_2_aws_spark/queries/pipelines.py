@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.numeric import dsum_col
+from ..operators import ranks as R
 from ..operators.ranks import exact_ntile
 from ..registry import graded
 from ..session import load_table
@@ -354,7 +355,8 @@ def analytics_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue")
     )
-    w_ord = Window.orderBy("month")
+    w_ord = Window.partitionBy(R.UNIT_GROUP).orderBy("month")  # months: tiny
+    monthly = R.attach_unit_group(monthly)
     return monthly.select(
         "month",
         "revenue",
@@ -363,7 +365,7 @@ def analytics_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(
             F.col("revenue")
-            / F.sum("revenue").over(Window.partitionBy()),
+            / F.sum("revenue").over(Window.partitionBy(R.UNIT_GROUP)),
             6,
         ).alias("share_of_total"),
     )
@@ -631,9 +633,13 @@ def timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("hour", "ts").alias("hr"))
         .agg(dsum_col(F.col("value"), "v"))
     )
-    j = spine.join(obs, "hr", "left")
-    wp = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, 0)
-    wn = Window.orderBy("hr").rowsBetween(0, Window.unboundedFollowing)
+    j = R.attach_unit_group(spine.join(obs, "hr", "left"))
+    wp = Window.partitionBy(R.UNIT_GROUP).orderBy("hr").rowsBetween(
+        Window.unboundedPreceding, 0
+    )  # hourly aggregate
+    wn = Window.partitionBy(R.UNIT_GROUP).orderBy("hr").rowsBetween(
+        0, Window.unboundedFollowing
+    )
     v = F.col("v")
     marked = j.select(
         "hr",
@@ -764,9 +770,11 @@ def pipeline_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"({_MIX_BUDGET} * toks) DIV total").alias("base"),
         F.expr(f"({_MIX_BUDGET} * toks) % total").alias("rem"),
     )
-    w_all = Window.partitionBy()
-    w_rk = Window.orderBy(F.col("rem").desc(), "lang")
-    ranked = quota.select(
+    w_all = Window.partitionBy(R.UNIT_GROUP)
+    w_rk = Window.partitionBy(R.UNIT_GROUP).orderBy(
+        F.col("rem").desc(), "lang"
+    )  # per-language quotas: tiny
+    ranked = R.attach_unit_group(quota).select(
         "lang",
         "toks",
         "base",

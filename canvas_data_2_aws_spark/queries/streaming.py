@@ -8,8 +8,10 @@ under the micro-batch scheduler); the true streaming forms live in
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
@@ -170,18 +172,33 @@ def _few_state_partitions(spark: SparkSession, n: int = 8):
 
 
 def _replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 3) -> str:
-    """Split events into n time-ordered parquet files for replay."""
-    ev = load_table(spark, sf_dir, "events").orderBy("ts")
+    """Split events into n time-ordered parquet files for replay.
+
+    Fully distributed: one range exchange on ``ts`` gives each output
+    file a contiguous time slice (part-00000 = earliest), written
+    straight from the executors — no driver-side collect, so the same
+    replay synthesis works at any event volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
     path = tempfile.mkdtemp(prefix="cda2_stream_")
-    total = ev.count()
-    step = (total + n_files - 1) // n_files
-    rows = ev.collect()
-    for i in range(n_files):
-        chunk = rows[i * step : (i + 1) * step]
-        if chunk:
-            spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(f"{path}/part{i}")
+    (
+        ev.repartitionByRange(n_files, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    # FileStreamSource orders micro-batches by modification time, but
+    # the parallel write finishes tasks in arbitrary order — stamp
+    # ascending mtimes matching the range-partition (= time) order so
+    # replay is chronological and watermarks never drop early slices.
+    # Metadata-only touch; the data never visits the driver.
+    files = sorted(
+        f for f in os.listdir(path)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base_t = time.time() - len(files)
+    for i, f in enumerate(files):
+        os.utime(os.path.join(path, f), (base_t + i, base_t + i))
     return path
 
 

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..operators import text as T
+from ..operators import ranks as R, text as T
 from ..registry import graded
 from ..session import load_table
 
@@ -992,24 +992,26 @@ GROUP BY ks.k, t.total
 @graded("text_vocab_coverage_curve", oracle=_VOCAB_CURVE_ORACLE)
 def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token-mass coverage at vocab sizes {10,50,100,500}. The
-    token agg is the one data-scale exchange; ranking/cumulating runs
-    on the distinct-token table (vocabulary-sized — use the ranks
-    operator if that ever outgrows one task) and the 4-point grid
-    joins against it."""
+    token agg is one data-scale exchange; rank + cumulative mass run
+    distributed on the ranks operator (one range exchange, no
+    single-task WindowExec — a web-scale vocabulary is 10^7–10^8 rows
+    and does not fit one task), then only the rk ≤ max(k) head joins
+    the 4-point grid."""
     docs = load_table(spark, sf_dir, "documents")
     counts = (
         docs.select(F.explode(T.tokens()).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    w_ord = Window.orderBy(F.col("c").desc(), "token")
-    ranked = counts.select(
+    ranked = R.global_rank_and_cumsum(
+        counts,
+        [F.col("c").desc(), F.col("token")],
         "c",
-        F.row_number().over(w_ord).cast("long").alias("rk"),
-        F.sum("c")
-        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("cum"),
-    )
+        rank_out="rk",
+        cum_out="cum",
+    ).select("c", "rk", F.col("cum").cast("long").alias("cum"))
+    # Only ranks ≤ the largest requested vocab size can ever join.
+    ranked = ranked.filter(F.col("rk") <= 500)
     tot = counts.agg(F.sum("c").alias("total"))
     ks = spark.range(0, 1).select(
         F.explode(F.array(*[F.lit(k) for k in (10, 50, 100, 500)])).alias("k")

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..operators import ranks as R
 from ..registry import graded
 from ..session import load_table
 
@@ -420,8 +421,12 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents")
     )
-    w = Window.orderBy("d").rowsBetween(-6, 0)
-    framed = daily.withColumn("f", F.array_sort(F.collect_list("cents").over(w)))
+    w = (
+        Window.partitionBy(R.UNIT_GROUP)  # daily aggregate: calendar-sized
+        .orderBy("d")
+        .rowsBetween(-6, 0)
+    )
+    framed = R.attach_unit_group(daily).withColumn("f", F.array_sort(F.collect_list("cents").over(w)))
     n = F.size("f")
     odd = F.element_at("f", ((n + 1) / 2).cast("int")).cast("double") / 100.0
     even = (
