@@ -15,58 +15,88 @@ verbs; here they run on Spark.
 from __future__ import annotations
 
 import argparse
-import shutil
+import os
 import sys
 
-from . import registry, session
+from . import registry, replica, session
 from .operators.merge import apply_changeset
 from .sources.envelope import read_changeset_jsonl
-
-
-def _replica_path(replica: str, table: str) -> str:
-    return f"{replica}/{table}"
 
 
 def cmd_initdb(args) -> int:
     spark = session.get_spark(app="cda2-initdb")
     df = session.load_table(spark, args.source_dir, args.table)
-    df.write.mode("overwrite").parquet(_replica_path(args.replica, args.table))
-    n = spark.read.parquet(_replica_path(args.replica, args.table)).count()
+    dest = os.path.join(args.replica, args.table)
+    df.write.mode("overwrite").parquet(dest)
+    if replica.has_manifest(args.replica):
+        man = replica.load(args.replica)
+        man["tables"][args.table] = {"dir": args.table}
+        man["version"] += 1
+        replica.commit(args.replica, man)
+        replica.vacuum(args.replica)
+    n = spark.read.parquet(replica.table_dir(args.replica, args.table)).count()
     print(f"initdb: {args.table} bootstrapped with {n} rows")
     return 0
 
 
 def cmd_syncdb(args) -> int:
+    """Apply one changeset per table, then advance ALL tables (and the
+    high-water token) in ONE atomic manifest commit.
+
+    Mirrors the reference's all-tables-or-nothing Postgres transaction
+    around per-table token updates `[public: DAP]`: every merged table
+    is staged to a fresh ``{table}__v{N}`` directory first; nothing the
+    current manifest references is touched. The single commit point is
+    the manifest's ``os.replace`` — a crash before it leaves the prior
+    manifest (old data, old token) fully intact, and the staged
+    directories are reclaimed by vacuum on the next run.
+    """
     spark = session.get_spark(app="cda2-syncdb")
-    path = _replica_path(args.replica, args.table)
-    base = spark.read.parquet(path)
-    changes = read_changeset_jsonl(
-        spark,
-        args.changes,
-        table=args.table,
-        key_cols=[args.key],
-        ts_col="_change_ts",
-        seq_col="_change_seq",
-    )
-    # Compact multi-change-per-PK batches to the latest by meta.ts
-    # (file order as the tie-break) BEFORE applying — without this a
-    # changeset touching one key twice produces duplicate-PK rows and
-    # order-dependent results (M3).
-    merged = apply_changeset(
-        base,
-        changes,
-        keys=[args.key],
-        compact_by=["_change_ts", "_change_seq"],
-    )
-    # Stage-then-swap: never overwrite the replica in place while
-    # reading from it (overwrite would truncate its own input). A
-    # lakehouse format replaces this with an atomic commit.
-    staging = f"{path}__staging"
-    merged.write.mode("overwrite").parquet(staging)
-    shutil.rmtree(path)
-    shutil.move(staging, path)
-    n = spark.read.parquet(path).count()
-    print(f"syncdb: {args.table} now {n} rows after merge")
+    root = args.replica
+    tables, changes_list, keys = args.table, args.changes, args.key
+    if not (len(tables) == len(changes_list) == len(keys)):
+        print(
+            "syncdb: --table/--changes/--key must be repeated together",
+            file=sys.stderr,
+        )
+        return 2
+    replica.vacuum(root)  # reclaim leftovers from any crashed prior sync
+    man = replica.load(root)
+    new_ver = man["version"] + 1
+    staged: dict[str, str] = {}
+    for table, changes_path, key in zip(tables, changes_list, keys):
+        base = spark.read.parquet(replica.table_dir(root, table))
+        changes = read_changeset_jsonl(
+            spark,
+            changes_path,
+            table=table,
+            key_cols=[key],
+            ts_col="_change_ts",
+            seq_col="_change_seq",
+        )
+        # Compact multi-change-per-PK batches to the latest by meta.ts
+        # (file order as the tie-break) BEFORE applying — without this
+        # a changeset touching one key twice produces duplicate-PK rows
+        # and order-dependent results (M3).
+        merged = apply_changeset(
+            base,
+            changes,
+            keys=[key],
+            compact_by=["_change_ts", "_change_seq"],
+        )
+        rel = f"{table}__v{new_ver}"
+        merged.write.mode("overwrite").parquet(os.path.join(root, rel))
+        staged[table] = rel
+    for table, rel in staged.items():
+        man["tables"][table] = {"dir": rel}
+    man["version"] = new_ver
+    if args.token is not None:
+        man["token"] = args.token
+    replica.commit(root, man)  # <- the all-tables-or-nothing point
+    replica.vacuum(root)  # superseded versions are now unreferenced
+    for table in tables:
+        n = spark.read.parquet(replica.table_dir(root, table)).count()
+        print(f"syncdb: {table} now {n} rows after merge")
     return 0
 
 
@@ -93,7 +123,7 @@ def cmd_validate(args) -> int:
     from pyspark.sql import functions as F
 
     spark = session.get_spark(app="cda2-validate")
-    replica = spark.read.parquet(_replica_path(args.replica, args.table))
+    replica_df = spark.read.parquet(replica.table_dir(args.replica, args.table))
     reference = session.load_table(spark, args.source_dir, args.table)
     key = args.key
 
@@ -125,7 +155,7 @@ def cmd_validate(args) -> int:
             F.countDistinct(key).alias("n_keys"),
         ).first()
 
-    rep, ref = digest(replica), digest(reference)
+    rep, ref = digest(replica_df), digest(reference)
     ok_checksum = rep.checksum == ref.checksum
     ok_rows = rep.n == ref.n
     ok_pk = rep.n == rep.n_keys
@@ -143,14 +173,17 @@ def cmd_optimize(args) -> int:
     ~``--target-mb`` files range-clustered on the PK (the actionable
     form of the graded compaction planner + Z-order layout ops).
     Clustering on the key keeps footer min/max selective, so post-
-    compaction scans skip files on PK predicates; stage-then-swap like
-    ``syncdb``. At 100 TB the same verb runs per partition off the
-    manifest bins (`layout_compaction_bins`)."""
+    compaction scans skip files on PK predicates. The rewrite commits
+    exactly like ``syncdb``: staged directory + atomic manifest
+    replace, so a crash mid-rewrite leaves the prior layout readable.
+    At 100 TB the same verb runs per partition off the manifest bins
+    (`layout_compaction_bins`)."""
     import glob
-    import os
 
     spark = session.get_spark(app="cda2-optimize")
-    path = _replica_path(args.replica, args.table)
+    root = args.replica
+    replica.vacuum(root)
+    path = replica.table_dir(root, args.table)
     files_before = glob.glob(f"{path}/part-*")
     bytes_total = sum(os.path.getsize(f) for f in files_before)
     target = max(1, round(bytes_total / (args.target_mb * 1024 * 1024)) or 1)
@@ -161,12 +194,17 @@ def cmd_optimize(args) -> int:
     clustered = df.repartitionByRange(target, F.col(args.key)).sortWithinPartitions(
         args.key
     )
-    staging = f"{path}__staging"
-    clustered.write.mode("overwrite").parquet(staging)
-    shutil.rmtree(path)
-    shutil.move(staging, path)
-    files_after = glob.glob(f"{path}/part-*")
-    n = spark.read.parquet(path).count()
+    man = replica.load(root)
+    new_ver = man["version"] + 1
+    rel = f"{args.table}__v{new_ver}"
+    clustered.write.mode("overwrite").parquet(os.path.join(root, rel))
+    man["tables"][args.table] = {"dir": rel}
+    man["version"] = new_ver
+    replica.commit(root, man)
+    replica.vacuum(root)
+    new_path = replica.table_dir(root, args.table)
+    files_after = glob.glob(f"{new_path}/part-*")
+    n = spark.read.parquet(new_path).count()
     print(
         f"optimize: {args.table} rewrote {len(files_before)} files "
         f"({bytes_total >> 20} MiB) into {len(files_after)} "
@@ -194,10 +232,24 @@ def main(argv: list[str] | None = None) -> int:
     p_init.set_defaults(fn=cmd_initdb)
 
     p_sync = sub.add_parser("syncdb", help="apply a JSONL changeset (M1)")
-    p_sync.add_argument("--table", required=True)
-    p_sync.add_argument("--changes", required=True, help="JSONL envelope file/dir")
-    p_sync.add_argument("--key", required=True, help="primary-key column")
+    p_sync.add_argument(
+        "--table", required=True, action="append",
+        help="table name (repeat with --changes/--key for a multi-table"
+             " all-or-nothing sync)",
+    )
+    p_sync.add_argument(
+        "--changes", required=True, action="append",
+        help="JSONL envelope file/dir (one per --table)",
+    )
+    p_sync.add_argument(
+        "--key", required=True, action="append",
+        help="primary-key column (one per --table)",
+    )
     p_sync.add_argument("--replica", required=True)
+    p_sync.add_argument(
+        "--token", default=None,
+        help="high-water token recorded atomically with the data commit",
+    )
     p_sync.set_defaults(fn=cmd_syncdb)
 
     p_query = sub.add_parser("query", help="run a graded query")

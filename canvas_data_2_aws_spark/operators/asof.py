@@ -13,7 +13,30 @@ rows; at 100 TB the window form wins on every axis.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# Strict grammar for the tolerance interval: "<n> <unit>[S]", one term.
+# The string is interpolated into SQL expression text, so anything
+# outside this shape must be rejected HERE with a clear error instead
+# of surfacing as an opaque Catalyst parse failure (or worse, being
+# interpreted as arbitrary expression text).
+_TOLERANCE_RE = re.compile(
+    r"^\s*(\d{1,9})\s+(DAY|HOUR|MINUTE|SECOND|MILLISECOND|MICROSECOND)S?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _tolerance_interval(tolerance: str) -> Column:
+    m = _TOLERANCE_RE.match(tolerance)
+    if not m:
+        raise ValueError(
+            f"invalid asof tolerance {tolerance!r}: expected '<n> "
+            "<day|hour|minute|second|millisecond|microsecond>[s]'"
+        )
+    n, unit = m.group(1), m.group(2).upper()
+    return F.expr(f"INTERVAL {int(n)} {unit}")
 
 
 def asof_join(
@@ -90,11 +113,8 @@ def asof_join(
     out = lhs.unionByName(rhs).withColumn("_carried", carried)
     value = F.col("_carried._v")
     if tolerance is not None:
-        bound = (
-            F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
-            if backward
-            else F.col("_ts") + F.expr(f"INTERVAL {tolerance}")
-        )
+        tol = _tolerance_interval(tolerance)
+        bound = F.col("_ts") - tol if backward else F.col("_ts") + tol
         in_tol = (
             F.col("_carried._rts") >= bound
             if backward

@@ -103,17 +103,20 @@ def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     """
     tok = df.select(id_col, F.explode(tokens(text_col)).alias("token"))
     codes = tok.select(id_col, token_code().alias("code"))
-    bits = codes.select(
-        id_col, "code", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit")
-    )
-    vote = F.when(
-        F.expr("(code DIV shiftleft(1, bit)) % 2") == 1, F.lit(1)
-    ).otherwise(F.lit(-1))
-    bit_sums = bits.groupBy(id_col, "bit").agg(F.sum(vote).alias("s"))
-    return bit_sums.groupBy(id_col).agg(
+    # One groupBy(doc) with 16 conditional-sum accumulators — no ×16
+    # bit explode, no second exchange. Partial aggregation keeps the
+    # shuffle at 16 counters per doc regardless of token count.
+    votes = [
         F.sum(
-            F.when(F.col("s") > 0, F.expr("CAST(shiftleft(1, bit) AS BIGINT)")).otherwise(
-                F.lit(0)
+            F.when(F.expr(f"(code DIV {1 << b}) % 2") == 1, F.lit(1)).otherwise(
+                F.lit(-1)
             )
-        ).alias("simhash")
-    )
+        ).alias(f"_s{b}")
+        for b in range(16)
+    ]
+    bit_sums = codes.groupBy(id_col).agg(*votes)
+    sim = None
+    for b in range(16):
+        term = F.when(F.col(f"_s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bit_sums.select(id_col, sim.cast("bigint").alias("simhash"))

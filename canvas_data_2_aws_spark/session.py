@@ -108,19 +108,32 @@ def _norm_type(t: str) -> str:
     return "timestamp" if t.startswith("timestamp") else t
 
 
-# Numeric types we silently re-align to the declared width: a fixture
-# regeneration that narrows int64→int32 (or float64→float32) changes
-# storage, not semantics — values are identical after the cast, so
-# every graded query keeps hash-matching. Anything else (renames,
+# Numeric drift policy. Same-family WIDENING (file int32 under a
+# declared bigint; file float32 under a declared double) is provably
+# value-preserving — coerce silently. Narrowing or cross-family drift
+# (double→bigint truncates fractions; bigint→int wraps under non-ANSI
+# cast) is only accepted after a one-job round-trip proof that every
+# value survives the cast; otherwise fail fast, matching the
+# reference's DDL-regeneration policy. Anything non-numeric (renames,
 # string↔numeric, dropped columns) is a REAL contract break → raise.
 _NUMERIC_TYPES = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+_INT_WIDTH = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+_FLOAT_WIDTH = {"float": 0, "double": 1}
+
+
+def _is_widening(declared: str, actual: str) -> bool:
+    for fam in (_INT_WIDTH, _FLOAT_WIDTH):
+        if declared in fam and actual in fam:
+            return fam[declared] >= fam[actual]
+    return False
 
 
 def _align_drift(name: str, df: DataFrame) -> DataFrame:
     """S4 drift policy (the reference regenerates DDL on a
-    schema-version bump — SURVEY §1.1): benign numeric-width drift is
-    coerced back to the declared schema; incompatible drift fails
-    fast. Nullability is storage metadata, not contract. Round 2
+    schema-version bump — SURVEY §1.1): same-family widening drift is
+    coerced silently; lossy-looking numeric drift must prove itself
+    with a round-trip cast over the actual values; incompatible drift
+    fails fast. Nullability is storage metadata, not contract. Round 2
     taught the lesson: the driver CAN regenerate fixtures with changed
     physical types between rounds (events.ts nanos → µs)."""
     declared = schemas.TABLES[name]
@@ -131,6 +144,7 @@ def _align_drift(name: str, df: DataFrame) -> DataFrame:
             f"{[f.name for f in declared]}, file has {[f.name for f in actual]}"
         )
     out, changed = [], False
+    probes: list[tuple[str, object, object]] = []  # (col, declared, actual)
     for d, a in zip(declared, actual):
         dt, at = _norm_type(d.dataType.simpleString()), _norm_type(
             a.dataType.simpleString()
@@ -140,10 +154,36 @@ def _align_drift(name: str, df: DataFrame) -> DataFrame:
         elif dt in _NUMERIC_TYPES and at in _NUMERIC_TYPES:
             out.append(F.col(d.name).cast(d.dataType).alias(d.name))
             changed = True
+            if not _is_widening(dt, at):
+                probes.append((d.name, d.dataType, a.dataType))
         else:
             raise ValueError(
                 f"incompatible schema drift on {name}.{d.name}: declared "
                 f"{dt}, file has {at} — bump the declared schema version"
+            )
+    if probes:
+        # One job: per drifted column, count values the declared-type
+        # round trip does NOT reproduce. try_cast (NULL instead of an
+        # ANSI overflow error) makes out-of-range values countable;
+        # Spark treats NaN = NaN as true, so float NaNs survive the
+        # equality leg.
+        def _bad(c: str, decl, act) -> F.Column:
+            fwd = F.col(c).try_cast(decl)
+            return F.sum(
+                F.when(
+                    F.col(c).isNotNull()
+                    & (fwd.isNull() | (fwd.cast(act) != F.col(c))),
+                    1,
+                ).otherwise(0)
+            ).alias(c)
+
+        bad = df.agg(*[_bad(c, decl, act) for c, decl, act in probes]).first()
+        lossy = [c for c, _, _ in probes if (bad[c] or 0) > 0]
+        if lossy:
+            raise ValueError(
+                f"lossy numeric drift on table {name!r} columns {lossy}: "
+                "values do not survive a cast to the declared type — "
+                "bump the declared schema version"
             )
     return df.select(*out) if changed else df
 

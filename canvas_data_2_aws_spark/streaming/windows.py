@@ -289,7 +289,14 @@ def cusum_flags_stream(
         flagged = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"])
-            cents = np.rint(pdf["value"].to_numpy() * 100).astype("int64")
+            # Round half AWAY FROM ZERO — the rule SQL round(x*100, 0)
+            # applies in both oracle engines. np.rint would round half
+            # to even and diverge from the batch form on exact .5
+            # cents ties.
+            vals = pdf["value"].to_numpy()
+            cents = (np.sign(vals) * np.floor(np.abs(vals) * 100.0 + 0.5)).astype(
+                "int64"
+            )
             for eid, ts, c in zip(pdf["event_id"], pdf["ts"], cents):
                 cum += int(c) - target_cents
                 if abs(cum) >= threshold_cents:

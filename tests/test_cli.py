@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from canvas_data_2_aws_spark import cli
+from canvas_data_2_aws_spark import cli, replica as replica_mod
 from canvas_data_2_aws_spark.operators.merge import apply_changeset
 from canvas_data_2_aws_spark.queries.merge import derive_changeset
 from canvas_data_2_aws_spark.session import load_table
@@ -38,7 +38,7 @@ def test_initdb_syncdb_lifecycle(spark, sf_dir, tmp_path):
     )
     assert rc == 0
 
-    merged = spark.read.parquet(f"{replica}/orders")
+    merged = spark.read.parquet(replica_mod.table_dir(replica, "orders"))
     expected = apply_changeset(orders, changeset, keys=["o_orderkey"])
     assert merged.count() == expected.count()
     # PK-unique and deleted keys absent
@@ -142,7 +142,7 @@ def test_syncdb_compacts_multi_change_per_pk(spark, sf_dir, tmp_path):
         )
         == 0
     )
-    merged = spark.read.parquet(f"{replica}/orders")
+    merged = spark.read.parquet(replica_mod.table_dir(replica, "orders"))
     assert merged.select("o_orderkey").distinct().count() == merged.count()
     assert merged.where(F.col("o_orderkey") == k1).count() == 0
     k2_rows = merged.where(F.col("o_orderkey") == k2).collect()
@@ -229,7 +229,162 @@ def test_optimize_compacts_and_preserves_content(spark, sf_dir, tmp_path):
         ]
     )
     assert rc == 0
-    after = spark.read.parquet(f"{replica}/orders")
+    after_path = replica_mod.table_dir(replica, "orders")
+    after = spark.read.parquet(after_path)
     assert after.count() == before_rows
     assert after.agg(F.sum("o_orderkey")).first()[0] == before_sum
-    assert len(glob.glob(f"{replica}/orders/part-*")) < 16
+    assert len(glob.glob(f"{after_path}/part-*")) < 16
+
+
+def _delete_changeset(tmp_path, name, key_col, keys):
+    import json
+
+    lines = [
+        json.dumps({"key": {key_col: int(k)}, "meta": {"action": "D", "ts": 1}})
+        for k in keys
+    ]
+    path = tmp_path / name
+    path.write_text("\n".join(lines) + "\n")
+    return str(path)
+
+
+def test_syncdb_multi_table_atomic_commit(spark, sf_dir, tmp_path):
+    """One syncdb invocation over two tables advances both tables AND
+    the high-water token in a single manifest commit."""
+    replica = str(tmp_path / "mt_replica")
+    for t in ("orders", "customer"):
+        assert cli.main(
+            ["initdb", "--table", t, "--source-dir", sf_dir, "--replica", replica]
+        ) == 0
+    o_keys = [r.o_orderkey for r in
+              spark.read.parquet(f"{replica}/orders")
+              .orderBy("o_orderkey").limit(3).collect()]
+    c_keys = [r.c_custkey for r in
+              spark.read.parquet(f"{replica}/customer")
+              .orderBy("c_custkey").limit(2).collect()]
+    o_before = spark.read.parquet(f"{replica}/orders").count()
+    c_before = spark.read.parquet(f"{replica}/customer").count()
+
+    rc = cli.main([
+        "syncdb", "--replica", replica, "--token", "tok-42",
+        "--table", "orders",
+        "--changes", _delete_changeset(tmp_path, "o.jsonl", "o_orderkey", o_keys),
+        "--key", "o_orderkey",
+        "--table", "customer",
+        "--changes", _delete_changeset(tmp_path, "c.jsonl", "c_custkey", c_keys),
+        "--key", "c_custkey",
+    ])
+    assert rc == 0
+
+    man = replica_mod.load(replica)
+    assert man["token"] == "tok-42"
+    assert man["version"] == 1
+    o_now = spark.read.parquet(replica_mod.table_dir(replica, "orders"))
+    c_now = spark.read.parquet(replica_mod.table_dir(replica, "customer"))
+    assert o_now.count() == o_before - len(o_keys)
+    assert c_now.count() == c_before - len(c_keys)
+    # superseded plain dirs were vacuumed after the commit
+    import os
+
+    assert not os.path.exists(f"{replica}/orders")
+    assert not os.path.exists(f"{replica}/customer")
+
+
+def test_syncdb_failed_midsync_leaves_prior_manifest(spark, sf_dir, tmp_path,
+                                                     monkeypatch):
+    """A sync that dies after staging (commit never runs) must leave the
+    prior manifest — data AND token — fully intact, and the next run
+    reclaims the staged garbage."""
+    import os
+
+    replica = str(tmp_path / "crash_replica")
+    for t in ("orders", "customer"):
+        assert cli.main(
+            ["initdb", "--table", t, "--source-dir", sf_dir, "--replica", replica]
+        ) == 0
+    o_keys = [r.o_orderkey for r in
+              spark.read.parquet(f"{replica}/orders")
+              .orderBy("o_orderkey").limit(2).collect()]
+    ch = _delete_changeset(tmp_path, "ok.jsonl", "o_orderkey", o_keys)
+
+    # Establish a committed baseline (manifest v1, token tok-1).
+    assert cli.main([
+        "syncdb", "--replica", replica, "--token", "tok-1",
+        "--table", "orders", "--changes", ch, "--key", "o_orderkey",
+    ]) == 0
+    man_before = replica_mod.load(replica)
+    o_rows = spark.read.parquet(replica_mod.table_dir(replica, "orders")).count()
+    c_rows = spark.read.parquet(replica_mod.table_dir(replica, "customer")).count()
+
+    # Crash INSIDE the commit: both tables stage fine, the manifest
+    # replace itself dies (power-loss analog at the last instant).
+    c_keys = [r.c_custkey for r in
+              spark.read.parquet(replica_mod.table_dir(replica, "customer"))
+              .orderBy("c_custkey").limit(2).collect()]
+    ch2 = _delete_changeset(tmp_path, "c2.jsonl", "c_custkey", c_keys)
+
+    def boom(*a, **kw):
+        raise OSError("simulated crash during manifest replace")
+
+    monkeypatch.setattr(replica_mod.os, "replace", boom)
+    import pytest
+
+    with pytest.raises(OSError):
+        cli.main([
+            "syncdb", "--replica", replica, "--token", "tok-2",
+            "--table", "orders", "--changes", ch, "--key", "o_orderkey",
+            "--table", "customer", "--changes", ch2, "--key", "c_custkey",
+        ])
+    monkeypatch.undo()
+
+    # Prior manifest intact: same token, same version, same dirs, same data.
+    man_after = replica_mod.load(replica)
+    assert man_after == man_before
+    assert man_after["token"] == "tok-1"
+    assert spark.read.parquet(
+        replica_mod.table_dir(replica, "orders")).count() == o_rows
+    assert spark.read.parquet(
+        replica_mod.table_dir(replica, "customer")).count() == c_rows
+
+    # Staged v2 leftovers exist now, and the next sync reclaims them
+    # before re-staging (vacuum on entry), then commits cleanly.
+    leftovers = [d for d in os.listdir(replica) if d.endswith("__v2")]
+    assert leftovers
+    assert cli.main([
+        "syncdb", "--replica", replica, "--token", "tok-2",
+        "--table", "customer", "--changes", ch2, "--key", "c_custkey",
+    ]) == 0
+    assert replica_mod.load(replica)["token"] == "tok-2"
+    assert spark.read.parquet(
+        replica_mod.table_dir(replica, "customer")).count() == c_rows - len(c_keys)
+
+
+def test_syncdb_failed_staging_leaves_prior_manifest(spark, sf_dir, tmp_path):
+    """If the SECOND table's changeset is unreadable, the first table's
+    already-staged merge must not become visible (no partial commit)."""
+    import pytest
+
+    replica = str(tmp_path / "stage_replica")
+    for t in ("orders", "customer"):
+        assert cli.main(
+            ["initdb", "--table", t, "--source-dir", sf_dir, "--replica", replica]
+        ) == 0
+    o_keys = [r.o_orderkey for r in
+              spark.read.parquet(f"{replica}/orders")
+              .orderBy("o_orderkey").limit(2).collect()]
+    ch = _delete_changeset(tmp_path, "s1.jsonl", "o_orderkey", o_keys)
+    o_before = spark.read.parquet(f"{replica}/orders").count()
+
+    with pytest.raises(Exception):
+        cli.main([
+            "syncdb", "--replica", replica, "--token", "tok-x",
+            "--table", "orders", "--changes", ch, "--key", "o_orderkey",
+            "--table", "customer",
+            "--changes", str(tmp_path / "missing.jsonl"),
+            "--key", "c_custkey",
+        ])
+
+    # No manifest was ever committed; both tables read their originals.
+    assert not replica_mod.has_manifest(replica)
+    assert spark.read.parquet(
+        replica_mod.table_dir(replica, "orders")).count() == o_before

@@ -172,3 +172,25 @@ def test_asof_tolerance_nulls_stale_matches(spark):
     }
     # k=1 match is 2 days old → kept; k=2 match is 32 days old → nulled
     assert out == {"fresh": 100.0, "stale": None}
+
+
+def test_asof_tolerance_grammar_rejected(spark):
+    """Malformed tolerance strings must raise a clear ValueError at the
+    call site, never reach Catalyst as interpolated expression text."""
+    import pytest
+
+    from canvas_data_2_aws_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, "2024-01-01 00:00:00")], "k long, ts string") \
+        .selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts")
+    right = spark.createDataFrame([(1, "2024-01-01 00:00:00", 5.0)],
+                                  "k long, ts string, v double") \
+        .selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "v")
+    for bad in ["2; DROP TABLE x", "abc", "2 fortnights", "1 HOUR 30 MINUTES", ""]:
+        with pytest.raises(ValueError, match="invalid asof tolerance"):
+            asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                      right_value="v", tolerance=bad)
+    # the documented grammar still works, case-insensitively
+    ok = asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                   right_value="v", tolerance="90 minutes")
+    assert ok.count() == 1

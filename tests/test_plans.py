@@ -127,6 +127,16 @@ _NESTED_LOOP_OK = {
     "text_vocab_coverage_curve",  # deliberate 4-row k-grid fan-out
     "timeseries_xcorr",  # deliberate 7-row lag fan-out broadcast
     "analytics_abc_classification",  # 1-row total broadcast + rank offsets
+    # ranks.attach_unit_group: a 1-ROW broadcast cross join attaching a
+    # non-foldable constant group key so manifest-/calendar-sized global
+    # windows declare a partition spec (r4) — constant × frame, not a
+    # real product.
+    "analytics_gini_coefficient",
+    "analytics_mom_growth",
+    "layout_compaction_bins",
+    "pipeline_epoch_shuffle",
+    "timeseries_interpolate",
+    "window_rolling_median",
 }
 
 # Construction-time side effects or non-DataFrame surfaces — no static
