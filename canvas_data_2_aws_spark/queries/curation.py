@@ -1,0 +1,530 @@
+"""Training-corpus curation operators, round 4 (SURVEY §2.8 EXT).
+
+The stages a 100 TB pretraining pipeline runs between raw crawl and
+tokenizer: semantic (embedding-space) dedup, containment detection for
+subset duplicates, sketch-quality evaluation, LM-based quality scoring,
+and deterministic mix sampling — plus product-quantization codes, the
+storage format that makes trillion-vector ANN affordable.
+
+Every query here follows the house determinism rules (SURVEY §8):
+integer/decimal arithmetic wherever a sum crosses a shuffle boundary,
+md5 as the only hash (byte-identical in every engine), rounded doubles
+only at the output edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..operators import text as T
+from ..operators.similarity import cosine_blas
+from ..registry import graded
+from ..session import load_table
+from .dedup import _MINHASH_BANDS_SQL, _MINHASH_SIG, minhash_candidates
+from .vectors import _KMEANS_CTES, _kmeans_assignment
+
+# --- SemDeDup: embedding-cluster near-dup pruning -------------------------------
+
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the embedding
+# space, then drop near-duplicate members WITHIN each cluster — the
+# pairwise cosine work collapses from O(n²) to Σ |cluster|², and the
+# cluster id is the one shuffle key. Clustering reuses the
+# deterministic 2-iteration Lloyd assignment shared with the IVF
+# family (queries/vectors.py), so the whole pipeline hash-matches SQL.
+# Canonical-keep rule: lowest vec_id in a near-dup pair survives; a
+# vector is dropped if ANY more-canonical near-duplicate exists.
+_SEMANTIC_ORACLE = f"""
+WITH {_KMEANS_CTES},
+cl AS (SELECT vec_id, c2 AS cluster FROM a2),
+p AS (
+  SELECT cb.vec_id AS drop_id, ca.cluster,
+         ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                      CAST(eb.embedding AS DOUBLE[])), 4) AS score
+  FROM cl ca
+  JOIN cl cb ON ca.cluster = cb.cluster AND ca.vec_id < cb.vec_id
+  JOIN embeddings ea ON ea.vec_id = ca.vec_id
+  JOIN embeddings eb ON eb.vec_id = cb.vec_id
+)
+SELECT drop_id, cluster, COUNT(*) AS n_better, MAX(score) AS max_score
+FROM p
+WHERE score >= 0.3
+GROUP BY drop_id, cluster
+"""
+
+
+@graded("dedup_semantic_clusters", oracle=_SEMANTIC_ORACLE)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means cells (the memoized
+    deterministic assignment) block the pair scan; within each cell the
+    BLAS kernel scores pairs and every vector with a lower-id neighbor
+    above the cosine threshold is emitted as a drop candidate. At
+    100 TB the cell count grows with the corpus (√n cells keeps cell
+    sizes bounded), and the per-cell scan is the bucket-local rerank
+    shape already proven by ann_hyperplane_lsh."""
+    assign = _kmeans_assignment(spark, sf_dir).select(
+        "vec_id", F.col("c2").alias("cluster")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").join(assign, "vec_id")
+    pairs = cosine_blas(
+        emb, emb, mode="pairs_threshold", threshold=0.3, block_col="cluster"
+    )
+    return (
+        pairs.groupBy(F.col("vec_id_b").alias("drop_id"), "cluster")
+        .agg(
+            F.count("*").alias("n_better"),
+            F.max("score").alias("max_score"),
+        )
+        # the Arrow round-trip inside cosine_blas narrows the block
+        # column to int32 — restore the table's BIGINT for the oracle
+        .withColumn("cluster", F.col("cluster").cast("long"))
+    )
+
+
+# --- containment: subset-duplicate detection ------------------------------------
+
+# Jaccard misses A⊂B duplication (a doc embedded inside a larger one
+# scores |A|/|B| — low); the overlap coefficient |A∩B| / min(|A|,|B|)
+# catches it. Same blocked-pair plan as dedup_ngram_jaccard — exact
+# small-integer division, no floats until the output edge.
+_CONTAINMENT_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, lang, source,
+         list_distinct(list_transform(
+           range(1, GREATEST(LEN(string_split(text, ' ')) - 1, 1)),
+           i -> concat_ws(' ',
+                list_extract(string_split(text, ' '), i),
+                list_extract(string_split(text, ' '), i + 1),
+                list_extract(string_split(text, ' '), i + 2))
+         )) AS shingles
+  FROM documents
+)
+SELECT doc_a, doc_b, containment
+FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(LEN(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / LEAST(LEN(a.shingles), LEN(b.shingles)) AS containment
+  FROM sh a
+  JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang AND a.source = b.source
+) t
+WHERE containment >= 0.05
+"""
+
+
+@graded("dedup_containment", oracle=_CONTAINMENT_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle overlap coefficient between (lang, source)-blocked
+    pairs — the subset-duplicate detector that complements Jaccard.
+    Exact |∩| ÷ min(|A|,|B|) of small ints is IEEE-exact; block-key
+    shuffle_hash join as in dedup_ngram_jaccard (broadcast would
+    serialize shingle compute — same measurement)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", "lang", "source", F.split("text", " ").alias("w"))
+    sh = words.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(T.ngrams_from_words("w", n=3)).alias("shingles"),
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("source_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    cont = inter.cast("double") / F.least(F.size("sh_a"), F.size("sh_b"))
+    return (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("source_a") == F.col("source_b")),
+        )
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .where(F.col("containment") >= 0.05)
+    )
+
+
+# --- MinHash LSH quality evaluation ---------------------------------------------
+
+# The sketch-tuning loop every dedup deployment runs: did the banding
+# scheme catch the true near-duplicates? Ground truth comes from the
+# inverted-index join (any pair with J > 0 shares ≥1 shingle, so the
+# postings self-join enumerates exactly the nonzero-Jaccard pairs —
+# no O(n²) scan); candidates from the shared banded-MinHash stage.
+# At web scale the postings join caps ultra-common shingles (drop
+# postings longer than a bound — they only contribute to pairs far
+# below the threshold); the md5 sketch side is the production path.
+_LSH_RECALL_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, GREATEST(LEN(w) - 1, 1)),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+  FROM w
+),
+px AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM px a JOIN px b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+),
+truth AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sh x ON x.doc_id = i.doc_a
+  JOIN sh y ON y.doc_id = i.doc_b
+  WHERE CAST(i.n_inter AS DOUBLE)
+          / (LEN(x.shingles) + LEN(y.shingles) - i.n_inter) >= 0.5
+),
+shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sig AS (
+  SELECT doc_id,
+          {_MINHASH_SIG}
+  FROM shx GROUP BY doc_id
+),
+bands AS (
+  {_MINHASH_BANDS_SQL}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+       (SELECT COUNT(*) FROM cand) AS n_cand,
+       (SELECT COUNT(*) FROM truth t JOIN cand c
+          ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit,
+       ROUND(CAST((SELECT COUNT(*) FROM truth t JOIN cand c
+                     ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS DOUBLE)
+             / (SELECT COUNT(*) FROM truth), 4) AS recall
+"""
+
+
+@graded("dedup_lsh_recall_eval", oracle=_LSH_RECALL_ORACLE)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the banded-MinHash candidate set against exact
+    J ≥ 0.5 ground truth (postings-join enumeration). One row:
+    n_truth / n_cand / n_hit / recall — the metric that decides
+    band×row geometry before a corpus-wide dedup run."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    sh = words.repartition("doc_id").select(
+        "doc_id", F.array_distinct(T.ngrams_from_words("w", n=3)).alias("shingles")
+    ).localCheckpoint()  # consumed by truth (3 legs) + sketch
+    px = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    inter = (
+        px.alias("a")
+        .join(
+            px.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    truth = (
+        inter.join(
+            F.broadcast(sizes).withColumnRenamed("doc_id", "doc_a")
+            .withColumnRenamed("n_sh", "n_a"),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sizes).withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("n_sh", "n_b"),
+            "doc_b",
+        )
+        .where(
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            >= 0.5
+        )
+        .select("doc_a", "doc_b")
+    )
+    cand = minhash_candidates(sh)
+    hit = truth.join(cand, ["doc_a", "doc_b"])
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_cand = cand.agg(F.count("*").alias("n_cand"))
+    n_hit = hit.agg(F.count("*").alias("n_hit"))
+    return (
+        n_truth.crossJoin(F.broadcast(n_cand))  # scalar×scalar (whitelisted)
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_truth"), 4
+            ).alias("recall"),
+        )
+    )
+
+
+# --- bigram-LM quality scoring (CCNet-style) ------------------------------------
+
+# CCNet buckets web text by LM perplexity; the distributed analog is a
+# corpus-trained add-one-smoothed bigram model scored back over each
+# document. Both count tables come from the same token stream; the
+# per-bigram term ln((c(w1w2)+1)/(c(w1)+V)) is identical-operand IEEE,
+# quantized to DECIMAL(38,9) before the order-independent per-doc sum
+# (the text_unigram_logprob recipe, one model order up).
+_BIGRAM_LP_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bg AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS bg, w[i] AS w1
+  FROM w, LATERAL unnest(range(1, GREATEST(LEN(w), 1))) t(i)
+),
+cb AS (SELECT bg, COUNT(*) AS cb FROM bg GROUP BY bg),
+cu AS (
+  SELECT token, COUNT(*) AS cu
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+  GROUP BY token
+),
+v AS (SELECT COUNT(*) AS v FROM cu)
+SELECT bg.doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(CAST(ln((cb.cb + 1.0) / (cu.cu + v.v)) AS DECIMAL(38,9)))
+            AS DOUBLE) / COUNT(*) AS avg_logprob
+FROM bg JOIN cb USING (bg) JOIN cu ON cu.token = bg.w1, v
+GROUP BY bg.doc_id
+"""
+
+
+@graded("text_bigram_logprob", oracle=_BIGRAM_LP_ORACLE)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    add-one-smoothed bigram LM — the model-based quality score one
+    order above text_unigram_logprob. The bigram-count and
+    unigram-count tables are vocabulary-sized (broadcast); the probe
+    side is the bigram stream — two count aggs + two broadcast joins
+    + one per-doc agg, nothing quadratic at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    bg = words.select(
+        "doc_id", F.explode(T.ngrams_from_words("w", n=2)).alias("bg")
+    ).withColumn("w1", F.substring_index("bg", " ", 1))
+    cb = bg.groupBy("bg").agg(F.count("*").alias("cb"))
+    cu = (
+        docs.select(F.explode(T.tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cu"))
+    )
+    v = cu.agg(F.count("*").alias("v"))
+    term = F.log(
+        (F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.col("v"))
+    ).cast("decimal(38,9)")
+    return (
+        bg.join(F.broadcast(cb), "bg")
+        .join(F.broadcast(cu), F.col("w1") == F.col("token"))
+        .crossJoin(F.broadcast(v))  # scalar broadcast (whitelisted)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (F.sum(term).cast("double") / F.count("*")).alias("avg_logprob"),
+        )
+    )
+
+
+# --- deterministic mix sampling -------------------------------------------------
+
+# Data-mixing execution: given per-source target rates (here: balance
+# every source down to the smallest), keep a doc iff its md5 bucket
+# falls under the source's integer threshold. The decision is a pure
+# hash of the doc id — reproducible across engines, runs, retries, and
+# appends (a late-arriving doc doesn't change any other doc's fate),
+# which is what makes the sample auditable at 100 TB.
+_MIX_SAMPLER_ORACLE = """
+WITH cnt AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+m AS (SELECT MIN(n_docs) AS m FROM cnt),
+th AS (SELECT source, n_docs, (256 * m.m) // n_docs AS thresh FROM cnt, m),
+b AS (
+  SELECT d.source,
+         (strpos('0123456789abcdef',
+                 substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         + strpos('0123456789abcdef',
+                  substring(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1 AS bucket
+  FROM documents d
+)
+SELECT th.source, th.n_docs, th.thresh,
+       CAST(SUM(CASE WHEN b.bucket < th.thresh THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM b JOIN th USING (source)
+GROUP BY th.source, th.n_docs, th.thresh
+"""
+
+
+@graded("pipeline_mix_sampler", oracle=_MIX_SAMPLER_ORACLE)
+def pipeline_mix_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-Bernoulli mix sampler: per-source integer keep-thresholds
+    (256·min/n, integer division) applied to each document's md5
+    bucket. Threshold table is sources-sized (broadcast); the scan
+    side is one narrow map — no shuffle beyond the final per-source
+    rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    m = cnt.agg(F.min("n_docs").alias("m"))
+    th = cnt.crossJoin(F.broadcast(m)).select(  # scalar broadcast
+        "source",
+        "n_docs",
+        F.expr("(256 * m) DIV n_docs").alias("thresh"),
+    )
+    hexpos = (
+        "(instr('0123456789abcdef',"
+        " substring(md5(cast(doc_id as string)), {i}, 1)) - 1)"
+    )
+    bucket = F.expr(f"{hexpos.format(i=1)} * 16 + {hexpos.format(i=2)}")
+    b = docs.select("source", bucket.alias("bucket"))
+    return (
+        b.join(F.broadcast(th), "source")
+        .groupBy("source", "n_docs", "thresh")
+        .agg(
+            F.sum(
+                F.when(F.col("bucket") < F.col("thresh"), 1).otherwise(0)
+            ).alias("n_kept")
+        )
+    )
+
+
+# --- product quantization: codes ------------------------------------------------
+
+# PQ splits the 64-dim embedding into 8 subspaces × 8 dims and stores
+# one small code per subspace. This variant quantizes each dimension
+# to one bit against the corpus median (median-threshold PQ): exact
+# 1e-4 integer ticks, integer 2·median (interpolated median of ints is
+# a .5 fraction — doubled, it is exact), strict integer comparison —
+# every stage hash-matches SQL, unlike codebook PQ's seeded k-means.
+_PQ_CODES_ORACLE = """
+WITH pos AS (
+  SELECT vec_id, pos AS dim,
+         CAST(round(CAST(list_extract(embedding, pos + 1) AS DOUBLE)
+                    * 10000, 0) AS BIGINT) AS xi
+  FROM embeddings, range(0, 64) t(pos)
+),
+med AS (
+  SELECT dim, CAST(quantile_cont(xi, 0.5) * 2 AS BIGINT) AS med2
+  FROM pos GROUP BY dim
+)
+SELECT p.vec_id, p.dim // 8 AS subspace,
+       CAST(SUM(CASE WHEN 2 * p.xi > m.med2
+                THEN CAST(1 AS BIGINT) << (p.dim % 8) ELSE 0 END) AS BIGINT) AS code
+FROM pos p JOIN med m ON p.dim = m.dim
+GROUP BY p.vec_id, subspace
+"""
+
+
+def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, subspace, code): median-threshold PQ codes, the shared
+    stage of vector_pq_codes and vector_pq_adc_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("x").cast("double") * 10000, 0).cast("long").alias("xi"),
+    )
+    med = pos.groupBy("dim").agg(
+        F.expr("CAST(percentile(xi, 0.5) * 2 AS BIGINT)").alias("med2")
+    )
+    return (
+        pos.join(F.broadcast(med), "dim")
+        .groupBy("vec_id", F.expr("dim DIV 8").alias("subspace"))
+        .agg(
+            F.sum(
+                F.when(
+                    2 * F.col("xi") > F.col("med2"),
+                    F.expr("CAST(1 AS BIGINT) << (dim % 8)"),
+                ).otherwise(F.lit(0))
+            ).alias("code")
+        )
+    )
+
+
+@graded("vector_pq_codes", oracle=_PQ_CODES_ORACLE)
+def vector_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-threshold product-quantization codes: 64 dims → 8 bytes
+    per vector (64× compression of the float64 form). The median table
+    is 64 rows (broadcast); code assembly is one partial-aggregated
+    shuffle keyed on (vec_id, subspace). At 100 TB the codes ARE the
+    index — the scan side of vector_pq_adc_topk reads 8 bytes/vector
+    instead of 512."""
+    return _pq_codes(spark, sf_dir)
+
+
+# --- product quantization: ADC top-k scan ---------------------------------------
+
+_PQ_ADC_ORACLE = """
+WITH pos AS (
+  SELECT vec_id, pos AS dim,
+         CAST(round(CAST(list_extract(embedding, pos + 1) AS DOUBLE)
+                    * 10000, 0) AS BIGINT) AS xi
+  FROM embeddings, range(0, 64) t(pos)
+),
+med AS (
+  SELECT dim, CAST(quantile_cont(xi, 0.5) * 2 AS BIGINT) AS med2
+  FROM pos GROUP BY dim
+),
+codes AS (
+  SELECT p.vec_id, p.dim // 8 AS subspace,
+         CAST(SUM(CASE WHEN 2 * p.xi > m.med2
+                  THEN CAST(1 AS BIGINT) << (p.dim % 8) ELSE 0 END) AS BIGINT) AS code
+  FROM pos p JOIN med m ON p.dim = m.dim
+  GROUP BY p.vec_id, subspace
+),
+d AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(bit_count(xor(q.code, c.code))) AS BIGINT) AS hamming
+  FROM codes q JOIN codes c
+    ON q.subspace = c.subspace AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 8
+  GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, hamming, rn
+FROM (
+  SELECT query_id, neighbor_id, hamming,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rn
+  FROM d
+) t
+WHERE rn <= 10
+"""
+
+
+@graded("vector_pq_adc_topk", oracle=_PQ_ADC_ORACLE)
+def vector_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ distance scan: top-10 neighbors per query (vec_id < 8) by
+    summed per-subspace Hamming distance between codes — the cheap
+    first pass before exact re-rank in a two-stage retrieval stack.
+    The 64 query code rows broadcast; per-pair distance is 8 integer
+    XOR+popcounts; WindowGroupLimit prunes to top-10 per query before
+    the final exchange. At scale the 8 codes pack into one 64-bit
+    word per vector and the scan is a single narrow bit_count pass."""
+    codes = _pq_codes(spark, sf_dir).localCheckpoint()  # consumed 2×
+    q = codes.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        "subspace",
+        F.col("code").alias("qcode"),
+    )
+    d = (
+        codes.join(F.broadcast(q), "subspace")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.sum(F.expr("bit_count(qcode ^ code)")).alias("hamming")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 10)
+    )

@@ -180,6 +180,74 @@ JOIN sh y ON y.doc_id = c.doc_b
 """
 
 
+def minhash_candidates(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) near-dup candidate pairs from banded MinHash over
+    a (doc_id, shingles) frame — the shared sketch stage of
+    ``dedup_minhash_banded`` and the recall evaluation in
+    queries/curation.py.
+
+    Row-wise signature via higher-order functions: each h_k is the
+    min over the row's own shingle array — NO explode, NO groupBy, so
+    signature computation is a pure map stage (the explode+8-agg form
+    shuffles |shingles| rows per doc and was 5× slower at sf0.1).
+    Two md5 passes materialized as digest arrays, then 8 cheap
+    substring minima — Catalyst does not CSE across transform
+    lambdas, so inlining md5 in all 8 would run it 8× (measured
+    1.27 s → 0.81 s for the signature stage at sf0.1).
+
+    One pass over sig: explode the 4 band digests (a union of 4
+    projections would re-run the md5 transform per branch, and a
+    bands⋈bands self-join doubles it again — measured 8× the
+    signature cost). Pairs are generated bucket-locally from the
+    sorted member array: group sizes are near-dup cluster sizes, so
+    the worst case is bounded by real duplication, not corpus size.
+    """
+    digests = sh.select(
+        "doc_id",
+        F.expr("transform(shingles, s -> md5(concat('0:', s)))").alias("d0"),
+        F.expr("transform(shingles, s -> md5(concat('1:', s)))").alias("d1"),
+    )
+    sig = digests.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.expr(
+                    f"transform(d{s // 4},"
+                    f" x -> substring(x, {1 + 8 * (s % 4)}, 8))"
+                )
+            ).alias(f"h{s}")
+            for s in range(8)
+        ],
+    )
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band"), F.concat(f"h{a}", f"h{b}").alias("bkey")
+        )
+        for i, (a, b) in enumerate(_MINHASH_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("e")
+    ).select("doc_id", "e.band", "e.bkey")
+    buckets = (
+        bands.groupBy("band", "bkey")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    return (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)),"
+                    " y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
 @graded("dedup_minhash_banded", oracle=_MINHASH_BANDED_ORACLE)
 def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic MinHash + banded LSH + exact-Jaccard verify — the
@@ -200,65 +268,7 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = words.repartition("doc_id").select(
         "doc_id", F.array_distinct(T.ngrams_from_words("w", n=3)).alias("shingles")
     ).localCheckpoint()  # consumed 3× (signature + both verify legs)
-    # Row-wise signature via higher-order functions: each h_k is the
-    # min over the row's own shingle array — NO explode, NO groupBy, so
-    # signature computation is a pure map stage (the explode+8-agg form
-    # shuffles |shingles| rows per doc and was 5× slower at sf0.1).
-    # Two md5 passes materialized as digest arrays, then 8 cheap
-    # substring minima — Catalyst does not CSE across transform
-    # lambdas, so inlining md5 in all 8 would run it 8× (measured
-    # 1.27 s → 0.81 s for the signature stage at sf0.1).
-    digests = sh.select(
-        "doc_id",
-        "shingles",
-        F.expr("transform(shingles, s -> md5(concat('0:', s)))").alias("d0"),
-        F.expr("transform(shingles, s -> md5(concat('1:', s)))").alias("d1"),
-    )
-    sig = digests.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.expr(
-                    f"transform(d{s // 4},"
-                    f" x -> substring(x, {1 + 8 * (s % 4)}, 8))"
-                )
-            ).alias(f"h{s}")
-            for s in range(8)
-        ],
-    )
-    # One pass over sig: explode the 4 band digests (a union of 4
-    # projections would re-run the md5 transform per branch, and a
-    # bands⋈bands self-join doubles it again — measured 8× the
-    # signature cost). Pairs are generated bucket-locally from the
-    # sorted member array: group sizes are near-dup cluster sizes, so
-    # the worst case is bounded by real duplication, not corpus size.
-    band_structs = [
-        F.struct(
-            F.lit(i).alias("band"), F.concat(f"h{a}", f"h{b}").alias("bkey")
-        )
-        for i, (a, b) in enumerate(_MINHASH_BANDS)
-    ]
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("e")
-    ).select("doc_id", "e.band", "e.bkey")
-    buckets = (
-        bands.groupBy("band", "bkey")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
-        .where(F.size("ids") > 1)
-    )
-    cand = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) ->"
-                    " transform(slice(ids, i + 2, size(ids)),"
-                    " y -> struct(x AS doc_a, y AS doc_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    cand = minhash_candidates(sh)
     x = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     y = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -298,8 +298,9 @@ def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cluster id — so the ASSIGNMENTS (pure integers) hash-match DuckDB,
 # upgrading clustering from the usual rows-only check (ann_ivf's
 # MLlib k-means has private seeds) to a full value match.
-_KMEANS_ORACLE = """
-WITH pos AS (
+# CTE body shared with queries/curation.py (SemDeDup reuses the same
+# deterministic assignment as its clustering stage).
+_KMEANS_CTES = """pos AS (
   SELECT vec_id, pos AS dim,
          CAST(list_extract(embedding, pos) AS DOUBLE) AS v
   FROM embeddings, range(1, 65) t(pos)
@@ -341,6 +342,10 @@ a2 AS (
         FROM d2)
   WHERE rk = 1
 )
+"""
+
+_KMEANS_ORACLE = f"""
+WITH {_KMEANS_CTES}
 SELECT a1.vec_id, CAST(a1.c1 AS BIGINT) AS c1, CAST(a2.c2 AS BIGINT) AS c2
 FROM a1 JOIN a2 ON a1.vec_id = a2.vec_id
 """

@@ -45,6 +45,7 @@ def load_all() -> None:
     from .queries import (  # noqa: F401
         aggregates,
         analytics,
+        curation,
         dedup,
         joins,
         layout,
