@@ -1212,3 +1212,68 @@ def analytics_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
         last_click.join(converted, "user_id", "left")
         .select("user_id", "click_ts", F.col("conv").isNull().alias("abandoned"))
     )
+
+
+# --- winsorized group statistics -------------------------------------------------
+
+# Robust-mean reporting: clip each order's price into the group's
+# [p05, p95] band, then compare raw vs winsorized means. The clip is a
+# pure LEAST/GREATEST on identical doubles; clipped addends quantize to
+# DECIMAL(38,9) before the order-independent sum (interpolated
+# percentile bounds carry sub-ulp engine noise — quantization absorbs
+# it, same rationale as text_unigram_logprob).
+_WINSORIZE_ORACLE = """
+WITH pct AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.05) AS p05,
+         quantile_cont(o_totalprice, 0.95) AS p95
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(ANY_VALUE(p.p05), 4) AS p05,
+       ROUND(ANY_VALUE(p.p95), 4) AS p95,
+       ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 4) AS mean_raw,
+       ROUND(CAST(SUM(CAST(LEAST(GREATEST(o.o_totalprice, p.p05), p.p95)
+                           AS DECIMAL(38,9))) AS DOUBLE)
+             / COUNT(*), 4) AS mean_winsorized
+FROM orders o JOIN pct p USING (o_orderpriority)
+GROUP BY o.o_orderpriority
+"""
+
+
+@graded("agg_winsorized_stats", oracle=_WINSORIZE_ORACLE)
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized vs raw group means: one exact-percentile aggregate
+    (groups-sized, broadcast back) + one clipped re-aggregate of the
+    fact table — two shuffles on the same group key; at 100 TB the
+    percentile stage switches to approx_percentile per the
+    agg_percentile scale note."""
+    o = load_table(spark, sf_dir, "orders")
+    pct = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("p05"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95")
+    )
+    return (
+        o.join(F.broadcast(pct), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.first("p05"), 4).alias("p05"),
+            F.round(F.first("p95"), 4).alias("p95"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("mean_raw"),
+            F.round(
+                F.sum(clipped.cast("decimal(38,9)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("mean_winsorized"),
+        )
+    )

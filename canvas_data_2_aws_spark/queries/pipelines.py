@@ -933,3 +933,127 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("_k1", k1), ["_k1", "doc_id"], out="pos1"
     ).select("doc_id", "pos1")
     return e0.join(e1, "doc_id")
+
+
+# --- weekly stickiness (DAU/WAU) ------------------------------------------------
+
+# Engagement-intensity rollup: average daily actives over weekly
+# actives per week. Both numerators are exact distinct counts; the
+# one double division runs on identical integer operands in both
+# engines, so no rounding is needed.
+_STICKINESS_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS wk, CAST(ts AS DATE) AS d,
+         COUNT(DISTINCT user_id) AS dau
+  FROM events GROUP BY wk, d
+),
+weekly AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+         COUNT(DISTINCT user_id) AS wau
+  FROM events GROUP BY wk
+)
+SELECT d.wk, CAST(COUNT(*) AS BIGINT) AS n_days, w.wau,
+       CAST(SUM(d.dau) AS BIGINT) AS sum_dau,
+       CAST(SUM(d.dau) AS DOUBLE) / COUNT(*) / w.wau AS stickiness
+FROM daily d JOIN weekly w USING (wk)
+GROUP BY d.wk, w.wau
+"""
+
+
+@graded("analytics_stickiness", oracle=_STICKINESS_ORACLE)
+def analytics_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per week: two distinct-count aggregates over
+    the same (user, time-bucket) projection + a weeks-sized join. At
+    100 TB both distincts are partial-aggregated on (bucket, user)
+    before the exchange; the final frame is calendar-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", "ts").cast("date").alias("wk")
+    daily = ev.select(wk, F.col("ts").cast("date").alias("d"), "user_id").groupBy(
+        "wk", "d"
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    weekly = ev.select(wk, "user_id").groupBy("wk").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        daily.join(F.broadcast(weekly), "wk")
+        .groupBy("wk", "wau")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("dau").alias("sum_dau"),
+        )
+        .select(
+            "wk",
+            "n_days",
+            "wau",
+            "sum_dau",
+            (
+                F.col("sum_dau").cast("double") / F.col("n_days") / F.col("wau")
+            ).alias("stickiness"),
+        )
+    )
+
+
+# --- cohort lifetime value curve ------------------------------------------------
+
+# The revenue companion to analytics_retention: purchases attributed to
+# each user's first-activity-week cohort, accumulated over week
+# offsets. Money stays in integer cents until the output edge
+# (SURVEY §8 decimal rule), so the running sum is exact.
+_COHORT_LTV_ORACLE = """
+WITH cohort AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+buys AS (
+  SELECT e.user_id, c.cohort_week,
+         date_diff('day', c.cohort_week, CAST(date_trunc('week', e.ts) AS DATE)) // 7
+           AS week_offset,
+         CAST(round(e.value * 100, 0) AS BIGINT) AS cents
+  FROM events e JOIN cohort c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+),
+wk AS (
+  SELECT cohort_week, week_offset,
+         CAST(COUNT(*) AS BIGINT) AS n_purchases,
+         CAST(SUM(cents) AS BIGINT) AS cents
+  FROM buys GROUP BY cohort_week, week_offset
+)
+SELECT cohort_week, week_offset, n_purchases,
+       CAST(SUM(cents) OVER (PARTITION BY cohort_week ORDER BY week_offset)
+            AS DOUBLE) / 100.0 AS cum_value
+FROM wk
+"""
+
+
+@graded("analytics_cohort_ltv", oracle=_COHORT_LTV_ORACLE)
+def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative purchase value by cohort age: first-activity cohorts,
+    purchase cents aggregated per (cohort, offset), then a running sum
+    over the cohorts×weeks matrix (tiny at any scale — the window
+    partitions by cohort_week, so no global sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    buys = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(cohort, "user_id")
+        .select(
+            "cohort_week",
+            F.expr(
+                "datediff(CAST(date_trunc('week', ts) AS DATE), cohort_week)"
+                " DIV 7"
+            ).alias("week_offset"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    wk = buys.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_purchases"), F.sum("cents").alias("cents")
+    )
+    w = Window.partitionBy("cohort_week").orderBy("week_offset")
+    return wk.select(
+        "cohort_week",
+        "week_offset",
+        "n_purchases",
+        (F.sum("cents").over(w).cast("double") / 100.0).alias("cum_value"),
+    )

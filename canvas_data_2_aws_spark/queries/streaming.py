@@ -994,3 +994,92 @@ def timeseries_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         F.col("lag").cast("int").alias("lag"), "n", (num / den).alias("xcorr")
     )
+
+
+# --- EXT: STL-lite seasonal decomposition ---------------------------------------
+
+# Trend/seasonal/residual split of the daily revenue series: trend is a
+# centered 7-day moving average (full windows only), seasonal is the
+# per-weekday mean of the detrended series, residual is the leftover.
+# All arithmetic runs in the integer-cents domain; the only doubles are
+# the /7 trend division (identical operands both engines) and the
+# seasonal mean, whose addends are quantized to DECIMAL(38,9) before
+# the order-independent sum. Weekday comes from an epoch-anchored
+# datediff % 7 — engine-neutral, unlike dayofweek()'s dialects.
+_STL_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY d
+),
+tr AS (
+  SELECT d, cents,
+         CASE WHEN COUNT(*) OVER w = 7
+              THEN CAST(SUM(cents) OVER w AS DOUBLE) / 7 END AS trend_c,
+         date_diff('day', DATE '2024-01-01', d) % 7 AS dow
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+seas AS (
+  SELECT dow,
+         CAST(SUM(CAST(cents - trend_c AS DECIMAL(38,9))) AS DOUBLE)
+           / COUNT(*) AS seasonal_c
+  FROM tr WHERE trend_c IS NOT NULL GROUP BY dow
+)
+SELECT tr.d,
+       ROUND(tr.cents / 100.0, 2) AS value,
+       ROUND(tr.trend_c / 100.0, 4) AS trend,
+       ROUND(s.seasonal_c / 100.0, 4) AS seasonal,
+       ROUND((tr.cents - tr.trend_c - s.seasonal_c) / 100.0, 4) AS resid
+FROM tr JOIN seas s USING (dow)
+"""
+
+
+@graded("timeseries_stl_lite", oracle=_STL_ORACLE)
+def timeseries_stl_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite decomposition of daily revenue: centered-MA trend,
+    weekday-mean seasonal, residual. The raw series collapses to a
+    calendar-sized frame first (one partial-aggregated shuffle); the
+    window and the seasonal join then run on days×1 rows, declared
+    single-task via the unit group key."""
+    from ..operators import ranks as R
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
+    )
+    w = (
+        Window.partitionBy(R.UNIT_GROUP)  # calendar-sized frame
+        .orderBy("d")
+        .rowsBetween(-3, 3)
+    )
+    tr = R.attach_unit_group(daily).select(
+        "d",
+        "cents",
+        F.when(
+            F.count("*").over(w) == 7,
+            F.sum("cents").over(w).cast("double") / 7,
+        ).alias("trend_c"),
+        F.expr("datediff(d, DATE '2024-01-01') % 7").alias("dow"),
+    )
+    seas = (
+        tr.where(F.col("trend_c").isNotNull())
+        .groupBy("dow")
+        .agg(
+            (
+                F.sum(
+                    (F.col("cents") - F.col("trend_c")).cast("decimal(38,9)")
+                ).cast("double")
+                / F.count("*")
+            ).alias("seasonal_c")
+        )
+    )
+    return tr.join(F.broadcast(seas), "dow").select(
+        "d",
+        F.round(F.col("cents") / 100.0, 2).alias("value"),
+        F.round(F.col("trend_c") / 100.0, 4).alias("trend"),
+        F.round(F.col("seasonal_c") / 100.0, 4).alias("seasonal"),
+        F.round(
+            (F.col("cents") - F.col("trend_c") - F.col("seasonal_c")) / 100.0, 4
+        ).alias("resid"),
+    )
