@@ -528,3 +528,198 @@ def vector_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= 10)
     )
+
+
+# --- Naive-Bayes quality classifier (trained and scored in one pass) -------------
+
+# The model-based quality filter stage (fastText-classifier analog):
+# label docs with a cheap heuristic (≥2 distinct function words ⇒
+# "clean"), train add-one-smoothed token log-odds on that weak label,
+# score every doc with the learned model. Per-token log-likelihood
+# ratios are identical-operand IEEE doubles, quantized to
+# DECIMAL(38,9) before the per-doc sum; the prior is one more
+# identical-operand log. Output is the confusion rollup.
+_NB_QUALITY_ORACLE = """
+WITH lab AS (
+  SELECT doc_id,
+         CASE WHEN LEN(list_intersect(
+                list_distinct(string_split(text, ' ')),
+                ['a', 'the', 'and', 'of', 'to'])) >= 2
+              THEN 1 ELSE 0 END AS label
+  FROM documents
+),
+tok AS (
+  SELECT d.doc_id, unnest(string_split(d.text, ' ')) AS token
+  FROM documents d
+),
+tl AS (SELECT t.doc_id, t.token, l.label FROM tok t JOIN lab l USING (doc_id)),
+cnt AS (
+  SELECT token,
+         CAST(SUM(label) AS BIGINT) AS cpos,
+         CAST(SUM(1 - label) AS BIGINT) AS cneg
+  FROM tl GROUP BY token
+),
+tot AS (
+  SELECT CAST(SUM(cpos) AS BIGINT) AS npos, CAST(SUM(cneg) AS BIGINT) AS nneg,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM cnt
+),
+prior AS (
+  SELECT ln(CAST(SUM(label) AS DOUBLE) / SUM(1 - label)) AS prior FROM lab
+),
+scored AS (
+  SELECT tl.doc_id, ANY_VALUE(tl.label) AS label,
+         ANY_VALUE(p.prior)
+         + CAST(SUM(CAST(ln((c.cpos + 1.0) / (t.npos + t.v))
+                         - ln((c.cneg + 1.0) / (t.nneg + t.v))
+                    AS DECIMAL(38,9))) AS DOUBLE) AS score
+  FROM tl JOIN cnt c USING (token), tot t, prior p
+  GROUP BY tl.doc_id
+)
+SELECT label, CASE WHEN score > 0 THEN 1 ELSE 0 END AS pred,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(CAST(score AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 4)
+         AS avg_score
+FROM scored GROUP BY label, pred
+"""
+
+
+@graded("text_naive_bayes_quality", oracle=_NB_QUALITY_ORACLE)
+def text_naive_bayes_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-label Naive-Bayes quality scoring: heuristic labels → token
+    log-odds table (vocabulary-sized, broadcast) → per-doc scores →
+    confusion rollup. Two passes over the token stream, both
+    partial-aggregated; nothing quadratic — the distributed shape of
+    every production quality-classifier pretrain filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    lab = docs.select(
+        "doc_id",
+        F.when(T.stopword_hits() >= 2, F.lit(1)).otherwise(F.lit(0)).alias("label"),
+    )
+    tok = docs.select("doc_id", F.explode(T.tokens()).alias("token"))
+    tl = tok.join(lab, "doc_id")
+    cnt = tl.groupBy("token").agg(
+        F.sum("label").alias("cpos"),
+        F.sum(1 - F.col("label")).alias("cneg"),
+    )
+    tot = cnt.agg(
+        F.sum("cpos").alias("npos"),
+        F.sum("cneg").alias("nneg"),
+        F.count("*").alias("v"),
+    )
+    prior = lab.agg(
+        F.log(
+            F.sum("label").cast("double") / F.sum(1 - F.col("label"))
+        ).alias("prior")
+    )
+    llr = (
+        F.log((F.col("cpos") + F.lit(1.0)) / (F.col("npos") + F.col("v")))
+        - F.log((F.col("cneg") + F.lit(1.0)) / (F.col("nneg") + F.col("v")))
+    ).cast("decimal(38,9)")
+    scored = (
+        tl.join(F.broadcast(cnt), "token")
+        .crossJoin(F.broadcast(tot))  # scalar broadcast (whitelisted)
+        .crossJoin(F.broadcast(prior))
+        .groupBy("doc_id")
+        .agg(
+            F.first("label").alias("label"),
+            (F.first("prior") + F.sum(llr).cast("double")).alias("score"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "pred", F.when(F.col("score") > 0, F.lit(1)).otherwise(F.lit(0))
+        )
+        .groupBy("label", "pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum(F.col("score").cast("decimal(38,9)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_score"),
+        )
+    )
+
+
+# --- Matryoshka prefix-dimension retrieval eval ---------------------------------
+
+# MRL-style embeddings let retrieval run on a prefix of the dimensions;
+# this measures what that truncation costs: recall@10 of the 16-dim
+# prefix ranking against the full 64-dim ranking for 8 query vectors.
+# Both rankings use the rounded-score + id-tiebreak recipe, so each is
+# individually deterministic and the overlap count is exact.
+_PREFIX_RECALL_ORACLE = """
+WITH fullr AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY ROUND(list_cosine_similarity(
+                        CAST(a.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])), 4) DESC,
+                      b.vec_id) AS rn
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id < 8
+  ) t WHERE rn <= 10
+),
+pre AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY ROUND(list_cosine_similarity(
+                        CAST(a.embedding[1:16] AS DOUBLE[]),
+                        CAST(b.embedding[1:16] AS DOUBLE[])), 4) DESC,
+                      b.vec_id) AS rn
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id < 8
+  ) t WHERE rn <= 10
+)
+SELECT f.query_id,
+       CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_hit,
+       ROUND(CAST(COUNT(p.neighbor_id) AS DOUBLE) / 10, 4) AS recall
+FROM fullr f
+LEFT JOIN pre p
+  ON f.query_id = p.query_id AND f.neighbor_id = p.neighbor_id
+GROUP BY f.query_id
+"""
+
+
+@graded("vector_prefix_dim_recall", oracle=_PREFIX_RECALL_ORACLE)
+def vector_prefix_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of 16-dim-prefix cosine retrieval vs the full 64-dim
+    ranking — the dimension-truncation tuning curve for
+    Matryoshka-style embeddings. Both rankings run the broadcast+BLAS
+    kernel (zero shuffle); the overlap join is 80 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+
+    def top10(q: DataFrame, c: DataFrame) -> DataFrame:
+        scored = cosine_blas(q, c, mode="knn", k=10)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 10)
+            .select("query_id", "neighbor_id")
+        )
+
+    fullr = top10(queries, emb)
+    sliced = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    pre = top10(sliced.where(F.col("vec_id") < 8), sliced)
+    return (
+        fullr.join(
+            pre.withColumnRenamed("neighbor_id", "hit_id"),
+            (fullr.query_id == pre.query_id)
+            & (F.col("neighbor_id") == F.col("hit_id")),
+            "left",
+        )
+        .drop(pre.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count("hit_id").alias("n_hit"),
+            F.round(F.count("hit_id").cast("double") / 10, 4).alias("recall"),
+        )
+    )

@@ -1209,3 +1209,94 @@ def dedup_simhash_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         F.expr("CAST(bit_count(sim_a ^ sim_b) AS INT)").alias("hamming"),
     )
+
+
+# --- bounded-peel k-core decomposition ------------------------------------------
+
+# 5-core of the brand-blocked levenshtein graph by iterative peeling:
+# drop nodes with degree < 5, restrict edges to survivors, repeat. The
+# peel count is FIXED at 4 — at sf0.01 the 5-core converges after 3
+# peels (peel 3 ≡ peel 4), so the bounded form equals the true core
+# while staying expressible as unrolled SQL for the oracle (aggregates
+# inside a recursive CTE's recursive term are not portable SQL). The
+# Spark side runs the same 4 passes as a driver loop with a
+# localCheckpoint per peel (the graph-iteration pattern of
+# operators/graph.py — lineage stays O(1), each peel is two hash aggs
+# + two semi joins on the node key).
+_KCORE_K = 5
+_KCORE_PEELS = 4
+
+
+def _kcore_oracle() -> str:
+    base = """
+WITH e AS (
+  SELECT a.p_partkey AS a, b.p_partkey AS b
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 4
+),
+s0 AS (SELECT a AS node, b AS nbr FROM e UNION SELECT b, a FROM e)"""
+    cur = "s0"
+    for i in range(1, _KCORE_PEELS + 1):
+        base += f""",
+k{i} AS (SELECT node FROM {cur} GROUP BY node HAVING COUNT(*) >= {_KCORE_K}),
+s{i} AS (SELECT s.node, s.nbr FROM {cur} s
+         JOIN k{i} x ON s.node = x.node
+         JOIN k{i} y ON s.nbr = y.node)"""
+        cur = f"s{i}"
+    return base + f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+FROM {cur} GROUP BY node"""
+
+
+@graded("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-peel 5-core: the density filter that isolates the
+    tightly-duplicated region of a similarity graph before expensive
+    per-cluster work. Four peel rounds, each a degree agg + two
+    node-key joins; every round shrinks the edge list, so the worst
+    round cost is the first. At 100 TB the loop would add a
+    convergence check (count unchanged ⇒ stop), matching
+    operators/graph.py's iterate-to-fixpoint harness."""
+    p = load_table(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand"),
+    )
+    e = (
+        a.join(b, "brand")
+        .where(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.levenshtein("name_a", "name_b") <= 4)
+        )
+        .select("key_a", "key_b")
+    )
+    cur = (
+        e.select(F.col("key_a").alias("node"), F.col("key_b").alias("nbr"))
+        .unionByName(
+            e.select(F.col("key_b").alias("node"), F.col("key_a").alias("nbr"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(_KCORE_PEELS):
+        keep = (
+            cur.groupBy("node")
+            .agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= _KCORE_K)
+            .select("node")
+        )
+        cur = (
+            cur.join(keep, "node", "left_semi")
+            .join(
+                keep.withColumnRenamed("node", "nbr"), "nbr", "left_semi"
+            )
+            .localCheckpoint()
+        )
+    return cur.groupBy("node").agg(F.count("*").alias("degree"))

@@ -1083,3 +1083,58 @@ def timeseries_stl_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cents") - F.col("trend_c") - F.col("seasonal_c")) / 100.0, 4
         ).alias("resid"),
     )
+
+
+# --- EXT: seasonal-naive forecast backtest --------------------------------------
+
+# The baseline every forecasting stack must beat: predict each day with
+# the value one season (7 days) earlier, then score MAE/RMSE over the
+# days that have a prediction. Errors are integer cents, so both
+# aggregates are exact; sqrt runs on identical operands.
+_SNAIVE_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY d
+),
+lagged AS (
+  SELECT d, cents,
+         LAG(cents, 7) OVER (ORDER BY d) AS pred
+  FROM daily
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+       ROUND(CAST(SUM(ABS(cents - pred)) AS DOUBLE) / COUNT(*) / 100.0, 4)
+         AS mae,
+       ROUND(sqrt(CAST(SUM((cents - pred) * (cents - pred)) AS DOUBLE)
+                  / COUNT(*)) / 100.0, 4) AS rmse
+FROM lagged WHERE pred IS NOT NULL
+"""
+
+
+@graded("timeseries_snaive_backtest", oracle=_SNAIVE_ORACLE)
+def timeseries_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive (lag-7) forecast backtest over daily revenue:
+    one calendar-sized lag window (declared single-task via the unit
+    group key) + one exact integer error rollup."""
+    from ..operators import ranks as R
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
+    )
+    w = Window.partitionBy(R.UNIT_GROUP).orderBy("d")  # calendar-sized
+    lagged = (
+        R.attach_unit_group(daily)
+        .withColumn("pred", F.lag("cents", 7).over(w))
+        .where(F.col("pred").isNotNull())
+    )
+    err = F.col("cents") - F.col("pred")
+    return lagged.agg(
+        F.count("*").alias("n_scored"),
+        F.round(
+            F.sum(F.abs(err)).cast("double") / F.count("*") / 100.0, 4
+        ).alias("mae"),
+        F.round(
+            F.sqrt((F.sum(err * err)).cast("double") / F.count("*")) / 100.0, 4
+        ).alias("rmse"),
+    )

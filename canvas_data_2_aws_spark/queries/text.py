@@ -1029,3 +1029,49 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- within-document repetition stats (Gopher repetition signals) ---------------
+
+# Gopher/MassiveText filters on within-doc repetition: the fraction of
+# repeated n-grams and the heaviest single n-gram. Pure integers plus
+# one exact small-int division.
+_REPETITION_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+shx AS (
+  SELECT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
+  FROM w, LATERAL unnest(range(1, GREATEST(LEN(w) - 1, 1))) t(i)
+),
+per AS (
+  SELECT doc_id, shingle, COUNT(*) AS c FROM shx GROUP BY doc_id, shingle
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_shingles,
+       CAST(COUNT(*) AS BIGINT) AS n_uniq,
+       CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c) AS rep_frac,
+       CAST(MAX(c) AS BIGINT) AS max_rep
+FROM per GROUP BY doc_id
+"""
+
+
+@graded("text_repetition_stats", oracle=_REPETITION_ORACLE)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document 3-gram repetition: repeated fraction and
+    heaviest shingle per doc — the Gopher repetition-rule inputs that
+    complement the corpus-level dedup family. One explode + two hash
+    aggs, both partial-aggregated; the (doc, shingle) exchange is the
+    only wide stage and shrinks with map-side combine on repeats."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    shx = words.select(
+        "doc_id", F.explode(T.ngrams_from_words("w", n=3)).alias("shingle")
+    )
+    per = shx.groupBy("doc_id", "shingle").agg(F.count("*").alias("c"))
+    return per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_shingles"),
+        F.count("*").alias("n_uniq"),
+        (
+            (F.sum("c") - F.count("*")).cast("double") / F.sum("c")
+        ).alias("rep_frac"),
+        F.max("c").alias("max_rep"),
+    )
