@@ -67,6 +67,12 @@ HEADLINE = [
     "analytics_market_basket",
     "ann_hyperplane_lsh",
     "timeseries_changepoint",
+    # round-4 curation extensions: semantic dedup, bigram LM scoring,
+    # PQ ADC scan, NB quality classifier
+    "dedup_semantic_clusters",
+    "text_bigram_logprob",
+    "vector_pq_adc_topk",
+    "text_naive_bayes_quality",
 ]
 
 

@@ -137,6 +137,13 @@ _NESTED_LOOP_OK = {
     "pipeline_epoch_shuffle",
     "timeseries_interpolate",
     "window_rolling_median",
+    # round-4 curation ops: scalar/aggregate broadcasts only
+    "dedup_lsh_recall_eval",  # three 1-row count broadcasts
+    "text_bigram_logprob",  # 1-row vocabulary-size broadcast
+    "text_naive_bayes_quality",  # 1-row totals + 1-row prior broadcasts
+    "pipeline_mix_sampler",  # 1-row min-count broadcast
+    "timeseries_stl_lite",  # unit group key on the calendar frame
+    "timeseries_snaive_backtest",  # unit group key on the calendar frame
 }
 
 # Construction-time side effects or non-DataFrame surfaces — no static
@@ -201,3 +208,26 @@ def test_runtime_bloom_filter_join_available(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pq_adc_broadcasts_query_codes(spark, sf_dir):
+    """The ADC scan must broadcast the (tiny) query-code side — a
+    shuffle join here would exchange the full corpus code table on an
+    8-key join column at scale."""
+    plan = plan_text(registry.QUERIES["vector_pq_adc_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan  # top-10 pruned before the final exchange
+
+
+def test_semantic_dedup_no_cartesian(spark, sf_dir):
+    """SemDeDup's pair scan is cell-blocked inside the BLAS kernel —
+    the Spark plan above it must stay join-free of cartesians."""
+    plan = plan_text(registry.QUERIES["dedup_semantic_clusters"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_shuffles_on_block_key(spark, sf_dir):
+    """Blocked containment must hash-partition on the block key (the
+    plan that survives 100×), not broadcast the shingle arrays."""
+    plan = plan_text(registry.QUERIES["dedup_containment"](spark, sf_dir))
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
