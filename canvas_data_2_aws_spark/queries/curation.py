@@ -723,3 +723,62 @@ def vector_prefix_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("hit_id").cast("double") / 10, 4).alias("recall"),
         )
     )
+
+
+# --- distributed BPE merge-pair counting ----------------------------------------
+
+# The first iteration of byte-pair-encoding tokenizer training: count
+# adjacent character pairs across the corpus, weighted by word
+# frequency, and emit the top merge candidates. The production loop
+# re-runs this count after each merge; one iteration is the graded
+# primitive (the shuffle shape — distinct-word agg, then pair-count
+# agg — is identical every round). Pure integers throughout.
+_BPE_ORACLE = """
+WITH wf AS (
+  SELECT token AS w, COUNT(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+  GROUP BY token
+),
+pairs AS (
+  SELECT substring(w, j, 2) AS pair, freq
+  FROM wf, LATERAL unnest(range(1, length(w))) t(j)
+  WHERE length(w) >= 2
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+FROM pairs
+GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT 20
+"""
+
+
+@graded("pipeline_bpe_merges", oracle=_BPE_ORACLE)
+def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 BPE merge candidates: word-frequency agg (vocabulary
+    cardinality — the token stream collapses before any pair work),
+    char-pair explode over DISTINCT words only (pair count = Σ freq,
+    so repeated words cost nothing), pair agg, TakeOrdered. At any
+    scale the expensive stream is |vocab|·avg_word_len rows, not
+    corpus tokens — the reason real BPE trainers also count on the
+    vocabulary, not the raw text."""
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(T.tokens()).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = wf.where(F.length("w") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " j -> substring(w, j, 2))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(20)
+    )

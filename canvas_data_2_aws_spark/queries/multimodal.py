@@ -225,3 +225,117 @@ def multimodal_storage_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("total")
     )
+
+
+# --- perceptual-hash near-dup over payload bytes --------------------------------
+
+# The image-dedup analog for opaque payloads: a 16-bit aHash-style
+# signature (per-block byte-sum vs global mean — content-smooth, so
+# similar payloads land at small Hamming distance), two 8-bit bands as
+# LSH buckets, exact bit_count verify inside candidate groups. Every
+# stage is integer arithmetic on the payload bytes: the bit test is
+# 16·blocksum > totalsum (no division), the signature is a sum of
+# shifted bits, and both engines run the same nested list transforms.
+# With a real image codec the signature becomes a DCT pHash computed
+# in the decode mapInPandas stage; the banding/verify plan is
+# unchanged — that separation is the point of this query.
+_PHASH_ORACLE = """
+WITH sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 16), i ->
+           list_sum(list_transform(range(1, length(text) // 16 + 1),
+             j -> ascii(substring(text, i * (length(text) // 16) + j, 1))))
+         ) AS bs
+  FROM documents
+  WHERE length(text) >= 16
+),
+ph AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 16), i ->
+           CASE WHEN 16 * bs[i + 1] > list_sum(bs)
+                THEN CAST(1 AS BIGINT) << i ELSE 0 END)) AS BIGINT) AS phash
+  FROM sig
+),
+bands AS (
+  SELECT doc_id, phash, 0 AS band, phash // 256 AS bkey FROM ph
+  UNION ALL
+  SELECT doc_id, phash, 1 AS band, phash % 256 AS bkey FROM ph
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.phash AS ph_a,
+                  b.doc_id AS doc_b, b.phash AS ph_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(ph_a, ph_b)) <= 3
+"""
+
+
+@graded("multimodal_phash_dedup", oracle=_PHASH_ORACLE)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate payloads by 16-bit block-mean perceptual hash:
+    signature map stage (pure higher-order functions, no explode, no
+    shuffle) → two 8-bit band buckets (one exchange on the band key,
+    group sizes ≈ duplicate cluster sizes) → exact Hamming verify.
+    The banded-LSH plan is dedup_minhash_banded's, applied to the
+    byte domain."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") >= 16
+    )
+    sig = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 15), i ->"
+            " aggregate(transform(sequence(1, length(text) DIV 16),"
+            "   j -> ascii(substring(text, i * (length(text) DIV 16) + j, 1))),"
+            "   0, (a, x) -> a + x))"
+        ).alias("bs"),
+    )
+    ph = sig.select(
+        "doc_id",
+        F.expr(
+            "CAST(aggregate(transform(sequence(0, 15), i ->"
+            " CASE WHEN 16 * bs[i] > aggregate(bs, 0, (a, x) -> a + x)"
+            " THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END),"
+            " CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT)"
+        ).alias("phash"),
+    )
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"), F.expr("phash DIV 256").alias("bkey")
+                ),
+                F.struct(
+                    F.lit(1).alias("band"), (F.col("phash") % 256).alias("bkey")
+                ),
+            )
+        ).alias("e"),
+    ).select("doc_id", "phash", "e.band", "e.bkey")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("ph_a"),
+        "band",
+        "bkey",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("ph_b"),
+        "band",
+        "bkey",
+    )
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "ph_a", "doc_b", "ph_b")
+        .distinct()
+    )
+    hamming = F.expr("bit_count(ph_a ^ ph_b)").cast("long")
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= 3
+    )
