@@ -1277,3 +1277,29 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_winsorized"),
         )
     )
+
+
+# --- GROUP BY ALL / ORDER BY ALL surface ----------------------------------------
+
+# Spark 4 and DuckDB both resolve GROUP BY ALL to "every non-aggregate
+# select item" and ORDER BY ALL to the full select list left-to-right;
+# grading the pair proves the resolution rules agree (a silent
+# divergence here would corrupt any migrated query that relies on
+# them). Semantics are the classic A1 rollup shape.
+_GROUP_BY_ALL_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@graded("sql_group_by_all", oracle=_GROUP_BY_ALL_SQL)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL + ORDER BY ALL resolution parity: Spark runs the
+    statement verbatim, the oracle runs the identical text in DuckDB —
+    both engines must infer the same grouping keys and total order."""
+    register_tables(spark, sf_dir)
+    return spark.sql(_GROUP_BY_ALL_SQL)

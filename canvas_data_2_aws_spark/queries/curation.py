@@ -782,3 +782,126 @@ def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(20)
     )
+
+
+# --- composed quality-gate funnel report ----------------------------------------
+
+# The acceptance funnel a corpus release publishes: how many documents
+# survive each successive gate — length band, low repetition, and
+# bigram-LM score above the corpus 10th percentile. Gates are
+# conjunctive and counted cumulatively. The LM gate compares scores
+# ROUNDed to 6 dp on both sides of the percentile, so the boundary is
+# decided on identical quantized values in both engines.
+_QUALITY_FUNNEL_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+lenr AS (
+  SELECT doc_id, LEN(w) BETWEEN 30 AND 5000 AS pass_len FROM w
+),
+shx AS (
+  SELECT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
+  FROM w, LATERAL unnest(range(1, GREATEST(LEN(w) - 1, 1))) t(i)
+),
+rep AS (
+  SELECT doc_id,
+         CAST(COUNT(*) - COUNT(DISTINCT shingle) AS DOUBLE) / COUNT(*)
+           <= 0.2 AS pass_rep
+  FROM shx GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS bg, w[i] AS w1
+  FROM w, LATERAL unnest(range(1, GREATEST(LEN(w), 1))) t(i)
+),
+cb AS (SELECT bg, COUNT(*) AS cb FROM bg GROUP BY bg),
+cu AS (
+  SELECT token, COUNT(*) AS cu
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+  GROUP BY token
+),
+v AS (SELECT COUNT(*) AS v FROM cu),
+lm AS (
+  SELECT bg.doc_id,
+         ROUND(CAST(SUM(CAST(ln((cb.cb + 1.0) / (cu.cu + v.v))
+                             AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 6)
+           AS score
+  FROM bg JOIN cb USING (bg) JOIN cu ON cu.token = bg.w1, v
+  GROUP BY bg.doc_id
+),
+cut AS (SELECT quantile_cont(score, 0.1) AS p10 FROM lm)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN l.pass_len THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+       CAST(SUM(CASE WHEN l.pass_len AND r.pass_rep THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_len_rep,
+       CAST(SUM(CASE WHEN l.pass_len AND r.pass_rep AND m.score >= c.p10
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_accept
+FROM lenr l
+JOIN rep r USING (doc_id)
+JOIN lm m USING (doc_id), cut c
+"""
+
+
+@graded("pipeline_quality_funnel", oracle=_QUALITY_FUNNEL_ORACLE)
+def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative acceptance counts through three quality gates
+    (length band → repetition ≤ 0.2 → LM score ≥ corpus p10). Three
+    per-doc passes over the token stream, each partial-aggregated to
+    doc cardinality before its join; the percentile cut is a 1-row
+    broadcast (approx_percentile at 100 TB, as agg_percentile
+    documents)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    lenr = words.select(
+        "doc_id", F.size("w").between(30, 5000).alias("pass_len")
+    )
+    shx = words.select(
+        "doc_id", F.explode(T.ngrams_from_words("w", n=3)).alias("shingle")
+    )
+    rep = shx.groupBy("doc_id").agg(
+        (
+            (F.count("*") - F.countDistinct("shingle")).cast("double")
+            / F.count("*")
+            <= 0.2
+        ).alias("pass_rep")
+    )
+    bg = words.select(
+        "doc_id", F.explode(T.ngrams_from_words("w", n=2)).alias("bg")
+    ).withColumn("w1", F.substring_index("bg", " ", 1))
+    cb = bg.groupBy("bg").agg(F.count("*").alias("cb"))
+    cu = (
+        docs.select(F.explode(T.tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cu"))
+    )
+    v = cu.agg(F.count("*").alias("v"))
+    term = F.log(
+        (F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.col("v"))
+    ).cast("decimal(38,9)")
+    lm = (
+        bg.join(F.broadcast(cb), "bg")
+        .join(F.broadcast(cu), F.col("w1") == F.col("token"))
+        .crossJoin(F.broadcast(v))  # scalar broadcast (whitelisted)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(term).cast("double") / F.count("*"), 6).alias("score")
+        )
+    )
+    cut = lm.agg(F.expr("percentile(score, 0.1)").alias("p10"))
+    return (
+        lenr.join(rep, "doc_id")
+        .join(lm, "doc_id")
+        .crossJoin(F.broadcast(cut))  # scalar broadcast (whitelisted)
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("pass_len"), 1).otherwise(0)).alias("n_len"),
+            F.sum(
+                F.when(F.col("pass_len") & F.col("pass_rep"), 1).otherwise(0)
+            ).alias("n_len_rep"),
+            F.sum(
+                F.when(
+                    F.col("pass_len")
+                    & F.col("pass_rep")
+                    & (F.col("score") >= F.col("p10")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_accept"),
+        )
+    )

@@ -144,6 +144,7 @@ _NESTED_LOOP_OK = {
     "pipeline_mix_sampler",  # 1-row min-count broadcast
     "timeseries_stl_lite",  # unit group key on the calendar frame
     "timeseries_snaive_backtest",  # unit group key on the calendar frame
+    "pipeline_quality_funnel",  # 1-row vocab-size + 1-row p10-cut broadcasts
 }
 
 # Construction-time side effects or non-DataFrame surfaces — no static
