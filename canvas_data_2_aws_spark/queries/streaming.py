@@ -1138,3 +1138,96 @@ def timeseries_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt((F.sum(err * err)).cast("double") / F.count("*")) / 100.0, 4
         ).alias("rmse"),
     )
+
+
+# --- EXT: Holt linear-trend smoothing + forecast --------------------------------
+
+# Double exponential smoothing per event-type series — the two-state
+# recurrence (level + trend) that no built-in window expresses, run as
+# a grouped-map pandas UDF with an explicitly ordered multiply-add
+# sequence; the oracle replays the identical sequence in a recursive
+# CTE. α = β = 0.5 are exact binary fractions, inputs are integer
+# cents widened to double — every step is identical-operand IEEE, so
+# the final states match bit-for-bit before the output ROUND.
+_HOLT_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, d
+),
+s AS (
+  SELECT event_type, d, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+  FROM daily
+),
+r(event_type, rn, l, b) AS (
+  SELECT event_type, rn, CAST(cents AS DOUBLE), CAST(0 AS DOUBLE)
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT e.event_type, e.rn,
+         CAST(0.5 AS DOUBLE) * e.cents + CAST(0.5 AS DOUBLE) * (r.l + r.b),
+         CAST(0.5 AS DOUBLE)
+           * ((CAST(0.5 AS DOUBLE) * e.cents
+               + CAST(0.5 AS DOUBLE) * (r.l + r.b)) - r.l)
+           + CAST(0.5 AS DOUBLE) * r.b
+  FROM r JOIN s e ON e.event_type = r.event_type AND e.rn = r.rn + 1
+),
+last AS (
+  SELECT event_type, MAX(rn) AS t FROM s GROUP BY event_type
+)
+SELECT r.event_type,
+       CAST(l.t AS BIGINT) AS n_obs,
+       ROUND(r.l / 100.0, 4) AS level,
+       ROUND(r.b / 100.0, 4) AS trend,
+       ROUND((r.l + 7 * r.b) / 100.0, 4) AS forecast_7d
+FROM r JOIN last l ON r.event_type = l.event_type AND r.rn = l.t
+"""
+
+
+@graded("timeseries_holt_forecast", oracle=_HOLT_ORACLE)
+def timeseries_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing per event-type series with a 7-day
+    forecast. The raw stream collapses to series×days rows in one
+    partial-aggregated shuffle; the sequential recurrence then runs as
+    one applyInPandas task per series — the udf_ewma_recurrence
+    pattern with two state variables."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        def r4(x: float) -> float:
+            # SQL ROUND(x, 4): half away from zero — Python's round()
+            # is half-to-even and diverges on exact .00005 ties (the
+            # cusum_flags_stream lesson).
+            return math.copysign(math.floor(abs(x) * 1e4 + 0.5), x) / 1e4
+
+        pdf = pdf.sort_values("d")
+        xs = pdf["cents"].to_numpy()
+        l, b = float(xs[0]), 0.0
+        for x in xs[1:]:
+            l_new = 0.5 * float(x) + 0.5 * (l + b)
+            b = 0.5 * (l_new - l) + 0.5 * b
+            l = l_new
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_obs": [len(xs)],
+                "level": [r4(l / 100.0)],
+                "trend": [r4(b / 100.0)],
+                "forecast_7d": [r4((l + 7 * b) / 100.0)],
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandas(
+        holt,
+        "event_type string, n_obs long, level double, trend double,"
+        " forecast_7d double",
+    )
