@@ -289,13 +289,31 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle → HashingTF sparse vector → MinHash band buckets →
     bucket-join → Jaccard-distance filter. The scalable path for
     corpus-wide near-dup at 100 TB (O(n·bands), never O(n²))."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+    from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    docs = load_table(spark, sf_dir, "documents")
-    tok = Tokenizer(inputCol="text", outputCol="tokens")
-    with_tokens = tok.transform(docs)
-    htf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 14)
-    feats = htf.transform(with_tokens).where(F.size("tokens") > 0)
+    # Rebalance first: the corpus parquet is one row group, and
+    # inheriting that single partition serializes shingling + hashing
+    # AND the LSH bucket join into one task (observed wedged at sf0.1).
+    # Same rebalance rationale as dedup_minhash_banded's signature
+    # stage — at scale the scan itself is many splits and this exchange
+    # disappears behind maxPartitionBytes.
+    #
+    # Features are 3-GRAM SHINGLES, not unigrams: the corpus draws on a
+    # small shared vocabulary, so unigram-set Jaccard is high for
+    # nearly every pair (the earlier unigram form verified ~10⁵ pairs
+    # at sf0.01 and wedged quadratically at sf0.1). Shingle Jaccard
+    # measures content overlap — the same definition every other M5
+    # query uses — and bounds the verify stage by real duplication.
+    docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    sh = words.select(
+        "doc_id",
+        F.array_distinct(T.ngrams_from_words("w", n=3)).alias("shingles"),
+    )
+    htf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18
+    )
+    feats = htf.transform(sh).where(F.size("shingles") > 0)
     mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
     model = mh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 0.6, distCol="jaccard_dist")

@@ -21,7 +21,7 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
 
 def test_minhash_pairs_are_actually_similar(spark, sf_dir):
     """Every pair MinHash-LSH returns at distance ≤ 0.6 must have TRUE
-    token-set Jaccard distance ≤ 0.6 — approxSimilarityJoin computes
+    shingle-set Jaccard distance ≤ 0.6 — approxSimilarityJoin computes
     the exact distance for candidates, so false positives here mean a
     wiring bug (wrong columns, wrong feature space)."""
     pairs = registry.QUERIES["dedup_near_minhash"](spark, sf_dir)
