@@ -1231,3 +1231,42 @@ def timeseries_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, n_obs long, level double, trend double,"
         " forecast_7d double",
     )
+
+
+# --- T1 variant: windowed approx-distinct users (streaming sketch) --------------
+
+
+@graded("stream_window_uniques_smoke", oracle=None)
+def stream_window_uniques_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly approx-distinct users over the replayed stream:
+    approx_count_distinct is a mergeable HLL sketch, so it composes
+    with incremental window state where exact COUNT(DISTINCT) cannot
+    (exact distinct in a stream needs unbounded per-window key state).
+    Rows-only: sketch estimates have no DuckDB analog; the estimate's
+    error envelope vs the exact batch count is asserted in
+    tests/test_streaming.py."""
+    base = _replay_dir(spark, sf_dir)
+    try:
+        with _few_state_partitions(spark):
+            stream = read_event_stream(spark, f"{base}/part*")
+            agg = (
+                stream.withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "1 hour"))
+                .agg(
+                    F.approx_count_distinct("user_id", rsd=0.02).alias(
+                        "approx_users"
+                    ),
+                    F.count("*").alias("n_events"),
+                )
+                .select(
+                    F.col("window.start").alias("bucket"),
+                    "approx_users",
+                    "n_events",
+                )
+            )
+            rows = run_available_now(
+                agg, "window_uniques_smoke", output_mode="complete"
+            )
+        return spark.createDataFrame(rows, agg.schema).orderBy("bucket")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -435,3 +435,27 @@ def test_streaming_cusum_equals_batch(spark, sf_dir):
     )
     want = {(r.event_type, r.event_id): r.cum for r in batch}
     assert got == want and len(want) > 0
+
+
+def test_stream_window_uniques_within_sketch_error(spark, sf_dir):
+    """Streaming HLL per-hour estimates must land inside the sketch's
+    error envelope vs the exact batch distinct count."""
+    from pyspark.sql import functions as F
+
+    from canvas_data_2_aws_spark import registry
+    from canvas_data_2_aws_spark.session import load_table
+
+    rows = registry.QUERIES["stream_window_uniques_smoke"](spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r.bucket: r.n
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        e = exact[r.bucket]
+        assert abs(r.approx_users - e) <= max(3 * 0.02 * e, 2), (r.bucket, r.approx_users, e)
