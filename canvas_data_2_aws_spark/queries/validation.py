@@ -288,3 +288,78 @@ def validate_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(obs - benford, 4).alias("delta"),
         )
     )
+
+
+# --- whole-replica release manifest ---------------------------------------------
+
+# The artifact a replica publishes after every sync: one row per table
+# with its row count and an order-insensitive PK checksum, so any two
+# replicas (or replica vs source) diff with a 10-row compare. Same
+# md5-slice-sum construction as validate_table_checksum, applied to
+# the primary key of every table in the schema registry.
+_RELEASE_KEYS = [
+    ("region", "CAST(r_regionkey AS VARCHAR)"),
+    ("nation", "CAST(n_nationkey AS VARCHAR)"),
+    ("customer", "CAST(c_custkey AS VARCHAR)"),
+    ("supplier", "CAST(s_suppkey AS VARCHAR)"),
+    ("part", "CAST(p_partkey AS VARCHAR)"),
+    ("orders", "CAST(o_orderkey AS VARCHAR)"),
+    (
+        "lineitem",
+        "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)",
+    ),
+    ("events", "CAST(event_id AS VARCHAR)"),
+    ("documents", "CAST(doc_id AS VARCHAR)"),
+    ("embeddings", "CAST(vec_id AS VARCHAR)"),
+]
+
+_RELEASE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{t}' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(concat('0x', substring(md5({k}), 1, 8)) AS BIGINT))
+            AS BIGINT) AS pk_checksum
+FROM {t}"""
+    for t, k in _RELEASE_KEYS
+)
+
+
+@graded("validate_release_manifest", oracle=_RELEASE_ORACLE)
+def validate_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table (n_rows, PK checksum) manifest over the whole replica
+    — ten independent single-row aggregates unioned; each is one scan
+    of only the key columns (pruned), partial-aggregated map-side, so
+    manifest cost is IO-bound on the key columns at any scale."""
+    parts = []
+    for t, _ in _RELEASE_KEYS:
+        df = load_table(spark, sf_dir, t)
+        if t == "lineitem":
+            key = F.concat_ws(
+                "|",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            )
+        else:
+            pk = {
+                "region": "r_regionkey",
+                "nation": "n_nationkey",
+                "customer": "c_custkey",
+                "supplier": "s_suppkey",
+                "part": "p_partkey",
+                "orders": "o_orderkey",
+                "events": "event_id",
+                "documents": "doc_id",
+                "embeddings": "vec_id",
+            }[t]
+            key = F.col(pk).cast("string")
+        digest = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+        parts.append(
+            df.agg(
+                F.count("*").alias("n_rows"),
+                F.sum(digest).alias("pk_checksum"),
+            ).select(
+                F.lit(t).alias("table_name"), "n_rows", "pk_checksum"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
