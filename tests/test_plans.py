@@ -151,6 +151,7 @@ _NESTED_LOOP_OK = {
 # plan to inspect.
 _NO_PLAN = {
     "stream_watermark_smoke",
+    "stream_window_uniques_smoke",
     "stream_dedup_smoke",
     "stream_merge_smoke",
     "stream_stateful_totals",
