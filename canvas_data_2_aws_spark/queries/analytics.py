@@ -1303,3 +1303,67 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines must infer the same grouping keys and total order."""
     register_tables(spark, sf_dir)
     return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+# --- click → purchase conversion-latency distribution ---------------------------
+
+# The SLA view of the attribution family: how long between a user's
+# first click and their next purchase. Latencies are exact integer
+# microseconds; the percentile runs over minutes (integer µs / 6e7 —
+# identical-operand IEEE), interpolation per the agg_percentile
+# precedent, ROUND(4) at the edge.
+_TIME_TO_CONVERT_ORACLE = """
+WITH first_click AS (
+  SELECT user_id, MIN(ts) AS click_ts
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+),
+conv AS (
+  SELECT f.user_id,
+         epoch_us(MIN(e.ts)) - epoch_us(f.click_ts) AS lat_us
+  FROM first_click f
+  JOIN events e
+    ON e.user_id = f.user_id
+   AND e.event_type = 'purchase'
+   AND e.ts >= f.click_ts
+  GROUP BY f.user_id, f.click_ts
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       ROUND(quantile_cont(lat_us / 60000000.0, 0.50), 4) AS p50_min,
+       ROUND(quantile_cont(lat_us / 60000000.0, 0.90), 4) AS p90_min
+FROM conv
+"""
+
+
+@graded("analytics_time_to_convert", oracle=_TIME_TO_CONVERT_ORACLE)
+def analytics_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-click → next-purchase latency percentiles: two aggregates
+    co-partitioned on user_id + one key join — no window over the raw
+    stream; at 100 TB swap exact percentile for approx_percentile as
+    agg_percentile documents."""
+    ev = load_table(spark, sf_dir, "events")
+    first_click = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    conv = (
+        first_click.join(
+            ev.where(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("p_ts")
+            ),
+            "user_id",
+        )
+        .where(F.col("p_ts") >= F.col("click_ts"))
+        .groupBy("user_id", "click_ts")
+        .agg(
+            (
+                F.unix_micros(F.min("p_ts")) - F.unix_micros("click_ts")
+            ).alias("lat_us")
+        )
+    )
+    lat_min = F.col("lat_us") / 60000000.0
+    return conv.select(lat_min.alias("lat_min")).agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.expr("percentile(lat_min, 0.50)"), 4).alias("p50_min"),
+        F.round(F.expr("percentile(lat_min, 0.90)"), 4).alias("p90_min"),
+    )

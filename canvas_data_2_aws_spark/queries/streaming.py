@@ -1270,3 +1270,69 @@ def stream_window_uniques_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, agg.schema).orderBy("bucket")
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --- T3 variant: top navigation paths per session -------------------------------
+
+# The product-analytics "top paths" table: the ordered event-type
+# sequence inside each 30-minute session, counted corpus-wide. Path
+# assembly is deterministic (events ordered by ts, event_id inside the
+# session window); the count table is paths-cardinality — tiny next to
+# the event stream — and TakeOrdered keeps only the top 20.
+_SESSION_PATHS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM seq
+),
+sessions AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM flagged
+),
+paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+
+@graded("analytics_session_paths", oracle=_SESSION_PATHS_ORACLE)
+def analytics_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session navigation paths: session_window agg collects
+    (ts, event_id, event_type) structs, array_sort orders them inside
+    the session (struct order = field order, so ts then event_id —
+    deterministic), concat_ws renders the path. One session shuffle +
+    one paths-cardinality agg + TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    paths = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(
+            F.expr(
+                "concat_ws('>', transform(array_sort(collect_list("
+                "struct(ts, event_id, event_type))), s -> s.event_type))"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
