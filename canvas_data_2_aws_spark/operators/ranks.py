@@ -64,7 +64,13 @@ def global_row_number(
         if num_partitions
         else df.repartitionByRange(*cols)
     )
-    withpid = parts.withColumn(_PID, F.spark_partition_id())
+    # Materialize ONCE: both the offset branch and the data branch read
+    # this frame, and each must see the identical partitioning. Without
+    # the checkpoint they are two executions of a sampled range
+    # exchange, and AQE/exchange-reuse can give them different physical
+    # partitionings — observed at sf0.1 as pid↔offset mismatch
+    # (duplicate global ranks, NTILE buckets collapsing 10 → 5).
+    withpid = parts.withColumn(_PID, F.spark_partition_id()).localCheckpoint()
     counts = withpid.groupBy(_PID).agg(F.count(F.lit(1)).alias(_CNT))
     counts = attach_unit_group(counts)
     # ≤ #partitions rows: the single-partition window here is over the
@@ -108,7 +114,9 @@ def global_rank_and_cumsum(
         if num_partitions
         else df.repartitionByRange(*cols)
     )
-    withpid = parts.withColumn(_PID, F.spark_partition_id())
+    # Materialized once for the same pid-consistency reason as
+    # global_row_number above.
+    withpid = parts.withColumn(_PID, F.spark_partition_id()).localCheckpoint()
     stats = withpid.groupBy(_PID).agg(
         F.count(F.lit(1)).alias(_CNT), F.sum(value_col).alias("__rank_vsum")
     )
@@ -192,7 +200,9 @@ def global_cumsum(
         if num_partitions
         else df.repartitionByRange(*cols)
     )
-    withpid = parts.withColumn(_PID, F.spark_partition_id())
+    # Materialized once for the same pid-consistency reason as
+    # global_row_number above.
+    withpid = parts.withColumn(_PID, F.spark_partition_id()).localCheckpoint()
     sums = withpid.groupBy(_PID).agg(F.sum(value_col).alias(_CNT))
     sums = attach_unit_group(sums)
     w_off = (
