@@ -158,9 +158,9 @@ SELECT
   CAST(LEN(embedding) AS INTEGER) AS dim,
   ROUND(SQRT(list_sum(list_transform(embedding,
         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
-  ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
-  ROUND(CAST(embedding[2] AS DOUBLE), 4) AS second_val,
-  ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) AS max_val
+  ROUND(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_val,
+  ROUND(CAST(embedding[2] AS DOUBLE), 4) + 0.0 AS second_val,
+  ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) + 0.0 AS max_val
 FROM embeddings
 """
 
@@ -221,7 +221,7 @@ _EXPLODE_ORACLE = """
 SELECT
   vec_id,
   pos,
-  ROUND(CAST(list_extract(embedding, pos) AS DOUBLE), 4) AS val
+  ROUND(CAST(list_extract(embedding, pos) AS DOUBLE), 4) + 0.0 AS val
 FROM embeddings, range(1, 5) t(pos)
 """
 

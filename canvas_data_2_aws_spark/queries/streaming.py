@@ -1028,9 +1028,9 @@ seas AS (
 )
 SELECT tr.d,
        ROUND(tr.cents / 100.0, 2) AS value,
-       ROUND(tr.trend_c / 100.0, 4) AS trend,
-       ROUND(s.seasonal_c / 100.0, 4) AS seasonal,
-       ROUND((tr.cents - tr.trend_c - s.seasonal_c) / 100.0, 4) AS resid
+       ROUND(tr.trend_c / 100.0, 4) + 0.0 AS trend,
+       ROUND(s.seasonal_c / 100.0, 4) + 0.0 AS seasonal,
+       ROUND((tr.cents - tr.trend_c - s.seasonal_c) / 100.0, 4) + 0.0 AS resid
 FROM tr JOIN seas s USING (dow)
 """
 
