@@ -73,6 +73,11 @@ HEADLINE = [
     "text_bigram_logprob",
     "vector_pq_adc_topk",
     "text_naive_bayes_quality",
+    # round-4 enrichment: distributed skyline, CCNet perplexity
+    # terciles, Zipf diagnostic
+    "analytics_skyline",
+    "text_perplexity_buckets",
+    "text_zipf_slope",
 ]
 
 

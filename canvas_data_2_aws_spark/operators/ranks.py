@@ -178,6 +178,63 @@ def exact_ntile(
     )
 
 
+def grouped_prefix_max(
+    df: DataFrame,
+    group_cols,
+    order_cols,
+    value_col: str,
+    out: str = "runmax",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group EXCLUSIVE running max over a total order, distributed —
+    the prefix-max behind skyline / Pareto-frontier queries, without a
+    single-task-per-group WindowExec.
+
+    Same architecture as :func:`global_row_number`, generalized to a
+    grouped prefix aggregate: range-repartition on (group, order) so
+    each task holds a contiguous slice of one-or-more groups, take the
+    per-(group, partition) max, prefix-max those offsets per group over
+    the partition *manifest* (tiny), then combine the broadcast offset
+    with a local exclusive window max. ``out`` is NULL for the first
+    row of each group (no preceding rows) — matches ANSI
+    ``MAX(v) OVER (PARTITION BY g ORDER BY o ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)`` exactly. ``group_cols + order_cols``
+    must form a total order (SURVEY §8.4).
+    """
+    gcols = _cols(group_cols)
+    ocols = _cols(order_cols)
+    gnames = [c if isinstance(c, str) else None for c in group_cols]
+    if any(n is None for n in gnames):
+        raise ValueError("group_cols must be plain column names")
+    parts = (
+        df.repartitionByRange(num_partitions, *gcols, *ocols)
+        if num_partitions
+        else df.repartitionByRange(*gcols, *ocols)
+    )
+    # Materialized once for the same pid-consistency reason as
+    # global_row_number above.
+    withpid = parts.withColumn(_PID, F.spark_partition_id()).localCheckpoint()
+    gmax = withpid.groupBy(_PID, *gnames).agg(F.max(value_col).alias(_CNT))
+    # ≤ #partitions × #groups-per-partition rows: the window below runs
+    # on the partition manifest, not the data.
+    w_off = (
+        Window.partitionBy(*gnames)
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = gmax.select(_PID, *gnames, F.max(_CNT).over(w_off).alias(_OFF))
+    local = F.max(value_col).over(
+        Window.partitionBy(_PID, *gnames)
+        .orderBy(*ocols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        withpid.join(F.broadcast(offs), [_PID, *gnames])
+        .withColumn(out, F.greatest(F.col(_OFF), local))
+        .drop(_PID, _OFF)
+    )
+
+
 def global_cumsum(
     df: DataFrame,
     order_cols,

@@ -1,0 +1,595 @@
+"""Round-4 enrichment surface: skyline queries, cohort split, rolling
+market stats, Zipf diagnostics, CCNet-style perplexity pruning,
+tokenizer-fertility accounting, curriculum staging (SURVEY §2 EXT).
+
+The batch closes analytics/curation shapes the earlier rounds didn't
+cover: dominance (Pareto frontier) via the new distributed grouped
+prefix-max operator, rolling VWAP/Bollinger over pre-aggregated
+calendar frames, log-log Zipf slope on the distributed rank primitive,
+and two corpus-curation stages every pretraining pipeline runs —
+perplexity-tercile pruning (CCNet, Wenzek et al. 2020) and
+curriculum-stage assignment.
+
+House determinism rules throughout (SURVEY §8): decimal casts before
+any double sum that crosses a shuffle, composite unique ordering keys
+under every rank/limit, ROUND only at the output edge, md5 as the only
+cross-engine hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..operators import text as T
+from ..operators.ranks import attach_unit_group, exact_ntile, grouped_prefix_max
+from ..registry import graded
+from ..session import load_table
+
+_EPOCH_SPARK = "datediff(to_date({c}), date'1970-01-01')"
+_EPOCH_DUCK = "date_diff('day', DATE '1970-01-01', CAST({c} AS DATE))"
+
+
+# --- skyline / Pareto frontier --------------------------------------------------
+
+# A skyline point is an order no other same-priority order dominates on
+# (price, recency). Classic sort-based skyline: scan prices descending,
+# keep a row iff its date beats every strictly-pricier row's best date.
+# That prefix-max is the scale problem — a bare per-priority window
+# puts each priority's whole price domain in one task — so the Spark
+# side runs operators/ranks.grouped_prefix_max (range-partitioned
+# exclusive running max, ANSI-identical to the oracle's window).
+# Witness key day·10⁷ − orderkey is unique (orderkey < 10⁷ at every
+# fixture SF) → max_by is deterministic: latest date, then lowest key.
+_SKYLINE_ORACLE = f"""
+WITH pp AS (
+  SELECT o_orderpriority,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+         MAX({_EPOCH_DUCK.format(c='o_orderdate')}) AS best_day,
+         arg_max(o_orderkey,
+                 {_EPOCH_DUCK.format(c='o_orderdate')} * 10000000 - o_orderkey)
+           AS witness_order
+  FROM orders
+  GROUP BY o_orderpriority, price_c
+),
+r AS (
+  SELECT *,
+         MAX(best_day) OVER (
+           PARTITION BY o_orderpriority ORDER BY price_c DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+  FROM pp
+)
+SELECT o_orderpriority, price_c, best_day, witness_order
+FROM r
+WHERE best_day > COALESCE(runmax, -1)
+ORDER BY o_orderpriority, price_c DESC
+"""
+
+
+@graded("analytics_skyline", oracle=_SKYLINE_ORACLE)
+def analytics_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) per priority on (price max, date max).
+
+    One hash agg collapses ties to distinct price points, then the
+    distributed grouped prefix-max replaces the textbook single-task
+    sorted scan — bounded per-task memory at any frontier size."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.expr(_EPOCH_SPARK.format(c="o_orderdate"))
+    pp = (
+        o.withColumn("price_c", F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .groupBy("o_orderpriority", "price_c")
+        .agg(
+            F.max(day).cast("bigint").alias("best_day"),
+            F.expr(
+                f"max_by(o_orderkey, CAST({_EPOCH_SPARK.format(c='o_orderdate')}"
+                " AS BIGINT) * 10000000 - o_orderkey)"
+            ).alias("witness_order"),
+        )
+    )
+    run = grouped_prefix_max(
+        pp,
+        group_cols=["o_orderpriority"],
+        order_cols=[F.col("price_c").desc()],
+        value_col="best_day",
+        out="runmax",
+    )
+    return (
+        run.where(F.col("best_day") > F.coalesce(F.col("runmax"), F.lit(-1)))
+        .select("o_orderpriority", "price_c", "best_day", "witness_order")
+        .orderBy("o_orderpriority", F.col("price_c").desc())
+    )
+
+
+# --- new vs returning users per day ---------------------------------------------
+
+_NEW_RETURNING_ORACLE = """
+WITH f AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+),
+d AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+SELECT d.day,
+       CAST(COUNT(*) FILTER (WHERE d.day = f.first_day) AS BIGINT) AS new_users,
+       CAST(COUNT(*) FILTER (WHERE d.day > f.first_day) AS BIGINT)
+         AS returning_users
+FROM d JOIN f USING (user_id)
+GROUP BY d.day
+ORDER BY d.day
+"""
+
+
+@graded("analytics_new_returning", oracle=_NEW_RETURNING_ORACLE)
+def analytics_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into first-ever-seen vs returning.
+
+    Two hash aggs (first-seen per user, distinct user-days) and one
+    shuffle join on user_id — all partial-aggregated map-side; the
+    user dimension is the natural co-partition key at 100 TB (both
+    sides hash on user_id, no broadcast needed or wanted)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    daily = ev.select(day.alias("day"), "user_id").distinct()
+    return (
+        daily.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("new_users"),
+            F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("returning_users"),
+        )
+        .orderBy("day")
+    )
+
+
+# --- rolling VWAP over the shipping calendar ------------------------------------
+
+# Pre-aggregate lineitem to one row per ship-day (the 100 TB-safe move:
+# the rolling window then runs over the CALENDAR, a few-thousand-row
+# frame, not the fact table), then a 7-day RANGE frame on the epoch-day
+# index. Quantities are integral in every fixture; price·qty has ≤2 dp,
+# so the DECIMAL(18,6)/(38,4) sums are exact and order-free; the final
+# division is identical-operand IEEE.
+_VWAP_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS day,
+         {_EPOCH_DUCK.format(c='l_shipdate')} AS day_idx,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+         SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,4))) AS pv
+  FROM lineitem
+  GROUP BY day, day_idx
+),
+w AS (
+  SELECT day, qty,
+         SUM(qty) OVER (ORDER BY day_idx
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS qty7,
+         SUM(pv) OVER (ORDER BY day_idx
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS pv7
+  FROM daily
+)
+SELECT day, qty,
+       CAST(qty7 AS BIGINT) AS qty7,
+       ROUND(CAST(pv7 AS DOUBLE) / qty7, 4) AS vwap7
+FROM w
+ORDER BY day
+"""
+
+
+@graded("timeseries_vwap_rolling", oracle=_VWAP_ORACLE)
+def timeseries_vwap_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day volume-weighted average price per ship-day.
+
+    The unit-group window below is over the pre-aggregated calendar
+    (one row per day) — single-task by design, stated via
+    attach_unit_group (SURVEY §8.5 tiny-frame rule)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy(
+            F.to_date("l_shipdate").alias("day"),
+            F.expr(_EPOCH_SPARK.format(c="l_shipdate")).alias("day_idx"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(38,4)")
+            ).alias("pv"),
+        )
+    )
+    daily = attach_unit_group(daily)
+    w = (
+        Window.partitionBy("__rank_g")  # calendar-sized: one group by design
+        .orderBy("day_idx")
+        .rangeBetween(-6, 0)
+    )
+    return (
+        daily.select(
+            "day",
+            "qty",
+            F.sum("qty").over(w).cast("bigint").alias("qty7"),
+            F.sum("pv").over(w).alias("pv7"),
+        )
+        .select(
+            "day",
+            "qty",
+            "qty7",
+            F.round(F.col("pv7").cast("double") / F.col("qty7"), 4).alias("vwap7"),
+        )
+        .orderBy("day")
+    )
+
+
+# --- Bollinger bands over daily revenue -----------------------------------------
+
+# Same calendar pre-agg shape as VWAP; the band needs a rolling stddev,
+# which the house closed-form recipe derives from exact integer power
+# sums (rev in cents, rev² as DECIMAL(38,0)) so every engine sums the
+# same integers and runs the identical IEEE finals. Shared final SQL
+# text guarantees the arithmetic op sequence matches bit-for-bit.
+_BOLL_FINAL = """
+SELECT day, rev_c,
+       ROUND(CAST(s7 AS DOUBLE) / n7, 4) AS mean7,
+       ROUND(sqrt((CAST(ss7 AS DOUBLE) - CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE) / n7)
+                  / (n7 - 1)), 4) AS sd7,
+       rev_c > CAST(s7 AS DOUBLE) / n7
+               + 2 * sqrt((CAST(ss7 AS DOUBLE)
+                           - CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE) / n7)
+                          / (n7 - 1)) AS breach_hi
+FROM boll_sums
+WHERE n7 >= 2
+ORDER BY day
+"""
+
+_BOLL_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS day,
+         {_EPOCH_DUCK.format(c='l_shipdate')} AS day_idx,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM lineitem
+  GROUP BY day, day_idx
+),
+boll_sums AS (
+  SELECT day, rev_c,
+         COUNT(*) OVER win AS n7,
+         SUM(rev_c) OVER win AS s7,
+         SUM(CAST(rev_c AS DECIMAL(19,0)) * rev_c) OVER win AS ss7
+  FROM daily
+  WINDOW win AS (ORDER BY day_idx RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+{_BOLL_FINAL}
+"""
+
+
+@graded("timeseries_bollinger", oracle=_BOLL_ORACLE)
+def timeseries_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day Bollinger band (rolling mean ± 2σ) on daily revenue with a
+    breach flag — the anomaly-band shape monitoring dashboards run.
+    Calendar-frame window, integer power sums, shared final SQL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy(
+            F.to_date("l_shipdate").alias("day"),
+            F.expr(_EPOCH_SPARK.format(c="l_shipdate")).alias("day_idx"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_c")
+        )
+    )
+    daily = attach_unit_group(daily)
+    w = (
+        Window.partitionBy("__rank_g")  # calendar-sized: one group by design
+        .orderBy("day_idx")
+        .rangeBetween(-6, 0)
+    )
+    sums = daily.select(
+        "day",
+        "rev_c",
+        F.count(F.lit(1)).over(w).alias("n7"),
+        F.sum("rev_c").over(w).alias("s7"),
+        F.sum(F.col("rev_c").cast("decimal(19,0)") * F.col("rev_c"))
+        .over(w)
+        .alias("ss7"),
+    )
+    sums.createOrReplaceTempView("boll_sums")
+    return spark.sql(_BOLL_FINAL)
+
+
+# --- Zipf slope of the token frequency curve ------------------------------------
+
+# log-log regression over the top-1000 tokens: rank via the global
+# TakeOrderedAndProject top-k (never a full sort), then a 1000-row
+# single-task window (tiny by construction: LIMIT bounds it). Each
+# ln-term and cross-product is quantized to DECIMAL(38,9) BEFORE the
+# sum — ln may differ by 1 ulp across engines, the quantization absorbs
+# it, and the closed-form finals run as shared SQL text.
+_ZIPF_FINAL = """
+SELECT n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+         AS intercept,
+       ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+FROM zipf_sums
+"""
+
+_ZIPF_SUMS = """
+SELECT COUNT(*) AS n,
+       CAST(SUM(CAST(ln(rk) AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+       CAST(SUM(CAST(ln(c) AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+       CAST(SUM(CAST(ln(rk) * ln(c) AS DECIMAL(38,9))) AS DOUBLE) AS sxy,
+       CAST(SUM(CAST(ln(rk) * ln(rk) AS DECIMAL(38,9))) AS DOUBLE) AS sxx,
+       CAST(SUM(CAST(ln(c) * ln(c) AS DECIMAL(38,9))) AS DOUBLE) AS syy
+FROM ranked
+"""
+
+_ZIPF_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+top AS (SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT 1000),
+ranked AS (
+  SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, token) AS DOUBLE) AS rk
+  FROM top
+),
+zipf_sums AS ({_ZIPF_SUMS})
+{_ZIPF_FINAL}
+"""
+
+
+@graded("text_zipf_slope", oracle=_ZIPF_ORACLE)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS slope/intercept/R² of ln(count) on ln(rank)
+    for the top-1000 tokens — the corpus-health diagnostic (natural
+    text slopes ≈ −1; synthetic or boilerplate-heavy corpora deviate).
+    Top-k via TakeOrderedAndProject; the rank window runs on the
+    1000-row LIMIT result (tiny by construction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(T.tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    top = cnt.orderBy(F.col("c").desc(), "token").limit(1000)
+    top = attach_unit_group(top)
+    rk = F.row_number().over(
+        Window.partitionBy("__rank_g")  # 1000-row frame by construction
+        .orderBy(F.col("c").desc(), "token")
+    )
+    ranked = top.select("c", rk.cast("double").alias("rk"))
+    ranked.createOrReplaceTempView("ranked")
+    spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW zipf_sums AS {_ZIPF_SUMS}")
+    return spark.sql(_ZIPF_FINAL)
+
+
+# --- CCNet-style perplexity terciles --------------------------------------------
+
+# CCNet (Wenzek et al. 2020) buckets a crawl into head/middle/tail by
+# LM perplexity and keeps the head. Here the LM is the corpus's own
+# unigram model (text_unigram_logprob, reused verbatim), the terciles
+# are exact_ntile over (surprisal, doc_id) — the distributed NTILE, no
+# single-task sort of the corpus — and the report is per (tercile,
+# lang) counts + mean surprisal, the table a curation run reviews
+# before committing a keep-list.
+_PPL_BUCKETS_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+n AS (SELECT COUNT(*) AS n FROM tok),
+doc AS (
+  SELECT tok.doc_id,
+         CAST(SUM(CAST(ln(CAST(n.n AS DOUBLE) / cnt.c) AS DECIMAL(38,9)))
+              AS DOUBLE) / COUNT(*) AS avg_surprisal
+  FROM tok JOIN cnt USING (token), n
+  GROUP BY tok.doc_id
+),
+b AS (
+  SELECT doc_id, avg_surprisal,
+         CAST(NTILE(3) OVER (ORDER BY avg_surprisal, doc_id) AS BIGINT) AS tercile
+  FROM doc
+)
+SELECT tercile, lang,
+       COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(CAST(avg_surprisal AS DECIMAL(38,9))) AS DOUBLE)
+             / COUNT(*), 4) AS mean_surprisal
+FROM b JOIN documents USING (doc_id)
+GROUP BY tercile, lang
+ORDER BY tercile, lang
+"""
+
+
+@graded("text_perplexity_buckets", oracle=_PPL_BUCKETS_ORACLE)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head/middle/tail perplexity terciles per language (CCNet-style
+    corpus pruning) on the reused unigram-surprisal scorer + the
+    distributed exact NTILE."""
+    from .text import text_unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text_unigram_logprob(spark, sf_dir).select("doc_id", "avg_surprisal")
+    buckets = exact_ntile(
+        scored, 3, order_cols=["avg_surprisal", "doc_id"], out="tercile"
+    )
+    return (
+        buckets.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("tercile", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum(F.col("avg_surprisal").cast("decimal(38,9)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("mean_surprisal"),
+        )
+        .orderBy("tercile", "lang")
+    )
+
+
+# --- tokenizer fertility per (lang, source) -------------------------------------
+
+_FERTILITY_ORACLE = f"""
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(LEN(regexp_extract_all(text, '{T.BPE_PATTERN}'))) AS BIGINT)
+         AS n_bpe,
+       CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS n_words,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       ROUND(CAST(SUM(LEN(regexp_extract_all(text, '{T.BPE_PATTERN}'))) AS DOUBLE)
+             / SUM(LEN(string_split(text, ' '))), 4) AS fertility,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE)
+             / SUM(LEN(regexp_extract_all(text, '{T.BPE_PATTERN}'))), 4)
+         AS chars_per_token
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+@graded("text_tokenizer_fertility", oracle=_FERTILITY_ORACLE)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (BPE-ish tokens per word) and compression
+    (chars per token) per (lang, source) — the table that decides
+    token-budget allocation across a multilingual mix. Integer counts
+    only until the final identical-operand divisions; pure map-side
+    expression work, one hash agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.size(F.expr(f"regexp_extract_all(text, '{T.BPE_PATTERN}', 0)"))
+    words = F.size(T.tokens())
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(bpe).cast("bigint").alias("n_bpe"),
+            F.sum(words).cast("bigint").alias("n_words"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_bpe",
+            "n_words",
+            "n_chars",
+            F.round(F.col("n_bpe").cast("double") / F.col("n_words"), 4).alias(
+                "fertility"
+            ),
+            F.round(F.col("n_chars").cast("double") / F.col("n_bpe"), 4).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# --- curriculum staging ---------------------------------------------------------
+
+# Curriculum learning orders training data easy→hard. Difficulty here
+# is lexical diversity (distinct-token ratio — int/int division,
+# engine-identical); stages are exact_ntile quartiles; within a stage
+# the serving order is the deterministic md5 shuffle (same epoch-
+# shuffle recipe as pipeline_epoch_shuffle), and the stage's first-
+# served doc is min_by over that key — unique because md5 of distinct
+# ids never collides on this domain.
+_CURRICULUM_ORACLE = """
+WITH scored AS (
+  SELECT doc_id,
+         LEN(list_distinct(string_split(text, ' ')))
+           / LEN(string_split(text, ' ')) AS score
+  FROM documents
+),
+st AS (
+  SELECT doc_id, score,
+         CAST(NTILE(4) OVER (ORDER BY score, doc_id) AS BIGINT) AS stage
+  FROM scored
+)
+SELECT stage,
+       COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(CAST(score AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 4)
+         AS mean_score,
+       arg_min(doc_id, md5(CAST(doc_id AS VARCHAR))) AS first_served
+FROM st
+GROUP BY stage
+ORDER BY stage
+"""
+
+
+@graded("pipeline_curriculum_stages", oracle=_CURRICULUM_ORACLE)
+def pipeline_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-stage assignment: quartile stages by lexical
+    diversity via the distributed exact NTILE, deterministic md5
+    serving order within each stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = T.tokens()
+    scored = docs.select(
+        "doc_id",
+        (
+            F.size(F.array_distinct(w)).cast("double") / F.size(w)
+        ).alias("score"),
+    )
+    staged = exact_ntile(scored, 4, order_cols=["score", "doc_id"], out="stage")
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum(F.col("score").cast("decimal(38,9)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("mean_score"),
+            F.expr("min_by(doc_id, md5(CAST(doc_id AS STRING)))").alias(
+                "first_served"
+            ),
+        )
+        .orderBy("stage")
+    )
+
+
+# --- inter-order interval distribution ------------------------------------------
+
+_REPEAT_ORACLE = """
+WITH gaps AS (
+  SELECT date_diff('day',
+           CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS DATE),
+           CAST(o_orderdate AS DATE)) AS gap
+  FROM orders
+)
+SELECT COUNT(*) AS n_gaps,
+       ROUND(CAST(SUM(CAST(gap AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 4)
+         AS mean_gap,
+       ROUND(quantile_cont(gap, 0.25), 4) AS p25,
+       ROUND(quantile_cont(gap, 0.50), 4) AS p50,
+       ROUND(quantile_cont(gap, 0.75), 4) AS p75
+FROM gaps
+WHERE gap IS NOT NULL
+"""
+
+
+@graded("analytics_repeat_interval", oracle=_REPEAT_ORACLE)
+def analytics_repeat_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of days between a customer's consecutive orders —
+    the repeat-purchase cadence scalar. Per-customer lag windows (keys
+    ≫ cores, no skew), integer day gaps, interpolated percentiles
+    (Spark percentile ≡ DuckDB quantile_cont, proven by
+    agg_percentile). At 100 TB the exact percentile becomes
+    approx_percentile; the mean/count stay exact."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
+        ).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    return gaps.agg(
+        F.count("*").alias("n_gaps"),
+        F.round(
+            F.sum(F.col("gap").cast("decimal(38,9)")).cast("double") / F.count("*"),
+            4,
+        ).alias("mean_gap"),
+        F.round(F.expr("percentile(gap, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(gap, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(gap, 0.75)"), 4).alias("p75"),
+    )

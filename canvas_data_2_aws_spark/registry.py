@@ -47,6 +47,7 @@ def load_all() -> None:
         analytics,
         curation,
         dedup,
+        enrichment,
         joins,
         layout,
         merge,

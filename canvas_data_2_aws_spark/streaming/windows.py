@@ -15,6 +15,17 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..schemas import EVENTS
 
 
+def _sql_round_cents_sum(vals) -> int:
+    """Σ round(v·100) with SQL semantics (half AWAY from zero) — the
+    rule the batch oracles' ``round(value*100, 0)`` applies in both
+    engines. ``np.rint`` (half-to-even) diverges on exact .5-cent
+    ties, breaking stream/batch equivalence (same recipe as the cusum
+    operator below)."""
+    import numpy as np
+
+    return int((np.sign(vals) * np.floor(np.abs(vals) * 100.0 + 0.5)).sum())
+
+
 def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     """File-based change stream with the server-declared schema.
 
@@ -104,7 +115,7 @@ def stateful_user_totals_stream(events: DataFrame) -> DataFrame:
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            cents += int(np.rint(pdf["value"].to_numpy() * 100).sum())
+            cents += _sql_round_cents_sum(pdf["value"].to_numpy())
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
@@ -190,7 +201,7 @@ def tws_user_totals_stream(events: DataFrame) -> DataFrame:
             n, cents = self._totals.get() if self._totals.exists() else (0, 0)
             for pdf in rows:
                 n += len(pdf)
-                cents += int(np.rint(pdf["value"].to_numpy() * 100).sum())
+                cents += _sql_round_cents_sum(pdf["value"].to_numpy())
             self._totals.update((n, cents))
             yield pd.DataFrame(
                 {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}

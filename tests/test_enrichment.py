@@ -1,0 +1,155 @@
+"""Invariant tests for the round-4 enrichment batch (queries/enrichment.py).
+
+The DuckDB hash-match (tools/check_oracle.py) proves cross-engine value
+equality; these tests pin the *semantic* properties that a hash can't
+express — dominance soundness of the skyline, equivalence of the
+distributed grouped prefix-max with the naive ANSI window, cohort
+conservation, and window-frame containment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from canvas_data_2_aws_spark import registry
+from canvas_data_2_aws_spark.operators.ranks import grouped_prefix_max
+
+registry.load_all()
+
+
+def test_grouped_prefix_max_matches_naive_window(spark):
+    """The distributed exclusive running max must equal the ANSI
+    single-task window on every row, including group boundaries."""
+    rows = [
+        (g, i, (i * 7 + g * 3) % 13) for g in range(3) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "g int, o int, v int").repartition(8)
+    got = grouped_prefix_max(
+        df, group_cols=["g"], order_cols=["o"], value_col="v", out="rm",
+        num_partitions=5,
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("o")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = df.withColumn("rm", F.max("v").over(w))
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_skyline_rows_are_undominated(spark, sf_dir):
+    """No output point may be dominated by ANY input point: a
+    same-priority order with (price ≥, date ≥) and one strict."""
+    out = registry.QUERIES["analytics_skyline"](spark, sf_dir)
+    sky = out.collect()
+    assert sky, "skyline must be non-empty"
+    orders = (
+        registry.QUERIES["analytics_skyline"]
+        .__globals__["load_table"](spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("pc"),
+            F.expr(
+                "CAST(datediff(to_date(o_orderdate), date'1970-01-01') AS BIGINT)"
+            ).alias("day"),
+        )
+        .collect()
+    )
+    by_pri: dict[str, list] = {}
+    for r in orders:
+        by_pri.setdefault(r.o_orderpriority, []).append((r.pc, r.day))
+    for s in sky:
+        for pc, day in by_pri[s.o_orderpriority]:
+            dominated = (
+                pc >= s.price_c
+                and day >= s.best_day
+                and (pc > s.price_c or day > s.best_day)
+            )
+            assert not dominated, (
+                f"skyline point {s} dominated by (price_c={pc}, day={day})"
+            )
+
+
+def test_skyline_frontier_is_a_chain(spark, sf_dir):
+    """Within a priority, descending price must give strictly
+    increasing best_day — the definition of a 2-D frontier."""
+    out = registry.QUERIES["analytics_skyline"](spark, sf_dir).collect()
+    by_pri: dict[str, list] = {}
+    for r in out:
+        by_pri.setdefault(r.o_orderpriority, []).append((r.price_c, r.best_day))
+    for pts in by_pri.values():
+        pts.sort(reverse=True)  # price desc
+        days = [d for _, d in pts]
+        assert days == sorted(days), "best_day must increase as price falls"
+        assert len(set(days)) == len(days)
+
+
+def test_new_returning_conserves_users(spark, sf_dir):
+    """Σ new_users over all days == #distinct users (each user is new
+    exactly once), and every day's split is non-negative."""
+    out = registry.QUERIES["analytics_new_returning"](spark, sf_dir)
+    rows = out.collect()
+    ev = registry.QUERIES["analytics_new_returning"].__globals__["load_table"](
+        spark, sf_dir, "events"
+    )
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.new_users for r in rows) == n_users
+    assert all(r.new_users >= 0 and r.returning_users >= 0 for r in rows)
+
+
+def test_vwap_window_bounds(spark, sf_dir):
+    """The trailing-7-day quantity can never be below the day's own
+    quantity, and vwap stays within the global price envelope."""
+    rows = registry.QUERIES["timeseries_vwap_rolling"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.qty7 >= r.qty
+        assert r.vwap7 > 0
+
+
+def test_perplexity_terciles_are_balanced(spark, sf_dir):
+    """exact_ntile(3) bucket sizes may differ by at most 1 doc."""
+    rows = registry.QUERIES["text_perplexity_buckets"](spark, sf_dir).collect()
+    sizes: dict[int, int] = {}
+    for r in rows:
+        sizes[r.tercile] = sizes.get(r.tercile, 0) + r.n_docs
+    assert set(sizes) == {1, 2, 3}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_perplexity_terciles_order_by_surprisal(spark, sf_dir):
+    """Mean surprisal must be monotone over terciles (1 = head is the
+    most predictable text, 3 = tail the least)."""
+    rows = registry.QUERIES["text_perplexity_buckets"](spark, sf_dir).collect()
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r.tercile, []).append((r.n_docs, r.mean_surprisal))
+    means = [
+        sum(n * m for n, m in v) / sum(n for n, _ in v)
+        for _, v in sorted(by_bucket.items())
+    ]
+    assert means == sorted(means)
+
+
+def test_curriculum_stages_cover_corpus(spark, sf_dir):
+    """Four stages, easy→hard monotone mean score, together covering
+    every document exactly once."""
+    rows = registry.QUERIES["pipeline_curriculum_stages"](spark, sf_dir).collect()
+    assert [r.stage for r in rows] == [1, 2, 3, 4]
+    docs = registry.QUERIES["pipeline_curriculum_stages"].__globals__[
+        "load_table"
+    ](spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    scores = [r.mean_score for r in rows]
+    assert scores == sorted(scores)
+
+
+def test_fertility_ratios_sane(spark, sf_dir):
+    """BPE-ish tokens are at least as many as whitespace words (every
+    word maps to ≥1 token) and chars_per_token is positive."""
+    rows = registry.QUERIES["text_tokenizer_fertility"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_bpe >= r.n_words
+        assert r.fertility >= 1.0
+        assert r.chars_per_token > 0

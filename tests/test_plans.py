@@ -145,6 +145,12 @@ _NESTED_LOOP_OK = {
     "timeseries_stl_lite",  # unit group key on the calendar frame
     "timeseries_snaive_backtest",  # unit group key on the calendar frame
     "pipeline_quality_funnel",  # 1-row vocab-size + 1-row p10-cut broadcasts
+    # round-4 enrichment ops: unit-group / 1-row-count broadcasts only
+    "timeseries_vwap_rolling",  # unit group key on the calendar frame
+    "timeseries_bollinger",  # unit group key on the calendar frame
+    "text_zipf_slope",  # unit group key on the 1000-row LIMIT frame
+    "text_perplexity_buckets",  # 1-row corpus-N + exact_ntile count broadcasts
+    "pipeline_curriculum_stages",  # exact_ntile: 1-row total-n broadcast
 }
 
 # Construction-time side effects or non-DataFrame surfaces — no static
