@@ -593,3 +593,401 @@ def analytics_repeat_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(gap, 0.50)"), 4).alias("p50"),
         F.round(F.expr("percentile(gap, 0.75)"), 4).alias("p75"),
     )
+
+
+# --- per-dimension embedding profile --------------------------------------------
+
+# Column-profiling for vector columns: per-dimension n/mean/std/min/max
+# — the drift check a feature store runs on every embedding refresh.
+# Means are ~1e-3 and can ROUND to -0.0: Spark ROUND normalizes the
+# sign, DuckDB keeps it, so the oracle appends + 0.0 (house rule from
+# the sf0.1 sweep). Power sums quantized to DECIMAL(38,9) pre-shuffle.
+_DIM_STATS_FINAL = """
+SELECT i, n,
+       ROUND(sv / n, 4) + 0.0 AS mean_v,
+       ROUND(sqrt((svv - sv * sv / n) / (n - 1)), 4) AS std_v,
+       ROUND(min_v, 4) + 0.0 AS min_v,
+       ROUND(max_v, 4) + 0.0 AS max_v
+FROM dim_sums
+ORDER BY i
+"""
+
+_DIM_STATS_ORACLE = f"""
+WITH flat AS (
+  SELECT u.i AS i, CAST(u.v AS DOUBLE) AS v FROM (
+    SELECT unnest(list_transform(range(1, LEN(embedding) + 1),
+           i -> {{'i': i, 'v': embedding[i]}})) AS u
+    FROM embeddings) t
+),
+dim_sums AS (
+  SELECT i, COUNT(*) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(38,9))) AS DOUBLE) AS sv,
+         CAST(SUM(CAST(v * v AS DECIMAL(38,9))) AS DOUBLE) AS svv,
+         CAST(MIN(v) AS DOUBLE) AS min_v,
+         CAST(MAX(v) AS DOUBLE) AS max_v
+  FROM flat GROUP BY i
+)
+{_DIM_STATS_FINAL}
+"""
+
+
+@graded("vector_dim_stats", oracle=_DIM_STATS_ORACLE)
+def vector_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension stats of the embedding column — one posexplode +
+    one hash agg on the dimension index (64 groups, map-side combined;
+    at 100 TB the explode is the whole cost and stays narrow)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        F.posexplode("embedding").alias("pos", "vf")
+    ).select(
+        (F.col("pos") + 1).cast("bigint").alias("i"),
+        F.col("vf").cast("double").alias("v"),
+    )
+    sums = flat.groupBy("i").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("v").cast("decimal(38,9)")).cast("double").alias("sv"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("svv"),
+        F.min("v").cast("double").alias("min_v"),
+        F.max("v").cast("double").alias("max_v"),
+    )
+    sums.createOrReplaceTempView("dim_sums")
+    return spark.sql(_DIM_STATS_FINAL)
+
+
+# --- modularity of the near-dup partition ---------------------------------------
+
+# Quality score of the connected-component clustering over the n-gram
+# Jaccard graph: Q = Σ_c (e_c/m − (d_c/2m)²). For a CC partition every
+# edge is internal (e_c sums to m), so Q measures how evenly the dup
+# mass splits across clusters — the "one giant blob?" check a dedup
+# run reports before canonical-picking. Integer edge/degree counts;
+# identical-operand double finals via shared SQL.
+_MOD_FINAL = """
+SELECT comp, n_nodes, e_in, degree_total,
+       ROUND(CAST(e_in AS DOUBLE) / m
+             - (CAST(degree_total AS DOUBLE) / (2 * m))
+               * (CAST(degree_total AS DOUBLE) / (2 * m)), 6) AS q_contrib
+FROM mod_sums
+ORDER BY comp
+"""
+
+_MOD_ORACLE = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id, lang, source,
+         list_distinct(list_transform(
+           range(1, GREATEST(LEN(string_split(text, ' ')) - 1, 1)),
+           i -> concat_ws(' ',
+                list_extract(string_split(text, ' '), i),
+                list_extract(string_split(text, ' '), i + 1),
+                list_extract(string_split(text, ' '), i + 2))
+         )) AS shingles
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS pa, b.doc_id AS pb
+  FROM sh a
+  JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang AND a.source = b.source
+  WHERE CAST(LEN(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / (LEN(a.shingles) + LEN(b.shingles)
+             - LEN(list_intersect(a.shingles, b.shingles))) >= 0.2
+),
+sym AS (
+  SELECT pa AS a, pb AS b FROM pairs
+  UNION
+  SELECT pb AS a, pa AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
+),
+deg AS (SELECT a AS node, COUNT(*) AS d FROM sym GROUP BY a),
+edges_m AS (SELECT COUNT(*) AS m FROM pairs),
+e_in AS (
+  SELECT ca.comp, COUNT(*) AS e_in
+  FROM pairs p
+  JOIN comp ca ON p.pa = ca.node
+  JOIN comp cb ON p.pb = cb.node AND ca.comp = cb.comp
+  GROUP BY ca.comp
+),
+mod_sums AS (
+  SELECT c.comp,
+         COUNT(*) AS n_nodes,
+         CAST(COALESCE(MIN(e.e_in), 0) AS BIGINT) AS e_in,
+         CAST(SUM(d.d) AS BIGINT) AS degree_total,
+         MIN(edges_m.m) AS m
+  FROM comp c
+  JOIN deg d ON d.node = c.node
+  LEFT JOIN e_in e ON e.comp = c.comp, edges_m
+  GROUP BY c.comp
+)
+""" + _MOD_FINAL
+
+
+@graded("graph_modularity", oracle=_MOD_ORACLE)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community modularity contributions of the near-dup CC
+    partition (reuses the graded Jaccard pairs + min-label CC), with
+    the same recursive-CTE oracle as dedup_connected_components."""
+    from ..operators.graph import connected_components
+    from .dedup import dedup_ngram_jaccard
+
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .where(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()  # pairs feed comp, deg, m and e_in — one materialization
+    )
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    sym = pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+    deg = sym.groupBy(F.col("doc_a").alias("node")).agg(F.count("*").alias("d"))
+    m = pairs.agg(F.count("*").alias("m"))
+    e_in = (
+        pairs.join(
+            comp.select(F.col("node").alias("doc_a"), F.col("comp").alias("ca")),
+            "doc_a",
+        )
+        .join(
+            comp.select(F.col("node").alias("doc_b"), F.col("comp").alias("cb")),
+            "doc_b",
+        )
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("comp"))
+        .agg(F.count("*").alias("e_in"))
+    )
+    sums = (
+        comp.join(deg, "node")
+        .groupBy("comp")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum("d").cast("bigint").alias("degree_total"),
+        )
+        .join(e_in, "comp", "left")
+        .withColumn("e_in", F.coalesce(F.col("e_in"), F.lit(0)).cast("bigint"))
+        .crossJoin(F.broadcast(m))
+    )
+    sums.createOrReplaceTempView("mod_sums")
+    return spark.sql(_MOD_FINAL)
+
+
+# --- cross-source vocabulary overlap --------------------------------------------
+
+_SOURCE_OVERLAP_ORACLE = """
+WITH vocab AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+sizes AS (SELECT source, COUNT(*) AS nv FROM vocab GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+  FROM vocab a JOIN vocab b ON a.token = b.token AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT src_a, src_b, sa.nv AS nv_a, sb.nv AS nv_b, n_common,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.nv + sb.nv - n_common), 6)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+ORDER BY src_a, src_b
+"""
+
+
+@graded("text_source_overlap", oracle=_SOURCE_OVERLAP_ORACLE)
+def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the corpus-mixing
+    diagnostic (two crawls sharing 90% vocabulary are near-redundant).
+    The join runs on the DISTINCT (source, token) table — vocabulary-
+    sized, not corpus-sized — and the token key spreads over the full
+    hash space (no skew: a token appears in ≤ #sources rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select("source", F.explode(T.tokens()).alias("token")).distinct()
+    ).localCheckpoint()  # feeds sizes AND both join sides — one materialization
+    sizes = vocab.groupBy("source").agg(F.count("*").alias("nv"))
+    a = vocab.select(F.col("source").alias("src_a"), "token")
+    b = vocab.select(F.col("source").alias("src_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("source").alias("src_a"), F.col("nv").alias("nv_a")),
+            "src_a",
+        )
+        .join(
+            sizes.select(F.col("source").alias("src_b"), F.col("nv").alias("nv_b")),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "nv_a",
+            "nv_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("nv_a") + F.col("nv_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+# --- size-balanced shard assignment ---------------------------------------------
+
+# The writer-side primitive of a training-data export: N output shards
+# with near-equal byte mass. Round-robin over the size-descending rank
+# (classic LPT-lite): shard = (rank−1) mod N. The rank comes from the
+# distributed global_row_number — no single-task sort of the corpus.
+_SHARD_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+)
+SELECT CAST((rn - 1) % 8 AS BIGINT) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS bytes_total,
+       CAST(MIN(n_chars) AS BIGINT) AS min_doc,
+       CAST(MAX(n_chars) AS BIGINT) AS max_doc
+FROM ranked
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+@graded("pipeline_shard_assignment", oracle=_SHARD_ORACLE)
+def pipeline_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic size-balanced sharding: round-robin by descending
+    size rank (largest-first keeps shard byte totals within one
+    max-doc of each other). Rank via operators/ranks.global_row_number
+    — bounded per-task memory at corpus scale."""
+    from ..operators.ranks import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = global_row_number(
+        docs, order_cols=[F.col("n_chars").desc(), "doc_id"], out="rn"
+    )
+    return (
+        ranked.withColumn("shard", ((F.col("rn") - 1) % 8).cast("bigint"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("bytes_total"),
+            F.min("n_chars").cast("bigint").alias("min_doc"),
+            F.max("n_chars").cast("bigint").alias("max_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+# --- local-maxima peak detection ------------------------------------------------
+
+# Integer-only peak rule (cents): strictly above both neighbors AND
+# 10% above their average — 20·rev > 11·(prev+next) avoids doubles
+# entirely, so the flag is exact in any engine. Calendar-frame lag
+# chain (unit group declared).
+_PEAKS_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS day,
+         {_EPOCH_DUCK.format(c='l_shipdate')} AS day_idx,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM lineitem
+  GROUP BY day, day_idx
+),
+lagged AS (
+  SELECT day, rev_c,
+         LAG(rev_c) OVER (ORDER BY day_idx) AS prev_c,
+         LEAD(rev_c) OVER (ORDER BY day_idx) AS next_c
+  FROM daily
+)
+SELECT day, rev_c, prev_c, next_c
+FROM lagged
+WHERE prev_c IS NOT NULL AND next_c IS NOT NULL
+  AND rev_c > prev_c AND rev_c > next_c
+  AND 20 * rev_c > 11 * (prev_c + next_c)
+ORDER BY day
+"""
+
+
+@graded("timeseries_peak_detection", oracle=_PEAKS_ORACLE)
+def timeseries_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prominent local maxima in daily revenue — the alerting shape
+    (spike days), integer-exact. Facts collapse to the calendar first;
+    the lag/lead window runs on day rows only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy(
+            F.to_date("l_shipdate").alias("day"),
+            F.expr(_EPOCH_SPARK.format(c="l_shipdate")).alias("day_idx"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_c")
+        )
+    )
+    daily = attach_unit_group(daily)
+    w = Window.partitionBy("__rank_g").orderBy("day_idx")  # calendar-sized
+    lagged = daily.select(
+        "day",
+        "rev_c",
+        F.lag("rev_c").over(w).alias("prev_c"),
+        F.lead("rev_c").over(w).alias("next_c"),
+    )
+    return (
+        lagged.where(
+            F.col("prev_c").isNotNull()
+            & F.col("next_c").isNotNull()
+            & (F.col("rev_c") > F.col("prev_c"))
+            & (F.col("rev_c") > F.col("next_c"))
+            & (20 * F.col("rev_c") > 11 * (F.col("prev_c") + F.col("next_c")))
+        )
+        .select("day", "rev_c", "prev_c", "next_c")
+        .orderBy("day")
+    )
+
+
+# --- day-of-week × hour activity profile ----------------------------------------
+
+# Spark dayofweek() is 1=Sunday..7; DuckDB dayofweek() is 0=Sunday..6.
+# Spark-side −1 aligns both on 0=Sunday (asserted by the hash match).
+_DOW_HOUR_ORACLE = """
+SELECT CAST(dayofweek(ts) AS INTEGER) AS dow,
+       CAST(extract(hour FROM ts) AS INTEGER) AS hod,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY dow, hod
+ORDER BY dow, hod
+"""
+
+
+@graded("analytics_dow_hour_profile", oracle=_DOW_HOUR_ORACLE)
+def analytics_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly activity heat profile (dow × hour event/user counts) —
+    one hash agg over 168 groups, map-side combined; the distinct-user
+    count is the only wide part and hashes on the group key."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("dow", "hod")
+    )

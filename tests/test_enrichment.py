@@ -153,3 +153,73 @@ def test_fertility_ratios_sane(spark, sf_dir):
         assert r.n_bpe >= r.n_words
         assert r.fertility >= 1.0
         assert r.chars_per_token > 0
+
+
+def test_dim_stats_cover_all_dims(spark, sf_dir):
+    """One row per embedding dimension, all with full support and
+    finite spread."""
+    rows = registry.QUERIES["vector_dim_stats"](spark, sf_dir).collect()
+    dims = [r.i for r in rows]
+    assert dims == list(range(1, len(dims) + 1))
+    n = rows[0].n
+    for r in rows:
+        assert r.n == n
+        assert r.min_v <= r.mean_v <= r.max_v
+        assert r.std_v >= 0
+
+
+def test_modularity_bounds(spark, sf_dir):
+    """Each community contribution is in [0, 1); degrees are twice the
+    internal edges for a CC partition (every edge is internal)."""
+    rows = registry.QUERIES["graph_modularity"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.q_contrib < 1.0
+        assert r.degree_total == 2 * r.e_in
+
+
+def test_source_overlap_is_upper_triangle(spark, sf_dir):
+    """Pairs appear once (src_a < src_b) with Jaccard in (0, 1]."""
+    rows = registry.QUERIES["text_source_overlap"](spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert (r.src_a, r.src_b) not in seen
+        seen.add((r.src_a, r.src_b))
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.n_common <= min(r.nv_a, r.nv_b)
+
+
+def test_shard_assignment_balances_bytes(spark, sf_dir):
+    """8 shards covering every doc; round-robin-by-size keeps byte
+    totals within one max-doc of each other."""
+    rows = registry.QUERIES["pipeline_shard_assignment"](spark, sf_dir).collect()
+    assert [r.shard for r in rows] == list(range(8))
+    docs = registry.QUERIES["pipeline_shard_assignment"].__globals__[
+        "load_table"
+    ](spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    totals = [r.bytes_total for r in rows]
+    max_doc = max(r.max_doc for r in rows)
+    assert max(totals) - min(totals) <= max_doc
+
+
+def test_peaks_are_local_maxima(spark, sf_dir):
+    rows = registry.QUERIES["timeseries_peak_detection"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.rev_c > r.prev_c and r.rev_c > r.next_c
+        assert 20 * r.rev_c > 11 * (r.prev_c + r.next_c)
+
+
+def test_dow_hour_profile_grid(spark, sf_dir):
+    """Full 7×24 grid on a year of events; totals conserve."""
+    rows = registry.QUERIES["analytics_dow_hour_profile"](spark, sf_dir).collect()
+    # sf0.001 leaves a cell or two empty; the grid can never exceed 7×24
+    assert 150 <= len(rows) <= 7 * 24
+    ev = registry.QUERIES["analytics_dow_hour_profile"].__globals__[
+        "load_table"
+    ](spark, sf_dir, "events")
+    assert sum(r.n_events for r in rows) == ev.count()
+    assert all(0 <= r.dow <= 6 and 0 <= r.hod <= 23 for r in rows)

@@ -151,6 +151,9 @@ _NESTED_LOOP_OK = {
     "text_zipf_slope",  # unit group key on the 1000-row LIMIT frame
     "text_perplexity_buckets",  # 1-row corpus-N + exact_ntile count broadcasts
     "pipeline_curriculum_stages",  # exact_ntile: 1-row total-n broadcast
+    "graph_modularity",  # 1-row edge-count broadcast
+    "pipeline_shard_assignment",  # global_row_number offset manifest
+    "timeseries_peak_detection",  # unit group key on the calendar frame
 }
 
 # Construction-time side effects or non-DataFrame surfaces — no static
