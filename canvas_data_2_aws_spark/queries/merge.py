@@ -639,3 +639,110 @@ def merge_changeset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("net_row_delta"),
     )
+
+
+# --- M1 at rest: partition-pruned merge via dynamic partition overwrite ---------
+
+# The 100 TB form of syncdb: the replica is Hive-partitioned by month,
+# a changeset touches a handful of partitions, and the merge must
+# rewrite ONLY those — never the whole table. Spark's native verb is
+# dynamic partition overwrite: ``mode("overwrite")`` +
+# ``partitionOverwriteMode=dynamic`` replaces exactly the partitions
+# present in the written frame. The changeset keeps every row's month
+# (updates don't move dates here); a date-moving update would add the
+# OLD row's month to the touched set — same derivation, both sides.
+_DPO_ORACLE = """
+WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+ins AS (
+  SELECT mx.m + ROW_NUMBER() OVER (ORDER BY s.o_orderkey) AS o_orderkey,
+         s.o_custkey, s.o_orderstatus, s.o_totalprice, s.o_orderdate,
+         s.o_orderpriority, 'U' AS action
+  FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 100) s, mx
+),
+changeset AS (
+  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+         o_totalprice + 1.0 AS o_totalprice, o_orderdate, o_orderpriority,
+         'U' AS action
+  FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         o_orderpriority, 'D' AS action
+  FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT * FROM ins
+),
+merged AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         o_orderpriority
+  FROM orders
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changeset)
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         o_orderpriority
+  FROM changeset WHERE action = 'U'
+)
+SELECT strftime(o_orderdate, '%Y-%m') AS om,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT o_orderkey) AS n_keys,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM merged
+GROUP BY om
+ORDER BY om
+"""
+
+
+@graded("merge_partition_overwrite", oracle=_DPO_ORACLE)
+def merge_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned merge: month-partitioned replica at rest, base
+    read restricted to the changeset's months (partition pruning), the
+    same join merge as syncdb, then a dynamic-partition-overwrite
+    commit that replaces only the touched month directories. The
+    month list collected to the driver is the partition manifest
+    (≤ #months rows — metadata, not data). Verified through the full
+    write → prune → merge → overwrite → read-back cycle."""
+    import shutil
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    om = F.date_format("o_orderdate", "yyyy-MM").alias("om")
+    tmp = tempfile.mkdtemp(prefix="cda2_dpo_")
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        # repartition on the partition key: one file per month instead
+        # of #tasks × #months shards — the at-rest layout cmd_optimize
+        # maintains
+        orders.withColumn("om", om).repartition(F.col("om")).write.mode(
+            "overwrite"
+        ).partitionBy("om").parquet(tmp)
+        changeset = derive_changeset(orders)
+        months = [
+            r.om for r in changeset.select(om).distinct().collect()
+        ]  # partition manifest, driver-sized
+        base = (
+            spark.read.parquet(tmp).where(F.col("om").isin(months)).drop("om")
+        )
+        merged = apply_changeset(
+            base, changeset, keys=["o_orderkey"]
+        ).localCheckpoint()  # breaks lineage: the write below must not
+        # depend on files it is about to replace
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        merged.withColumn("om", om).repartition(F.col("om")).write.mode(
+            "overwrite"
+        ).partitionBy("om").parquet(tmp)
+        final = spark.read.parquet(tmp)
+        out = (
+            final.groupBy("om")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.countDistinct("o_orderkey").alias("n_keys"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("revenue"),
+            )
+            .orderBy("om")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+        shutil.rmtree(tmp, ignore_errors=True)

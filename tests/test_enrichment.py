@@ -223,3 +223,36 @@ def test_dow_hour_profile_grid(spark, sf_dir):
     ](spark, sf_dir, "events")
     assert sum(r.n_events for r in rows) == ev.count()
     assert all(0 <= r.dow <= 6 and 0 <= r.hod <= 23 for r in rows)
+
+
+def test_dynamic_overwrite_touches_only_written_partitions(spark, tmp_path):
+    """``partitionOverwriteMode=dynamic`` must replace exactly the
+    partitions present in the written frame — the property that makes
+    merge_partition_overwrite a partition-pruned rewrite instead of a
+    full-table rewrite."""
+    import glob
+    import os
+
+    path = str(tmp_path / "dpo")
+    base = spark.createDataFrame(
+        [(k, p) for p in (1, 2, 3) for k in range(10)], "k int, p int"
+    )
+    base.repartition(F.col("p")).write.mode("overwrite").partitionBy("p").parquet(
+        path
+    )
+    untouched_before = sorted(glob.glob(f"{path}/p=3/part-*"))
+    mtimes_before = [os.path.getmtime(f) for f in untouched_before]
+
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        patch = spark.createDataFrame([(99, 1)], "k int, p int")
+        patch.write.mode("overwrite").partitionBy("p").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+    untouched_after = sorted(glob.glob(f"{path}/p=3/part-*"))
+    assert untouched_after == untouched_before
+    assert [os.path.getmtime(f) for f in untouched_after] == mtimes_before
+    assert spark.read.parquet(path).where("p = 1").count() == 1  # replaced
+    assert spark.read.parquet(path).where("p = 2").count() == 10  # kept
