@@ -991,3 +991,174 @@ def analytics_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hod")
     )
+
+
+# --- rolling correlation between two event series -------------------------------
+
+# Pearson over a trailing 14-day frame between daily click and purchase
+# counts. All inputs are integer counts, so every windowed power sum is
+# exact; the closed-form final runs as shared SQL text (identical IEEE
+# sequence both engines). Undefined frames (zero variance) are dropped
+# in both engines by the same guard.
+_ROLLCORR_FINAL = """
+SELECT day, clicks, buys,
+       ROUND((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4)
+         AS corr14
+FROM rollcorr_sums
+WHERE n >= 7 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+ORDER BY day
+"""
+
+_ROLLCORR_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         {_EPOCH_DUCK.format(c='ts')} AS day_idx,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS clicks,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS buys
+  FROM events
+  GROUP BY day, day_idx
+),
+rollcorr_sums AS (
+  SELECT day, clicks, buys,
+         CAST(COUNT(*) OVER win AS DOUBLE) AS n,
+         CAST(SUM(clicks) OVER win AS DOUBLE) AS sx,
+         CAST(SUM(buys) OVER win AS DOUBLE) AS sy,
+         CAST(SUM(clicks * clicks) OVER win AS DOUBLE) AS sxx,
+         CAST(SUM(buys * buys) OVER win AS DOUBLE) AS syy,
+         CAST(SUM(clicks * buys) OVER win AS DOUBLE) AS sxy
+  FROM daily
+  WINDOW win AS (ORDER BY day_idx RANGE BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+{_ROLLCORR_FINAL}
+"""
+
+
+@graded("timeseries_rolling_corr", oracle=_ROLLCORR_ORACLE)
+def timeseries_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-14-day click↔purchase correlation per day — the
+    leading-indicator monitor. Facts collapse to the calendar in one
+    partial-aggregated shuffle; the six windowed sums share one
+    calendar-frame window."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.to_date("ts").alias("day"),
+            F.expr(_EPOCH_SPARK.format(c="ts")).alias("day_idx"),
+        )
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("bigint")
+            .alias("clicks"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("buys"),
+        )
+    )
+    daily = attach_unit_group(daily)
+    w = (
+        Window.partitionBy("__rank_g")  # calendar-sized: one group by design
+        .orderBy("day_idx")
+        .rangeBetween(-13, 0)
+    )
+    sums = daily.select(
+        "day",
+        "clicks",
+        "buys",
+        F.count(F.lit(1)).over(w).cast("double").alias("n"),
+        F.sum("clicks").over(w).cast("double").alias("sx"),
+        F.sum("buys").over(w).cast("double").alias("sy"),
+        F.sum(F.col("clicks") * F.col("clicks")).over(w).cast("double").alias("sxx"),
+        F.sum(F.col("buys") * F.col("buys")).over(w).cast("double").alias("syy"),
+        F.sum(F.col("clicks") * F.col("buys")).over(w).cast("double").alias("sxy"),
+    )
+    sums.createOrReplaceTempView("rollcorr_sums")
+    return spark.sql(_ROLLCORR_FINAL)
+
+
+# --- error-rate monitor vs trailing baseline ------------------------------------
+
+# SRE-style burn alert: a day fires when its error rate exceeds twice
+# the trailing-28-day rate (current day excluded). The comparison is
+# cross-multiplied into pure integer arithmetic — no double division
+# anywhere near the flag — and the reported rates are the only doubles
+# (identical-operand divisions, rounded at the edge).
+_ERRMON_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         {_EPOCH_DUCK.format(c='ts')} AS day_idx,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS errs,
+         CAST(COUNT(*) AS BIGINT) AS total
+  FROM events
+  GROUP BY day, day_idx
+),
+w AS (
+  SELECT day, errs, total,
+         SUM(errs) OVER win AS base_errs,
+         SUM(total) OVER win AS base_total
+  FROM daily
+  WINDOW win AS (ORDER BY day_idx
+                 RANGE BETWEEN 28 PRECEDING AND 1 PRECEDING)
+)
+SELECT day, errs, total,
+       CAST(base_errs AS BIGINT) AS base_errs,
+       CAST(base_total AS BIGINT) AS base_total,
+       ROUND(CAST(errs AS DOUBLE) / total, 6) AS rate,
+       ROUND(CAST(base_errs AS DOUBLE) / base_total, 6) AS base_rate,
+       errs * base_total > 2 * base_errs * total AS alarm
+FROM w
+WHERE base_total IS NOT NULL AND base_total > 0
+ORDER BY day
+"""
+
+
+@graded("analytics_error_monitor", oracle=_ERRMON_ORACLE)
+def analytics_error_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily error-rate alarm vs a trailing-28-day baseline (current
+    day excluded) — the burn-rate monitor shape, integer-exact flags
+    over one calendar-frame window."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.to_date("ts").alias("day"),
+            F.expr(_EPOCH_SPARK.format(c="ts")).alias("day_idx"),
+        )
+        .agg(
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("bigint")
+            .alias("errs"),
+            F.count("*").cast("bigint").alias("total"),
+        )
+    )
+    daily = attach_unit_group(daily)
+    w = (
+        Window.partitionBy("__rank_g")  # calendar-sized: one group by design
+        .orderBy("day_idx")
+        .rangeBetween(-28, -1)
+    )
+    base = daily.select(
+        "day",
+        "errs",
+        "total",
+        F.sum("errs").over(w).cast("bigint").alias("base_errs"),
+        F.sum("total").over(w).cast("bigint").alias("base_total"),
+    )
+    return (
+        base.where(F.col("base_total").isNotNull() & (F.col("base_total") > 0))
+        .select(
+            "day",
+            "errs",
+            "total",
+            "base_errs",
+            "base_total",
+            F.round(F.col("errs").cast("double") / F.col("total"), 6).alias("rate"),
+            F.round(
+                F.col("base_errs").cast("double") / F.col("base_total"), 6
+            ).alias("base_rate"),
+            (
+                F.col("errs") * F.col("base_total")
+                > 2 * F.col("base_errs") * F.col("total")
+            ).alias("alarm"),
+        )
+        .orderBy("day")
+    )

@@ -256,3 +256,21 @@ def test_dynamic_overwrite_touches_only_written_partitions(spark, tmp_path):
     assert [os.path.getmtime(f) for f in untouched_after] == mtimes_before
     assert spark.read.parquet(path).where("p = 1").count() == 1  # replaced
     assert spark.read.parquet(path).where("p = 2").count() == 10  # kept
+
+
+def test_rolling_corr_in_range(spark, sf_dir):
+    rows = registry.QUERIES["timeseries_rolling_corr"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.corr14 <= 1.0
+
+
+def test_error_monitor_alarm_consistency(spark, sf_dir):
+    """The integer cross-multiplied flag must agree with the reported
+    double rates (2× threshold), and baselines exclude the day itself."""
+    rows = registry.QUERIES["analytics_error_monitor"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        want = r.errs * r.base_total > 2 * r.base_errs * r.total
+        assert r.alarm == want
+        assert r.base_total >= r.base_errs >= 0

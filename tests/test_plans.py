@@ -154,6 +154,8 @@ _NESTED_LOOP_OK = {
     "graph_modularity",  # 1-row edge-count broadcast
     "pipeline_shard_assignment",  # global_row_number offset manifest
     "timeseries_peak_detection",  # unit group key on the calendar frame
+    "timeseries_rolling_corr",  # unit group key on the calendar frame
+    "analytics_error_monitor",  # unit group key on the calendar frame
 }
 
 # Construction-time side effects or non-DataFrame surfaces — no static
