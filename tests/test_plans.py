@@ -161,6 +161,8 @@ _NESTED_LOOP_OK = {
 # Construction-time side effects or non-DataFrame surfaces — no static
 # plan to inspect.
 _NO_PLAN = {
+    "merge_partition_overwrite",  # full write→overwrite cycle on construction;
+    # returns collected rows (LocalTableScan), so the static plan is empty
     "stream_watermark_smoke",
     "stream_window_uniques_smoke",
     "stream_dedup_smoke",
