@@ -38,15 +38,17 @@ _EPOCH_DUCK = "date_diff('day', DATE '1970-01-01', CAST({c} AS DATE))"
 # puts each priority's whole price domain in one task — so the Spark
 # side runs operators/ranks.grouped_prefix_max (range-partitioned
 # exclusive running max, ANSI-identical to the oracle's window).
-# Witness key day·10⁷ − orderkey is unique (orderkey < 10⁷ at every
-# fixture SF) → max_by is deterministic: latest date, then lowest key.
+# Witness key day·10¹² − orderkey is unique and order-preserving up
+# to orderkey < 10¹² (TPC-H sf ≈ 1.6·10⁵ — effectively unbounded;
+# day·10¹² ≤ 2·10¹⁶ keeps the BIGINT far from overflow) → max_by is
+# deterministic: latest date, then lowest key.
 _SKYLINE_ORACLE = f"""
 WITH pp AS (
   SELECT o_orderpriority,
          CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_c,
          MAX({_EPOCH_DUCK.format(c='o_orderdate')}) AS best_day,
          arg_max(o_orderkey,
-                 {_EPOCH_DUCK.format(c='o_orderdate')} * 10000000 - o_orderkey)
+                 {_EPOCH_DUCK.format(c='o_orderdate')} * 1000000000000 - o_orderkey)
            AS witness_order
   FROM orders
   GROUP BY o_orderpriority, price_c
@@ -81,7 +83,7 @@ def analytics_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(day).cast("bigint").alias("best_day"),
             F.expr(
                 f"max_by(o_orderkey, CAST({_EPOCH_SPARK.format(c='o_orderdate')}"
-                " AS BIGINT) * 10000000 - o_orderkey)"
+                " AS BIGINT) * 1000000000000 - o_orderkey)"
             ).alias("witness_order"),
         )
     )

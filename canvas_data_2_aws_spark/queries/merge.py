@@ -700,6 +700,7 @@ def merge_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     month list collected to the driver is the partition manifest
     (≤ #months rows — metadata, not data). Verified through the full
     write → prune → merge → overwrite → read-back cycle."""
+    import os
     import shutil
     import tempfile
 
@@ -726,9 +727,19 @@ def merge_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()  # breaks lineage: the write below must not
         # depend on files it is about to replace
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        merged.withColumn("om", om).repartition(F.col("om")).write.mode(
-            "overwrite"
-        ).partitionBy("om").parquet(tmp)
+        staged = merged.withColumn("om", om)
+        # Dynamic overwrite only replaces partitions PRESENT in the
+        # written frame: a touched month whose merged output is empty
+        # (changeset deleted its every row) would silently keep its
+        # stale files. Drop those directories explicitly — the surviving
+        # month list is the same driver-sized partition manifest.
+        surviving = {r.om for r in staged.select("om").distinct().collect()}
+        for month in months:
+            if month not in surviving:
+                shutil.rmtree(os.path.join(tmp, f"om={month}"), ignore_errors=True)
+        staged.repartition(F.col("om")).write.mode("overwrite").partitionBy(
+            "om"
+        ).parquet(tmp)
         final = spark.read.parquet(tmp)
         out = (
             final.groupBy("om")

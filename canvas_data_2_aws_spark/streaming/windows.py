@@ -15,15 +15,21 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..schemas import EVENTS
 
 
-def _sql_round_cents_sum(vals) -> int:
-    """Σ round(v·100) with SQL semantics (half AWAY from zero) — the
-    rule the batch oracles' ``round(value*100, 0)`` applies in both
-    engines. ``np.rint`` (half-to-even) diverges on exact .5-cent
-    ties, breaking stream/batch equivalence (same recipe as the cusum
-    operator below)."""
+def _sql_round_cents(vals):
+    """round(v·100) per element with SQL semantics (half AWAY from
+    zero) — the rule the batch oracles' ``round(value*100, 0)``
+    applies in both engines. ``np.rint`` (half-to-even) diverges on
+    exact .5-cent ties, breaking stream/batch equivalence. The ONE
+    copy of the formula; every stateful operator's cent conversion
+    goes through here."""
     import numpy as np
 
-    return int((np.sign(vals) * np.floor(np.abs(vals) * 100.0 + 0.5)).sum())
+    return (np.sign(vals) * np.floor(np.abs(vals) * 100.0 + 0.5)).astype("int64")
+
+
+def _sql_round_cents_sum(vals) -> int:
+    """Σ of :func:`_sql_round_cents` — the running-total accumulators."""
+    return int(_sql_round_cents(vals).sum())
 
 
 def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
@@ -300,14 +306,7 @@ def cusum_flags_stream(
         flagged = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"])
-            # Round half AWAY FROM ZERO — the rule SQL round(x*100, 0)
-            # applies in both oracle engines. np.rint would round half
-            # to even and diverge from the batch form on exact .5
-            # cents ties.
-            vals = pdf["value"].to_numpy()
-            cents = (np.sign(vals) * np.floor(np.abs(vals) * 100.0 + 0.5)).astype(
-                "int64"
-            )
+            cents = _sql_round_cents(pdf["value"].to_numpy())
             for eid, ts, c in zip(pdf["event_id"], pdf["ts"], cents):
                 cum += int(c) - target_cents
                 if abs(cum) >= threshold_cents:

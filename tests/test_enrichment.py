@@ -274,3 +274,39 @@ def test_error_monitor_alarm_consistency(spark, sf_dir):
         want = r.errs * r.base_total > 2 * r.base_errs * r.total
         assert r.alarm == want
         assert r.base_total >= r.base_errs >= 0
+
+
+def test_dpo_empty_partition_requires_explicit_drop(spark, tmp_path):
+    """Companion to merge_partition_overwrite's delete-to-empty guard:
+    dynamic overwrite alone KEEPS a partition absent from the written
+    frame, so the query must (and does) rmtree emptied months — this
+    pins the engine behavior the guard compensates for."""
+    import glob
+    import os
+    import shutil
+
+    path = str(tmp_path / "dpo_empty")
+    base = spark.createDataFrame(
+        [(k, p) for p in (1, 2) for k in range(5)], "k int, p int"
+    )
+    base.write.mode("overwrite").partitionBy("p").parquet(path)
+
+    # merged result: partition 2 fully deleted, partition 1 rewritten
+    merged = spark.createDataFrame([(99, 1)], "k int, p int")
+    touched = [1, 2]
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        merged.write.mode("overwrite").partitionBy("p").parquet(path)
+        # engine behavior: p=2 survives although it should be gone
+        assert glob.glob(f"{path}/p=2/part-*"), "precondition changed"
+        # the query's guard: drop touched months absent from the output
+        surviving = {r.p for r in merged.select("p").distinct().collect()}
+        for part in touched:
+            if part not in surviving:
+                shutil.rmtree(os.path.join(path, f"p={part}"), ignore_errors=True)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    final = spark.read.parquet(path)
+    assert final.where("p = 2").count() == 0
+    assert final.where("p = 1").count() == 1
