@@ -1164,3 +1164,109 @@ def analytics_error_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- content-defined chunk dedup (CDC) ------------------------------------------
+
+# The rsync/FastCDC primitive at token granularity: a rolling hash over
+# the last 3 token codes declares a chunk boundary wherever
+# h ≡ 0 (mod 8), so chunk edges realign after insertions/deletions —
+# fixed-size blocks would shift and miss every repeat after an edit.
+# Token codes are the engine-neutral ascii·31+len polynomial
+# (operators/text.token_code); chunks are md5-keyed. The whole
+# pipeline is higher-order functions over the token array (one narrow
+# projection per doc) + one explode + one hash agg — no Python, no
+# quadratic stage. Top-10 most-duplicated chunks, the storage-dedup
+# planning table.
+_CDC_ORACLE = """
+WITH c AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         list_transform(string_split(text, ' '),
+                        x -> ascii(substring(x, 1, 1)) * 31 + LEN(x)) AS codes
+  FROM documents
+),
+b AS (
+  SELECT doc_id, w,
+         list_filter(range(3, LEN(w) + 1),
+                     p -> (codes[p] * 961 + codes[p-1] * 31 + codes[p-2])
+                          % 8 = 0) AS bounds
+  FROM c
+),
+s AS (
+  SELECT doc_id, w,
+         list_prepend(1, list_transform(bounds, b -> b + 1)) AS starts,
+         list_append(bounds, LEN(w)) AS ends
+  FROM b
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           list_transform(range(1, LEN(starts) + 1),
+                          j -> array_to_string(w[starts[j]:ends[j]], ' ')),
+           ch -> ch <> '')) AS chunk
+  FROM s
+)
+SELECT md5(chunk) AS sig,
+       CAST(LEN(string_split(MIN(chunk), ' ')) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_occ,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM chunks
+GROUP BY sig
+ORDER BY n_occ DESC, sig
+LIMIT 10
+"""
+
+_CDC_CHUNKS_SPARK = """
+filter(
+  transform(sequence(0, size(starts) - 1),
+            j -> concat_ws(' ', slice(w, starts[j] + 1,
+                                      ends[j] - starts[j] + 1))),
+  ch -> ch != '')
+"""
+
+
+def cdc_chunks(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, chunk) rows under content-defined boundaries — shared
+    by the graded census and the edit-realignment invariant test."""
+    staged = (
+        docs.withColumn("w", T.tokens(text_col))
+        .withColumn(
+            "codes",
+            F.expr("transform(w, x -> ascii(substring(x, 1, 1)) * 31 + length(x))"),
+        )
+        .withColumn(
+            "bounds",
+            F.expr(
+                "CASE WHEN size(w) >= 3 THEN "
+                " filter(sequence(2, size(w) - 1),"
+                "  p -> (codes[p] * 961 + codes[p-1] * 31 + codes[p-2]) % 8 = 0)"
+                " ELSE array() END"
+            ),
+        )
+        .withColumn(
+            "starts", F.expr("concat(array(0), transform(bounds, b -> b + 1))")
+        )
+        .withColumn("ends", F.expr("concat(bounds, array(size(w) - 1))"))
+    )
+    return staged.select(
+        "doc_id", F.explode(F.expr(_CDC_CHUNKS_SPARK)).alias("chunk")
+    )
+
+
+@graded("dedup_content_chunks", oracle=_CDC_ORACLE)
+def dedup_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup: rolling-hash boundaries →
+    md5-keyed chunks → duplication census (rationale above the
+    oracle). Boundary positions are 0-based Spark-side and 1-based in
+    the DuckDB list functions; the spans they cut are identical."""
+    chunks = cdc_chunks(load_table(spark, sf_dir, "documents"))
+    return (
+        chunks.groupBy(F.md5("chunk").alias("sig"))
+        .agg(
+            F.size(F.split(F.min("chunk"), " ")).cast("bigint").alias("n_tokens"),
+            F.count("*").alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occ").desc(), "sig")
+        .limit(10)
+    )

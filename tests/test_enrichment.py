@@ -310,3 +310,41 @@ def test_dpo_empty_partition_requires_explicit_drop(spark, tmp_path):
     final = spark.read.parquet(path)
     assert final.where("p = 2").count() == 0
     assert final.where("p = 1").count() == 1
+
+
+def test_cdc_chunks_realign_after_prefix_edit(spark):
+    """The point of content-defined chunking: prepending tokens shifts
+    every fixed-size block but leaves most CDC chunks identical,
+    because boundaries depend on local content only."""
+    from canvas_data_2_aws_spark.queries.enrichment import cdc_chunks
+
+    base = " ".join(
+        f"{'abcdefghij'[i % 10]}w{i % 17}q{(i * 3) % 7}" for i in range(400)
+    )
+    edited = "zzz qqq " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    rows = cdc_chunks(df).collect()
+    a = sorted(r.chunk for r in rows if r.doc_id == 1)
+    b = sorted(r.chunk for r in rows if r.doc_id == 2)
+    assert len(a) > 10, "400 tokens must split into many chunks"
+    from collections import Counter
+
+    shared = sum((Counter(a) & Counter(b)).values())
+    # everything but the first chunk (which absorbs the edit) realigns
+    assert shared >= len(a) - 2, (len(a), len(b), shared)
+
+
+def test_cdc_chunks_cover_document_exactly(spark):
+    """Chunks concatenate back to the original token stream — no token
+    lost or duplicated by the boundary arithmetic."""
+    from canvas_data_2_aws_spark.queries.enrichment import cdc_chunks
+
+    text = " ".join(f"w{i % 23}y{(i * 7) % 13}" for i in range(250))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = [
+        r.chunk
+        for r in cdc_chunks(df).collect()
+    ]
+    assert " ".join(chunks) == text
