@@ -348,3 +348,22 @@ def test_cdc_chunks_cover_document_exactly(spark):
         for r in cdc_chunks(df).collect()
     ]
     assert " ".join(chunks) == text
+
+
+def test_skyline_plan_has_no_bare_window(spark, sf_dir):
+    """The skyline's prefix-max must run partitioned (pid/group local
+    windows), never a data-scale 'No Partition Defined' WindowExec."""
+    df = registry.QUERIES["analytics_skyline"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "__rank_pid" in line or "o_orderpriority" in line, line
+
+
+def test_shard_assignment_plan_uses_range_exchange(spark, sf_dir):
+    """global_row_number must show up as a range repartition, not a
+    single-task global sort."""
+    df = registry.QUERIES["pipeline_shard_assignment"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
+    assert "TakeOrdered" not in plan or "rangepartitioning" in plan
