@@ -1373,3 +1373,141 @@ def pipeline_chunk_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- RAKE keyphrase extraction --------------------------------------------------
+
+# RAKE (Rose et al. 2010): candidate phrases are maximal stopword-free
+# token runs; word score = degree/frequency over all candidates
+# (degree = Σ length of phrases the word occurs in); phrase score =
+# Σ member-word scores. Stopword splitting reuses the CDC span
+# machinery (boundaries at stopword positions instead of hash hits).
+# Word scores are identical-operand double divisions; the per-phrase
+# sum is quantized to DECIMAL(38,9) so shuffle order can't move a bit.
+_RAKE_STOPS_SQL = "['a', 'the', 'and', 'of', 'to']"
+
+_RAKE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+b AS (
+  SELECT doc_id, w,
+         list_filter(range(1, LEN(w) + 1),
+                     p -> list_contains({_RAKE_STOPS_SQL}, w[p]))
+           AS stops
+  FROM t
+),
+s AS (
+  SELECT doc_id, w,
+         list_prepend(1, list_transform(stops, p -> p + 1)) AS starts,
+         list_append(list_transform(stops, p -> p - 1), LEN(w)) AS ends
+  FROM b
+),
+phrases AS (
+  SELECT unnest(list_filter(
+           list_transform(range(1, LEN(starts) + 1),
+                          j -> array_to_string(w[starts[j]:ends[j]], ' ')),
+           ph -> ph <> '')) AS phrase
+  FROM s
+),
+words AS (
+  SELECT phrase, unnest(string_split(phrase, ' ')) AS word,
+         LEN(string_split(phrase, ' ')) AS plen
+  FROM phrases
+),
+wscore AS (
+  SELECT word,
+         CAST(SUM(plen) AS DOUBLE) / COUNT(*) AS score
+  FROM words GROUP BY word
+),
+pwords AS (
+  SELECT phrase, unnest(string_split(phrase, ' ')) AS word
+  FROM (SELECT DISTINCT phrase FROM phrases)
+),
+pscore AS (
+  SELECT w.phrase,
+         COUNT(*) AS n_words,
+         CAST(SUM(CAST(s.score AS DECIMAL(38,9))) AS DOUBLE) AS score
+  FROM pwords w
+  JOIN wscore s ON s.word = w.word
+  GROUP BY w.phrase
+),
+occ AS (SELECT phrase, COUNT(*) AS n_occ FROM phrases GROUP BY phrase)
+SELECT p.phrase, p.n_words, o.n_occ, ROUND(p.score, 4) AS rake_score
+FROM pscore p JOIN occ o USING (phrase)
+ORDER BY p.score DESC, p.phrase
+LIMIT 15
+"""
+
+
+@graded("text_rake_keyphrases", oracle=_RAKE_ORACLE)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction over the corpus (rationale above the
+    oracle): one HOF projection per doc, two vocabulary-sized hash
+    aggs, one join on the word key — nothing scales with pairs.
+
+    Subtlety shared with the oracle: word degree/frequency count
+    every phrase OCCURRENCE (classic RAKE), while the phrase score
+    sums member-word scores exactly once per distinct phrase — the
+    scoring explode runs on the distinct phrase list, never joined
+    back through the occurrence table."""
+    docs = load_table(spark, sf_dir, "documents")
+    stops = ", ".join(f"'{s}'" for s in T.EN_STOPWORDS)
+    staged = (
+        docs.withColumn("w", T.tokens())
+        .withColumn(
+            "stops",
+            F.expr(
+                f"filter(sequence(0, size(w) - 1),"
+                f" p -> array_contains(array({stops}), w[p]))"
+            ),
+        )
+        .withColumn(
+            "starts", F.expr("concat(array(0), transform(stops, p -> p + 1))")
+        )
+        .withColumn(
+            "ends", F.expr("concat(transform(stops, p -> p - 1), array(size(w) - 1))")
+        )
+    )
+    phrases = staged.select(
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(0, size(starts) - 1),"
+                " j -> concat_ws(' ', slice(w, starts[j] + 1,"
+                " greatest(ends[j] - starts[j] + 1, 0)))), ph -> ph != '')"
+            )
+        ).alias("phrase")
+    )
+    words = phrases.select(
+        "phrase",
+        F.explode(F.split("phrase", " ")).alias("word"),
+        F.size(F.split("phrase", " ")).alias("plen"),
+    )
+    wscore = words.groupBy("word").agg(
+        (F.sum("plen").cast("double") / F.count("*")).alias("score")
+    )
+    pwords = (
+        phrases.select("phrase")
+        .distinct()
+        .select("phrase", F.explode(F.split("phrase", " ")).alias("word"))
+    )
+    pscore = (
+        pwords.join(wscore, "word")
+        .groupBy("phrase")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.col("score").cast("decimal(38,9)")).cast("double").alias("score"),
+        )
+    )
+    occ = phrases.groupBy("phrase").agg(F.count("*").alias("n_occ"))
+    return (
+        pscore.join(occ, "phrase")
+        .select(
+            "phrase",
+            "n_words",
+            "n_occ",
+            F.round("score", 4).alias("rake_score"),
+        )
+        .orderBy(F.col("score").desc(), "phrase")
+        .limit(15)
+    )

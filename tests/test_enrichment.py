@@ -377,3 +377,19 @@ def test_chunk_storage_savings_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r.stored_tokens <= r.total_tokens
         assert 0.0 <= r.dedup_savings < 1.0
+
+
+def test_rake_phrases_contain_no_stopwords(spark, sf_dir):
+    """Candidate phrases are maximal stopword-free runs: no stopword
+    may appear inside any returned phrase, scores are positive, and a
+    phrase's score is at least its word count (each word scores ≥ 1)."""
+    from canvas_data_2_aws_spark.operators.text import EN_STOPWORDS
+
+    rows = registry.QUERIES["text_rake_keyphrases"](spark, sf_dir).collect()
+    assert len(rows) == 15
+    for r in rows:
+        words = r.phrase.split(" ")
+        assert not set(words) & set(EN_STOPWORDS), r.phrase
+        assert len(words) == r.n_words
+        assert r.rake_score >= r.n_words  # deg/freq ≥ 1 per member word
+        assert r.n_occ >= 1
