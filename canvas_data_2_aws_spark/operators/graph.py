@@ -206,3 +206,74 @@ def bfs_levels(
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg) over a DIRECTED edge list.
+
+    Synchronous updates with max-normalization each half-step:
+    auth'(d) = Σ_{s→d} hub(s), hub'(s) = Σ_{s→d} auth'(d), each
+    divided by its max. Same determinism discipline as
+    :func:`pagerank`: every contribution is cast to DECIMAL(28,12)
+    before summation (exact, order-free), and the normalizing division
+    is identical-operand IEEE — an unrolled SQL form computes the same
+    doubles bit-for-bit. Per iteration: two joins of the edge list
+    against broadcast score tables + two partial-aggregated groupBys;
+    the edge list itself never re-shuffles.
+
+    Returns (node, hub, auth); nodes with no outgoing (resp. incoming)
+    edges score 0 on that axis.
+    """
+    # Materialize the edge list ONCE: every iteration (and the final
+    # node join) reads it, and without this each per-iteration
+    # checkpoint would re-run the whole upstream pair derivation.
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    hub = nodes.select("node", F.lit(1.0).alias("score"))
+    auth = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(F.broadcast(hub.withColumnRenamed("node", "s")), "s")
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum(F.col("score").cast("decimal(28,12)")).cast("double").alias("v"))
+        )
+        a_max = a_raw.agg(F.max("v").alias("m"))
+        auth = (
+            a_raw.crossJoin(F.broadcast(a_max))
+            .select("node", (F.col("v") / F.col("m")).alias("score"))
+            .localCheckpoint()
+        )
+        h_raw = (
+            e.join(F.broadcast(auth.withColumnRenamed("node", "d")), "d")
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.sum(F.col("score").cast("decimal(28,12)")).cast("double").alias("v"))
+        )
+        h_max = h_raw.agg(F.max("v").alias("m"))
+        hub = (
+            h_raw.crossJoin(F.broadcast(h_max))
+            .select("node", (F.col("v") / F.col("m")).alias("score"))
+            .localCheckpoint()
+        )
+    return (
+        nodes.join(hub.withColumnRenamed("score", "hub"), "node", "left")
+        .join(auth.withColumnRenamed("score", "auth"), "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth"),
+        )
+    )

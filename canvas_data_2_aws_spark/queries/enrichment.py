@@ -1511,3 +1511,98 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "phrase")
         .limit(15)
     )
+
+
+# --- HITS hubs & authorities over the near-dup graph ----------------------------
+
+# Kleinberg's HITS on the DIRECTED SimHash-bucket graph (edge pa→pb
+# for pa < pb, same pair derivation as graph_pagerank): two
+# max-normalized iterations, every contribution quantized to
+# DECIMAL(28,12) before summation, so the unrolled SQL twin computes
+# the same doubles bit-for-bit. On this orientation authorities are
+# the higher-id duplicates pointed at by many low-id near-dups — the
+# complementary centrality to PageRank's undirected mass.
+_HITS_PREFIX = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+codes AS (
+  SELECT doc_id, ascii(substring(token, 1, 1)) * 31 + length(token) AS code
+  FROM tok
+),
+bits AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (code // (1 << bit)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM codes, range(0, 16) t(bit)
+  GROUP BY doc_id, bit
+),
+sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+),
+edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM sh a
+  JOIN sh b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+),
+h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS score FROM nodes)
+"""
+
+_HITS_ITER = """
+a{i}r AS (
+  SELECT e.dst AS node,
+         CAST(SUM(CAST(h.score AS DECIMAL(28,12))) AS DOUBLE) AS v
+  FROM edges e JOIN h{j} h ON h.node = e.src GROUP BY e.dst
+),
+a{i} AS (SELECT node, v / (SELECT MAX(v) FROM a{i}r) AS score FROM a{i}r),
+h{i}r AS (
+  SELECT e.src AS node,
+         CAST(SUM(CAST(a.score AS DECIMAL(28,12))) AS DOUBLE) AS v
+  FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+),
+h{i} AS (SELECT node, v / (SELECT MAX(v) FROM h{i}r) AS score FROM h{i}r)
+"""
+
+_HITS_ORACLE = (
+    _HITS_PREFIX
+    + ","
+    + _HITS_ITER.format(i=1, j=0)
+    + ","
+    + _HITS_ITER.format(i=2, j=1)
+    + """
+SELECT n.node,
+       ROUND(COALESCE(h2.score, 0.0), 6) AS hub,
+       ROUND(COALESCE(a2.score, 0.0), 6) AS auth
+FROM nodes n
+LEFT JOIN h2 ON h2.node = n.node
+LEFT JOIN a2 ON a2.node = n.node
+ORDER BY n.node
+"""
+)
+
+
+@graded("graph_hits", oracle=_HITS_ORACLE)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities on the directed near-dup graph (rationale
+    above the oracle); iterative joins Spark-side
+    (operators/graph.hits), unrolled exact-decimal twin in SQL."""
+    from ..operators.graph import hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = T.simhash16(docs)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    pairs = a.join(
+        b, (F.col("ha") == F.col("hb")) & (F.col("doc_a") < F.col("doc_b"))
+    ).select("doc_a", "doc_b")
+    scores = hits(pairs, src="doc_a", dst="doc_b", iterations=2)
+    return scores.select(
+        "node",
+        F.round("hub", 6).alias("hub"),
+        F.round("auth", 6).alias("auth"),
+    ).orderBy("node")

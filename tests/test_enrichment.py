@@ -393,3 +393,14 @@ def test_rake_phrases_contain_no_stopwords(spark, sf_dir):
         assert len(words) == r.n_words
         assert r.rake_score >= r.n_words  # deg/freq ≥ 1 per member word
         assert r.n_occ >= 1
+
+
+def test_hits_scores_normalized_and_oriented(spark, sf_dir):
+    """Scores lie in [0, 1] with at least one exact 1.0 on each axis;
+    on the pa<pb orientation, pure sinks (no out-edges) have hub 0."""
+    rows = registry.QUERIES["graph_hits"](spark, sf_dir).collect()
+    assert rows
+    hubs = [r.hub for r in rows]
+    auths = [r.auth for r in rows]
+    assert all(0.0 <= v <= 1.0 for v in hubs + auths)
+    assert max(hubs) == 1.0 and max(auths) == 1.0

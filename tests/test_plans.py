@@ -156,6 +156,7 @@ _NESTED_LOOP_OK = {
     "timeseries_peak_detection",  # unit group key on the calendar frame
     "timeseries_rolling_corr",  # unit group key on the calendar frame
     "analytics_error_monitor",  # unit group key on the calendar frame
+    "graph_hits",  # 1-row max-score normalization broadcasts
 }
 
 # Construction-time side effects or non-DataFrame surfaces — no static
