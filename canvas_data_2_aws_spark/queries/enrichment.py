@@ -1606,3 +1606,51 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("hub", 6).alias("hub"),
         F.round("auth", 6).alias("auth"),
     ).orderBy("node")
+
+
+# --- WebDataset-style shard byte index ------------------------------------------
+
+# The random-access manifest of an archived training shard: with docs
+# appended to shard files in (shard, doc_id) order, each sample's start
+# offset is the EXCLUSIVE per-shard prefix sum of payload sizes. The
+# distributed grouped_prefix_sum computes it with bounded task memory
+# at any shard size; integer bytes end-to-end.
+_SHARD_INDEX_ORACLE = """
+SELECT CAST(doc_id % 8 AS BIGINT) AS shard,
+       doc_id,
+       CAST(COALESCE(SUM(n_chars) OVER (
+         PARTITION BY doc_id % 8 ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS start_offset,
+       CAST(n_chars AS BIGINT) AS n_bytes
+FROM documents
+ORDER BY shard, doc_id
+"""
+
+
+@graded("multimodal_shard_index", oracle=_SHARD_INDEX_ORACLE)
+def multimodal_shard_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sample (shard, start_offset, length) index over hash-
+    sharded payloads — the seek table a WebDataset/tar reader needs
+    for random access. One grouped prefix sum, no single-task window."""
+    from ..operators.ranks import grouped_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 8).cast("bigint").alias("shard"), "n_chars"
+    )
+    indexed = grouped_prefix_sum(
+        docs,
+        group_cols=["shard"],
+        order_cols=["doc_id"],
+        value_col="n_chars",
+        out="start_offset",
+    )
+    return (
+        indexed.select(
+            "shard",
+            "doc_id",
+            F.col("start_offset").cast("bigint").alias("start_offset"),
+            F.col("n_chars").cast("bigint").alias("n_bytes"),
+        )
+        .orderBy("shard", "doc_id")
+    )

@@ -404,3 +404,19 @@ def test_hits_scores_normalized_and_oriented(spark, sf_dir):
     auths = [r.auth for r in rows]
     assert all(0.0 <= v <= 1.0 for v in hubs + auths)
     assert max(hubs) == 1.0 and max(auths) == 1.0
+
+
+def test_shard_index_offsets_are_contiguous(spark, sf_dir):
+    """Within a shard, each sample starts exactly where the previous
+    one ends — the property a tar seek-table needs."""
+    rows = registry.QUERIES["multimodal_shard_index"](spark, sf_dir).collect()
+    assert rows
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append((r.doc_id, r.start_offset, r.n_bytes))
+    for members in by_shard.values():
+        members.sort()
+        expect = 0
+        for _, off, n in members:
+            assert off == expect
+            expect = off + n
