@@ -232,6 +232,8 @@ def hits(
     # Materialize the edge list ONCE: every iteration (and the final
     # node join) reads it, and without this each per-iteration
     # checkpoint would re-run the whole upstream pair derivation.
+    if iterations < 1:
+        raise ValueError("hits() needs at least one iteration")
     e = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .distinct()

@@ -448,8 +448,10 @@ pr{i} AS (
   GROUP BY e.dst
 )"""
 
-_PAGERANK_ORACLE = (
-    """
+# Shared DuckDB CTE prefix: 16-bit SimHash signatures and same-bucket
+# pairs (pa < pb) — the graph every centrality oracle builds on
+# (pagerank here, HITS in queries/enrichment.py). ONE copy.
+_SIMHASH_PAIRS_SQL = """
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
 ),
@@ -472,7 +474,12 @@ pairs AS (
   SELECT a.doc_id AS pa, b.doc_id AS pb
   FROM sh a
   JOIN sh b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
-),
+),"""
+
+
+_PAGERANK_ORACLE = (
+    _SIMHASH_PAIRS_SQL
+    + """
 edges AS (
   SELECT pa AS src, pb AS dst FROM pairs
   UNION
@@ -491,6 +498,18 @@ SELECT node, ROUND(rank, 6) AS rank FROM pr5
 )
 
 
+def simhash_pairs(docs: DataFrame) -> DataFrame:
+    """Spark twin of _SIMHASH_PAIRS_SQL: (doc_a, doc_b) same-SimHash
+    pairs with doc_a < doc_b — the ONE pair derivation the centrality
+    queries (pagerank here, HITS in enrichment) share."""
+    sh = T.simhash16(docs)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return a.join(
+        b, (F.col("ha") == F.col("hb")) & (F.col("doc_a") < F.col("doc_b"))
+    ).select("doc_a", "doc_b")
+
+
 @graded("graph_pagerank", oracle=_PAGERANK_ORACLE)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the SimHash near-dup graph (edges =
@@ -504,12 +523,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = T.simhash16(docs)
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
-    pairs = a.join(
-        b, (F.col("ha") == F.col("hb")) & (F.col("doc_a") < F.col("doc_b"))
-    ).select("doc_a", "doc_b")
+    pairs = simhash_pairs(docs)
     ranks = pagerank(pairs, src="doc_a", dst="doc_b", iterations=5)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 

@@ -24,6 +24,7 @@ from ..operators import text as T
 from ..operators.ranks import attach_unit_group, exact_ntile, grouped_prefix_max
 from ..registry import graded
 from ..session import load_table
+from .dedup import _SIMHASH_PAIRS_SQL
 
 _EPOCH_SPARK = "datediff(to_date({c}), date'1970-01-01')"
 _EPOCH_DUCK = "date_diff('day', DATE '1970-01-01', CAST({c} AS DATE))"
@@ -1178,8 +1179,8 @@ def analytics_error_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # projection per doc) + one explode + one hash agg — no Python, no
 # quadratic stage. Top-10 most-duplicated chunks, the storage-dedup
 # planning table.
-_CDC_ORACLE = """
-WITH c AS (
+# ONE copy of the chunking CTEs — both CDC oracles concatenate it.
+_CDC_CHUNKS_SQL = """WITH c AS (
   SELECT doc_id, string_split(text, ' ') AS w,
          list_transform(string_split(text, ' '),
                         x -> ascii(substring(x, 1, 1)) * 31 + LEN(x)) AS codes
@@ -1205,7 +1206,9 @@ chunks AS (
                           j -> array_to_string(w[starts[j]:ends[j]], ' ')),
            ch -> ch <> '')) AS chunk
   FROM s
-)
+)"""
+
+_CDC_ORACLE = _CDC_CHUNKS_SQL + """
 SELECT md5(chunk) AS sig,
        CAST(LEN(string_split(MIN(chunk), ' ')) AS BIGINT) AS n_tokens,
        COUNT(*) AS n_occ,
@@ -1279,34 +1282,7 @@ def dedup_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keep (first occurrence per distinct chunk, CORPUS-wide — a chunk
 # seen in source A dedups a repeat in source B)? First-occurrence
 # attribution is deterministic: min (source, doc_id) per chunk key.
-_CDC_SAVINGS_ORACLE = """
-WITH c AS (
-  SELECT doc_id, string_split(text, ' ') AS w,
-         list_transform(string_split(text, ' '),
-                        x -> ascii(substring(x, 1, 1)) * 31 + LEN(x)) AS codes
-  FROM documents
-),
-b AS (
-  SELECT doc_id, w,
-         list_filter(range(3, LEN(w) + 1),
-                     p -> (codes[p] * 961 + codes[p-1] * 31 + codes[p-2])
-                          % 8 = 0) AS bounds
-  FROM c
-),
-s AS (
-  SELECT doc_id, w,
-         list_prepend(1, list_transform(bounds, b -> b + 1)) AS starts,
-         list_append(bounds, LEN(w)) AS ends
-  FROM b
-),
-chunks AS (
-  SELECT doc_id,
-         unnest(list_filter(
-           list_transform(range(1, LEN(starts) + 1),
-                          j -> array_to_string(w[starts[j]:ends[j]], ' ')),
-           ch -> ch <> '')) AS chunk
-  FROM s
-),
+_CDC_SAVINGS_ORACLE = _CDC_CHUNKS_SQL + """,
 keyed AS (
   SELECT d.source, ch.doc_id, md5(ch.chunk) AS sig,
          LEN(string_split(ch.chunk, ' ')) AS n_tok
@@ -1355,7 +1331,9 @@ def pipeline_chunk_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     owner_key = F.concat_ws("|", F.col("source"), F.col("doc_id").cast("string"))
-    keyed = keyed.withColumn("okey", owner_key)
+    # materialized once: keyed feeds both the ownership agg and the
+    # join-back — without this the whole CDC derivation runs twice
+    keyed = keyed.withColumn("okey", owner_key).localCheckpoint()
     firsts = keyed.groupBy("sig").agg(F.min("okey").alias("owner"))
     joined = keyed.join(firsts, "sig")
     stored = F.sum(
@@ -1384,7 +1362,7 @@ def pipeline_chunk_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # machinery (boundaries at stopword positions instead of hash hits).
 # Word scores are identical-operand double divisions; the per-phrase
 # sum is quantized to DECIMAL(38,9) so shuffle order can't move a bit.
-_RAKE_STOPS_SQL = "['a', 'the', 'and', 'of', 'to']"
+_RAKE_STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in T.EN_STOPWORDS) + "]"  # ONE copy: operators/text.EN_STOPWORDS
 
 _RAKE_ORACLE = f"""
 WITH t AS (
@@ -1477,7 +1455,9 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " greatest(ends[j] - starts[j] + 1, 0)))), ph -> ph != '')"
             )
         ).alias("phrase")
-    )
+    ).localCheckpoint()  # three consumers (word stats, phrase-word
+    # scoring, occurrence counts) — derive the phrases once
+
     words = phrases.select(
         "phrase",
         F.explode(F.split("phrase", " ")).alias("word"),
@@ -1522,31 +1502,8 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same doubles bit-for-bit. On this orientation authorities are
 # the higher-id duplicates pointed at by many low-id near-dups — the
 # complementary centrality to PageRank's undirected mass.
-_HITS_PREFIX = """
-WITH tok AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
-),
-codes AS (
-  SELECT doc_id, ascii(substring(token, 1, 1)) * 31 + length(token) AS code
-  FROM tok
-),
-bits AS (
-  SELECT doc_id, bit,
-         SUM(CASE WHEN (code // (1 << bit)) % 2 = 1 THEN 1 ELSE -1 END) AS s
-  FROM codes, range(0, 16) t(bit)
-  GROUP BY doc_id, bit
-),
-sh AS (
-  SELECT doc_id,
-         CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END)
-              AS BIGINT) AS simhash
-  FROM bits GROUP BY doc_id
-),
-edges AS (
-  SELECT a.doc_id AS src, b.doc_id AS dst
-  FROM sh a
-  JOIN sh b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
-),
+_HITS_PREFIX_TAIL = """
+edges AS (SELECT pa AS src, pb AS dst FROM pairs),
 nodes AS (
   SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
 ),
@@ -1569,7 +1526,8 @@ h{i} AS (SELECT node, v / (SELECT MAX(v) FROM h{i}r) AS score FROM h{i}r)
 """
 
 _HITS_ORACLE = (
-    _HITS_PREFIX
+    _SIMHASH_PAIRS_SQL
+    + _HITS_PREFIX_TAIL
     + ","
     + _HITS_ITER.format(i=1, j=0)
     + ","
@@ -1592,15 +1550,10 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     above the oracle); iterative joins Spark-side
     (operators/graph.hits), unrolled exact-decimal twin in SQL."""
     from ..operators.graph import hits
+    from .dedup import simhash_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = T.simhash16(docs)
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
-    pairs = a.join(
-        b, (F.col("ha") == F.col("hb")) & (F.col("doc_a") < F.col("doc_b"))
-    ).select("doc_a", "doc_b")
-    scores = hits(pairs, src="doc_a", dst="doc_b", iterations=2)
+    scores = hits(simhash_pairs(docs), src="doc_a", dst="doc_b", iterations=2)
     return scores.select(
         "node",
         F.round("hub", 6).alias("hub"),

@@ -366,7 +366,7 @@ def test_shard_assignment_plan_uses_range_exchange(spark, sf_dir):
     df = registry.QUERIES["pipeline_shard_assignment"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan
-    assert "TakeOrdered" not in plan or "rangepartitioning" in plan
+    assert "TakeOrdered" not in plan  # no single-task global top-N
 
 
 def test_chunk_storage_savings_bounds(spark, sf_dir):

@@ -111,3 +111,22 @@ def test_grouped_prefix_sum_matches_ansi(spark, rows):
     )
     want = df.withColumn("c", F.coalesce(F.sum("v").over(w), F.lit(0).cast("long")))
     assert sorted(got.collect()) == sorted(want.collect())
+
+
+@settings(**_SETTINGS)
+@given(rows=ROWS)
+def test_grouped_prefix_sum_inclusive_matches_ansi(spark, rows):
+    from canvas_data_2_aws_spark.operators.ranks import grouped_prefix_sum
+
+    df = _df(spark, rows)
+    got = grouped_prefix_sum(
+        df, group_cols=["g"], order_cols=["o", "uid"], value_col="v",
+        out="c", inclusive=True, num_partitions=4,
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("o", "uid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = df.withColumn("c", F.sum("v").over(w))
+    assert sorted(got.collect()) == sorted(want.collect())
