@@ -180,7 +180,20 @@ JOIN sh y ON y.doc_id = c.doc_b
 """
 
 
-def minhash_candidates(sh: DataFrame) -> DataFrame:
+#: Buckets larger than this emit a hub-spoke star (n-1 pairs to the
+#: minimum doc_id) instead of C(n,2) pairs.  A band bucket this large
+#: means a pathological duplicate cluster (every member shares two
+#: identical MinHash rows); the star preserves connectivity — every
+#: member still reaches the same connected component through the hub —
+#: while bounding the explode at O(n) instead of O(n²).  At 100 TB a
+#: single 10⁸-member boilerplate cluster would otherwise materialize
+#: ~5·10¹⁵ pairs in one task.
+MINHASH_BUCKET_CAP = 64
+
+
+def minhash_candidates(
+    sh: DataFrame, bucket_cap: int = MINHASH_BUCKET_CAP
+) -> DataFrame:
     """(doc_a, doc_b) near-dup candidate pairs from banded MinHash over
     a (doc_id, shingles) frame — the shared sketch stage of
     ``dedup_minhash_banded`` and the recall evaluation in
@@ -201,6 +214,14 @@ def minhash_candidates(sh: DataFrame) -> DataFrame:
     signature cost). Pairs are generated bucket-locally from the
     sorted member array: group sizes are near-dup cluster sizes, so
     the worst case is bounded by real duplication, not corpus size.
+
+    The bound is ENFORCED, not assumed: buckets above ``bucket_cap``
+    members (pathological boilerplate clusters) are routed to a
+    hub-spoke star — each member paired with the bucket's minimum
+    doc_id — so no member is lost (connectivity to the hub keeps the
+    cluster one connected component) and the per-bucket pair count is
+    n-1 instead of C(n,2).  Property-tested in
+    tests/test_graded_queries.py::test_minhash_bucket_cap.
     """
     digests = sh.select(
         "doc_id",
@@ -233,8 +254,9 @@ def minhash_candidates(sh: DataFrame) -> DataFrame:
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
         .where(F.size("ids") > 1)
     )
-    return (
-        buckets.select(
+    all_pairs = (
+        buckets.where(F.size("ids") <= F.lit(bucket_cap))
+        .select(
             F.explode(
                 F.expr(
                     "flatten(transform(ids, (x, i) ->"
@@ -244,8 +266,18 @@ def minhash_candidates(sh: DataFrame) -> DataFrame:
             ).alias("p")
         )
         .select("p.doc_a", "p.doc_b")
-        .distinct()
     )
+    # Oversized buckets: hub-spoke star on the sorted-min member.
+    # n-1 pairs per bucket, same connected component as the full
+    # clique — the explode is linear in bucket size.
+    star_pairs = (
+        buckets.where(F.size("ids") > F.lit(bucket_cap))
+        .select(
+            F.element_at("ids", 1).alias("doc_a"),
+            F.explode(F.expr("slice(ids, 2, size(ids) - 1)")).alias("doc_b"),
+        )
+    )
+    return all_pairs.unionByName(star_pairs).distinct()
 
 
 @graded("dedup_minhash_banded", oracle=_MINHASH_BANDED_ORACLE)

@@ -68,3 +68,43 @@ def test_reconcile_covers_all_orders(spark, sf_dir):
     ).count()
     for r in rows:
         assert r.n_diverged <= r.n_with_lines <= r.n_orders
+
+
+def test_minhash_bucket_cap(spark):
+    """A pathological bucket (10⁴ docs with identical shingles) must
+    neither explode quadratically nor lose members: the hub-spoke cap
+    emits n-1 star pairs whose connected component covers every doc."""
+    import pyspark.sql.functions as F
+
+    from canvas_data_2_aws_spark.queries.dedup import minhash_candidates
+
+    n = 10_000
+    sh = (
+        spark.range(n)
+        .select(
+            F.col("id").cast("long").alias("doc_id"),
+            F.expr("array('a b c', 'b c d', 'c d e')").alias("shingles"),
+        )
+        .repartition(8)
+    )
+    pairs = minhash_candidates(sh).collect()
+    # star, not clique: n-1 pairs, NOT C(n,2) ≈ 5·10⁷
+    assert len(pairs) == n - 1
+    hub = min(r.doc_a for r in pairs)
+    assert all(r.doc_a == hub for r in pairs)
+    assert {r.doc_b for r in pairs} == set(range(1, n))
+
+
+def test_minhash_cap_preserves_small_buckets(spark):
+    """Buckets at or under the cap still emit the full clique."""
+    import pyspark.sql.functions as F
+
+    from canvas_data_2_aws_spark.queries.dedup import minhash_candidates
+
+    n = 10
+    sh = spark.range(n).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.expr("array('a b c', 'b c d')").alias("shingles"),
+    )
+    pairs = minhash_candidates(sh).collect()
+    assert len(pairs) == n * (n - 1) // 2
