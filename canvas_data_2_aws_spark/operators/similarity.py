@@ -49,11 +49,43 @@ def cosine_pairs(
     )
 
 
+#: Hard ceiling on the broadcast-corpus row count.  The corpus is
+#: materialized on the driver (toPandas) then broadcast to every
+#: executor; at ~10⁶ × 64-dim float64 that is ~0.5 GiB — the upper
+#: edge of a sane Spark broadcast.  Past it, refuse loudly instead of
+#: letting the driver OOM at 10⁷+ vectors.
+CORPUS_ROW_CAP = 1_000_000
+
+
 def _np_corpus(
-    df: DataFrame, id_col: str, vec_col: str, block_col: str | None = None
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str | None = None,
+    row_cap: int = CORPUS_ROW_CAP,
 ):
     """Materialize a corpus snapshot as numpy (ids, float64 matrix,
-    norms, optional block labels), id-sorted for determinism."""
+    norms, optional block labels), id-sorted for determinism.
+
+    Counts the corpus FIRST and refuses above ``row_cap``: the
+    driver-side ``toPandas`` hop is only safe while the corpus fits
+    driver + executor memory.  The count is one cheap pruned-scan job
+    (two columns at most), amortized against the dgemm work that
+    follows.  Oversized corpora must use the bucketed operators
+    instead — that path shuffles on LSH bucket keys and never
+    materializes the corpus in one place.
+    """
+    n = df.count()
+    if n > row_cap:
+        raise ValueError(
+            f"cosine_blas corpus has {n:,} rows, above the broadcast cap of "
+            f"{row_cap:,}: the exact-BLAS path materializes the corpus on "
+            "the driver and broadcasts it to every executor, which OOMs at "
+            "this scale. Use a bucketed operator instead — "
+            "ann_hyperplane_lsh / ann_lsh_neighbors (LSH buckets + exact "
+            "bucket-local re-rank), ann_ivf_neighbors (IVF cells), or "
+            "cosine_pairs(block_cols=...) for block-local exact pairs."
+        )
     cols = [id_col, vec_col] + ([block_col] if block_col else [])
     pdf = df.select(*cols).toPandas().sort_values(id_col, ignore_index=True)
     ids = pdf[id_col].to_numpy(np.int64)

@@ -39,3 +39,31 @@ def test_kmeans_assignments_valid_and_moving(spark, sf_dir):
     assert {r.c2 for r in rows} <= {0, 1, 2, 3}
     # Lloyd iteration refines the id-bucket init: some vectors move
     assert any(r.c1 != r.c2 for r in rows)
+
+
+def test_cosine_blas_refuses_oversized_corpus(spark):
+    """The broadcast-corpus path must refuse (not driver-OOM) above the
+    row cap, and the error must name the bucketed alternatives."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from canvas_data_2_aws_spark.operators.similarity import cosine_blas
+
+    emb = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(seed=1), F.rand(seed=2)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="ann_hyperplane_lsh"):
+        # row_cap is plumbed through _np_corpus's default; shrink it via
+        # monkeypatch-free direct call by patching the module constant.
+        import canvas_data_2_aws_spark.operators.similarity as sim
+
+        old = sim.CORPUS_ROW_CAP
+        sim.CORPUS_ROW_CAP = 10
+        try:
+            sim._np_corpus(emb, "vec_id", "embedding", row_cap=10)
+        finally:
+            sim.CORPUS_ROW_CAP = old
+    # under the cap the pipeline still works end-to-end
+    out = cosine_blas(emb, emb, mode="knn", k=3).collect()
+    assert len(out) == 150
