@@ -257,6 +257,90 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+# --- S4 counterpart 2: server JSON-Schema -> StructType -> evolution ------------
+
+_COMPILED_EVOLUTION_ORACLE = """
+SELECT o_orderkey, o_totalprice,
+       CAST(NULL AS VARCHAR) AS sync_origin
+FROM orders WHERE o_orderkey % 10 = 2
+UNION ALL
+SELECT o_orderkey, o_totalprice,
+       'v2' AS sync_origin
+FROM orders WHERE o_orderkey % 10 = 8
+"""
+
+_ORDERS_SCHEMA_V1 = {
+    "tableName": "orders_slim",
+    "schemaVersion": 1,
+    "schema": {
+        "type": "object",
+        "properties": {
+            "o_orderkey": {"type": "integer"},
+            "o_totalprice": {"type": "number"},
+        },
+        "required": ["o_orderkey"],
+    },
+}
+
+_ORDERS_SCHEMA_V2 = {
+    "tableName": "orders_slim",
+    "schemaVersion": 2,
+    "schema": {
+        "type": "object",
+        "properties": {
+            "o_orderkey": {"type": "integer"},
+            "o_totalprice": {"type": "number"},
+            "sync_origin": {"type": ["string", "null"]},
+        },
+        "required": ["o_orderkey"],
+    },
+}
+
+
+@graded("schema_compiled_evolution", oracle=_COMPILED_EVOLUTION_ORACLE)
+def schema_compiled_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full server-schema lifecycle (SURVEY §1.1): two versions of
+    a table's JSON-Schema document are COMPILED to StructTypes
+    (sources/schema_compiler.py), the migration plan is derived from
+    the version bump (additive column ``sync_origin``), a part is
+    landed under each compiled schema, and the replica reads both
+    parts under the regenerated v2 schema — v1 rows surface NULL for
+    the added column. This is ``get_table_schema`` → DDL-regeneration
+    → evolution, with the schema never inferred at any step."""
+    from pyspark.sql.types import StructField, StructType
+
+    from ..sources.schema_compiler import compile_json_schema, migrate
+
+    st1 = compile_json_schema(_ORDERS_SCHEMA_V1)
+    st2, added = migrate(_ORDERS_SCHEMA_V1, _ORDERS_SCHEMA_V2)
+    assert added == ["sync_origin"], added
+    orders = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="cda2_cevo_")
+    try:
+        v1 = orders.where("o_orderkey % 10 = 2").select(
+            *[F.col(f.name).cast(f.dataType) for f in st1.fields]
+        )
+        v2 = (
+            orders.where("o_orderkey % 10 = 8")
+            .withColumn("sync_origin", F.lit("v2"))
+            .select(*[F.col(f.name).cast(f.dataType) for f in st2.fields])
+        )
+        v1.write.mode("overwrite").parquet(f"{path}/p1")
+        v2.write.mode("overwrite").parquet(f"{path}/p2")
+        # Strict schema-applied read under the regenerated v2 schema
+        # (nullable on read: the v1 part has no sync_origin values).
+        read_schema = StructType(
+            [StructField(f.name, f.dataType, True) for f in st2.fields]
+        )
+        merged = spark.read.schema(read_schema).parquet(
+            f"{path}/p1", f"{path}/p2"
+        )
+        rows = merged.collect()
+        return spark.createDataFrame(rows, read_schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 # --- S5 oracle-checked: partitioned sink + partition-pruned read ----------------
 
 _PARTITIONED_SINK_ORACLE = """
