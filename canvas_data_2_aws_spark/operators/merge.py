@@ -79,3 +79,36 @@ def snapshot_load(df: DataFrame, path: str, partition_by: Sequence[str] = ()) ->
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def snapshot_load_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: Sequence[str],
+    path: str,
+    buckets: int = 32,
+) -> DataFrame:
+    """M2 bootstrap into a PK-bucketed catalog table — the SCALE.md §1
+    at-rest layout that makes every subsequent M1 merge shuffle-free on
+    the base side.
+
+    ``bucketBy(keys)`` + ``sortBy(keys)`` records the hash partitioning
+    in the table catalog, so the merge's anti-join reads the base
+    already partitioned on the PK: only the (small) changeset shuffles,
+    and the base — the 100 TB side — never moves.  Pinned by
+    tests/test_bucketing.py::test_merge_base_side_is_shuffle_free.
+
+    Returns the catalog-backed DataFrame (``spark.table``), which is
+    what carries the bucket metadata — a plain ``spark.read.parquet``
+    of the same files would NOT.
+    """
+    spark = df.sparkSession
+    (
+        df.write.bucketBy(buckets, *keys)
+        .sortBy(*keys)
+        .option("path", path)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return spark.table(table)

@@ -82,3 +82,68 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
     assert joined.count() == orders.where(F.col("order_year") == min(years)).count()
+
+
+def test_merge_base_side_is_shuffle_free(spark, sf_dir, tmp_path):
+    """The M1 merge over a PK-bucketed base (snapshot_load_bucketed)
+    must not shuffle the base side: every Exchange in the executed
+    plan belongs to the changeset branch, and the base scan reads its
+    catalog bucketing. This pins SCALE.md §1's central claim — at
+    100 TB only the small changeset moves."""
+    from pyspark.sql import functions as F
+
+    from canvas_data_2_aws_spark.operators.merge import (
+        apply_changeset,
+        snapshot_load_bucketed,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    spark.sql("DROP TABLE IF EXISTS b_merge_base")
+    # Bucket count = session shuffle partitions so the changeset's
+    # compaction shuffle is directly join-compatible (no re-exchange).
+    nbuckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = snapshot_load_bucketed(
+        orders, "b_merge_base", ["o_orderkey"], str(tmp_path / "b_merge_base"),
+        buckets=nbuckets,
+    )
+    changes = (
+        orders.where("o_orderkey % 7 = 0")
+        .withColumn("action", F.when(F.col("o_orderkey") % 2 == 0, "U").otherwise("D"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+        .withColumn("chg_ts", F.lit(1).cast("long"))
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        merged = apply_changeset(
+            base, changes, keys=["o_orderkey"], compact_by=["chg_ts"]
+        )
+        import re
+
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        # The base-side scan must carry its catalog bucketing...
+        assert "Bucketed: true" in plan, plan
+        # ...and sit DIRECTLY under the anti-join's Sort — no Exchange
+        # between join and base scan. The bucketed scan is the only
+        # spark_catalog scan in the plan; its immediate parent line
+        # must be a Sort (ENSURE_REQUIREMENTS inserts Exchange lines
+        # between Sort and scan when partitioning is NOT satisfied).
+        lines = plan.splitlines()
+        (scan_idx,) = [
+            i for i, l in enumerate(lines) if "b_merge_base" in l and "FileScan" in l
+        ]
+        parent = lines[scan_idx - 1]
+        assert re.search(r"Sort \[o_orderkey#\d+L ASC", parent), plan
+        assert "Exchange" not in parent
+        # Exactly the two changeset-branch shuffles (compaction window
+        # in the anti-join branch + the upsert branch), nothing more.
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges == 2, plan
+        # semantics unchanged by the layout
+        n_del = changes.where("action = 'D'").count()
+        assert merged.count() == orders.count() - n_del
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_merge_base")
