@@ -78,6 +78,13 @@ HEADLINE = [
     "analytics_skyline",
     "text_perplexity_buckets",
     "text_zipf_slope",
+    # round-5 breadth: one representative per remaining round-4 family
+    # (CDC chunk dedup, link analysis, multimodal payload dedup,
+    # sessionized path mining) so regressions there are visible.
+    "dedup_content_chunks",
+    "graph_hits",
+    "multimodal_phash_dedup",
+    "analytics_session_paths",
 ]
 
 

@@ -282,41 +282,79 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     group sizes ≈ duplicate cluster sizes) → exact Hamming verify.
     The banded-LSH plan is dedup_minhash_banded's, applied to the
     byte domain."""
-    docs = load_table(spark, sf_dir, "documents").where(
-        F.length("text") >= 16
+    # Rebalance before the hashing map (same rationale as
+    # dedup_minhash_banded): the corpus parquet is one row group, and
+    # inheriting that single partition serializes the whole signature
+    # stage onto one core.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length("text") >= 16)
+        .repartition("doc_id")
     )
-    sig = docs.select(
+    # Char codes are extracted ONCE per doc (split + one transform),
+    # then each block sums a slice — O(len) per doc. The original
+    # form re-ran substring(text, pos, 1) per (block, j): substring
+    # on UTF8 strings is an O(pos) scan and HOF lambdas evaluate
+    # interpreted, so that was O(len²) per doc and took minutes at
+    # sf0.1 on the inherited single partition. Same values: slice
+    # (i*seg+1, seg) covers exactly the chars the oracle's
+    # substring(i*seg+j) walk does.
+    codes = docs.select(
+        "doc_id",
+        F.expr("transform(split(text, ''), c -> ascii(c))").alias("cs"),
+    )
+    sig = codes.select(
         "doc_id",
         F.expr(
             "transform(sequence(0, 15), i ->"
-            " aggregate(transform(sequence(1, length(text) DIV 16),"
-            "   j -> ascii(substring(text, i * (length(text) DIV 16) + j, 1))),"
+            " aggregate(slice(cs, i * (size(cs) DIV 16) + 1, size(cs) DIV 16),"
             "   0, (a, x) -> a + x))"
         ).alias("bs"),
     )
+    # The coalesce(. , -1) wrapper makes phash provably NON-NULLABLE.
+    # Without it, the downstream hamming predicate makes Catalyst infer
+    # an isnotnull(phash) constraint and push it below both Exchanges
+    # into the scan Filter — with the whole nested-HOF expression
+    # inlined, re-evaluated interpreted per doc at the scan (measured
+    # 243 s at sf0.1 vs ~6 s). coalesce with a non-null literal folds
+    # that inferred IsNotNull to true at plan time; -1 is unreachable
+    # (the aggregate of non-null ints is never NULL).
     ph = sig.select(
         "doc_id",
         F.expr(
-            "CAST(aggregate(transform(sequence(0, 15), i ->"
+            "coalesce(CAST(aggregate(transform(sequence(0, 15), i ->"
             " CASE WHEN 16 * bs[i] > aggregate(bs, 0, (a, x) -> a + x)"
             " THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END),"
-            " CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT)"
+            " CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT), CAST(-1 AS BIGINT))"
         ).alias("phash"),
     )
-    bands = ph.select(
-        "doc_id",
-        "phash",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit(0).alias("band"), F.expr("phash DIV 256").alias("bkey")
-                ),
-                F.struct(
-                    F.lit(1).alias("band"), (F.col("phash") % 256).alias("bkey")
-                ),
-            )
-        ).alias("e"),
-    ).select("doc_id", "phash", "e.band", "e.bkey")
+    bands = (
+        ph.select(
+            "doc_id",
+            "phash",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("band"),
+                        F.expr("phash DIV 256").alias("bkey"),
+                    ),
+                    F.struct(
+                        F.lit(1).alias("band"),
+                        (F.col("phash") % 256).alias("bkey"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("doc_id", "phash", "e.band", "e.bkey")
+        # Materialization barrier, NOT just co-partitioning: without
+        # this Exchange, CollapseProject inlines the whole nested-HOF
+        # phash expression into the join output, re-evaluating it per
+        # CANDIDATE PAIR (2× per row) — measured 243 s at sf0.1 vs
+        # ~5 s with the barrier. After the shuffle the join carries an
+        # 8-byte phash value, and the self-join is already partitioned
+        # on its key.
+        .repartition("band", "bkey")
+    )
     a = bands.select(
         F.col("doc_id").alias("doc_a"),
         F.col("phash").alias("ph_a"),
