@@ -247,3 +247,24 @@ def test_containment_shuffles_on_block_key(spark, sf_dir):
     plan that survives 100×), not broadcast the shingle arrays."""
     plan = plan_text(registry.QUERIES["dedup_containment"](spark, sf_dir))
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_no_hof_expression_in_filters(spark, sf_dir):
+    """Inferred-constraint pushdown must never inline a higher-order-
+    function expression into a Filter node: InferFiltersFromConstraints
+    derives isnotnull(...) from join/filter predicates over computed
+    columns and pushes it to the scan with the FULL expression tree
+    inlined — evaluated interpreted, per row, before the projection
+    that was supposed to compute it once (the multimodal_phash_dedup
+    243s->3s bug). Guard every HOF-heavy graded query."""
+    for name in (
+        "multimodal_phash_dedup",
+        "dedup_minhash_banded",
+        "dedup_simhash",
+        "multimodal_shard_index",
+    ):
+        plan = plan_text(registry.QUERIES[name](spark, sf_dir))
+        for line in plan.splitlines():
+            stripped = line.strip().lstrip(":+- ")
+            if stripped.startswith("Filter") or "PushedFilters" in line:
+                assert "lambdafunction" not in line, (name, line[:300])
