@@ -254,10 +254,15 @@ def hits(
             .agg(F.sum(F.col("score").cast("decimal(28,12)")).cast("double").alias("v"))
         )
         a_max = a_raw.agg(F.max("v").alias("m"))
+        # Lazy checkpoint: truncates lineage and caches on first
+        # materialization WITHOUT an eager job per half-step — the
+        # eager form cost one full scheduling round-trip per score
+        # table (4 extra jobs for 2 iterations, ~7 s of the 9 s
+        # sf0.1 wall clock).
         auth = (
             a_raw.crossJoin(F.broadcast(a_max))
             .select("node", (F.col("v") / F.col("m")).alias("score"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         h_raw = (
             e.join(F.broadcast(auth.withColumnRenamed("node", "d")), "d")
@@ -268,7 +273,7 @@ def hits(
         hub = (
             h_raw.crossJoin(F.broadcast(h_max))
             .select("node", (F.col("v") / F.col("m")).alias("score"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return (
         nodes.join(hub.withColumnRenamed("score", "hub"), "node", "left")
