@@ -1057,3 +1057,83 @@ def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_purchases",
         (F.sum("cents").over(w).cast("double") / 100.0).alias("cum_value"),
     )
+
+
+# --- leakage-safe train/test split (cluster-atomic assignment) ------------------
+
+# Near-duplicate documents split across train and test leak training
+# content into evaluation — the canonical contamination failure in LLM
+# data pipelines. The fix: assign splits per NEAR-DUP CLUSTER, not per
+# document. With equality-SimHash clustering, a document's cluster is
+# exactly its simhash group (one hash per doc ⇒ groups are disjoint ⇒
+# groups ARE the connected components of the same-hash pair graph), so
+# the cluster root is the group's minimum doc_id and assignment is
+# md5(root) bucketing — every member inherits the root's split.
+# n_reassigned counts docs whose naive per-doc hash split would have
+# disagreed with their cluster's split (each one a leak prevented).
+
+from .dedup import _SIMHASH_PAIRS_SQL as _SH_SQL
+
+_LEAKAGE_SPLIT_ORACLE = (
+    _SH_SQL
+    + """
+hubs AS (
+  SELECT simhash, MIN(doc_id) AS hub FROM sh GROUP BY simhash
+),
+assign AS (
+  SELECT s.doc_id, h.hub,
+         CASE WHEN substring(md5(CAST(h.hub AS VARCHAR)), 1, 2) < '1a'
+              THEN 'test' ELSE 'train' END AS split,
+         CASE WHEN substring(md5(CAST(s.doc_id AS VARCHAR)), 1, 2) < '1a'
+              THEN 'test' ELSE 'train' END AS naive_split
+  FROM sh s JOIN hubs h ON h.simhash = s.simhash
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT hub) AS n_clusters,
+       CAST(SUM(CASE WHEN split <> naive_split THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_reassigned
+FROM assign
+GROUP BY split
+"""
+)
+
+
+@graded("pipeline_leakage_safe_split", oracle=_LEAKAGE_SPLIT_ORACLE)
+def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-atomic ~10% test split: md5 bucketing on the near-dup
+    cluster root (simhash-group min doc_id) so no near-duplicate pair
+    ever straddles train/test. Same hash-of-key reproducibility
+    contract as sample_train_test_split — assignment survives reruns,
+    repartitions, and incremental appends; appends can only join an
+    EXISTING cluster's split or found a new cluster. The group census
+    is ≤ 2¹⁶ rows (16-bit hash) — always broadcast; at 100 TB with a
+    wider cluster id (banded MinHash components) the same plan keys
+    the join on the cluster-root table instead."""
+    from ..operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = T.simhash16(docs)
+    hubs = sh.groupBy("simhash").agg(F.min("doc_id").alias("hub"))
+    assign = sh.join(F.broadcast(hubs), "simhash")
+    bucket = lambda c: F.when(  # noqa: E731
+        F.substring(F.md5(F.col(c).cast("string")), 1, 2) < "1a", "test"
+    ).otherwise("train")
+    return (
+        assign.select(
+            "doc_id",
+            "hub",
+            bucket("hub").alias("split"),
+            bucket("doc_id").alias("naive_split"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("hub").alias("n_clusters"),
+            F.sum(
+                F.when(F.col("split") != F.col("naive_split"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_reassigned"),
+        )
+    )

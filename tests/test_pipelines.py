@@ -204,3 +204,36 @@ def test_weighted_percentile_ordered(spark, sf_dir):
     assert len(rows) == 3
     for r in rows:
         assert r.wp25_cents <= r.wp50_cents <= r.wp75_cents
+
+
+def test_leakage_safe_split_is_cluster_atomic(spark, sf_dir):
+    """No same-simhash (near-dup) pair may straddle train/test, and
+    every document must be assigned exactly once."""
+    from pyspark.sql import functions as F
+
+    from canvas_data_2_aws_spark.operators import text as T
+    from canvas_data_2_aws_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = T.simhash16(docs)
+    hubs = sh.groupBy("simhash").agg(F.min("doc_id").alias("hub"))
+    assign = sh.join(hubs, "simhash").select(
+        "doc_id",
+        "simhash",
+        F.when(
+            F.substring(F.md5(F.col("hub").cast("string")), 1, 2) < "1a", "test"
+        )
+        .otherwise("train")
+        .alias("split"),
+    )
+    # cluster-atomic: one distinct split per simhash group
+    mixed = (
+        assign.groupBy("simhash")
+        .agg(F.countDistinct("split").alias("k"))
+        .where("k > 1")
+        .count()
+    )
+    assert mixed == 0
+    assert assign.count() == docs.count()
+    # and both splits are non-empty at this fixture size
+    assert assign.select("split").distinct().count() == 2
