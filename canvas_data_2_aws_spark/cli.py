@@ -221,6 +221,37 @@ def cmd_list(args) -> int:
     return 0
 
 
+def cmd_schema(args) -> int:
+    """Compile a server-declared JSON-Schema table document to the
+    regenerated DDL (and optionally plan a version-bump migration) —
+    the client-side half of the upstream get_table_schema flow."""
+    import json as _json
+
+    from .sources.schema_compiler import (
+        compile_json_schema,
+        ddl_for,
+        migrate,
+        schema_version,
+    )
+
+    with open(args.doc, encoding="utf-8") as fh:
+        doc = _json.load(fh)
+    if args.migrate_from:
+        with open(args.migrate_from, encoding="utf-8") as fh:
+            old = _json.load(fh)
+        struct, added = migrate(old, doc)
+        print(
+            f"v{schema_version(old)} -> v{schema_version(doc)}: "
+            f"+{len(added)} column(s) {added}"
+        )
+    else:
+        struct = compile_json_schema(doc)
+    print(f"-- {doc.get('tableName', '?')} v{schema_version(doc)}")
+    print(ddl_for(doc))
+    print(struct.simpleString())
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="canvas_data_2_aws_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -281,6 +312,16 @@ def main(argv: list[str] | None = None) -> int:
 
     p_list = sub.add_parser("list", help="list all graded queries")
     p_list.set_defaults(fn=cmd_list)
+
+    p_schema = sub.add_parser(
+        "schema", help="compile a JSON-Schema table doc to DDL/StructType"
+    )
+    p_schema.add_argument("--doc", required=True, help="JSON schema document")
+    p_schema.add_argument(
+        "--migrate-from", default=None,
+        help="previous-version document: prints the version-bump plan",
+    )
+    p_schema.set_defaults(fn=cmd_schema)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -388,3 +388,29 @@ def test_syncdb_failed_staging_leaves_prior_manifest(spark, sf_dir, tmp_path):
     assert not replica_mod.has_manifest(replica)
     assert spark.read.parquet(
         replica_mod.table_dir(replica, "orders")).count() == o_before
+
+
+def test_cli_schema_compile_and_migrate(tmp_path, capsys):
+    import json
+
+    from canvas_data_2_aws_spark.cli import main
+
+    v1 = {
+        "tableName": "courses",
+        "schemaVersion": 1,
+        "schema": {
+            "type": "object",
+            "properties": {"id": {"type": "integer"}},
+            "required": ["id"],
+        },
+    }
+    v2 = json.loads(json.dumps(v1))
+    v2["schemaVersion"] = 2
+    v2["schema"]["properties"]["name"] = {"type": "string"}
+    p1, p2 = tmp_path / "v1.json", tmp_path / "v2.json"
+    p1.write_text(json.dumps(v1))
+    p2.write_text(json.dumps(v2))
+    assert main(["schema", "--doc", str(p2), "--migrate-from", str(p1)]) == 0
+    out = capsys.readouterr().out
+    assert "+1 column(s) ['name']" in out
+    assert "id BIGINT NOT NULL, name STRING" in out
