@@ -67,27 +67,29 @@ def _np_corpus(
     """Materialize a corpus snapshot as numpy (ids, float64 matrix,
     norms, optional block labels), id-sorted for determinism.
 
-    Counts the corpus FIRST and refuses above ``row_cap``: the
-    driver-side ``toPandas`` hop is only safe while the corpus fits
-    driver + executor memory.  The count is one cheap pruned-scan job
-    (two columns at most), amortized against the dgemm work that
-    follows.  Oversized corpora must use the bucketed operators
-    instead — that path shuffles on LSH bucket keys and never
-    materializes the corpus in one place.
+    Refuses above ``row_cap``: the driver-side ``toPandas`` hop is only
+    safe while the corpus fits driver + executor memory.  The guard is
+    a ``LIMIT row_cap+1`` on the same single materialization pass — no
+    separate count job (a count() re-executes the corpus lineage,
+    which doubled the cost of derived corpora), and the driver never
+    holds more than cap+1 rows even when the input is 10⁷+.  Oversized
+    corpora must use the bucketed operators instead — that path
+    shuffles on LSH bucket keys and never materializes the corpus in
+    one place.
     """
-    n = df.count()
-    if n > row_cap:
+    cols = [id_col, vec_col] + ([block_col] if block_col else [])
+    pdf = df.select(*cols).limit(row_cap + 1).toPandas()
+    if len(pdf) > row_cap:
         raise ValueError(
-            f"cosine_blas corpus has {n:,} rows, above the broadcast cap of "
-            f"{row_cap:,}: the exact-BLAS path materializes the corpus on "
-            "the driver and broadcasts it to every executor, which OOMs at "
+            f"cosine_blas corpus exceeds the broadcast cap of {row_cap:,} "
+            "rows: the exact-BLAS path materializes the corpus on the "
+            "driver and broadcasts it to every executor, which OOMs at "
             "this scale. Use a bucketed operator instead — "
             "ann_hyperplane_lsh / ann_lsh_neighbors (LSH buckets + exact "
             "bucket-local re-rank), ann_ivf_neighbors (IVF cells), or "
             "cosine_pairs(block_cols=...) for block-local exact pairs."
         )
-    cols = [id_col, vec_col] + ([block_col] if block_col else [])
-    pdf = df.select(*cols).toPandas().sort_values(id_col, ignore_index=True)
+    pdf = pdf.sort_values(id_col, ignore_index=True)
     ids = pdf[id_col].to_numpy(np.int64)
     mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
