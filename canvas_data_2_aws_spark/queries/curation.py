@@ -61,22 +61,51 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the cell count grows with the corpus (√n cells keeps cell
     sizes bounded), and the per-cell scan is the bucket-local rerank
     shape already proven by ann_hyperplane_lsh."""
+    import numpy as np
+    import pandas as pd
+
     assign = _kmeans_assignment(spark, sf_dir).select(
         "vec_id", F.col("c2").alias("cluster")
     )
     emb = load_table(spark, sf_dir, "embeddings").join(assign, "vec_id")
-    pairs = cosine_blas(
-        emb, emb, mode="pairs_threshold", threshold=0.3, block_col="cluster"
-    )
-    return (
-        pairs.groupBy(F.col("vec_id_b").alias("drop_id"), "cluster")
-        .agg(
-            F.count("*").alias("n_better"),
-            F.max("score").alias("max_score"),
+
+    # CELL-LOCAL scoring, not a dense corpus matrix: one shuffle on the
+    # cluster key, then each cell runs its own |cell|² BLAS block and
+    # aggregates drop candidates before anything leaves the worker.
+    # The earlier cosine_blas(block_col=...) form computed the full
+    # n×n similarity matrix and masked by block AFTERWARD — n² compute
+    # for Σ|cell|² useful pairs (measured 30 s at 10× vs 3 s here).
+    # With k ∝ √n (queries/vectors.py) cell sizes stay bounded, so
+    # per-task memory is |cell|·d + |cell|² floats at any corpus size.
+    def cell_drops(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id", ignore_index=True)
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        sims = np.round((mat @ mat.T) / (norms[:, None] * norms[None, :]), 4)
+        a_idx, b_idx = np.nonzero(
+            np.triu(sims >= 0.3, k=1)  # canonical id < candidate id
         )
-        # the Arrow round-trip inside cosine_blas narrows the block
-        # column to int32 — restore the table's BIGINT for the oracle
-        .withColumn("cluster", F.col("cluster").cast("long"))
+        if len(a_idx) == 0:
+            return pd.DataFrame(
+                {"drop_id": [], "cluster": [], "n_better": [], "max_score": []}
+            ).astype(
+                {"drop_id": "int64", "cluster": "int64",
+                 "n_better": "int64", "max_score": "float64"}
+            )
+        out = (
+            pd.DataFrame(
+                {"drop_id": ids[b_idx], "score": sims[a_idx, b_idx]}
+            )
+            .groupby("drop_id", as_index=False)
+            .agg(n_better=("score", "size"), max_score=("score", "max"))
+        )
+        out.insert(1, "cluster", int(pdf["cluster"].iloc[0]))
+        return out
+
+    return emb.groupBy("cluster").applyInPandas(
+        cell_drops,
+        "drop_id long, cluster long, n_better long, max_score double",
     )
 
 
