@@ -261,11 +261,27 @@ bands AS (
   UNION ALL
   SELECT doc_id, phash, 1 AS band, phash % 256 AS bkey FROM ph
 ),
+bstats AS (
+  SELECT band, bkey, COUNT(*) AS n,
+         MIN(doc_id) AS hub, arg_min(phash, doc_id) AS hub_ph
+  FROM bands GROUP BY band, bkey
+),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, a.phash AS ph_a,
-                  b.doc_id AS doc_b, b.phash AS ph_b
-  FROM bands a
-  JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  SELECT DISTINCT doc_a, ph_a, doc_b, ph_b FROM (
+    SELECT a.doc_id AS doc_a, a.phash AS ph_a,
+           b.doc_id AS doc_b, b.phash AS ph_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                AND a.doc_id < b.doc_id
+    JOIN bstats c ON c.band = a.band AND c.bkey = a.bkey
+    WHERE c.n <= 64
+    UNION ALL
+    SELECT c.hub AS doc_a, c.hub_ph AS ph_a,
+           s.doc_id AS doc_b, s.phash AS ph_b
+    FROM bands s
+    JOIN bstats c ON c.band = s.band AND c.bkey = s.bkey
+    WHERE c.n > 64 AND s.doc_id <> c.hub
+  ) u
 )
 SELECT doc_a, doc_b,
        CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
@@ -355,24 +371,49 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # on its key.
         .repartition("band", "bkey")
     )
-    a = bands.select(
+    # Enforced bucket cap (same bound as minhash_candidates /
+    # simhash_pairs): the band keys have only 256 possible values
+    # each, so bucket sizes grow LINEARLY with the corpus and the
+    # clique join is O(n²/256) — the 100× probe wedged on ~10⁹
+    # candidate pairs at 500 k docs. Buckets above 64 members emit a
+    # hub-spoke star on the bucket's minimum doc_id; the Hamming
+    # verify then runs on O(n) star edges. The bucket census is
+    # ≤ 512 rows — always broadcast.
+    bstats = F.broadcast(
+        bands.groupBy("band", "bkey").agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("hub"),
+            F.expr("min_by(phash, doc_id)").alias("hub_ph"),
+        )
+    )
+    bj = bands.join(bstats, ["band", "bkey"])
+    small = bj.where(F.col("n") <= 64)
+    a = small.select(
         F.col("doc_id").alias("doc_a"),
         F.col("phash").alias("ph_a"),
         "band",
         "bkey",
     )
-    b = bands.select(
+    b = small.select(
         F.col("doc_id").alias("doc_b"),
         F.col("phash").alias("ph_b"),
         "band",
         "bkey",
     )
-    cand = (
+    clique = (
         a.join(b, ["band", "bkey"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "ph_a", "doc_b", "ph_b")
-        .distinct()
     )
+    star = bj.where(
+        (F.col("n") > 64) & (F.col("doc_id") != F.col("hub"))
+    ).select(
+        F.col("hub").alias("doc_a"),
+        F.col("hub_ph").alias("ph_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("ph_b"),
+    )
+    cand = clique.unionByName(star).distinct()
     hamming = F.expr("bit_count(ph_a ^ ph_b)").cast("long")
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).where(
         F.col("hamming") <= 3

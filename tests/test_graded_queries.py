@@ -108,3 +108,39 @@ def test_minhash_cap_preserves_small_buckets(spark):
     )
     pairs = minhash_candidates(sh).collect()
     assert len(pairs) == n * (n - 1) // 2
+
+
+def test_phash_bucket_cap(tmp_path, spark):
+    """10⁴ identical documents collapse every band bucket to a star:
+    verified pairs stay O(n), not C(n,2)."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from canvas_data_2_aws_spark import registry
+
+    n = 10_000
+    src = "/root/testdata/sf0.001"
+    probe = tmp_path / "phash_cap"
+    probe.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "embeddings"
+    ).split():
+        shutil.copyfile(f"{src}/{t}.parquet", probe / f"{t}.parquet")
+    spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same payload text repeated for every document").alias(
+            "text"
+        ),
+        F.lit("en").alias("lang"),
+        F.lit("web").alias("source"),
+        F.lit(48).alias("n_chars"),
+    ).write.mode("overwrite").parquet(str(probe / "documents.parquet"))
+    rows = registry.QUERIES["multimodal_phash_dedup"](
+        spark, str(probe)
+    ).collect()
+    # identical docs ⇒ hamming 0 everywhere; star caps each band
+    # bucket at n-1 edges, distinct across the two bands -> n-1 pairs
+    assert len(rows) == n - 1
+    assert all(r.hamming == 0 and r.doc_a == 0 for r in rows)

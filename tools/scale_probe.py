@@ -50,13 +50,21 @@ REPLICATED = {
 }
 
 
-def build_10x(spark, sf_dir: str, out_dir: str, factor: int = 10) -> None:
-    """Materialize the replicated fixture set under ``out_dir``."""
+def build_10x(
+    spark, sf_dir: str, out_dir: str, factor: int = 10,
+    only: set[str] | None = None,
+) -> None:
+    """Materialize the replicated fixture set under ``out_dir``.
+
+    ``only`` restricts which tables are replicated (others are copied
+    1x) — at factor=100 replicating the fact tables a documents-only
+    probe never reads would dominate the build.
+    """
     from canvas_data_2_aws_spark import schemas
 
     for name in schemas.TABLE_NAMES:
         dst = f"{out_dir}/{name}.parquet"
-        if name not in REPLICATED:
+        if name not in REPLICATED or (only is not None and name not in only):
             shutil.copyfile(f"{sf_dir}/{name}.parquet", dst)
             continue
         df = load_table(spark, sf_dir, name)
@@ -76,6 +84,7 @@ def build_10x(spark, sf_dir: str, out_dir: str, factor: int = 10) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    factor = int(os.environ.get("SPARK_GRAFT_PROBE_FACTOR", "10"))
     names = sys.argv[1:] or DEFAULT_QUERIES
     registry.load_all()
     spark = session.get_spark(app="scale-probe", shuffle_partitions=8)
@@ -85,21 +94,28 @@ def main() -> None:
         # keep orders/lineitem join keys aligned: shift both by the
         # orders span (build_10x uses per-table spans; overwrite
         # lineitem with the orders-span shift here)
-        build_10x(spark, sf_dir, probe_dir)
+        only_env = os.environ.get("SPARK_GRAFT_PROBE_TABLES")
+        only = set(only_env.split(",")) if only_env else None
+        build_10x(spark, sf_dir, probe_dir, factor=factor, only=only)
         orders = load_table(spark, sf_dir, "orders")
         li = load_table(spark, sf_dir, "lineitem")
         o_span = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
-        li_reps = [
-            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * o_span))
-            for k in range(10)
-        ]
-        out = li_reps[0]
-        for r in li_reps[1:]:
-            out = out.unionByName(r)
-        out.write.mode("overwrite").parquet(f"{probe_dir}/lineitem.parquet")
+        if only is not None and "lineitem" not in only:
+            o_span = None  # lineitem not replicated; skip the re-shift
+        if o_span is not None:
+            li_reps = [
+                li.withColumn(
+                    "l_orderkey", F.col("l_orderkey") + F.lit(k * o_span)
+                )
+                for k in range(factor)
+            ]
+            out = li_reps[0]
+            for r in li_reps[1:]:
+                out = out.unionByName(r)
+            out.write.mode("overwrite").parquet(f"{probe_dir}/lineitem.parquet")
 
         print(f"probe dir: {probe_dir}", file=sys.stderr)
-        print("| query | 1x | 10x | scaling |", flush=True)
+        print(f"| query | 1x | {factor}x | scaling |", flush=True)
         print("|---|---|---|---|", flush=True)
         for name in names:
             fn = registry.QUERIES[name]
