@@ -508,21 +508,45 @@ def vector_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- EXT: deterministic hyperplane LSH (cosine ANN, hash-matched) ----------------
 
-# Random-hyperplane LSH made engine-deterministic: 3 ±1 hyperplanes
+# Random-hyperplane LSH made engine-deterministic: ±1 hyperplanes
 # from the same md5-parity construction as the JL sketch; the sign
-# pattern of the three integer projections is the bucket (8 buckets).
-# Candidates are bucket-local pairs; the exact rerank reuses the
-# rounded-cosine recipe. Unlike MLlib MinHashLSH (seeded, rows-only),
-# every stage here is reproducible in plain SQL — a full hash-match
-# oracle for an ANN pipeline.
-_HYPERPLANE_ORACLE = """
-WITH pos AS (
+# pattern of the integer projections is the bucket. Candidates are
+# bucket-local pairs; the exact rerank reuses the rounded-cosine
+# recipe. Unlike MLlib MinHashLSH (seeded, rows-only), every stage
+# here is reproducible in plain SQL — a full hash-match oracle for an
+# ANN pipeline.
+#
+# The PLANE COUNT GROWS WITH THE CORPUS (integer threshold table — no
+# float log, so Python and DuckDB trivially agree): 2^p buckets keep
+# bucket sizes ≈64–128, so the bucket-local rerank stays Σ bucket²
+# ≈ n·128 instead of n²/2^p with p fixed. At the graded sf0.01
+# (n=500) it evaluates to the historical p=3.
+_PLANE_STEPS = [(1024, 3), (4096, 5), (16384, 7), (65536, 9), (262144, 11)]
+_PLANE_MAX = 13
+
+_PLANES_SQL = "pcnt AS (SELECT CASE " + " ".join(
+    f"WHEN COUNT(*) <= {lim} THEN {p}" for lim, p in _PLANE_STEPS
+) + f" ELSE {_PLANE_MAX} END AS p FROM embeddings)"
+
+
+def _n_planes(n: int) -> int:
+    for lim, p in _PLANE_STEPS:
+        if n <= lim:
+            return p
+    return _PLANE_MAX
+
+
+_HYPERPLANE_ORACLE = f"""
+WITH {_PLANES_SQL},
+pos AS (
   SELECT vec_id, pos AS i,
          CAST(round(CAST(list_extract(embedding, pos + 1) AS DOUBLE)
                     * 10000, 0) AS BIGINT) AS xi
   FROM embeddings, range(0, 64) t(pos)
 ),
-pj AS (SELECT vec_id, i, xi, j FROM pos, range(0, 3) t2(j)),
+pj AS (SELECT vec_id, i, xi, j
+       FROM pos, range(0, 16) t2(j)
+       WHERE j < (SELECT p FROM pcnt)),
 y AS (
   SELECT vec_id, j,
          SUM(CASE WHEN contains('02468ace',
@@ -547,10 +571,13 @@ WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
-def _hyperplane_buckets(emb: DataFrame, n_planes: int = 3) -> DataFrame:
+def _hyperplane_buckets(emb: DataFrame, n_planes: int | None = None) -> DataFrame:
     """(vec_id, bucket): sign pattern of the md5-parity integer
     projections — the shared bucketing stage of the hyperplane-LSH
-    family (ANN + recall eval)."""
+    family (ANN + recall eval). ``n_planes`` defaults to the
+    corpus-scaled threshold table (_n_planes), mirroring _PLANES_SQL."""
+    if n_planes is None:
+        n_planes = _n_planes(emb.count())
     pos = emb.select(
         "vec_id", F.posexplode("embedding").alias("i", "x")
     ).select(
@@ -585,13 +612,37 @@ def ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast state), then the BLAS rerank runs bucket-locally.
     Candidate volume is Σ bucket² instead of n² — the scale path the
     exact-KNN docstrings point at, here as a first-class graded op."""
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings")
     embb = emb.join(_hyperplane_buckets(emb), "vec_id")
-    pairs = cosine_blas(
-        embb, embb, mode="pairs_threshold", threshold=0.2, block_col="bucket"
-    )
-    return pairs.select(
-        "vec_id_a", "vec_id_b", F.col("bucket").cast("long").alias("bucket"), "score"
+
+    # Bucket-LOCAL rerank: one shuffle on the bucket key, then each
+    # bucket scores its own |bucket|² BLAS block. The earlier
+    # cosine_blas(block_col=...) form computed the dense n×n corpus
+    # matrix and masked by bucket afterward — n² compute regardless of
+    # bucketing. With the corpus-scaled plane count, per-task work is
+    # ~128² floats at any corpus size.
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id", ignore_index=True)
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        sims = np.round((mat @ mat.T) / (norms[:, None] * norms[None, :]), 4)
+        a_idx, b_idx = np.nonzero(np.triu(sims >= 0.2, k=1))
+        return pd.DataFrame(
+            {
+                "vec_id_a": ids[a_idx],
+                "vec_id_b": ids[b_idx],
+                "bucket": np.full(len(a_idx), int(pdf["bucket"].iloc[0]), np.int64),
+                "score": sims[a_idx, b_idx],
+            }
+        )
+
+    return embb.groupBy("bucket").applyInPandas(
+        bucket_pairs,
+        "vec_id_a long, vec_id_b long, bucket long, score double",
     )
 
 
@@ -675,8 +726,9 @@ def vector_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # neighbor-id tie-break, so set membership is identical cross-engine
 # and the metric itself earns a hash-match oracle — an ANN quality
 # gate you can run as part of the correctness suite.
-_RECALL_ORACLE = """
-WITH q AS (SELECT * FROM embeddings WHERE vec_id < 32),
+_RECALL_ORACLE = f"""
+WITH {_PLANES_SQL},
+q AS (SELECT * FROM embeddings WHERE vec_id < 32),
 exact AS (
   SELECT query_id, neighbor_id FROM (
     SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -693,7 +745,9 @@ pos AS (
                     * 10000, 0) AS BIGINT) AS xi
   FROM embeddings, range(0, 64) t(pos)
 ),
-pj AS (SELECT vec_id, i, xi, j FROM pos, range(0, 3) t2(j)),
+pj AS (SELECT vec_id, i, xi, j
+       FROM pos, range(0, 16) t2(j)
+       WHERE j < (SELECT p FROM pcnt)),
 y AS (
   SELECT vec_id, j,
          SUM(CASE WHEN contains('02468ace',
