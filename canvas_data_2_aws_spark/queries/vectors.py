@@ -92,12 +92,37 @@ WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate candidates: label-blocked pair scan, threshold on
     rounded cosine. Blocking turns O(n²) into O(Σ per-label²) — at
-    100 TB the block key is an LSH bucket instead of a label."""
+    100 TB the block key is an LSH bucket instead of a label. The scan
+    is block-LOCAL (shuffle on label, per-block BLAS inside
+    applyInPandas) so compute actually follows Σ per-label², not a
+    dense corpus matrix masked afterward."""
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = cosine_blas(
-        emb, emb, mode="pairs_threshold", threshold=0.3, block_col="label"
+
+    def label_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id", ignore_index=True)
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        sims = np.round((mat @ mat.T) / (norms[:, None] * norms[None, :]), 4)
+        a_idx, b_idx = np.nonzero(np.triu(sims >= 0.3, k=1))
+        return pd.DataFrame(
+            {
+                "vec_id_a": ids[a_idx],
+                "vec_id_b": ids[b_idx],
+                "label": np.full(
+                    len(a_idx), int(pdf["label"].iloc[0]), np.int32
+                ),
+                "score": sims[a_idx, b_idx],
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(
+        label_pairs,
+        "vec_id_a long, vec_id_b long, label int, score double",
     )
-    return pairs.select("vec_id_a", "vec_id_b", "label", "score")
 
 
 # --- M7: approximate NN via LSH (rows-only: hash seeds not portable) -----------------
