@@ -85,6 +85,8 @@ HEADLINE = [
     "graph_hits",
     "multimodal_phash_dedup",
     "analytics_session_paths",
+    # round-5: cluster-atomic split (SimHash groups + md5 bucketing)
+    "pipeline_leakage_safe_split",
 ]
 
 
