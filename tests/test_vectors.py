@@ -67,3 +67,32 @@ def test_cosine_blas_refuses_oversized_corpus(spark):
     # under the cap the pipeline still works end-to-end
     out = cosine_blas(emb, emb, mode="knn", k=3).collect()
     assert len(out) == 150
+
+
+def test_block_local_reranks_partition_invariant(spark, sf_dir):
+    """The applyInPandas block-local BLAS reranks must produce
+    identical rows regardless of shuffle partitioning — each block is
+    processed whole, and ordering inside the kernel is pinned by the
+    vec_id sort."""
+    from canvas_data_2_aws_spark import registry
+
+    registry.load_all()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for nparts in ("3", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", nparts)
+            for name in (
+                "ann_hyperplane_lsh",
+                "dedup_semantic_clusters",
+                "dedup_embedding_cosine",
+            ):
+                rows = frozenset(
+                    tuple(r) for r in registry.QUERIES[name](spark, sf_dir).collect()
+                )
+                results.setdefault(name, []).append(rows)
+        for name, (a, b) in results.items():
+            assert a == b, f"{name} differs across partitionings"
+            assert a, f"{name} empty"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
