@@ -97,6 +97,37 @@ def merge_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_changeset(orders, changeset, keys=["o_orderkey"])
 
 
+@graded("merge_bucketed_base", oracle=_MERGE_ORACLE)
+def merge_bucketed_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same M1 merge over the SCALE.md §1 at-rest layout: the base
+    is bootstrapped as a bucketBy(PK)+sortBy catalog table
+    (operators/merge.snapshot_load_bucketed), so the anti-join reads
+    it already hash-partitioned on the key — zero base-side Exchange
+    (plan pinned in tests/test_bucketing.py). Identical oracle to
+    merge_upsert_apply: the layout is proven LOSSLESS through the
+    graded gate, not just plan-shaped."""
+    import shutil
+    import tempfile
+
+    from ..operators.merge import snapshot_load_bucketed
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="cda2_bmerge_")
+    table = "cda2_bucketed_merge_base"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        base = snapshot_load_bucketed(
+            orders, table, ["o_orderkey"], path, buckets=8
+        )
+        changeset = derive_changeset(orders)
+        merged = apply_changeset(base, changeset, keys=["o_orderkey"])
+        rows = merged.collect()
+        return spark.createDataFrame(rows, merged.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(path, ignore_errors=True)
+
+
 # --- M4: exact dedup (aggregate-stable form) ----------------------------------
 
 _DEDUP_ORACLE = """
