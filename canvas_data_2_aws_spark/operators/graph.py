@@ -19,6 +19,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# Above this node count the per-iteration score tables (one double per
+# node) stop being broadcast-safe: 20M (node, double) rows is already
+# ~300 MB serialized, and a 10^9-node graph would ship multi-GB to every
+# executor per iteration. pagerank()/hits() switch to the co-partitioned
+# plan past the cap: the edge list is repartitioned ON THE JOIN KEY once
+# (a layout localCheckpoint preserves), so each iteration exchanges only
+# the O(V) score table while the O(E) edges never move again. Results
+# are bit-identical on both sides of the switch — the sums are
+# DECIMAL(28,12)-cast, so join strategy cannot perturb them — which the
+# capped-vs-uncapped equivalence test pins.
+SCORE_BROADCAST_NODE_CAP = 20_000_000
+
+
+def _score_side(scores: DataFrame, n_nodes: int, cap: int) -> DataFrame:
+    """Broadcast the per-node score table only while it is small."""
+    return F.broadcast(scores) if n_nodes <= cap else scores
+
 
 def connected_components(
     edges: DataFrame,
@@ -114,6 +131,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 5,
     damping: float = 0.85,
+    broadcast_node_cap: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an undirected pair list.
 
@@ -135,17 +153,23 @@ def pagerank(
     )
     nodes = sym.select(F.col("a").alias("node")).distinct()
     n = nodes.count()
+    cap = SCORE_BROADCAST_NODE_CAP if broadcast_node_cap is None else broadcast_node_cap
     # Attach out-degrees to the edge list ONCE; per iteration the big
-    # edge side then joins only the small broadcast ranks table — the
-    # edges never re-shuffle across iterations (at cluster scale the
-    # same plan holds with ranks co-partitioned instead of broadcast).
+    # edge side then joins only the ranks table — broadcast while the
+    # node count fits under the cap, co-partitioned above it. In the
+    # co-partitioned plan the edge list is laid out on the join key
+    # before the checkpoint, so every iteration exchanges only the O(V)
+    # ranks while the O(E) edges never re-shuffle.
     deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
-    sym_deg = sym.join(deg, "a").localCheckpoint(eager=False)
+    sym_deg = sym.join(deg, "a")
+    if n > cap:
+        sym_deg = sym_deg.repartition("a")
+    sym_deg = sym_deg.localCheckpoint(eager=False)
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     teleport = F.lit((1.0 - damping) / n)
     for _ in range(iterations):
         contribs = sym_deg.join(
-            F.broadcast(ranks), sym_deg.a == ranks.node
+            _score_side(ranks, n, cap), sym_deg.a == ranks.node
         ).select(
             F.col("b").alias("node"),
             (F.col("rank") / F.col("deg")).alias("contrib"),
@@ -213,6 +237,7 @@ def hits(
     src: str = "src",
     dst: str = "dst",
     iterations: int = 2,
+    broadcast_node_cap: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg) over a DIRECTED edge list.
 
@@ -223,8 +248,9 @@ def hits(
     before summation (exact, order-free), and the normalizing division
     is identical-operand IEEE — an unrolled SQL form computes the same
     doubles bit-for-bit. Per iteration: two joins of the edge list
-    against broadcast score tables + two partial-aggregated groupBys;
-    the edge list itself never re-shuffles.
+    against the score tables (broadcast under
+    :data:`SCORE_BROADCAST_NODE_CAP`, co-partitioned above it) + two
+    partial-aggregated groupBys; the edge list itself never re-shuffles.
 
     Returns (node, hub, auth); nodes with no outgoing (resp. incoming)
     edges score 0 on that axis.
@@ -245,11 +271,24 @@ def hits(
         .distinct()
         .localCheckpoint()
     )
+    n = nodes.count()
+    cap = SCORE_BROADCAST_NODE_CAP if broadcast_node_cap is None else broadcast_node_cap
+    # HITS joins the edge list on BOTH keys (s for the auth step, d for
+    # the hub step). Under the cap both score tables broadcast and one
+    # edge copy suffices; above it we lay the edges out twice — once per
+    # join key — so each half-step exchanges only the O(V) score table
+    # against its pre-partitioned edge copy (two at-rest layouts, the
+    # standard price of a two-key iterative join at cluster scale).
+    if n > cap:
+        e_by_s = e.repartition("s").localCheckpoint(eager=False)
+        e_by_d = e.repartition("d").localCheckpoint(eager=False)
+    else:
+        e_by_s = e_by_d = e
     hub = nodes.select("node", F.lit(1.0).alias("score"))
     auth = None
     for _ in range(iterations):
         a_raw = (
-            e.join(F.broadcast(hub.withColumnRenamed("node", "s")), "s")
+            e_by_s.join(_score_side(hub.withColumnRenamed("node", "s"), n, cap), "s")
             .groupBy(F.col("d").alias("node"))
             .agg(F.sum(F.col("score").cast("decimal(28,12)")).cast("double").alias("v"))
         )
@@ -265,7 +304,7 @@ def hits(
             .localCheckpoint(eager=False)
         )
         h_raw = (
-            e.join(F.broadcast(auth.withColumnRenamed("node", "d")), "d")
+            e_by_d.join(_score_side(auth.withColumnRenamed("node", "d"), n, cap), "d")
             .groupBy(F.col("s").alias("node"))
             .agg(F.sum(F.col("score").cast("decimal(28,12)")).cast("double").alias("v"))
         )

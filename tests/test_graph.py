@@ -57,6 +57,86 @@ def test_pagerank_invariants(spark, sf_dir):
     assert abs(sum(r.rank for r in rows) - 1.0) < 1e-3
 
 
+def test_pagerank_copartitioned_bitwise_equal(spark):
+    """Forcing the big-V co-partitioned plan (cap=0) returns ranks
+    BIT-identical to the broadcast plan: the DECIMAL(28,12) contribution
+    sums are order/strategy-free, so the size switch cannot perturb the
+    oracle hashes."""
+    from canvas_data_2_aws_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 6)],
+        "src long, dst long",
+    )
+    small = {r.node: r.rank for r in pagerank(edges, iterations=4).collect()}
+    big = {
+        r.node: r.rank
+        for r in pagerank(edges, iterations=4, broadcast_node_cap=0).collect()
+    }
+    assert small == big  # exact float equality, not approx
+
+
+def test_hits_copartitioned_bitwise_equal(spark):
+    from canvas_data_2_aws_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1), (4, 2)], "src long, dst long"
+    )
+    small = {r.node: (r.hub, r.auth) for r in hits(edges, iterations=3).collect()}
+    big = {
+        r.node: (r.hub, r.auth)
+        for r in hits(edges, iterations=3, broadcast_node_cap=0).collect()
+    }
+    assert small == big
+
+
+def test_graph_score_join_not_broadcast_above_cap(spark):
+    """Above the node cap the per-iteration score join must NOT plan as
+    a broadcast: the physical plan for one pagerank contribution step
+    contains a non-broadcast (shuffle/sort-merge) join on the edge key.
+
+    pagerank()/hits() return lazily-checkpointed frames (their external
+    plan is Scan ExistingRDD), so this pins the strategy on the exact
+    join shape the iteration builds: edge-with-degree ⋈ _score_side(ranks).
+    autoBroadcastJoinThreshold is disabled for the capped run to model
+    the real big-V condition (a >cap score table exceeds any broadcast
+    threshold); the under-cap path must keep broadcasting even then,
+    because its explicit hint survives threshold=-1."""
+    from canvas_data_2_aws_spark.operators.graph import _score_side
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "src long, dst long"
+    )
+    from pyspark.sql import functions as F
+
+    sym = edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
+    sym_deg = sym.join(deg, "a")
+    ranks = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "rank", F.lit(0.01)
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # big-V branch: n=100 > cap=0 → plain join, no broadcast anywhere
+        capped = sym_deg.repartition("a").join(
+            _score_side(ranks, 100, 0), sym_deg.a == ranks.node
+        )
+        plan = capped._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        # under-cap branch: hint must broadcast even with threshold=-1
+        # (guards against silently flipping both branches to shuffle)
+        hinted = sym_deg.join(
+            _score_side(ranks, 100, 10**9), sym_deg.a == ranks.node
+        )
+        plan_bc = hinted._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan_bc
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_bfs_levels_min_hop_semantics(spark):
     from canvas_data_2_aws_spark.operators.graph import bfs_levels
 
