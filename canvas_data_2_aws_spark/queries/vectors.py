@@ -407,13 +407,35 @@ def _kmeans_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return built
 
 
-def _build_kmeans_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Above this corpus size the exact index build (two Lloyd iterations as
+# exploded joins over EVERY vector, k ∝ √n ⇒ O(n^1.5) — the round-5
+# probe measured 70.9 s cold at just 200 k×64d) switches to
+# sample-train + BLAS-assign: centroids are trained on a deterministic
+# md5-selected sample of ≈KMEANS_TRAIN_SAMPLE_ROWS vectors with the
+# SAME decimal-exact plan, then the FULL corpus is assigned by an
+# Arrow-batched numpy matmul against the collected k×64 centroid matrix
+# (k ≈ ceil(√(n/50)): 4.5 k centroids × 64 d × 8 B ≈ 2.3 MB at 10⁹
+# vectors — executor-closure-sized at any corpus). Train cost becomes
+# O(sample^1.5) — constant in n — and assignment is one linear BLAS
+# pass, so the cold build is sub-n^1.5 end to end. Below the cap the
+# historical exact plan runs unchanged, so every oracle hash stands.
+KMEANS_EXACT_BUILD_CAP = 1_000_000
+KMEANS_TRAIN_SAMPLE_ROWS = 200_000
+
+
+def _build_kmeans_assignment(
+    spark: SparkSession, sf_dir: str, exact_cap: int | None = None
+) -> DataFrame:
     import math
 
     emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
     # Same k formula as _KMEANS_K_SQL — IEEE sqrt/ceil give the same
     # integer in Python and DuckDB, so assignments hash-match.
-    k = max(4, math.ceil(math.sqrt(emb.count() / 50.0)))
+    k = max(4, math.ceil(math.sqrt(n / 50.0)))
+    cap = KMEANS_EXACT_BUILD_CAP if exact_cap is None else exact_cap
+    if n > cap:
+        return _sampled_kmeans_assignment(emb, n, k)
     pos = emb.select(
         "vec_id", F.posexplode("embedding").alias("dim0", "vf")
     ).select(
@@ -457,6 +479,102 @@ def _build_kmeans_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         a1.withColumnRenamed("c", "c1")
         .join(a2.withColumnRenamed("c", "c2"), "vec_id")
         .select("vec_id", F.col("c1").cast("long"), F.col("c2").cast("long"))
+    )
+
+
+def _sampled_kmeans_assignment(emb: DataFrame, n: int, k: int) -> DataFrame:
+    """Big-corpus index build: decimal-exact training on a deterministic
+    sample, full-corpus assignment via Arrow-batched BLAS.
+
+    Sample selection is md5-bucket (``conv(md5(vec_id)[:8]) % denom``):
+    reproducible in any engine, stable under appends of new ids, no RNG.
+    Training mirrors the exact path bit-for-bit on the sampled rows
+    (same decimal centroid means, same decimal distances, same id
+    tie-break); only the full-corpus assignment runs as float64 matmul,
+    with argmin over ascending cluster ids so ties (measure-zero on
+    real embeddings) still break low-id like the exact plan.
+    """
+    import numpy as np
+    import pandas as pd
+
+    denom = max(1, n // KMEANS_TRAIN_SAMPLE_ROWS)
+    sample = emb.where(
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % denom == 0
+    )
+    pos = sample.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "vf")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("vf").cast("double").alias("v"),
+    )
+
+    def centroids(assign: DataFrame | None) -> DataFrame:
+        if assign is None:
+            src = pos.withColumn("j", F.col("vec_id") % k)
+        else:
+            src = pos.join(assign, "vec_id").withColumnRenamed("c", "j")
+        return src.groupBy("j", "dim").agg(
+            (
+                F.sum(F.col("v").cast("decimal(38,10)")).cast("double")
+                / F.count("*")
+            ).alias("c")
+        )
+
+    def assign_step(cent: DataFrame) -> DataFrame:
+        d = (
+            pos.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "j")
+            .agg(
+                F.sum(
+                    F.expr("CAST((v - c) * (v - c) AS DECIMAL(38,12))")
+                ).alias("dist")
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "j")
+        return (
+            d.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("vec_id", F.col("j").alias("c"))
+        )
+
+    cent0 = centroids(None)
+    a1_s = assign_step(cent0).localCheckpoint()
+    cent1 = centroids(a1_s)
+
+    def to_matrix(cent: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        rows = cent.collect()  # ≤ k×64 rows — MBs at 10⁹-vector k
+        js = np.array(sorted({r.j for r in rows}), dtype=np.int64)
+        jpos = {int(j): i for i, j in enumerate(js)}
+        dims = max(r.dim for r in rows)
+        mat = np.zeros((len(js), dims), dtype=np.float64)
+        for r in rows:
+            mat[jpos[int(r.j)], r.dim - 1] = r.c
+        return js, mat
+
+    js0, c0 = to_matrix(cent0)
+    js1, c1m = to_matrix(cent1)
+    sq0 = (c0 * c0).sum(axis=1)
+    sq1 = (c1m * c1m).sum(axis=1)
+
+    def assign_batches(batches):
+        for pdf in batches:
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            # ||x−c||² argmin ≡ (||c||² − 2x·c) argmin; js ascending →
+            # np.argmin's first-occurrence rule breaks ties low-id.
+            d0 = sq0[None, :] - 2.0 * (x @ c0.T)
+            d1 = sq1[None, :] - 2.0 * (x @ c1m.T)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "c1": js0[np.argmin(d0, axis=1)],
+                    "c2": js1[np.argmin(d1, axis=1)],
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        assign_batches, "vec_id long, c1 long, c2 long"
     )
 
 

@@ -41,6 +41,47 @@ def test_kmeans_assignments_valid_and_moving(spark, sf_dir):
     assert any(r.c1 != r.c2 for r in rows)
 
 
+def test_kmeans_sampled_build_matches_exact_when_sample_is_full(spark, sf_dir):
+    """Forcing the big-corpus path (exact_cap=0) at fixture scale makes
+    denom=1 → the training sample IS the full corpus, so the sampled
+    build trains identical centroids with the identical decimal plan and
+    the BLAS assignment must reproduce the exact path's assignments
+    exactly (no ties on real-valued embeddings)."""
+    from canvas_data_2_aws_spark.queries.vectors import _build_kmeans_assignment
+
+    exact = {
+        (r.vec_id): (r.c1, r.c2)
+        for r in _build_kmeans_assignment(spark, sf_dir).collect()
+    }
+    sampled = {
+        (r.vec_id): (r.c1, r.c2)
+        for r in _build_kmeans_assignment(spark, sf_dir, exact_cap=0).collect()
+    }
+    assert exact == sampled
+
+
+def test_kmeans_sampled_build_subsample_invariants(spark, sf_dir):
+    """With a genuinely partial training sample (KMEANS_TRAIN_SAMPLE_ROWS
+    patched below n), every corpus vector still gets exactly one
+    assignment per iteration and clusters stay in range."""
+    import canvas_data_2_aws_spark.queries.vectors as V
+    from canvas_data_2_aws_spark.session import load_table
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    old = V.KMEANS_TRAIN_SAMPLE_ROWS
+    V.KMEANS_TRAIN_SAMPLE_ROWS = max(1, n // 4)  # denom≈4 → ~25% sample
+    try:
+        rows = V._build_kmeans_assignment(spark, sf_dir, exact_cap=0).collect()
+    finally:
+        V.KMEANS_TRAIN_SAMPLE_ROWS = old
+    import math
+
+    k = max(4, math.ceil(math.sqrt(n / 50.0)))
+    assert len(rows) == n
+    assert len({r.vec_id for r in rows}) == n
+    assert all(0 <= r.c1 < k and 0 <= r.c2 < k for r in rows)
+
+
 def test_cosine_blas_refuses_oversized_corpus(spark):
     """The broadcast-corpus path must refuse (not driver-OOM) above the
     row cap, and the error must name the bucketed alternatives."""
