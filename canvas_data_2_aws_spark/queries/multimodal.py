@@ -239,6 +239,20 @@ def multimodal_storage_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # With a real image codec the signature becomes a DCT pHash computed
 # in the decode mapInPandas stage; the banding/verify plan is
 # unchanged — that separation is the point of this query.
+# Candidate generation runs in the VALUE domain: the signature space is
+# 2^16, so the distinct-phash table is ≤65 536 rows at ANY corpus size
+# and the two 8-bit band buckets hold ≤256 values each — the value-level
+# clique join is bounded (≈512·256²/2 candidates worst case) with NO cap
+# needed and therefore NO recall loss from capping. Doc expansion is
+# where the corpus-sized caps live, and there they are connectivity-
+# EXACT, not heuristic: all docs sharing a phash are pairwise hamming-0,
+# so a >64-member group emits a min-doc_id star of TRUE (hamming-0)
+# pairs that always survive the verify, and a big-group cross pair
+# emits one rep–rep edge (a true pair at the value pair's hamming).
+# Emitted components therefore coincide exactly with the true
+# hamming≤3 graph's components — unlike the round-5 band-bucket star,
+# whose hub edges could fail the verify and split components (the
+# round-5 advisory finding this rewrite closes).
 _PHASH_ORACLE = """
 WITH sig AS (
   SELECT doc_id,
@@ -256,48 +270,65 @@ ph AS (
                 THEN CAST(1 AS BIGINT) << i ELSE 0 END)) AS BIGINT) AS phash
   FROM sig
 ),
-bands AS (
-  SELECT doc_id, phash, 0 AS band, phash // 256 AS bkey FROM ph
+vals AS (
+  SELECT phash, COUNT(*) AS n, MIN(doc_id) AS rep FROM ph GROUP BY phash
+),
+vbands AS (
+  SELECT phash, 0 AS band, phash // 256 AS bkey FROM vals
   UNION ALL
-  SELECT doc_id, phash, 1 AS band, phash % 256 AS bkey FROM ph
+  SELECT phash, 1 AS band, phash % 256 AS bkey FROM vals
 ),
-bstats AS (
-  SELECT band, bkey, COUNT(*) AS n,
-         MIN(doc_id) AS hub, arg_min(phash, doc_id) AS hub_ph
-  FROM bands GROUP BY band, bkey
-),
-cand AS (
-  SELECT DISTINCT doc_a, ph_a, doc_b, ph_b FROM (
-    SELECT a.doc_id AS doc_a, a.phash AS ph_a,
-           b.doc_id AS doc_b, b.phash AS ph_b
-    FROM bands a
-    JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
-                AND a.doc_id < b.doc_id
-    JOIN bstats c ON c.band = a.band AND c.bkey = a.bkey
-    WHERE c.n <= 64
-    UNION ALL
-    SELECT c.hub AS doc_a, c.hub_ph AS ph_a,
-           s.doc_id AS doc_b, s.phash AS ph_b
-    FROM bands s
-    JOIN bstats c ON c.band = s.band AND c.bkey = s.bkey
-    WHERE c.n > 64 AND s.doc_id <> c.hub
-  ) u
+vpairs AS (
+  -- each value appears once per band, and both bands matching would
+  -- force equality, so (ph_a, ph_b) is already unique: no DISTINCT
+  SELECT a.phash AS ph_a, b.phash AS ph_b,
+         CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+  FROM vbands a
+  JOIN vbands b ON a.band = b.band AND a.bkey = b.bkey
+              AND a.phash < b.phash
+  WHERE bit_count(xor(a.phash, b.phash)) <= 3
 )
-SELECT doc_a, doc_b,
-       CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
-FROM cand
-WHERE bit_count(xor(ph_a, ph_b)) <= 3
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
+FROM ph a JOIN ph b ON a.phash = b.phash AND a.doc_id < b.doc_id
+JOIN vals v ON v.phash = a.phash
+WHERE v.n <= 64
+UNION ALL
+SELECT v.rep AS doc_a, p.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
+FROM ph p JOIN vals v ON v.phash = p.phash
+WHERE v.n > 64 AND p.doc_id <> v.rep
+UNION ALL
+SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+       GREATEST(a.doc_id, b.doc_id) AS doc_b, vp.hamming
+FROM vpairs vp
+JOIN vals va ON va.phash = vp.ph_a
+JOIN vals vb ON vb.phash = vp.ph_b
+JOIN ph a ON a.phash = vp.ph_a
+JOIN ph b ON b.phash = vp.ph_b
+WHERE va.n <= 64 AND vb.n <= 64
+UNION ALL
+SELECT LEAST(va.rep, vb.rep) AS doc_a,
+       GREATEST(va.rep, vb.rep) AS doc_b, vp.hamming
+FROM vpairs vp
+JOIN vals va ON va.phash = vp.ph_a
+JOIN vals vb ON vb.phash = vp.ph_b
+WHERE va.n > 64 OR vb.n > 64
 """
 
 
 @graded("multimodal_phash_dedup", oracle=_PHASH_ORACLE)
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate payloads by 16-bit block-mean perceptual hash:
-    signature map stage (pure higher-order functions, no explode, no
-    shuffle) → two 8-bit band buckets (one exchange on the band key,
-    group sizes ≈ duplicate cluster sizes) → exact Hamming verify.
-    The banded-LSH plan is dedup_minhash_banded's, applied to the
-    byte domain."""
+    """Near-duplicate payloads by 16-bit block-mean perceptual hash.
+
+    Signature map stage (pure higher-order functions, no explode, no
+    shuffle) → ONE exchange on phash → value-domain candidate
+    generation (≤65 536 distinct signatures regardless of corpus size;
+    two 8-bit bands bound each bucket at 256 VALUES, so the value
+    clique join is corpus-independent and needs no recall-losing cap)
+    → doc expansion with connectivity-EXACT caps: >64-member
+    same-value groups emit a min-doc_id star of hamming-0 (always
+    true) pairs; cross pairs touching a big group emit one rep–rep
+    edge. Every output pair is a true hamming≤3 pair and the emitted
+    graph's connected components equal the true graph's exactly."""
     # Rebalance before the hashing map (same rationale as
     # dedup_minhash_banded): the corpus parquet is one row group, and
     # inheriting that single partition serializes the whole signature
@@ -344,77 +375,117 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT), CAST(-1 AS BIGINT))"
         ).alias("phash"),
     )
-    bands = (
-        ph.select(
-            "doc_id",
-            "phash",
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.lit(0).alias("band"),
-                        F.expr("phash DIV 256").alias("bkey"),
-                    ),
-                    F.struct(
-                        F.lit(1).alias("band"),
-                        (F.col("phash") % 256).alias("bkey"),
-                    ),
+    # Materialization barrier, NOT just co-partitioning: without this
+    # Exchange, CollapseProject inlines the whole nested-HOF phash
+    # expression into every downstream join output, re-evaluating it
+    # per CANDIDATE PAIR (measured 243 s at sf0.1 vs ~5 s with the
+    # barrier). After the shuffle every consumer — the value census,
+    # both expansion self-joins — reads an 8-byte phash value, already
+    # partitioned on the join key (one Exchange total for the doc side).
+    ph = ph.repartition("phash").localCheckpoint(eager=False)
+    # Value census: ≤65 536 rows at ANY corpus size (16-bit domain) —
+    # groupBy reuses ph's partitioning (no second exchange) and the
+    # result is always broadcast-sized.
+    vals = ph.groupBy("phash").agg(
+        F.count("*").alias("n"), F.min("doc_id").alias("rep")
+    )
+    vband = vals.select(
+        "phash",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    F.expr("phash DIV 256").alias("bkey"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    (F.col("phash") % 256).alias("bkey"),
+                ),
+            )
+        ).alias("e"),
+    ).select("phash", "e.band", "e.bkey")
+    # Value-level candidates: each band bucket holds ≤256 DISTINCT
+    # values, so this join is corpus-independent (≤ ~8.4 M candidate
+    # checks worst case over a saturated 16-bit domain) and needs no
+    # cap. Each value appears once per band and both bands matching
+    # would force equality, so pairs are already unique — no DISTINCT.
+    vp = (
+        vband.alias("a")
+        .join(F.broadcast(vband.alias("b")), ["band", "bkey"])
+        .where(F.col("a.phash") < F.col("b.phash"))
+        .select(
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+            F.expr("bit_count(a.phash ^ b.phash)").cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+    )
+    vp = F.broadcast(
+        vp.join(
+            F.broadcast(
+                vals.select(
+                    F.col("phash").alias("ph_a"),
+                    F.col("n").alias("n_a"),
+                    F.col("rep").alias("rep_a"),
                 )
-            ).alias("e"),
-        )
-        .select("doc_id", "phash", "e.band", "e.bkey")
-        # Materialization barrier, NOT just co-partitioning: without
-        # this Exchange, CollapseProject inlines the whole nested-HOF
-        # phash expression into the join output, re-evaluating it per
-        # CANDIDATE PAIR (2× per row) — measured 243 s at sf0.1 vs
-        # ~5 s with the barrier. After the shuffle the join carries an
-        # 8-byte phash value, and the self-join is already partitioned
-        # on its key.
-        .repartition("band", "bkey")
-    )
-    # Enforced bucket cap (same bound as minhash_candidates /
-    # simhash_pairs): the band keys have only 256 possible values
-    # each, so bucket sizes grow LINEARLY with the corpus and the
-    # clique join is O(n²/256) — the 100× probe wedged on ~10⁹
-    # candidate pairs at 500 k docs. Buckets above 64 members emit a
-    # hub-spoke star on the bucket's minimum doc_id; the Hamming
-    # verify then runs on O(n) star edges. The bucket census is
-    # ≤ 512 rows — always broadcast.
-    bstats = F.broadcast(
-        bands.groupBy("band", "bkey").agg(
-            F.count("*").alias("n"),
-            F.min("doc_id").alias("hub"),
-            F.expr("min_by(phash, doc_id)").alias("hub_ph"),
+            ),
+            "ph_a",
+        ).join(
+            F.broadcast(
+                vals.select(
+                    F.col("phash").alias("ph_b"),
+                    F.col("n").alias("n_b"),
+                    F.col("rep").alias("rep_b"),
+                )
+            ),
+            "ph_b",
         )
     )
-    bj = bands.join(bstats, ["band", "bkey"])
-    small = bj.where(F.col("n") <= 64)
-    a = small.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("phash").alias("ph_a"),
-        "band",
-        "bkey",
+    # Doc expansion. Caps here are connectivity-exact (see docstring):
+    # every emitted edge is a true pair, so none can be dropped by a
+    # later verify — components match the true graph's.
+    phv = ph.join(F.broadcast(vals), "phash")
+    within_small = (
+        phv.where(F.col("n") <= 64)
+        .alias("a")
+        .join(phv.where(F.col("n") <= 64).alias("b"), "phash")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
     )
-    b = small.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("phash").alias("ph_b"),
-        "band",
-        "bkey",
-    )
-    clique = (
-        a.join(b, ["band", "bkey"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "ph_a", "doc_b", "ph_b")
-    )
-    star = bj.where(
-        (F.col("n") > 64) & (F.col("doc_id") != F.col("hub"))
+    within_star = phv.where(
+        (F.col("n") > 64) & (F.col("doc_id") != F.col("rep"))
     ).select(
-        F.col("hub").alias("doc_a"),
-        F.col("hub_ph").alias("ph_a"),
+        F.col("rep").alias("doc_a"),
         F.col("doc_id").alias("doc_b"),
-        F.col("phash").alias("ph_b"),
+        F.lit(0).cast("long").alias("hamming"),
     )
-    cand = clique.unionByName(star).distinct()
-    hamming = F.expr("bit_count(ph_a ^ ph_b)").cast("long")
-    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).where(
-        F.col("hamming") <= 3
+    vp_small = vp.where((F.col("n_a") <= 64) & (F.col("n_b") <= 64))
+    cross_small = (
+        ph.select(F.col("phash").alias("ph_a"), F.col("doc_id").alias("id_a"))
+        .join(vp_small, "ph_a")
+        .join(
+            ph.select(
+                F.col("phash").alias("ph_b"), F.col("doc_id").alias("id_b")
+            ),
+            "ph_b",
+        )
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            "hamming",
+        )
+    )
+    cross_star = vp.where((F.col("n_a") > 64) | (F.col("n_b") > 64)).select(
+        F.least("rep_a", "rep_b").alias("doc_a"),
+        F.greatest("rep_a", "rep_b").alias("doc_b"),
+        "hamming",
+    )
+    return (
+        within_small.unionByName(within_star)
+        .unionByName(cross_small)
+        .unionByName(cross_star)
     )
