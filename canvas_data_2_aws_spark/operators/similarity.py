@@ -62,7 +62,7 @@ def _np_corpus(
     id_col: str,
     vec_col: str,
     block_col: str | None = None,
-    row_cap: int = CORPUS_ROW_CAP,
+    row_cap: int | None = None,
 ):
     """Materialize a corpus snapshot as numpy (ids, float64 matrix,
     norms, optional block labels), id-sorted for determinism.
@@ -77,6 +77,11 @@ def _np_corpus(
     shuffles on LSH bucket keys and never materializes the corpus in
     one place.
     """
+    # Resolve the cap at CALL time so patching the module constant
+    # (tests, operational overrides) takes effect — a default argument
+    # would freeze the value at definition time.
+    if row_cap is None:
+        row_cap = CORPUS_ROW_CAP
     cols = [id_col, vec_col] + ([block_col] if block_col else [])
     pdf = df.select(*cols).limit(row_cap + 1).toPandas()
     if len(pdf) > row_cap:

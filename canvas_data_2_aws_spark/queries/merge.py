@@ -106,6 +106,7 @@ def merge_bucketed_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plan pinned in tests/test_bucketing.py). Identical oracle to
     merge_upsert_apply: the layout is proven LOSSLESS through the
     graded gate, not just plan-shaped."""
+    import os
     import shutil
     import tempfile
 
@@ -113,7 +114,10 @@ def merge_bucketed_base(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     path = tempfile.mkdtemp(prefix="cda2_bmerge_")
-    table = "cda2_bucketed_merge_base"
+    # Unique per-invocation table name (derived from the tempdir
+    # suffix): concurrent runs sharing a metastore — pytest-xdist, a
+    # bench alongside the suite — must not clobber each other's table.
+    table = f"cda2_bucketed_merge_base_{os.path.basename(path).split('_')[-1]}"
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     try:
         base = snapshot_load_bucketed(
@@ -121,8 +125,14 @@ def merge_bucketed_base(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         changeset = derive_changeset(orders)
         merged = apply_changeset(base, changeset, keys=["o_orderkey"])
-        rows = merged.collect()
-        return spark.createDataFrame(rows, merged.schema)
+        # Persist the merged result to parquet and re-read, so the
+        # returned frame outlives the temp-table drop WITHOUT a
+        # driver-sized collect (the graded artifact now survives at any
+        # scale; production callers keep the lazy apply_changeset).
+        out = os.path.join(path, "_merged_out")
+        merged.write.mode("overwrite").parquet(out)
+        reread = spark.read.parquet(out).localCheckpoint(eager=True)
+        return reread
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(path, ignore_errors=True)

@@ -307,11 +307,12 @@ def schema_compiled_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts under the regenerated v2 schema — v1 rows surface NULL for
     the added column. This is ``get_table_schema`` → DDL-regeneration
     → evolution, with the schema never inferred at any step."""
-    from pyspark.sql.types import StructField, StructType
-
     from ..sources.schema_compiler import compile_json_schema, migrate
 
     st1 = compile_json_schema(_ORDERS_SCHEMA_V1)
+    # migrate() forces added columns nullable in the returned
+    # StructType (historical parts surface NULL for them), so it IS
+    # the read schema — no manual nullable rebuild needed.
     st2, added = migrate(_ORDERS_SCHEMA_V1, _ORDERS_SCHEMA_V2)
     assert added == ["sync_origin"], added
     orders = load_table(spark, sf_dir, "orders")
@@ -327,16 +328,11 @@ def schema_compiled_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         v1.write.mode("overwrite").parquet(f"{path}/p1")
         v2.write.mode("overwrite").parquet(f"{path}/p2")
-        # Strict schema-applied read under the regenerated v2 schema
-        # (nullable on read: the v1 part has no sync_origin values).
-        read_schema = StructType(
-            [StructField(f.name, f.dataType, True) for f in st2.fields]
-        )
-        merged = spark.read.schema(read_schema).parquet(
-            f"{path}/p1", f"{path}/p2"
-        )
-        rows = merged.collect()
-        return spark.createDataFrame(rows, read_schema)
+        # Strict schema-applied read under the regenerated migration
+        # schema; materialize (executor-block checkpoint, no driver
+        # collect) so the frame outlives the tempdir cleanup.
+        merged = spark.read.schema(st2).parquet(f"{path}/p1", f"{path}/p2")
+        return merged.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
 

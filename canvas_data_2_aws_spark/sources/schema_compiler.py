@@ -112,7 +112,21 @@ def compile_json_schema(doc: dict[str, Any]) -> T.StructType:
     """
     schema = doc.get("schema", doc)
     props = schema.get("properties", {})
-    if set(props) == {"key", "value"}:
+
+    def _is_object_schema(spec: Any) -> bool:
+        return (
+            isinstance(spec, dict)
+            and spec.get("type", "object") == "object"
+            and isinstance(spec.get("properties"), dict)
+        )
+
+    # Split form only when BOTH entries are object schemas carrying
+    # their own properties maps — a legitimate flat table whose two
+    # columns happen to be named 'key' and 'value' (the common kv-table
+    # shape) must compile as flat, not be mis-flattened.
+    if set(props) == {"key", "value"} and all(
+        _is_object_schema(props[k]) for k in ("key", "value")
+    ):
         return T.StructType(
             _object_fields(props["key"], force_required=True)
             + _object_fields(props["value"])
@@ -144,9 +158,13 @@ def migrate(
     added column names (columns the replica must backfill as NULL).
 
     Refuses narrowing changes the upstream never performs: dropping a
-    column or changing a column's compiled type raises — history
-    cannot be rewritten; additive evolution only (mergeSchema
-    semantics, SURVEY §1.1).
+    column, changing a column's compiled type, or narrowing an existing
+    column's nullability (nullable → NOT NULL) raises — history cannot
+    be rewritten; additive evolution only (mergeSchema semantics,
+    SURVEY §1.1). Added columns are forced NULLABLE in the returned
+    StructType even when the new document marks them required: every
+    historical part must surface NULL for them, so the migration read
+    schema cannot claim NOT NULL.
     """
     if schema_version(new_doc) < schema_version(old_doc):
         raise ValueError(
@@ -154,16 +172,26 @@ def migrate(
             f"{schema_version(new_doc)}"
         )
     old = {f.name: f for f in compile_json_schema(old_doc).fields}
-    new_struct = compile_json_schema(new_doc)
+    new_fields = []
     added = []
-    for f in new_struct.fields:
+    for f in compile_json_schema(new_doc).fields:
         if f.name not in old:
             added.append(f.name)
-        elif old[f.name].dataType != f.dataType:
+            new_fields.append(T.StructField(f.name, f.dataType, nullable=True))
+            continue
+        if old[f.name].dataType != f.dataType:
             raise ValueError(
                 f"type change on {f.name}: {old[f.name].dataType} -> "
                 f"{f.dataType} (additive evolution only)"
             )
+        if old[f.name].nullable and not f.nullable:
+            raise ValueError(
+                f"nullability narrowed on {f.name}: historical parts may "
+                "hold NULLs, so nullable -> NOT NULL cannot migrate "
+                "(additive evolution only)"
+            )
+        new_fields.append(f)
+    new_struct = T.StructType(new_fields)
     dropped = set(old) - {f.name for f in new_struct.fields}
     if dropped:
         raise ValueError(f"columns dropped in v{schema_version(new_doc)}: {sorted(dropped)}")

@@ -113,6 +113,59 @@ def test_migrate_refuses_narrowing():
         migrate(V1, regressed)
 
 
+def test_flat_table_named_key_value_stays_flat():
+    """A legitimate flat table whose only columns are literally 'key'
+    and 'value' (the common kv-table shape) must NOT be mis-compiled
+    into the get_table_schema split form — the split path engages only
+    when both entries are object schemas with their own properties."""
+    doc = {
+        "schemaVersion": 1,
+        "schema": {
+            "properties": {
+                "key": {"type": "string"},
+                "value": {"type": "number"},
+            },
+            "required": ["key"],
+        },
+    }
+    st = compile_json_schema(doc)
+    assert [f.name for f in st.fields] == ["key", "value"]
+    assert st.fields[0].dataType == T.StringType()
+    assert st.fields[1].dataType == T.DoubleType()
+    assert st.fields[0].nullable is False
+
+
+def test_migrate_forces_added_required_column_nullable():
+    """An added column that the new doc marks required still compiles
+    nullable in the MIGRATION StructType: every historical part must
+    surface NULL for it."""
+    import copy
+
+    v2 = copy.deepcopy(V1)
+    v2["schemaVersion"] = 4
+    v2["schema"]["properties"]["sync_origin"] = {"type": "string"}
+    v2["schema"]["required"] = ["id", "sync_origin"]
+    st, added = migrate(V1, v2)
+    assert added == ["sync_origin"]
+    by_name = {f.name: f for f in st.fields}
+    assert by_name["sync_origin"].nullable is True
+    # while the standalone compile of v2 honors the required flag
+    fresh = {f.name: f for f in compile_json_schema(v2).fields}
+    assert fresh["sync_origin"].nullable is False
+
+
+def test_migrate_refuses_nullability_narrowing():
+    """Newly marking an EXISTING column required (nullable -> NOT NULL)
+    must raise: historical parts may hold NULLs."""
+    import copy
+
+    v2 = copy.deepcopy(V1)
+    v2["schemaVersion"] = 4
+    v2["schema"]["required"] = ["id", "name"]
+    with pytest.raises(ValueError, match="nullability narrowed on name"):
+        migrate(V1, v2)
+
+
 def test_unsupported_type_raises():
     with pytest.raises(ValueError, match="unsupported"):
         compile_json_schema({"schema": {"properties": {"x": {"type": "weird"}}}})

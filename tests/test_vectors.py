@@ -94,17 +94,18 @@ def test_cosine_blas_refuses_oversized_corpus(spark):
         F.col("id").alias("vec_id"),
         F.array(F.rand(seed=1), F.rand(seed=2)).alias("embedding"),
     )
-    with pytest.raises(ValueError, match="ann_hyperplane_lsh"):
-        # row_cap is plumbed through _np_corpus's default; shrink it via
-        # monkeypatch-free direct call by patching the module constant.
-        import canvas_data_2_aws_spark.operators.similarity as sim
+    import canvas_data_2_aws_spark.operators.similarity as sim
 
-        old = sim.CORPUS_ROW_CAP
-        sim.CORPUS_ROW_CAP = 10
-        try:
-            sim._np_corpus(emb, "vec_id", "embedding", row_cap=10)
-        finally:
-            sim.CORPUS_ROW_CAP = old
+    # Patching the module constant is honored at CALL time (row_cap=None
+    # resolves inside the function) — so callers like cosine_blas get a
+    # non-default cap too, not just explicit row_cap= callers.
+    old = sim.CORPUS_ROW_CAP
+    sim.CORPUS_ROW_CAP = 10
+    try:
+        with pytest.raises(ValueError, match="ann_hyperplane_lsh"):
+            sim._np_corpus(emb, "vec_id", "embedding")
+    finally:
+        sim.CORPUS_ROW_CAP = old
     # under the cap the pipeline still works end-to-end
     out = cosine_blas(emb, emb, mode="knn", k=3).collect()
     assert len(out) == 150
