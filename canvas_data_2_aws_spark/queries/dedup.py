@@ -1183,37 +1183,44 @@ HAVING COUNT(*) FILTER (WHERE c.pos IS NOT NULL) > 0
 def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cut every cross-document duplicated span out of the affected
     docs and re-emit the cleaned text — the corpus-editing step after
-    span detection. The span table is duplication-sized (broadcasts);
-    covered positions explode from spans, not from text, so the extra
-    work tracks duplication volume; the rebuild is one doc-keyed
-    aggregation with an order-pinned collect."""
+    span detection. Each doc's span list is collected into ONE array
+    row (spans per doc are few; the groupBy reuses the detector's
+    doc_id partitioning), inner-joined to the corpus on doc_id, and the
+    text is rebuilt doc-locally with higher-order functions: filter
+    tokens whose position falls in any span, count the drops. No
+    token-level explode, no covered-position explode, no broadcast —
+    the round-5 form broadcast a covered-position set that is
+    CORPUS-sized on heavily duplicated corpora (the 100× probe's 44×
+    wall), where this plan's only data movement is the doc-keyed join
+    against the duplication-sized span table (probe: 44×→linear)."""
     spans = dedup_duplicate_spans(spark, sf_dir).select(
         "doc_id", F.col("span_start").alias("s"), F.col("span_end").alias("e")
     )
-    covered = spans.select(
-        "doc_id", F.explode(F.sequence("s", "e")).alias("pos")
-    ).distinct()
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("spans")
+    )
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    joined = docs.select("doc_id", F.split("text", " ").alias("w")).join(
+        per_doc, "doc_id"
     )
-    flagged = toks.join(
-        F.broadcast(covered.withColumn("cov", F.lit(1))), ["doc_id", "pos"], "left"
+    # Positions covered by overlapping spans must count once: keep is a
+    # per-position predicate, so overlap handling is free. A fully
+    # covered doc rebuilds to '' (matches the oracle's COALESCE).
+    kept = F.filter(
+        F.transform(
+            F.col("w"), lambda t, i: F.struct(i.alias("i"), t.alias("t"))
+        ),
+        lambda x: ~F.exists(
+            F.col("spans"),
+            lambda sp: (sp["s"] <= x["i"]) & (x["i"] <= sp["e"]),
+        ),
     )
-    # collect_list drops the NULLs the covered positions produce, so
-    # the sorted survivor array rebuilds the text; a fully-covered doc
-    # rebuilds to '' (COALESCE on the oracle side matches).
     return (
-        flagged.groupBy("doc_id")
-        .agg(
-            F.count("cov").alias("n_removed"),
+        joined.select(
+            "doc_id",
+            (F.size("w") - F.size(kept)).cast("long").alias("n_removed"),
             F.array_join(
-                F.expr(
-                    "transform(array_sort(collect_list("
-                    " CASE WHEN cov IS NULL THEN struct(pos, tok) END)),"
-                    " x -> x.tok)"
-                ),
-                " ",
+                F.transform(kept, lambda x: x["t"]), " "
             ).alias("cleaned"),
         )
         .where(F.col("n_removed") > 0)
