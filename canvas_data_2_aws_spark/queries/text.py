@@ -414,8 +414,15 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary agg, one for the per-doc agg, nothing quadratic."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(T.tokens()).alias("token"))
-    cnt = tok.groupBy("token").agg(F.count("*").alias("c"))
-    n = tok.agg(F.count("*").alias("n"))
+    # Vocabulary table materialized once (vocab-sized — fine to pin at
+    # any corpus scale); the corpus token total derives from it as
+    # sum(c) — identical value to counting the token stream, WITHOUT a
+    # third full tokenize pass over the corpus (probe + cnt are the
+    # only two scans).
+    cnt = tok.groupBy("token").agg(F.count("*").alias("c")).localCheckpoint(
+        eager=False
+    )
+    n = cnt.agg(F.sum("c").alias("n"))
     term = F.log(F.col("n").cast("double") / F.col("c")).cast("decimal(38,9)")
     return (
         tok.join(F.broadcast(cnt), "token")
