@@ -1137,3 +1137,105 @@ def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_reassigned"),
         )
     )
+
+
+# --- leakage-safe split keyed on banded-MinHash component roots -----------------
+
+# The wide-cluster-id variant the SimHash split's docstring promises:
+# when 16-bit collision groups saturate (at corpus scale nearly every
+# group is hash-collision noise, not true near-duplication), the
+# cluster id must come from the REAL near-dup graph — banded-MinHash
+# verified pairs (jaccard ≥ 0.5) closed under connectivity. The root is
+# each connected component's minimum doc_id (operators/graph.py
+# min-label propagation); docs in no pair are singleton clusters.
+# Assignment stays md5(root) bucketing, so the same invariants hold:
+# reproducible under reruns/repartition/appends, and no verified
+# near-dup pair ever straddles train/test. The oracle runs the same
+# closure as a recursive CTE — full hash-match, including the
+# iterative component resolution.
+
+from .dedup import _MINHASH_BANDED_ORACLE as _MB_SQL
+
+_MINHASH_SPLIT_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_MB_SQL}) q WHERE jaccard >= 0.5
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+cc AS (
+  SELECT a AS node, a AS comp FROM edges
+  UNION
+  SELECT e.a AS node, cc.comp AS comp
+  FROM edges e JOIN cc ON cc.node = e.b
+),
+roots AS (SELECT node, MIN(comp) AS root FROM cc GROUP BY node),
+assign AS (
+  SELECT d.doc_id, COALESCE(r.root, d.doc_id) AS root
+  FROM documents d LEFT JOIN roots r ON r.node = d.doc_id
+),
+lab AS (
+  SELECT doc_id, root,
+         CASE WHEN substring(md5(CAST(root AS VARCHAR)), 1, 2) < '1a'
+              THEN 'test' ELSE 'train' END AS split,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+              THEN 'test' ELSE 'train' END AS naive_split
+  FROM assign
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT root) AS n_clusters,
+       CAST(SUM(CASE WHEN split <> naive_split THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_reassigned
+FROM lab
+GROUP BY split
+"""
+
+
+@graded("pipeline_leakage_split_minhash", oracle=_MINHASH_SPLIT_ORACLE)
+def pipeline_leakage_split_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-atomic split keyed on banded-MinHash connected-component
+    roots — the corpus-scale leakage split (see module comment above).
+    Verified pairs (jaccard ≥ 0.5, bit-identical division both engines)
+    feed min-label-propagation connected components; every doc inherits
+    its component root's md5 bucket, singletons root at themselves. The
+    component closure is O(log diameter) joins on the duplication-sized
+    pair graph, never corpus²."""
+    from ..operators.graph import connected_components
+    from .dedup import dedup_minhash_banded
+
+    pairs = (
+        dedup_minhash_banded(spark, sf_dir)
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    comps = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("comp")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    assign = docs.join(comps, "doc_id", "left").select(
+        "doc_id", F.coalesce("comp", "doc_id").alias("root")
+    )
+    bucket = lambda c: F.when(  # noqa: E731
+        F.substring(F.md5(F.col(c).cast("string")), 1, 2) < "1a", "test"
+    ).otherwise("train")
+    return (
+        assign.select(
+            "doc_id",
+            "root",
+            bucket("root").alias("split"),
+            bucket("doc_id").alias("naive_split"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("root").alias("n_clusters"),
+            F.sum(
+                F.when(F.col("split") != F.col("naive_split"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_reassigned"),
+        )
+    )

@@ -237,3 +237,53 @@ def test_leakage_safe_split_is_cluster_atomic(spark, sf_dir):
     assert assign.count() == docs.count()
     # and both splits are non-empty at this fixture size
     assert assign.select("split").distinct().count() == 2
+
+
+def test_minhash_component_split_invariants(spark, sf_dir):
+    """The banded-MinHash component-root split must satisfy the same
+    invariants as the SimHash split, on the REAL near-dup graph: no
+    verified pair (jaccard ≥ 0.5) straddles train/test — including
+    pairs connected only TRANSITIVELY — and every doc is assigned
+    exactly once, reproducibly."""
+    from pyspark.sql import functions as F
+
+    from canvas_data_2_aws_spark.operators.graph import connected_components
+    from canvas_data_2_aws_spark.queries.dedup import dedup_minhash_banded
+    from canvas_data_2_aws_spark.session import load_table
+
+    pairs = (
+        dedup_minhash_banded(spark, sf_dir)
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    comps = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), "comp"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    assign = docs.join(comps, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            F.substring(
+                F.md5(F.coalesce("comp", "doc_id").cast("string")), 1, 2
+            )
+            < "1a",
+            "test",
+        )
+        .otherwise("train")
+        .alias("split"),
+    )
+    amap = {r.doc_id: r.split for r in assign.collect()}
+    assert len(amap) == docs.count()  # every doc exactly once
+    straddling = [
+        (r.doc_a, r.doc_b)
+        for r in pairs.collect()
+        if amap[r.doc_a] != amap[r.doc_b]
+    ]
+    assert straddling == []
+    # reproducible: the graded query's totals are stable across reruns
+    g = registry.QUERIES["pipeline_leakage_split_minhash"]
+    r1 = {r.split: (r.n_docs, r.n_clusters) for r in g(spark, sf_dir).collect()}
+    r2 = {r.split: (r.n_docs, r.n_clusters) for r in g(spark, sf_dir).collect()}
+    assert r1 == r2
+    assert sum(n for n, _ in r1.values()) == docs.count()
