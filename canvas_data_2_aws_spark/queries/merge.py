@@ -451,14 +451,12 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("keys", "o_orderkey")
             .load()
         )
-        rows = df.select(
+        # Executor-block checkpoint (not a driver collect): changeset-
+        # sized, only needs to outlive the tempdir cleanup.
+        return df.select(
             "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
             "o_orderpriority", "action",
-        ).collect()
-        return spark.createDataFrame(rows, df.select(
-            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-            "o_orderpriority", "action",
-        ).schema)
+        ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 

@@ -209,8 +209,9 @@ def csv_roundtrip_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .csv(path)
         )
         back = spark.read.csv(path, schema=schema, header=True)
-        rows = back.collect()
-        return spark.createDataFrame(rows, schema)
+        # Executor-block checkpoint (not a driver collect): the frame is
+        # table-sized and only needs to outlive the tempdir cleanup.
+        return back.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
 
