@@ -87,6 +87,10 @@ HEADLINE = [
     "analytics_session_paths",
     # round-5: cluster-atomic split (SimHash groups + md5 bucketing)
     "pipeline_leakage_safe_split",
+    # round-6 additions: minhash-component split (new graded query) and
+    # the value-domain pHash + doc-local span-removal rewrites
+    "pipeline_leakage_split_minhash",
+    "dedup_remove_spans",
 ]
 
 
