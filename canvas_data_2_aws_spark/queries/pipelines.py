@@ -1239,3 +1239,88 @@ def pipeline_leakage_split_minhash(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("n_reassigned"),
         )
     )
+
+
+# --- DSIR-style importance weighting (hashed n-gram features) -------------------
+
+# Data Selection via Importance Resampling (Xie et al. 2023, public):
+# score each raw document by the log importance ratio of a target
+# distribution over hashed features vs the raw-corpus distribution,
+# then keep the top-weighted docs. Features are md5-bucketed unigrams
+# (256 buckets via the first md5 hex byte — the only cross-engine hash,
+# SURVEY §8), both distributions add-1 smoothed. The bucket table is
+# 256 rows at ANY corpus size, so the scoring join is always broadcast
+# and the whole pipeline is two token-stream scans + one per-doc agg —
+# the same shape as the unigram LM. Target = lang='en' (stand-in for
+# "looks like the curated reference corpus").
+_DSIR_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents
+),
+f AS (SELECT doc_id, lang, substring(md5(token), 1, 2) AS fb FROM tok),
+stats AS (
+  SELECT fb, COUNT(*) AS cs,
+         COUNT(*) FILTER (WHERE lang = 'en') AS ct
+  FROM f GROUP BY fb
+),
+tot AS (SELECT SUM(cs) AS ts, SUM(ct) AS tt FROM stats),
+lr AS (
+  SELECT fb,
+         LN(((CAST(ct AS DOUBLE) + 1.0) / (CAST(tot.tt AS DOUBLE) + 256.0))
+            / ((CAST(cs AS DOUBLE) + 1.0) / (CAST(tot.ts AS DOUBLE) + 256.0)))
+           AS lr
+  FROM stats, tot
+),
+w AS (
+  SELECT f.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tok,
+         ROUND(CAST(SUM(CAST(lr.lr AS DECIMAL(38,9))) AS DOUBLE), 4)
+           AS dsir_logweight
+  FROM f JOIN lr USING (fb)
+  GROUP BY f.doc_id
+)
+SELECT doc_id, n_tok, dsir_logweight
+FROM w
+ORDER BY dsir_logweight DESC, doc_id
+LIMIT 100
+"""
+
+
+@graded("pipeline_dsir_weights", oracle=_DSIR_ORACLE)
+def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 documents by DSIR importance log-weight (see module
+    comment): hashed-unigram bucket distributions for target (lang=en)
+    and raw corpus computed in ONE token-stream agg (count + filtered
+    count per bucket), log ratios broadcast back onto the stream, one
+    doc-keyed decimal-exact sum, TakeOrdered top-100. Two corpus scans
+    total; the feature table is 256 rows at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    f = tok.select(
+        "doc_id", "lang", F.substring(F.md5("token"), 1, 2).alias("fb")
+    )
+    stats = f.groupBy("fb").agg(
+        F.count(F.lit(1)).alias("cs"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("ct"),
+    )
+    tot = stats.agg(F.sum("cs").alias("ts"), F.sum("ct").alias("tt"))
+    lr = stats.crossJoin(F.broadcast(tot)).select(
+        "fb",
+        F.log(
+            ((F.col("ct").cast("double") + 1.0) / (F.col("tt").cast("double") + 256.0))
+            / ((F.col("cs").cast("double") + 1.0) / (F.col("ts").cast("double") + 256.0))
+        ).alias("lr"),
+    )
+    w = (
+        f.join(F.broadcast(lr), "fb")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.round(
+                F.sum(F.col("lr").cast("decimal(38,9)")).cast("double"), 4
+            ).alias("dsir_logweight"),
+        )
+    )
+    return w.orderBy(F.col("dsir_logweight").desc(), "doc_id").limit(100)

@@ -967,3 +967,146 @@ def vector_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("hit").cast("double") / 10.0).alias("recall_at_10"),
         )
     )
+
+
+# --- EXT: hybrid retrieval — BM25 ⊕ cosine via reciprocal-rank fusion -----------
+
+# The standard hybrid-search shape (lexical + dense legs fused with
+# RRF, Cormack et al. 2009): each leg independently ranks its top-50
+# candidates for the query document (doc 0), and the fused score is
+# Σ 1/(60+rank) with a missing leg contributing 0. Both legs are
+# deterministic under the house recipes — the BM25 per-term scores are
+# ROUND(,4)-stable and summed as DECIMAL(18,6) (exact), the cosine leg
+# is the ROUND(,4) list_cosine_similarity twin of knn_topk_per_query,
+# and every rank breaks ties on doc_id. 1/(60+r) on integer ranks is
+# identical-operand IEEE in both engines.
+_HYBRID_RRF_ORACLE = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+q AS (SELECT DISTINCT token FROM tok WHERE doc_id = 0),
+st AS (
+  SELECT tf.doc_id,
+         CAST(SUM(CAST(ROUND(
+           LN(1.0 + (CAST(stats.n - dfreq.df AS DOUBLE) + 0.5)
+                    / (CAST(dfreq.df AS DOUBLE) + 0.5))
+           * (CAST(tf.tf AS DOUBLE) * 2.2)
+           / (CAST(tf.tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl))),
+           4) AS DECIMAL(18,6))) AS DOUBLE) AS s_text
+  FROM tf
+  JOIN dl USING (doc_id)
+  JOIN dfreq USING (token)
+  JOIN q USING (token), stats
+  WHERE tf.doc_id <> 0
+  GROUP BY tf.doc_id
+),
+tt AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s_text DESC, doc_id) AS rt
+  FROM st QUALIFY rt <= 50
+),
+sv AS (
+  SELECT b.vec_id AS doc_id,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 4) AS s_vec
+  FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0
+),
+tv AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s_vec DESC, doc_id) AS rv
+  FROM sv QUALIFY rv <= 50
+)
+SELECT COALESCE(tt.doc_id, tv.doc_id) AS doc_id,
+       CAST(tt.rt AS BIGINT) AS rank_text,
+       CAST(tv.rv AS BIGINT) AS rank_vec,
+       ROUND(COALESCE(1.0 / (60.0 + tt.rt), 0.0)
+             + COALESCE(1.0 / (60.0 + tv.rv), 0.0), 6) AS rrf
+FROM tt FULL OUTER JOIN tv ON tt.doc_id = tv.doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT 20
+"""
+
+
+@graded("search_hybrid_rrf", oracle=_HYBRID_RRF_ORACLE)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search for query doc 0: BM25 leg (query-term-filtered
+    inverted scoring — the term filter broadcasts, so the leg costs one
+    tf shuffle like text_bm25) and dense leg (BLAS cosine vs the
+    corpus), each TakeOrdered to top-50, fused by reciprocal-rank
+    fusion and TakeOrdered to top-20. Rank windows run on the 50-row
+    leg results only — no data-scale sort anywhere; at 100 TB each leg
+    is the already-scaled operator (inverted index / ANN) feeding the
+    same 50-row fusion."""
+    from ..operators.ranks import UNIT_GROUP, attach_unit_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qterms = tok.where(F.col("doc_id") == 0).select("token").distinct()
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("n") - F.col("df")).cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    score = (
+        idf
+        * (F.col("tf").cast("double") * 2.2)
+        / (
+            F.col("tf").cast("double")
+            + 1.2 * (0.25 + 0.75 * (F.col("dl").cast("double") / F.col("avgdl")))
+        )
+    )
+    st = (
+        tf.where(F.col("doc_id") != 0)
+        .join(F.broadcast(qterms), "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.round(score, 4).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("s_text")
+        )
+    )
+    top_t = attach_unit_group(
+        st.orderBy(F.col("s_text").desc(), "doc_id").limit(50)
+    )
+    w_t = Window.partitionBy(UNIT_GROUP).orderBy(
+        F.col("s_text").desc(), "doc_id"
+    )
+    tt = top_t.select(
+        "doc_id", F.row_number().over(w_t).cast("long").alias("rank_text")
+    )
+    sv = cosine_blas(
+        emb.where(F.col("vec_id") == 0),
+        emb.where(F.col("vec_id") != 0),
+        mode="knn",
+        k=50,
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("score").alias("s_vec"))
+    top_v = attach_unit_group(sv)
+    w_v = Window.partitionBy(UNIT_GROUP).orderBy(
+        F.col("s_vec").desc(), "doc_id"
+    )
+    tv = top_v.select(
+        "doc_id", F.row_number().over(w_v).cast("long").alias("rank_vec")
+    )
+    fused = tt.join(tv, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_text",
+        "rank_vec",
+        F.round(
+            F.coalesce(1.0 / (60.0 + F.col("rank_text")), F.lit(0.0))
+            + F.coalesce(1.0 / (60.0 + F.col("rank_vec")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)

@@ -287,3 +287,23 @@ def test_minhash_component_split_invariants(spark, sf_dir):
     r2 = {r.split: (r.n_docs, r.n_clusters) for r in g(spark, sf_dir).collect()}
     assert r1 == r2
     assert sum(n for n, _ in r1.values()) == docs.count()
+
+
+def test_dsir_weights_favor_target_language(spark, sf_dir):
+    """DSIR importance weighting with target = lang('en') must surface
+    English docs at a higher rate than the corpus base rate, with
+    weights in descending order and positive token counts."""
+    from pyspark.sql import functions as F
+
+    from canvas_data_2_aws_spark.session import load_table
+
+    rows = registry.QUERIES["pipeline_dsir_weights"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 100
+    ws = [r.dsir_logweight for r in rows]
+    assert ws == sorted(ws, reverse=True)
+    assert all(r.n_tok > 0 for r in rows)
+    docs = load_table(spark, sf_dir, "documents")
+    lang = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    base = sum(1 for v in lang.values() if v == "en") / len(lang)
+    top = sum(1 for r in rows if lang[r.doc_id] == "en") / len(rows)
+    assert top > base, (top, base)

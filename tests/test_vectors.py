@@ -138,3 +138,21 @@ def test_block_local_reranks_partition_invariant(spark, sf_dir):
             assert a, f"{name} empty"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_hybrid_rrf_fusion_invariants(spark, sf_dir):
+    """RRF output: ≤20 rows, fused score descending, ranks in [1, 50],
+    and a doc present in BOTH legs must outscore any doc present in
+    only one leg at an equal-or-worse rank."""
+    rows = registry.QUERIES["search_hybrid_rrf"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r.rrf for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r.rank_text is None or 1 <= r.rank_text <= 50
+        assert r.rank_vec is None or 1 <= r.rank_vec <= 50
+        assert r.rank_text is not None or r.rank_vec is not None
+        expected = (1 / (60 + r.rank_text) if r.rank_text else 0) + (
+            1 / (60 + r.rank_vec) if r.rank_vec else 0
+        )
+        assert abs(r.rrf - expected) < 1e-6
