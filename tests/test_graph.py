@@ -57,6 +57,23 @@ def test_pagerank_invariants(spark, sf_dir):
     assert abs(sum(r.rank for r in rows) - 1.0) < 1e-3
 
 
+def test_cc_paths_identical(spark):
+    """The driver union-find (small graphs) and the distributed
+    min-label propagation (cap forced to 0) must emit IDENTICAL
+    (node, comp) labels — both are component-minimum ids."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22), (5, 5)],
+        "src long, dst long",
+    )
+    uf = {r.node: r.comp for r in connected_components(edges).collect()}
+    dist = {
+        r.node: r.comp
+        for r in connected_components(edges, driver_edge_cap=0).collect()
+    }
+    assert uf == dist
+    assert uf[4] == 1 and uf[22] == 20
+
+
 def test_pagerank_copartitioned_bitwise_equal(spark):
     """Forcing the big-V co-partitioned plan (cap=0) returns ranks
     BIT-identical to the broadcast plan: the DECIMAL(28,12) contribution
