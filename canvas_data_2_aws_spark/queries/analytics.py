@@ -650,6 +650,151 @@ def analytics_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- EXT: CUPED variance-reduced experiment readout ------------------------------
+
+# CUPED (Deng et al. 2013, public): adjust each arm's metric with a
+# pre-period covariate, yadj = y − θ(x − x̄), θ = cov(x,y)/var(x) pooled.
+# Pre/post split at the integer midpoint of the event-time range
+# (epoch-µs arithmetic, exact in both engines); x/y are per-user
+# purchase CENTS (integer-exact), so every moment is a BIGINT sum and
+# θ plus the arm means are mirrored IEEE expression trees over
+# identical integer operands — the agg_regression_moments recipe
+# applied to experimentation.
+_AB_CUPED_ORACLE = """
+WITH b AS (
+  SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid FROM events
+),
+u AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                 AND epoch_us(ts) < b.mid
+              THEN CAST(round(value * 100, 0) AS BIGINT) END), 0) AS BIGINT) AS x,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                 AND epoch_us(ts) >= b.mid
+              THEN CAST(round(value * 100, 0) AS BIGINT) END), 0) AS BIGINT) AS y
+  FROM events, b GROUP BY user_id
+),
+pool AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM u
+),
+arms AS (
+  SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(x) AS BIGINT) AS sx_v, CAST(SUM(y) AS BIGINT) AS sy_v
+  FROM u GROUP BY arm
+)
+SELECT arm, n_users,
+       ROUND(CAST(sy_v AS DOUBLE) / n_users / 100.0, 4) AS mean_y_usd,
+       ROUND((CAST(sy_v AS DOUBLE) / n_users
+              - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                * (CAST(sx_v AS DOUBLE) / n_users - CAST(sx AS DOUBLE) / n))
+             / 100.0, 4) AS mean_y_cuped_usd
+FROM arms, pool
+ORDER BY arm
+"""
+
+
+@graded("analytics_ab_cuped", oracle=_AB_CUPED_ORACLE)
+def analytics_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted experiment readout (see oracle comment). One
+    user-keyed aggregate feeds both the pooled moment row (1 row,
+    broadcast) and the 2-row arm table, so the whole statistic costs
+    one scan + one user exchange at any scale; the per-user frame is
+    lazily checkpointed for its two consumers."""
+    ev = load_table(spark, sf_dir, "events")
+    b = F.broadcast(
+        ev.agg(
+            (
+                (F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts")))
+                / F.lit(2)
+            )
+            .cast("long")
+            .alias("mid")
+        )
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    u = (
+        ev.crossJoin(b)
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("event_type") == "purchase")
+                        & (F.unix_micros("ts") < F.col("mid")),
+                        cents,
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("event_type") == "purchase")
+                        & (F.unix_micros("ts") >= F.col("mid")),
+                        cents,
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pool = F.broadcast(
+        u.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        )
+    )
+    arms = u.groupBy(
+        (F.col("user_id") % 2).cast("int").alias("arm")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("sx_v"),
+        F.sum("y").cast("long").alias("sy_v"),
+    )
+    theta = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    return (
+        arms.crossJoin(pool)
+        .select(
+            "arm",
+            "n_users",
+            F.round(F.col("sy_v").cast("double") / F.col("n_users") / 100.0, 4)
+            .alias("mean_y_usd"),
+            F.round(
+                (
+                    F.col("sy_v").cast("double") / F.col("n_users")
+                    - theta
+                    * (
+                        F.col("sx_v").cast("double") / F.col("n_users")
+                        - F.col("sx").cast("double") / F.col("n")
+                    )
+                )
+                / 100.0,
+                4,
+            ).alias("mean_y_cuped_usd"),
+        )
+        .orderBy("arm")
+    )
+
+
 # --- EXT: per-group OLS regression ----------------------------------------------
 
 # Grouped least squares (price-vs-size per brand) from exact BIGINT

@@ -307,3 +307,15 @@ def test_dsir_weights_favor_target_language(spark, sf_dir):
     base = sum(1 for v in lang.values() if v == "en") / len(lang)
     top = sum(1 for r in rows if lang[r.doc_id] == "en") / len(rows)
     assert top > base, (top, base)
+
+
+def test_cuped_reduces_variance_and_preserves_grand_mean(spark, sf_dir):
+    """CUPED must leave each arm's adjusted mean finite and, pooled
+    over arms weighted by size, preserve the overall post-period mean
+    (the adjustment is mean-zero by construction)."""
+    rows = registry.QUERIES["analytics_ab_cuped"](spark, sf_dir).collect()
+    assert len(rows) == 2 and {r.arm for r in rows} == {0, 1}
+    n = sum(r.n_users for r in rows)
+    raw = sum(r.mean_y_usd * r.n_users for r in rows) / n
+    adj = sum(r.mean_y_cuped_usd * r.n_users for r in rows) / n
+    assert abs(raw - adj) < 0.01  # mean-zero adjustment (4dp rounding)
