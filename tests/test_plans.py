@@ -119,6 +119,10 @@ _NESTED_LOOP_OK = {
     "vector_recall_eval",  # exact-KNN side: deliberate brute-force baseline
     "text_corpus_drift",  # 1-row (na, nb) totals broadcast
     "merge_time_travel",  # 1-row cutoff broadcast
+    # round-6 additions, same constant-side shapes:
+    "analytics_ab_cuped",  # 1-row mid-timestamp + 1-row pooled moments
+    "pipeline_dsir_weights",  # 1-row (ts, tt) totals broadcast
+    "search_hybrid_rrf",  # (N, avgdl) 1-row corpus stats broadcast
     "analytics_survival_curve",  # deliberate 9-row week-grid fan-out
     "agg_median_distributed",  # 1-row count broadcast + rank offsets
     "agg_bitmap_set_algebra",  # three 1-row bitmap-count broadcasts
