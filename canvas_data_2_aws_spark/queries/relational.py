@@ -373,3 +373,47 @@ def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# --- S5 variant: ORC sink/source round-trip --------------------------------------
+
+# Same direct-aggregate oracle pattern as sink_partitioned_pruned: the
+# oracle aggregates the SOURCE table, the Spark side aggregates the
+# ORC read-back — any loss/drift through the columnar round-trip
+# (type mapping, compression, predicate pushdown on read) breaks the
+# hash. ORC is Spark-native (no extra package); DuckDB never sees the
+# ORC files.
+_ORC_SINK_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       MIN(o_orderdate) AS first_day,
+       MAX(o_orderdate) AS last_day
+FROM orders
+WHERE o_orderkey % 4 = 1
+GROUP BY o_orderstatus
+"""
+
+
+@graded("sink_orc_roundtrip", oracle=_ORC_SINK_ORACLE)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write + filtered read-back (the predicate reaches the ORC
+    reader as a pushed filter, same as parquet), aggregated and
+    hash-checked against the source — proves the second columnar
+    format in §2.1 S5 lossless for longs, doubles, strings, dates."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="cda2_orcsink_")
+    try:
+        orders.write.mode("overwrite").orc(path)
+        back = spark.read.orc(path).where(F.col("o_orderkey") % 4 == 1)
+        out = back.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.min("o_orderdate").alias("first_day"),
+            F.max("o_orderdate").alias("last_day"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
