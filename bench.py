@@ -91,6 +91,9 @@ HEADLINE = [
     # the value-domain pHash + doc-local span-removal rewrites
     "pipeline_leakage_split_minhash",
     "dedup_remove_spans",
+    "pipeline_dsir_weights",
+    "search_hybrid_rrf",
+    "analytics_ab_cuped",
 ]
 
 
