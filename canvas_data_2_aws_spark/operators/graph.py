@@ -341,8 +341,11 @@ def hits(
         .distinct()
         .localCheckpoint()
     )
-    n = nodes.count()
     cap = SCORE_BROADCAST_NODE_CAP if broadcast_node_cap is None else broadcast_node_cap
+    # Unlike pagerank, HITS never needs the exact node count — only
+    # which side of the cap it falls on — so probe with LIMIT cap+1
+    # (stops early on huge graphs) instead of a full count.
+    n = nodes.limit(cap + 1).count() if cap > 0 else cap + 1
     # HITS joins the edge list on BOTH keys (s for the auth step, d for
     # the hub step). Under the cap both score tables broadcast and one
     # edge copy suffices; above it we lay the edges out twice — once per
