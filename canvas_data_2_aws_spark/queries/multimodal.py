@@ -47,12 +47,45 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- decode / frame-sample plumbing: rows-only (decoder is stubbed) -------------
 
 
-@graded("multimodal_decode_frames", oracle=None)
+# Per-frame twin of _DECODE_STATS_ORACLE (below): the fake codec is a
+# pure function of the payload bytes, so every frame row re-derives in
+# SQL. The mean is graded as FLOOR(mean·10⁴) — floor of the identical
+# IEEE quotient is engine-stable, where ROUND of a raw double has the
+# half-tie hazard (SURVEY §8.3; same discipline as decode_stats).
+_DECODE_FRAMES_ORACLE = """
+WITH f AS (
+  SELECT doc_id, text, length(text) AS n,
+         least(3, greatest(1, length(text) // 64)) AS n_frames
+  FROM documents WHERE doc_id % 20 = 0
+),
+frames AS (
+  SELECT doc_id, i.i AS frame_idx,
+         64 + (n % 64) AS width, 64 AS height,
+         substring(text, i.i * (n // n_frames) + 1, n // n_frames) AS chunk
+  FROM f, range(0, 3) i(i)
+  WHERE i.i < n_frames
+)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+       CAST(FLOOR(
+         CASE WHEN length(chunk) = 0 THEN CAST(0 AS DOUBLE)
+              ELSE CAST(list_sum(list_transform(
+                     range(1, length(chunk) + 1),
+                     j -> ascii(substring(chunk, j, 1)))) AS DOUBLE)
+                   / length(chunk)
+         END * 10000) AS BIGINT) AS mean_e4
+FROM frames
+"""
+
+
+@graded("multimodal_decode_frames", oracle=_DECODE_FRAMES_ORACLE)
 def multimodal_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1→N frame sampling through the mapInPandas decode path with the
     deterministic fake codec (real codec libs absent — see
-    operators/multimodal.py). Rows-only: DuckDB has no analog of the
-    decode stage."""
+    operators/multimodal.py). Upgraded from rows-only in round 6: the
+    codec is SQL-reproducible, so every frame row — index, geometry,
+    floor-quantized mean byte — is hash-graded; any drift in payload
+    encoding, Arrow batch shape, or the 1→N expansion breaks it."""
     docs = load_table(spark, sf_dir, "documents").where("doc_id % 20 = 0")
     media = MM.attach_payload(docs)
     frames = MM.decode_media(media, codec=MM.fake_codec)
@@ -61,7 +94,7 @@ def multimodal_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         "width",
         "height",
-        F.round("mean_byte", 4).alias("mean_byte"),
+        F.floor(F.col("mean_byte") * 10000).cast("long").alias("mean_e4"),
     ).orderBy("doc_id", "frame_idx")
 
 

@@ -105,14 +105,22 @@ def agg_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- S5/M2: partitioned parquet sink roundtrip (rows-only) -------------------
 
 
-@graded("sink_roundtrip", oracle=None)
+_SINK_ROUNDTRIP_ORACLE = """
+SELECT o_orderstatus, COUNT(*) AS n_rows
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@graded("sink_roundtrip", oracle=_SINK_ROUNDTRIP_ORACLE)
 def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replica-at-rest write: partitioned parquet snapshot, then re-read.
 
     Models the reference's snapshot load / ``initdb`` (replace-all) —
     ``mode('overwrite')`` + ``partitionBy`` so partition pruning (DPP at
-    scale) bites on the read side. Rows-only check: DuckDB can't observe
-    the sink.
+    scale) bites on the read side. DuckDB can't observe the sink, but
+    it CAN state what a lossless round-trip must re-aggregate to — the
+    per-partition-value counts against the source (upgraded from
+    rows-only in round 6).
     """
     orders = load_table(spark, sf_dir, "orders")
     path = tempfile.mkdtemp(prefix="cda2_sink_")
@@ -138,13 +146,21 @@ def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- S3: CSV/TSV decode smoke (no CSV fixture → synthesize one) --------------
 
 
-@graded("csv_decode_smoke", oracle=None)
+_TSV_DECODE_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
+@graded("csv_decode_smoke", oracle=_TSV_DECODE_ORACLE)
 def csv_decode_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-format decode: gzipped TSV with explicit schema.
 
     The reference's snapshot downloads arrive as gzipped CSV/TSV parts
     decoded against the server-declared schema (SURVEY §2.1 S3); no
-    CSV fixture exists, so round-trip a nation slice through TSV.
+    CSV fixture exists, so round-trip nation through TSV and grade the
+    decoded rows against the source table — a full value hash on every
+    column (upgraded from rows-only in
+    round 6: quoting/escape drift through the TSV codec breaks it).
     """
     nation = load_table(spark, sf_dir, "nation")
     path = tempfile.mkdtemp(prefix="cda2_tsv_")
