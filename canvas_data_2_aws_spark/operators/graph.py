@@ -50,7 +50,7 @@ def _score_side(scores: DataFrame, n_nodes: int, cap: int) -> DataFrame:
 CC_DRIVER_EDGE_CAP = 1_000_000
 
 
-def _union_find_components(rows, id_type) -> "list[tuple]":
+def _union_find_components(rows) -> "list[tuple]":
     """Min-label union-find over collected (a, b) pairs."""
     parent: dict = {}
 
@@ -90,11 +90,6 @@ def connected_components(
     union-find (same labels, no per-iteration job latency); above it,
     distributed min-label propagation with pointer jumping.
     """
-    # Lazy checkpoint: sym is consumed by the label init AND by every
-    # iteration's neighbor join + convergence count — without the
-    # checkpoint each of those jobs re-executes the full upstream edge
-    # derivation (for near-dup callers, the entire MinHash/SimHash
-    # pipeline, once per iteration).
     cap = CC_DRIVER_EDGE_CAP if driver_edge_cap is None else driver_edge_cap
     # Lazy checkpoint: sym is consumed by the size probe, the label
     # init AND every iteration's neighbor join + convergence count —
@@ -119,9 +114,7 @@ def connected_components(
                     T.StructField("comp", node_field.dataType, False),
                 ]
             )
-            pairs = _union_find_components(
-                [(r.a, r.b) for r in probe], node_field.dataType
-            )
+            pairs = _union_find_components([(r.a, r.b) for r in probe])
             return edges.sparkSession.createDataFrame(pairs, out_schema)
     labels = (
         sym.groupBy("a")
