@@ -102,11 +102,16 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    # Single-pass size probe (the same LIMIT cap+1 trick as _np_corpus):
-    # small graphs collect at most cap+1 rows and resolve driver-side.
+    # Size probe: count first (LIMIT cap+1 so no full count job), and
+    # only collect edge rows when the graph is confirmed small — a big
+    # graph never ships cap+1 Row objects to the driver just to discard
+    # them (Row overhead is ~100s of bytes/edge, not the 16 B of the
+    # eventual (a, b) longs). The lazy localCheckpoint above makes the
+    # follow-up collect a cheap checkpoint re-read, not a recompute.
     if cap > 0:
-        probe = sym.limit(cap + 1).collect()
-        if len(probe) <= cap:
+        n_edges = sym.limit(cap + 1).count()
+        if n_edges <= cap:
+            probe = sym.collect()
             node_field = sym.schema["a"]
             out_schema = T.StructType(
                 [

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..operators.merge import apply_changeset
 from ..operators import ranks as R
 from ..registry import graded
-from ..session import load_table
+from ..session import load_table, materialize_outliving
 
 _ORDER_COLS = (
     "o_orderkey",
@@ -112,12 +112,15 @@ def merge_bucketed_base(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.merge import snapshot_load_bucketed
 
+    import uuid
+
     orders = load_table(spark, sf_dir, "orders")
     path = tempfile.mkdtemp(prefix="cda2_bmerge_")
-    # Unique per-invocation table name (derived from the tempdir
-    # suffix): concurrent runs sharing a metastore — pytest-xdist, a
-    # bench alongside the suite — must not clobber each other's table.
-    table = f"cda2_bucketed_merge_base_{os.path.basename(path).split('_')[-1]}"
+    # Unique per-invocation table name: concurrent runs sharing a
+    # metastore — pytest-xdist, a bench alongside the suite — must not
+    # clobber each other's table. uuid4 (not the tempdir suffix: its
+    # alphabet includes '_', so split('_')[-1] could truncate it).
+    table = f"cda2_bucketed_merge_base_{uuid.uuid4().hex}"
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     try:
         base = snapshot_load_bucketed(
@@ -791,8 +794,7 @@ def merge_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("om")
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return materialize_outliving(out, tmp)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
         shutil.rmtree(tmp, ignore_errors=True)

@@ -1301,9 +1301,16 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = tok.select(
         "doc_id", "lang", F.substring(F.md5("token"), 1, 2).alias("fb")
     )
-    stats = f.groupBy("fb").agg(
-        F.count(F.lit(1)).alias("cs"),
-        F.count(F.when(F.col("lang") == "en", 1)).alias("ct"),
+    # 256 rows; checkpointed so `tot` and `lr` reuse ONE materialization
+    # of the token-stream agg instead of re-tokenizing the corpus each
+    # (which would make the docstring's "two corpus scans" three).
+    stats = (
+        f.groupBy("fb")
+        .agg(
+            F.count(F.lit(1)).alias("cs"),
+            F.count(F.when(F.col("lang") == "en", 1)).alias("ct"),
+        )
+        .localCheckpoint(eager=False)
     )
     tot = stats.agg(F.sum("cs").alias("ts"), F.sum("ct").alias("tt"))
     lr = stats.crossJoin(F.broadcast(tot)).select(

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.numeric import davg, dsum, oracle_davg, oracle_dsum
 from ..registry import graded
-from ..session import load_table
+from ..session import load_table, materialize_outliving
 
 # --- S1/S4 + P1/P2: scan with pushdown, project, filter ---------------------
 
@@ -131,14 +131,14 @@ def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(path)
         )
         back = spark.read.parquet(path)
-        # Materialize counts per partition value before the temp dir dies.
+        # Materialize counts per partition value before the temp dir dies
+        # — parquet-persist + checkpoint, never a driver collect.
         out = (
             back.groupBy("o_orderstatus")
             .agg(F.count("*").alias("n_rows"))
             .orderBy("o_orderstatus")
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return materialize_outliving(out, path)
     finally:
         shutil.rmtree(path, ignore_errors=True)
 
@@ -173,8 +173,7 @@ def csv_decode_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
             .csv(path)
         )
         back = spark.read.csv(path, sep="\t", schema=nation.schema, header=False)
-        rows = back.orderBy("n_nationkey").collect()
-        return spark.createDataFrame(rows, back.schema)
+        return materialize_outliving(back.orderBy("n_nationkey"), path)
     finally:
         shutil.rmtree(path, ignore_errors=True)
 
@@ -268,8 +267,10 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged = spark.read.option("mergeSchema", "true").parquet(
             f"{path}/p1", f"{path}/p2"
         )
-        rows = merged.collect()
-        return spark.createDataFrame(rows, merged.schema)
+        # Full-result frame: persist + checkpoint so it outlives the
+        # tempdir without shipping every row through the driver (the
+        # r6-verdict collect→createDataFrame site, now purged).
+        return materialize_outliving(merged, path)
     finally:
         shutil.rmtree(path, ignore_errors=True)
 
@@ -385,8 +386,7 @@ def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("revenue"),
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return materialize_outliving(out, path)
     finally:
         shutil.rmtree(path, ignore_errors=True)
 

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.numeric import dsum, oracle_dsum
 from ..registry import graded
-from ..session import load_table
+from ..session import load_table, materialize_outliving
 from ..streaming.merge_sink import StreamingMergeSink
 from ..streaming.windows import (
     dedup_stream,
@@ -271,8 +271,7 @@ def stream_merge_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"))
             .orderBy("o_orderstatus")
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return materialize_outliving(out, base_dir)
     finally:
         for d in (base_dir, chg_dir, ckpt_dir):
             shutil.rmtree(d, ignore_errors=True)
@@ -405,13 +404,17 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         total1 = run_once()  # consumes part0 only
         total2 = run_once()  # resumes from the committed offset → part1
         landed = spark.read.parquet(sink_dir)
-        rows = [
-            (r.action, r.n, total1, total2 - total1)
-            for r in landed.groupBy("action").agg(F.count("*").alias("n")).collect()
-        ]
-        return spark.createDataFrame(
-            rows, "action string, n long, run1_rows long, run2_rows long"
-        ).orderBy("action")
+        # Per-run totals are scalars from the resume protocol (metadata,
+        # not data); attach as literals so the landed-action counts never
+        # pass through the driver.
+        out = (
+            landed.groupBy("action")
+            .agg(F.count("*").alias("n"))
+            .withColumn("run1_rows", F.lit(total1).cast("long"))
+            .withColumn("run2_rows", F.lit(total2 - total1).cast("long"))
+            .orderBy("action")
+        )
+        return materialize_outliving(out, sink_dir)
     finally:
         for d in (out, ckpt, sink_dir):
             shutil.rmtree(d, ignore_errors=True)

@@ -76,6 +76,26 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def materialize_outliving(
+    df: DataFrame, tmp_dir: str, name: str = "_graded_out"
+) -> DataFrame:
+    """Persist a graded query's result so the returned frame outlives
+    its temp inputs WITHOUT a driver-sized collect.
+
+    The pattern (proven in ``merge_bucketed_base``): write the result
+    as parquet under ``tmp_dir``, re-read it, and eagerly
+    ``localCheckpoint`` — the checkpoint's partition blocks live in
+    executor storage and survive the caller's ``rmtree(tmp_dir)`` at
+    ANY result size, where ``collect()``→``createDataFrame`` would
+    ship the whole result through the driver (fine on a fixture,
+    driver-OOM at 100 TB). Callers invoke this inside their
+    ``try``, before the ``finally`` that deletes ``tmp_dir``.
+    """
+    out = os.path.join(tmp_dir, name)
+    df.write.mode("overwrite").parquet(out)
+    return df.sparkSession.read.parquet(out).localCheckpoint(eager=True)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Schema-true read of one fixture table (SURVEY §2.1 S1/S4).
 

@@ -185,12 +185,20 @@ def tws_user_totals_stream(events: DataFrame) -> DataFrame:
     :func:`stateful_user_totals_stream`, so the final state equals the
     batch aggregate exactly.
 
-    ENVIRONMENT GATE: the TWS state-server protocol needs the Python
-    ``protobuf`` package, absent/broken in this container — running
-    this raises STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE here.
-    The production-equivalent op (graded + oracle-checked) is
-    ``stream_stateful_totals`` on the stable API;
-    tests/test_streaming.py carries a skip-gated smoke for this one.
+    ENVIRONMENT GATE (re-verified 2026-08-14, round 7): the TWS
+    state-server protocol needs the Python ``protobuf`` package —
+    ``pyspark/sql/streaming/proto/StateMessage_pb2.py`` does ``from
+    google.protobuf import descriptor`` at import time, and ``google``
+    is not installed in this container (and cannot be: no pip). Running
+    this op here fails with ``[STREAM_FAILED] ...
+    TransformWithStateInPySpark driver worker exited unexpectedly
+    (crashed) SQLSTATE: XXKST`` (the worker dies on that import before
+    the state server handshakes). The production-equivalent op (graded
+    + oracle-checked) is ``stream_stateful_totals`` on the stable API;
+    tests/test_streaming.py::test_tws_totals_runs_when_protobuf_present
+    is the skip-gated TWS run (its skip reason carries this captured
+    error), and test_tws_totals_equals_batch asserts the stateful-
+    totals contract unconditionally through whichever API runs.
     """
     import numpy as np
     import pandas as pd
