@@ -762,8 +762,10 @@ def vector_prefix_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # re-runs this count after each merge; one iteration is the graded
 # primitive (the shuffle shape — distinct-word agg, then pair-count
 # agg — is identical every round). Pure integers throughout.
-_BPE_ORACLE = """
-WITH wf AS (
+
+# Shared derivation (house rule: one place): word-frequency + char-pair
+# CTEs, reused by the merge-candidate count AND the encode oracle.
+_BPE_WF_PAIRS_CTES = """wf AS (
   SELECT token AS w, COUNT(*) AS freq
   FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
   GROUP BY token
@@ -772,7 +774,10 @@ pairs AS (
   SELECT substring(w, j, 2) AS pair, freq
   FROM wf, LATERAL unnest(range(1, length(w))) t(j)
   WHERE length(w) >= 2
-)
+)"""
+
+_BPE_ORACLE = f"""
+WITH {_BPE_WF_PAIRS_CTES}
 SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
 FROM pairs
 GROUP BY pair
@@ -810,6 +815,164 @@ def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("freq").alias("cnt"))
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(20)
+    )
+
+
+# --- BPE encode: apply the learned merges, emit token ids ----------------------
+
+# The tokenize-end-to-end step the merge count feeds: apply the top-K
+# merges (rank order = cnt DESC, pair ASC — the deterministic total
+# order both engines share) to every distinct word, then stream each
+# document's words through the learned segmentation and emit its token
+# ids. Merge application is ONE fold of string replaces: each word is
+# spaced as ``||c1||c2||…||`` (double-separator symbol boundaries),
+# and merge (a,b) is ``replace('|a||b|' -> '|ab|')`` — left-to-right
+# non-overlapping replacement in both Spark and DuckDB, which is
+# exactly BPE's greedy-leftmost single-merge pass. Double separators
+# matter: with single ones, a pattern can falsely match across a
+# previously merged symbol's boundary ('ll'+'x' would merge as 'l'+'lx')
+# or lose the boundary of the next pair in a run ('aaaa' would encode
+# aa,a,a instead of aa,aa). Verified equivalent in both engines for
+# runs, prefix/suffix collisions, and chained merges.
+_BPE_ENCODE_K = 8
+
+_BPE_ENCODE_ORACLE = f"""
+WITH {_BPE_WF_PAIRS_CTES},
+topm AS (
+  SELECT pair, SUM(freq) AS cnt FROM pairs GROUP BY pair
+  ORDER BY cnt DESC, pair LIMIT {_BPE_ENCODE_K}
+),
+ml AS (SELECT list(pair ORDER BY cnt DESC, pair) AS merges FROM topm),
+sl AS (
+  SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE doc_id % 13 = 3
+),
+dw AS (SELECT DISTINCT unnest(ws) AS w FROM sl),
+encw AS (
+  SELECT w, list_filter(string_split(
+    list_reduce(
+      list_prepend(regexp_replace(w, '(.)', '||\\1', 'g') || '||', merges),
+      (acc, m) -> replace(acc,
+         '|' || substring(m, 1, 1) || '||' || substring(m, 2, 1) || '|',
+         '|' || m || '|')
+    ), '||'), x -> x <> '') AS toks
+  FROM dw, ml
+),
+vocab AS (
+  SELECT tok, ROW_NUMBER() OVER (ORDER BY tok) AS id
+  FROM (SELECT DISTINCT unnest(toks) AS tok FROM encw) v
+),
+words AS (
+  SELECT doc_id, j AS wpos, ws[j] AS w
+  FROM sl, LATERAL unnest(range(1, len(ws) + 1)) t(j)
+),
+dt AS (
+  SELECT wo.doc_id, wo.wpos, k AS tpos, e.toks[k] AS tok
+  FROM words wo JOIN encw e USING (w),
+  LATERAL unnest(range(1, len(e.toks) + 1)) t(k)
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       string_agg(CAST(v.id AS VARCHAR), ' ' ORDER BY d.wpos, d.tpos)
+         AS token_ids
+FROM dt d JOIN vocab v USING (tok)
+GROUP BY d.doc_id
+"""
+
+
+@graded("pipeline_bpe_encode", oracle=_BPE_ENCODE_ORACLE)
+def pipeline_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the top-{K} BPE merges end-to-end: (doc_id, n_tokens,
+    token_ids) for a bounded corpus slice (doc_id % 13 = 3), closing
+    the tokenize gap left by pipeline_bpe_merges (which only counts
+    candidates).
+
+    Scale shape: merges are learned from the FULL corpus (same
+    vocabulary-level agg as the merge count — |vocab| rows, not corpus
+    tokens), then attached as a 1-row broadcast array; encoding runs
+    once per DISTINCT word (vocabulary-level fold, checkpointed so the
+    vocab build and the doc join reuse one materialization); the token
+    vocab after K merges is ≤ |alphabet| + K symbols, so id assignment
+    is a unit-group row_number and the id join a broadcast. The only
+    corpus-sized shuffles are the word join and the per-doc reassembly
+    — both keyed, no all-pairs stage.
+    """
+    from ..operators import ranks as R
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(T.tokens()).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    prs = wf.where(F.length("w") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " j -> substring(w, j, 2))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    topm = (
+        prs.groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(_BPE_ENCODE_K)
+    )
+    # 1-row frame holding the rank-ordered merge list (struct sort on
+    # (-cnt, pair) reproduces the oracle's ORDER BY after the limit).
+    merges = topm.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(-cnt AS nc, pair AS p))),"
+            " x -> x.p)"
+        ).alias("merges")
+    )
+    sl = docs.where(F.col("doc_id") % 13 == 3).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    words = sl.select("doc_id", F.posexplode("ws").alias("wpos", "w"))
+    dw = words.select("w").distinct().crossJoin(F.broadcast(merges))
+    encw = dw.select(
+        "w",
+        F.expr(
+            r"""filter(split(
+              aggregate(
+                merges,
+                concat(regexp_replace(w, '(.)', '||$1'), '||'),
+                (acc, m) -> replace(acc,
+                    concat('|', substring(m, 1, 1), '||',
+                           substring(m, 2, 1), '|'),
+                    concat('|', m, '|'))
+              ), '\\|\\|'), x -> x <> '')"""
+        ).alias("toks"),
+    ).localCheckpoint(eager=False)
+    vocab = encw.select(F.explode("toks").alias("tok")).distinct()
+    vocab = (
+        R.attach_unit_group(vocab)
+        .withColumn(
+            "id",
+            F.row_number().over(
+                Window.partitionBy(R.UNIT_GROUP).orderBy("tok")
+            ),
+        )
+        .drop(R.UNIT_GROUP)
+    )
+    dt = words.join(encw, "w").select(
+        "doc_id", "wpos", F.posexplode("toks").alias("tpos", "tok")
+    )
+    ids = dt.join(F.broadcast(vocab), "tok")
+    return (
+        ids.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.expr(
+                "array_join(transform(array_sort("
+                "collect_list(struct(wpos, tpos, id))),"
+                " x -> CAST(x.id AS STRING)), ' ')"
+            ).alias("token_ids"),
+        )
+        .orderBy("doc_id")
     )
 
 

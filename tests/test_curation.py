@@ -122,3 +122,80 @@ def test_nb_quality_confusion_partitions_corpus(spark, sf_dir):
     assert sum(r.n_docs for r in rows) == n_docs
     for r in rows:
         assert r.label in (0, 1) and r.pred in (0, 1)
+
+
+def _ref_bpe(w: str, merges: list[str]) -> list[str]:
+    """Reference BPE encode: apply each merge in rank order as one
+    greedy leftmost non-overlapping pass over the symbol sequence."""
+    syms = list(w)
+    for m in merges:
+        a, b = m[0], m[1]
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(m)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_fold_matches_reference_encoder(spark, sf_dir):
+    """The double-separator replace fold used by pipeline_bpe_encode
+    must reproduce textbook BPE (greedy leftmost per merge, merges in
+    rank order) on adversarial words: runs, boundary prefix/suffix
+    collisions, chained merges — plus real fixture words."""
+    from pyspark.sql import functions as F
+
+    merges = ["ll", "lx", "he", "aa", "xa"]
+    words = [
+        "llll", "lllll", "llx", "lxl", "hello", "aaaa", "aaaaa",
+        "xaa", "axa", "aaxaa", "helloll", "lxlx", "x", "", "a",
+    ]
+    fixture_words = [
+        r.w
+        for r in load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+        .orderBy("w")
+        .limit(200)
+        .collect()
+    ]
+    allw = words + fixture_words
+    df = spark.createDataFrame([(w,) for w in allw], "w string").withColumn(
+        "merges", F.array(*[F.lit(m) for m in merges])
+    )
+    got = {
+        r.w: list(r.toks)
+        for r in df.select(
+            "w",
+            F.expr(
+                r"""filter(split(
+                  aggregate(
+                    merges,
+                    concat(regexp_replace(w, '(.)', '||$1'), '||'),
+                    (acc, m) -> replace(acc,
+                        concat('|', substring(m, 1, 1), '||',
+                               substring(m, 2, 1), '|'),
+                        concat('|', m, '|'))
+                  ), '\\|\\|'), x -> x <> '')"""
+            ).alias("toks"),
+        ).collect()
+    }
+    for w in allw:
+        assert got[w] == _ref_bpe(w, merges), (w, got[w], _ref_bpe(w, merges))
+
+
+def test_bpe_encode_token_ids_consistent(spark, sf_dir):
+    """token_ids length must equal n_tokens, ids must be within the
+    vocab range, and every sliced doc with a nonempty token stream must
+    appear exactly once."""
+    rows = registry.QUERIES["pipeline_bpe_encode"](spark, sf_dir).collect()
+    assert rows
+    assert len({r.doc_id for r in rows}) == len(rows)
+    for r in rows:
+        ids = r.token_ids.split(" ")
+        assert len(ids) == r.n_tokens
+        assert all(i.isdigit() and int(i) >= 1 for i in ids)

@@ -119,6 +119,8 @@ _NESTED_LOOP_OK = {
     "vector_recall_eval",  # exact-KNN side: deliberate brute-force baseline
     "text_corpus_drift",  # 1-row (na, nb) totals broadcast
     "merge_time_travel",  # 1-row cutoff broadcast
+    # round-7 additions, same constant-side shapes:
+    "pipeline_bpe_encode",  # 1-row merge-list broadcast + unit-group vocab ids
     # round-6 additions, same constant-side shapes:
     "analytics_ab_cuped",  # 1-row mid-timestamp + 1-row pooled moments
     "pipeline_dsir_weights",  # 1-row (ts, tt) totals broadcast
