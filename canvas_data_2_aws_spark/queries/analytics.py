@@ -1061,9 +1061,15 @@ GROUP BY g.week, n.n_users
 @graded("analytics_survival_curve", oracle=_SURVIVAL_ORACLE)
 def analytics_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly activity survival curve S(w) over user lifetimes. One
-    user-keyed agg produces lifetimes; the 9-point grid is a literal
-    explode and the lifetime table re-aggregates per week — at scale
-    this is one event scan plus user-cardinality metadata work."""
+    user-keyed agg produces lifetimes; each user then contributes one
+    row per week of the 9-point grid they survive past
+    (explode(sequence(0, min(weeks, 8))) — a ≤9× fan-out), and a
+    week-keyed count gives |{users: weeks ≥ w}|. The r6 shape theta-
+    joined the grid against the user-cardinality lifetime table via a
+    BroadcastNestedLoopJoin that BUILT THE LIFETIME SIDE — a
+    users-sized broadcast at scale, caught by the round-7 BNLJ-aware
+    plan audit. This form has no nested loop at all: the only joins
+    are a 9-row broadcast-hash grid fill and the 1-row total attach."""
     ev = load_table(spark, sf_dir, "events")
     life = ev.groupBy("user_id").agg(
         F.expr(
@@ -1071,11 +1077,19 @@ def analytics_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("weeks")
     )
     n = life.agg(F.count(F.lit(1)).alias("n_users"))
+    counts = (
+        life.select(
+            F.explode(F.expr("sequence(0, least(weeks, 8))")).alias("wk")
+        )
+        .groupBy("wk")
+        .agg(F.count(F.lit(1)).alias("n_surv"))
+    )
     grid = spark.range(0, 9).select(F.col("id").cast("int").alias("week"))
     return (
-        grid.join(life, life.weeks >= grid.week, "left")
-        .groupBy("week")
-        .agg(F.count("user_id").alias("n_surviving"))
+        grid.join(
+            F.broadcast(counts), grid.week == counts.wk.cast("int"), "left"
+        )
+        .select("week", F.coalesce("n_surv", F.lit(0)).alias("n_surviving"))
         .crossJoin(F.broadcast(n))
         .select(
             "week",

@@ -196,6 +196,45 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
     assert not offenders, offenders
 
 
+def test_whitelisted_nested_loops_have_bounded_build_sides(spark, sf_dir):
+    """The stronger r7 check behind the name whitelist above: every
+    nested-loop join in EVERY graded plan — including the whitelisted
+    scalar attaches — must resolve to a build side with a provable
+    static row bound (plans/audit.py). A whitelisted query that
+    regresses from a 1-row scalar attach to a data-sized broadcast now
+    fails here instead of hiding behind its name (the r6 verdict's 58
+    indistinguishable BNLJ notes)."""
+    from canvas_data_2_aws_spark.plans.audit import find_nested_loops
+
+    offenders = []
+    for name in sorted(set(registry.QUERIES) - _NO_PLAN):
+        for nl in find_nested_loops(registry.QUERIES[name](spark, sf_dir)):
+            if not nl["ok"]:
+                offenders.append((name, nl["kind"], nl["build"], nl["bound"]))
+    assert not offenders, offenders
+
+
+def test_audit_catches_injected_real_cross_join(spark, sf_dir):
+    """A genuine data×data product must be flagged by the classifier —
+    proof the audit can still fail (r6 verdict task #4)."""
+    from pyspark.sql import functions as F
+
+    from canvas_data_2_aws_spark.plans.audit import find_nested_loops
+    from canvas_data_2_aws_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    bad = orders.crossJoin(cust.select(F.col("c_custkey").alias("ck")))
+    hits = find_nested_loops(bad)
+    assert hits and all(not h["ok"] for h in hits), hits
+
+    # ...while the canonical 1-row scalar attach stays clean:
+    total = orders.agg(F.count(F.lit(1)).alias("n"))
+    good = orders.crossJoin(F.broadcast(total))
+    hits2 = find_nested_loops(good)
+    assert hits2 and all(h["ok"] and h["bound"] == 1 for h in hits2), hits2
+
+
 def test_runtime_bloom_filter_join_available(spark, sf_dir):
     """Runtime row-level bloom filters (the shuffle-reduction path for
     selective fact⋈filtered-dim joins at scale): with the optimizer

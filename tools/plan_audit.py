@@ -9,15 +9,19 @@ at fixture scale but fatal at 100 TB:
   Filter node or pushed scan filter (inferred-constraint pushdown — the
   multimodal_phash_dedup 243 s bug; re-evaluates the expression
   interpreted per row below the projection that computes it).
-- ``cartesian``: CartesianProduct / BroadcastNestedLoopJoin that is not
-  a whitelisted 1-row scalar attachment (tests/test_plans.py pins the
-  curated list; this sweep just reports).
+- ``cartesian``: CartesianProduct / BroadcastNestedLoopJoin whose build
+  side is NOT provably bounded (plans/audit.py resolves each node's
+  build subtree to a static row bound: grouping-free aggregate = 1 row,
+  Range/LocalTableScan/LIMIT = their literal size). Bounded scalar
+  attaches print as ``ok``; cap-gated deliberate brute-force baselines
+  (the exact-KNN family, where the corpus broadcast is bounded at CALL
+  time by similarity.CORPUS_ROW_CAP with a loud refusal) must be
+  declared in ``DELIBERATE`` with a reason; anything else is a failure.
 
 Usage:
     python tools/plan_audit.py [--sf DIR] [name ...]
 
-Prints one line per offending (query, pattern); exit code 1 if any
-hof-in-filter hit is found (cartesians are report-only here).
+Exit code 1 if any hof-in-filter hit or unexplained cartesian is found.
 """
 
 from __future__ import annotations
@@ -30,6 +34,16 @@ from contextlib import redirect_stdout
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from canvas_data_2_aws_spark import registry, session  # noqa: E402
+from canvas_data_2_aws_spark.plans.audit import find_nested_loops  # noqa: E402
+
+# Nested-loop joins whose build side is data-sized BY DESIGN, each with
+# the runtime cap that keeps it broadcast-safe. EMPTY as of round 7:
+# every nested loop in the registry resolves to a bounded build side
+# (the exact-KNN brute-force family does its capped corpus broadcast
+# through mapInPandas, not a join, so it never appears here). Adding a
+# name requires a call-time cap with a loud refusal
+# (operators/similarity.py CORPUS_ROW_CAP pattern) stated in the reason.
+DELIBERATE: dict[str, str] = {}
 
 
 def plan_text(df) -> str:
@@ -39,7 +53,7 @@ def plan_text(df) -> str:
     return buf.getvalue()
 
 
-def audit_one(name: str, plan: str) -> list[tuple[str, str]]:
+def audit_hof(plan: str) -> list[str]:
     hits = []
     for line in plan.splitlines():
         stripped = line.strip().lstrip(":+- ")
@@ -47,10 +61,7 @@ def audit_one(name: str, plan: str) -> list[tuple[str, str]]:
             "PushedFilters: [" in line and "lambdafunction" in line
         )
         if in_filter and "lambdafunction" in line:
-            hits.append(("hof-in-filter", line.strip()[:200]))
-    for marker in ("CartesianProduct", "BroadcastNestedLoopJoin"):
-        if marker in plan:
-            hits.append(("cartesian", marker))
+            hits.append(line.strip()[:200])
     return hits
 
 
@@ -65,18 +76,37 @@ def main() -> None:
     names = args or sorted(registry.QUERIES)
     spark = session.get_spark(app="plan-audit", shuffle_partitions=8)
     bad = 0
+    n_scalar = n_deliberate = 0
     for name in names:
         try:
-            plan = plan_text(registry.QUERIES[name](spark, sf_dir))
+            df = registry.QUERIES[name](spark, sf_dir)
+            plan = plan_text(df)
         except Exception as exc:  # queries with side effects may not build dry
             print(f"SKIP {name}: {type(exc).__name__}: {exc}", flush=True)
             continue
-        for kind, detail in audit_one(name, plan):
-            tag = "BAD " if kind == "hof-in-filter" else "note"
-            if kind == "hof-in-filter":
+        for detail in audit_hof(plan):
+            bad += 1
+            print(f"BAD  {name}: hof-in-filter: {detail}", flush=True)
+        for nl in find_nested_loops(df):
+            desc = f"{nl['kind']}({nl['build']}, build<={nl['bound']})"
+            if nl["ok"]:
+                n_scalar += 1
+                print(f"ok   {name}: scalar-attach {desc}", flush=True)
+            elif name in DELIBERATE:
+                n_deliberate += 1
+                print(
+                    f"ok   {name}: deliberate {desc}: {DELIBERATE[name]}",
+                    flush=True,
+                )
+            else:
                 bad += 1
-            print(f"{tag} {name}: {kind}: {detail}", flush=True)
-    print(f"audited {len(names)} queries, {bad} hof-in-filter hits", flush=True)
+                print(f"BAD  {name}: unexplained cartesian {desc}", flush=True)
+    print(
+        f"audited {len(names)} queries: {bad} failures, "
+        f"{n_scalar} bounded scalar attaches, "
+        f"{n_deliberate} declared deliberate nested loops",
+        flush=True,
+    )
     spark.stop()
     sys.exit(1 if bad else 0)
 
