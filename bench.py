@@ -94,6 +94,8 @@ HEADLINE = [
     "pipeline_dsir_weights",
     "search_hybrid_rrf",
     "analytics_ab_cuped",
+    # round-7: end-to-end BPE tokenization (merge learn + encode)
+    "pipeline_bpe_encode",
 ]
 
 
@@ -117,6 +119,7 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
+    stds: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         samples = []
@@ -127,9 +130,16 @@ def main() -> None:
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
         mins[name] = round(samples[0], 3)
+        # Population stddev across the reps: the self-explaining
+        # host-noise marker (a 0.41 s median with std 0.12 is load, not
+        # a regression — the r6 verdict had to chase one of these).
+        mean = sum(samples) / len(samples)
+        stds[name] = round(
+            (sum((s - mean) ** 2 for s in samples) / len(samples)) ** 0.5, 3
+        )
         print(
             f"  {name:30s} median {timings[name]:8.3f}s"
-            f"  min {mins[name]:8.3f}s",
+            f"  min {mins[name]:8.3f}s  std {stds[name]:6.3f}s",
             file=sys.stderr,
         )
 
@@ -142,6 +152,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_min": mins,
+                "queries_std": stds,
                 "reps": reps,
                 "sf": sf,
             }

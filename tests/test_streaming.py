@@ -516,3 +516,74 @@ def test_stream_window_uniques_within_sketch_error(spark, sf_dir):
     for r in rows:
         e = exact[r.bucket]
         assert abs(r.approx_users - e) <= max(3 * 0.02 * e, 2), (r.bucket, r.approx_users, e)
+
+
+def test_merge_sink_crash_recovery_exactly_once(spark, sf_dir, tmp_path):
+    """Fault injection at the merge sink's worst-case point: the crash
+    lands AFTER a micro-batch's snapshot version commits (the _CURRENT
+    pointer moved) but BEFORE the checkpoint records the batch as
+    complete. On restart Spark replays that batch against the
+    already-merged snapshot, so exactly-once through the sink rests on
+    the keyed merge being idempotent under replay — assert the final
+    snapshot equals the one-shot batch M1 apply, bit-for-bit and
+    PK-unique. (The python-source resume test covers offsets; this
+    covers the sink commit protocol.)"""
+    from canvas_data_2_aws_spark.operators.merge import apply_changeset
+    from canvas_data_2_aws_spark.queries.merge import derive_changeset
+    from canvas_data_2_aws_spark.session import load_table
+    from canvas_data_2_aws_spark.streaming.merge_sink import StreamingMergeSink
+
+    orders = load_table(spark, sf_dir, "orders")
+    changeset = derive_changeset(orders).withColumn(
+        "chg_ts", F.current_timestamp()
+    )
+    base_dir = str(tmp_path / "replica")
+    chg_dir = str(tmp_path / "chg")
+    ckpt_dir = str(tmp_path / "ckpt")
+    # Key-disjoint thirds: sequential apply of the parts equals one
+    # apply of the whole, so the streamed replica can be compared to
+    # the batch M1 result directly.
+    for i in range(3):
+        changeset.where(F.col("o_orderkey") % 3 == i).write.parquet(
+            f"{chg_dir}/b{i}"
+        )
+
+    crash_flag = tmp_path / "crashed_once"
+
+    class FlakySink(StreamingMergeSink):
+        def apply_batch(self, changes, batch_id):
+            super().apply_batch(changes, batch_id)  # version commit lands
+            if batch_id == 1 and not crash_flag.exists():
+                crash_flag.write_text("1")
+                raise RuntimeError(
+                    "injected crash: after snapshot commit, before checkpoint"
+                )
+
+    sink = FlakySink(spark, base_dir, keys=["o_orderkey"], compact_by=["chg_ts"])
+    sink.bootstrap(orders)
+
+    def stream():
+        return (
+            spark.readStream.schema(changeset.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{chg_dir}/b*")
+        )
+
+    q = sink.start(stream(), ckpt_dir)
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+    assert crash_flag.exists()
+    # The doomed batch's snapshot DID commit before the crash:
+    assert sink.current_version() >= 2  # v0 bootstrap, v1 batch0, v2 batch1
+
+    q2 = sink.start(stream(), ckpt_dir)
+    q2.awaitTermination()
+
+    expected = apply_changeset(
+        orders, changeset, keys=["o_orderkey"], compact_by=["chg_ts"]
+    )
+    got = sink.current_snapshot()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+    # the replayed batch must not have duplicated any key
+    assert got.select("o_orderkey").distinct().count() == got.count()
