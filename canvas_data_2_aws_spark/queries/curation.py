@@ -1097,3 +1097,130 @@ def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_accept"),
         )
     )
+
+
+# --- fertility under the LEARNED tokenizer ------------------------------------
+
+# text_tokenizer_fertility (enrichment.py) proxies tokenization with a
+# regex; this one measures fertility under the actual learned BPE
+# merges end-to-end: per-word token counts come from the same
+# double-separator fold as pipeline_bpe_encode, weighted by the word's
+# corpus frequency per language. Vocabulary-level work throughout —
+# the corpus-sized stream is tokenize+count once; the fold runs per
+# DISTINCT (lang, word).
+_BPE_FERTILITY_ORACLE = f"""
+WITH {_BPE_WF_PAIRS_CTES},
+topm AS (
+  SELECT pair, SUM(freq) AS cnt FROM pairs GROUP BY pair
+  ORDER BY cnt DESC, pair LIMIT {_BPE_ENCODE_K}
+),
+ml AS (SELECT list(pair ORDER BY cnt DESC, pair) AS merges FROM topm),
+lwf AS (
+  SELECT lang, token AS w, COUNT(*) AS freq
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+        FROM documents) t
+  WHERE token <> ''
+  GROUP BY lang, token
+),
+wtok AS (
+  SELECT w, len(list_filter(string_split(
+    list_reduce(
+      list_prepend(regexp_replace(w, '(.)', '||\\1', 'g') || '||', merges),
+      (acc, m) -> replace(acc,
+         '|' || substring(m, 1, 1) || '||' || substring(m, 2, 1) || '|',
+         '|' || m || '|')
+    ), '||'), x -> x <> '')) AS n_tok,
+    length(w) AS n_char
+  FROM (SELECT DISTINCT w FROM lwf) dw, ml
+)
+SELECT l.lang,
+       CAST(SUM(l.freq) AS BIGINT) AS n_words,
+       CAST(SUM(l.freq * t.n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(l.freq * t.n_char) AS BIGINT) AS n_chars,
+       ROUND(CAST(SUM(l.freq * t.n_tok) AS DOUBLE) / SUM(l.freq), 4)
+         AS fertility,
+       ROUND(CAST(SUM(l.freq * t.n_char) AS DOUBLE)
+             / SUM(l.freq * t.n_tok), 4) AS chars_per_token
+FROM lwf l JOIN wtok t USING (w)
+GROUP BY l.lang
+"""
+
+
+@graded("text_bpe_fertility", oracle=_BPE_FERTILITY_ORACLE)
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fertility (tokens/word) and compression
+    (chars/token) under the learned top-K BPE merges — the
+    token-budget allocation table computed with the real tokenizer
+    instead of the regex proxy. One corpus tokenize feeding a
+    (lang, word) frequency agg; the merge fold runs once per distinct
+    word; final stats are integer sums with two output-edge
+    divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(T.tokens()).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    prs = wf.where(F.length("w") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " j -> substring(w, j, 2))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    topm = (
+        prs.groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(_BPE_ENCODE_K)
+    )
+    merges = topm.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(-cnt AS nc, pair AS p))),"
+            " x -> x.p)"
+        ).alias("merges")
+    )
+    lwf = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("freq"))
+    )
+    wtok = (
+        lwf.select("w")
+        .distinct()
+        .crossJoin(F.broadcast(merges))
+        .select(
+            "w",
+            F.expr(
+                r"""size(filter(split(
+                  aggregate(
+                    merges,
+                    concat(regexp_replace(w, '(.)', '||$1'), '||'),
+                    (acc, m) -> replace(acc,
+                        concat('|', substring(m, 1, 1), '||',
+                               substring(m, 2, 1), '|'),
+                        concat('|', m, '|'))
+                  ), '\\|\\|'), x -> x <> ''))"""
+            ).alias("n_tok"),
+            F.length("w").alias("n_char"),
+        )
+    )
+    j = lwf.join(wtok, "w")
+    return j.groupBy("lang").agg(
+        F.sum("freq").cast("bigint").alias("n_words"),
+        F.sum(F.col("freq") * F.col("n_tok")).cast("bigint").alias("n_tokens"),
+        F.sum(F.col("freq") * F.col("n_char")).cast("bigint").alias("n_chars"),
+        F.round(
+            F.sum(F.col("freq") * F.col("n_tok")).cast("double")
+            / F.sum("freq"),
+            4,
+        ).alias("fertility"),
+        F.round(
+            F.sum(F.col("freq") * F.col("n_char")).cast("double")
+            / F.sum(F.col("freq") * F.col("n_tok")),
+            4,
+        ).alias("chars_per_token"),
+    )
