@@ -1224,3 +1224,134 @@ def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("chars_per_token"),
     )
+
+
+# --- BPE merge-count tuning curve ----------------------------------------------
+
+# The curve a tokenizer-training run reads to pick K: for each prefix
+# of the rank-ordered merge list (k = 0..K), corpus token count, token
+# vocabulary size, and fertility after applying the first k merges.
+# One 9-way fan-out over the word vocabulary (slice(merges, 1, k) is
+# the fold input), never over the corpus; the token stream was already
+# collapsed to (word, freq).
+_BPE_VOCAB_GROWTH_ORACLE = f"""
+WITH {_BPE_WF_PAIRS_CTES},
+topm AS (
+  SELECT pair, SUM(freq) AS cnt FROM pairs GROUP BY pair
+  ORDER BY cnt DESC, pair LIMIT {_BPE_ENCODE_K}
+),
+ml AS (SELECT list(pair ORDER BY cnt DESC, pair) AS merges FROM topm),
+wk AS (
+  SELECT w, freq, CAST(t.k AS INTEGER) AS k,
+    list_filter(string_split(
+      list_reduce(
+        list_prepend(regexp_replace(w, '(.)', '||\\1', 'g') || '||',
+                     merges[1:k]),
+        (acc, m) -> replace(acc,
+           '|' || substring(m, 1, 1) || '||' || substring(m, 2, 1) || '|',
+           '|' || m || '|')
+      ), '||'), x -> x <> '') AS toks
+  FROM wf, ml, LATERAL unnest(range(0, {_BPE_ENCODE_K} + 1)) t(k)
+  WHERE w <> ''
+),
+per_k AS (
+  SELECT k,
+         CAST(SUM(freq * len(toks)) AS BIGINT) AS n_tokens,
+         CAST(SUM(freq) AS BIGINT) AS n_words
+  FROM wk GROUP BY k
+),
+voc AS (
+  SELECT k, COUNT(DISTINCT tok) AS vocab_size
+  FROM (SELECT k, unnest(toks) AS tok FROM wk) t
+  GROUP BY k
+)
+SELECT p.k AS merges_applied, v.vocab_size, p.n_tokens,
+       ROUND(CAST(p.n_tokens AS DOUBLE) / p.n_words, 4) AS fertility
+FROM per_k p JOIN voc v USING (k)
+ORDER BY merges_applied
+"""
+
+
+@graded("pipeline_bpe_vocab_growth", oracle=_BPE_VOCAB_GROWTH_ORACLE)
+def pipeline_bpe_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token count / vocab size / fertility after each merge-list
+    prefix k = 0..{K} — the merge-budget tuning curve. Work is
+    vocabulary-level ×(K+1): the corpus collapses to (word, freq)
+    once, the 9-point grid is a literal fan-out (bounded build side,
+    plans/audit.py-proven), and both output aggs run on the
+    (k, word) frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(T.tokens()).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    prs = wf.where(F.length("w") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " j -> substring(w, j, 2))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    topm = (
+        prs.groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(_BPE_ENCODE_K)
+    )
+    merges = topm.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(-cnt AS nc, pair AS p))),"
+            " x -> x.p)"
+        ).alias("merges")
+    )
+    wk = (
+        wf.crossJoin(F.broadcast(merges))
+        .select(
+            "w",
+            "freq",
+            F.explode(F.expr(f"sequence(0, {_BPE_ENCODE_K})")).alias("k"),
+            "merges",
+        )
+        .select(
+            "w",
+            "freq",
+            "k",
+            F.expr(
+                r"""filter(split(
+                  aggregate(
+                    slice(merges, 1, k),
+                    concat(regexp_replace(w, '(.)', '||$1'), '||'),
+                    (acc, m) -> replace(acc,
+                        concat('|', substring(m, 1, 1), '||',
+                               substring(m, 2, 1), '|'),
+                        concat('|', m, '|'))
+                  ), '\\|\\|'), x -> x <> '')"""
+            ).alias("toks"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    per_k = wk.groupBy("k").agg(
+        F.sum(F.col("freq") * F.size("toks")).cast("bigint").alias("n_tokens"),
+        F.sum("freq").cast("bigint").alias("n_words"),
+    )
+    voc = (
+        wk.select("k", F.explode("toks").alias("tok"))
+        .groupBy("k")
+        .agg(F.countDistinct("tok").alias("vocab_size"))
+    )
+    return (
+        per_k.join(voc, "k")
+        .select(
+            F.col("k").alias("merges_applied"),
+            "vocab_size",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("n_words"), 4
+            ).alias("fertility"),
+        )
+        .orderBy("merges_applied")
+    )

@@ -199,3 +199,20 @@ def test_bpe_encode_token_ids_consistent(spark, sf_dir):
         ids = r.token_ids.split(" ")
         assert len(ids) == r.n_tokens
         assert all(i.isdigit() and int(i) >= 1 for i in ids)
+
+
+def test_bpe_vocab_growth_curve_monotone(spark, sf_dir):
+    """Each additional merge can only shrink the corpus token count
+    (every application replaces 2 tokens with 1) and grows the vocab
+    by at most one new symbol per k."""
+    rows = sorted(
+        registry.QUERIES["pipeline_bpe_vocab_growth"](spark, sf_dir).collect(),
+        key=lambda r: r.merges_applied,
+    )
+    assert [r.merges_applied for r in rows] == list(range(9))
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_tokens <= prev.n_tokens
+        assert cur.vocab_size <= prev.vocab_size + 1
+        assert cur.fertility <= prev.fertility
+    # k=0 is the character baseline: fertility = chars per word
+    assert rows[0].fertility >= rows[-1].fertility
