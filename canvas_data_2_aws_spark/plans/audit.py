@@ -129,6 +129,81 @@ def _static_generator_size(jgen) -> int | None:
     return None
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def audit_checkpoints():
+    """Capture nested-loop joins in plans ABOUT TO BE TRUNCATED by
+    ``DataFrame.localCheckpoint``.
+
+    A checkpointed subtree appears downstream as an opaque RDD scan
+    (``RDDScanExec``), so a product upstream of one is invisible to any
+    post-hoc plan inspection — found in round 7 when the vocab-growth
+    curve's scalar attach vanished from its final plan. Inside this
+    context every ``localCheckpoint`` call first audits its
+    pre-checkpoint plan; hits (tagged ``via='checkpoint'``) accumulate
+    in the yielded list, closing the blind spot for the audit tool and
+    the plan-test sweep.
+    """
+    # Spark 4 instances are pyspark.sql.classic.dataframe.DataFrame,
+    # which OVERRIDES localCheckpoint — patching only the abstract base
+    # would intercept nothing.
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _ClassicDF
+    except ImportError:  # older layout: one concrete class
+        _ClassicDF = DataFrame
+    targets = {DataFrame, _ClassicDF}
+
+    hits: list[dict] = []
+    origs = {cls: cls.__dict__.get("localCheckpoint") for cls in targets}
+
+    def make_wrapper(orig):
+        def wrapper(self, eager: bool = True):
+            for h in find_nested_loops(self):
+                h["via"] = "checkpoint"
+                hits.append(h)
+            return orig(self, eager=eager)
+
+        return wrapper
+
+    for cls, orig in origs.items():
+        if orig is not None:
+            cls.localCheckpoint = make_wrapper(orig)
+    try:
+        yield hits
+    finally:
+        for cls, orig in origs.items():
+            if orig is not None:
+                cls.localCheckpoint = orig
+
+
+def count_rdd_scans(df: DataFrame) -> int:
+    """Opaque RDD scans (checkpoint/createDataFrame results) in df's
+    initial physical plan — each one is a subtree the post-hoc audit
+    cannot see past (pair with audit_checkpoints() for coverage)."""
+    qe = df._jdf.queryExecution()
+    n = 0
+
+    def walk(node) -> None:
+        nonlocal n
+        name = _simple_name(node)
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.initialPlan())
+            return
+        if name == "ReusedExchangeExec":
+            walk(node.child())
+            return
+        if name in ("RDDScanExec", "ExternalRDDScanExec"):
+            n += 1
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(qe.executedPlan())
+    return n
+
+
 def find_nested_loops(df: DataFrame) -> list[dict]:
     """All BNLJ/Cartesian nodes in df's initial physical plan, each with
     the provable row bound of its build side.

@@ -836,6 +836,54 @@ def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # runs, prefix/suffix collisions, and chained merges.
 _BPE_ENCODE_K = 8
 
+# The Spark twin of the oracle-side fold (one place, like
+# _BPE_WF_PAIRS_CTES): format with the word column and the merge-array
+# expression. Tests import this constant so the engines cannot diverge
+# through a copy getting edited.
+_BPE_FOLD_SQL = r"""filter(split(
+  aggregate(
+    {merges},
+    concat(regexp_replace({w}, '(.)', '||$1'), '||'),
+    (acc, m) -> replace(acc,
+        concat('|', substring(m, 1, 1), '||', substring(m, 2, 1), '|'),
+        concat('|', m, '|'))
+  ), '\\|\\|'), x -> x <> '')"""
+
+
+def _bpe_learned_merges(docs: DataFrame) -> DataFrame:
+    """1-row frame holding the rank-ordered top-K merge list (the
+    Spark twin of the topm/ml oracle CTEs): word-frequency agg,
+    char-pair explode over distinct words, pair count, struct sort on
+    (-cnt, pair) to reproduce ORDER BY cnt DESC, pair after the
+    limit. Shared by encode / fertility / vocab-growth so the
+    learning step cannot drift between queries."""
+    wf = (
+        docs.select(F.explode(T.tokens()).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    prs = wf.where(F.length("w") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " j -> substring(w, j, 2))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    topm = (
+        prs.groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(_BPE_ENCODE_K)
+    )
+    return topm.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(-cnt AS nc, pair AS p))),"
+            " x -> x.p)"
+        ).alias("merges")
+    )
+
 _BPE_ENCODE_ORACLE = f"""
 WITH {_BPE_WF_PAIRS_CTES},
 topm AS (
@@ -935,17 +983,7 @@ def pipeline_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     dw = words.select("w").distinct().crossJoin(F.broadcast(merges))
     encw = dw.select(
         "w",
-        F.expr(
-            r"""filter(split(
-              aggregate(
-                merges,
-                concat(regexp_replace(w, '(.)', '||$1'), '||'),
-                (acc, m) -> replace(acc,
-                    concat('|', substring(m, 1, 1), '||',
-                           substring(m, 2, 1), '|'),
-                    concat('|', m, '|'))
-              ), '\\|\\|'), x -> x <> '')"""
-        ).alias("toks"),
+        F.expr(_BPE_FOLD_SQL.format(w="w", merges="merges")).alias("toks"),
     ).localCheckpoint(eager=False)
     vocab = encw.select(F.explode("toks").alias("tok")).distinct()
     vocab = (
@@ -1195,15 +1233,7 @@ def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "w",
             F.expr(
-                r"""size(filter(split(
-                  aggregate(
-                    merges,
-                    concat(regexp_replace(w, '(.)', '||$1'), '||'),
-                    (acc, m) -> replace(acc,
-                        concat('|', substring(m, 1, 1), '||',
-                               substring(m, 2, 1), '|'),
-                        concat('|', m, '|'))
-                  ), '\\|\\|'), x -> x <> ''))"""
+                "size(" + _BPE_FOLD_SQL.format(w="w", merges="merges") + ")"
             ).alias("n_tok"),
             F.length("w").alias("n_char"),
         )
@@ -1321,15 +1351,7 @@ def pipeline_bpe_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "freq",
             "k",
             F.expr(
-                r"""filter(split(
-                  aggregate(
-                    slice(merges, 1, k),
-                    concat(regexp_replace(w, '(.)', '||$1'), '||'),
-                    (acc, m) -> replace(acc,
-                        concat('|', substring(m, 1, 1), '||',
-                               substring(m, 2, 1), '|'),
-                        concat('|', m, '|'))
-                  ), '\\|\\|'), x -> x <> '')"""
+                _BPE_FOLD_SQL.format(w="w", merges="slice(merges, 1, k)")
             ).alias("toks"),
         )
         .localCheckpoint(eager=False)

@@ -406,15 +406,16 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         landed = spark.read.parquet(sink_dir)
         # Per-run totals are scalars from the resume protocol (metadata,
         # not data); attach as literals so the landed-action counts never
-        # pass through the driver.
-        out = (
+        # pass through the driver. NB: do not rebind `out` — it is the
+        # input tempdir the finally block must delete.
+        result = (
             landed.groupBy("action")
             .agg(F.count("*").alias("n"))
             .withColumn("run1_rows", F.lit(total1).cast("long"))
             .withColumn("run2_rows", F.lit(total2 - total1).cast("long"))
             .orderBy("action")
         )
-        return materialize_outliving(out, sink_dir)
+        return materialize_outliving(result, sink_dir)
     finally:
         for d in (out, ckpt, sink_dir):
             shutil.rmtree(d, ignore_errors=True)

@@ -39,14 +39,9 @@ _SETTINGS = dict(
     ],
 )
 
-_FOLD = r"""filter(split(
-  aggregate(
-    merges,
-    concat(regexp_replace(w, '(.)', '||$1'), '||'),
-    (acc, m) -> replace(acc,
-        concat('|', substring(m, 1, 1), '||', substring(m, 2, 1), '|'),
-        concat('|', m, '|'))
-  ), '\\|\\|'), x -> x <> '')"""
+from canvas_data_2_aws_spark.queries.curation import _BPE_FOLD_SQL
+
+_FOLD = _BPE_FOLD_SQL.format(w="w", merges="merges")
 
 
 @settings(**_SETTINGS)

@@ -167,21 +167,13 @@ def test_bpe_fold_matches_reference_encoder(spark, sf_dir):
     df = spark.createDataFrame([(w,) for w in allw], "w string").withColumn(
         "merges", F.array(*[F.lit(m) for m in merges])
     )
+    from canvas_data_2_aws_spark.queries.curation import _BPE_FOLD_SQL
+
     got = {
         r.w: list(r.toks)
         for r in df.select(
             "w",
-            F.expr(
-                r"""filter(split(
-                  aggregate(
-                    merges,
-                    concat(regexp_replace(w, '(.)', '||$1'), '||'),
-                    (acc, m) -> replace(acc,
-                        concat('|', substring(m, 1, 1), '||',
-                               substring(m, 2, 1), '|'),
-                        concat('|', m, '|'))
-                  ), '\\|\\|'), x -> x <> '')"""
-            ).alias("toks"),
+            F.expr(_BPE_FOLD_SQL.format(w="w", merges="merges")).alias("toks"),
         ).collect()
     }
     for w in allw:

@@ -68,3 +68,32 @@ def test_unbounded_data_dependent_explode_is_flagged(spark, sf_dir):
     nolimit = docs.select(F.explode(F.split("text", " ")).alias("w"))
     h2 = _one(orders.crossJoin(F.broadcast(nolimit)))
     assert not h2["ok"] and h2["bound"] is None
+
+
+def test_audit_checkpoints_sees_through_truncation(spark, sf_dir):
+    """A data×data product upstream of a localCheckpoint vanishes from
+    the final plan (RDD-scan truncation) — audit_checkpoints() must
+    still catch it, and count_rdd_scans must expose the opaque scan."""
+    from canvas_data_2_aws_spark.plans.audit import (
+        audit_checkpoints,
+        count_rdd_scans,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").limit(200)
+    cust = load_table(spark, sf_dir, "customer").limit(200)
+    with audit_checkpoints() as hits:
+        hidden = (
+            orders.crossJoin(cust.select(F.col("c_custkey").alias("ck")))
+            .localCheckpoint(eager=False)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+    # post-hoc inspection is blind...
+    assert find_nested_loops(hidden) == []
+    assert count_rdd_scans(hidden) >= 1
+    # ...but the checkpoint-time audit caught the product. The build
+    # sides are LIMIT 200 frames (bounded above the scalar threshold),
+    # so the hit must be flagged not-ok.
+    assert hits and any(
+        h["via"] == "checkpoint" and not h["ok"] for h in hits
+    ), hits

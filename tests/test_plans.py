@@ -186,33 +186,42 @@ _NO_PLAN = {
 
 
 def test_no_accidental_cartesian_products(spark, sf_dir):
-    """Sweep EVERY deterministic graded query's plan: a cartesian or
-    broadcast-nested-loop join outside the whitelist is an accident
-    that turns into an O(n²) explosion at 100 TB."""
-    offenders = []
-    for name in sorted(set(registry.QUERIES) - _NO_PLAN - _NESTED_LOOP_OK):
-        plan = plan_text(registry.QUERIES[name](spark, sf_dir))
-        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
-            offenders.append(name)
-    assert not offenders, offenders
+    """ONE sweep over every deterministic graded query's plan, three
+    assertions per query (building each DataFrame once — the two
+    separate sweeps this replaces doubled the most expensive part of
+    the suite):
 
+    1. name-whitelist: a cartesian/BNLJ marker outside _NESTED_LOOP_OK
+       is an accident;
+    2. bound discipline (r7): every nested loop — including whitelisted
+       scalar attaches — must PROVE a bounded build side
+       (plans/audit.py), so a whitelisted query regressing to a
+       data-sized broadcast fails instead of hiding behind its name;
+    3. checkpoint blind spot (r7): localCheckpoint truncates lineage,
+       so nested loops upstream of one are audited at
+       checkpoint-creation time via audit_checkpoints() — a product
+       hidden behind a checkpoint is still caught."""
+    from canvas_data_2_aws_spark.plans.audit import (
+        audit_checkpoints,
+        find_nested_loops,
+    )
 
-def test_whitelisted_nested_loops_have_bounded_build_sides(spark, sf_dir):
-    """The stronger r7 check behind the name whitelist above: every
-    nested-loop join in EVERY graded plan — including the whitelisted
-    scalar attaches — must resolve to a build side with a provable
-    static row bound (plans/audit.py). A whitelisted query that
-    regresses from a 1-row scalar attach to a data-sized broadcast now
-    fails here instead of hiding behind its name (the r6 verdict's 58
-    indistinguishable BNLJ notes)."""
-    from canvas_data_2_aws_spark.plans.audit import find_nested_loops
-
-    offenders = []
+    marker_offenders = []
+    bound_offenders = []
     for name in sorted(set(registry.QUERIES) - _NO_PLAN):
-        for nl in find_nested_loops(registry.QUERIES[name](spark, sf_dir)):
+        with audit_checkpoints() as ckpt_hits:
+            df = registry.QUERIES[name](spark, sf_dir)
+        if name not in _NESTED_LOOP_OK:
+            plan = plan_text(df)
+            if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+                marker_offenders.append(name)
+        for nl in find_nested_loops(df) + ckpt_hits:
             if not nl["ok"]:
-                offenders.append((name, nl["kind"], nl["build"], nl["bound"]))
-    assert not offenders, offenders
+                bound_offenders.append(
+                    (name, nl.get("via", "plan"), nl["kind"], nl["bound"])
+                )
+    assert not marker_offenders, marker_offenders
+    assert not bound_offenders, bound_offenders
 
 
 def test_audit_catches_injected_real_cross_join(spark, sf_dir):

@@ -34,7 +34,10 @@ from contextlib import redirect_stdout
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from canvas_data_2_aws_spark import registry, session  # noqa: E402
-from canvas_data_2_aws_spark.plans.audit import find_nested_loops  # noqa: E402
+from canvas_data_2_aws_spark.plans.audit import (  # noqa: E402
+    audit_checkpoints,
+    find_nested_loops,
+)
 
 # Nested-loop joins whose build side is data-sized BY DESIGN, each with
 # the runtime cap that keeps it broadcast-safe. EMPTY as of round 7:
@@ -79,7 +82,11 @@ def main() -> None:
     n_scalar = n_deliberate = 0
     for name in names:
         try:
-            df = registry.QUERIES[name](spark, sf_dir)
+            # localCheckpoint truncates lineage, hiding upstream joins
+            # from any post-hoc plan read — audit_checkpoints() captures
+            # those plans at checkpoint-creation time instead.
+            with audit_checkpoints() as ckpt_hits:
+                df = registry.QUERIES[name](spark, sf_dir)
             plan = plan_text(df)
         except Exception as exc:  # queries with side effects may not build dry
             print(f"SKIP {name}: {type(exc).__name__}: {exc}", flush=True)
@@ -87,8 +94,9 @@ def main() -> None:
         for detail in audit_hof(plan):
             bad += 1
             print(f"BAD  {name}: hof-in-filter: {detail}", flush=True)
-        for nl in find_nested_loops(df):
-            desc = f"{nl['kind']}({nl['build']}, build<={nl['bound']})"
+        for nl in find_nested_loops(df) + ckpt_hits:
+            via = "checkpoint " if nl.get("via") == "checkpoint" else ""
+            desc = f"{via}{nl['kind']}({nl['build']}, build<={nl['bound']})"
             if nl["ok"]:
                 n_scalar += 1
                 print(f"ok   {name}: scalar-attach {desc}", flush=True)
