@@ -94,8 +94,12 @@ HEADLINE = [
     "pipeline_dsir_weights",
     "search_hybrid_rrf",
     "analytics_ab_cuped",
-    # round-7: end-to-end BPE tokenization (merge learn + encode)
+    # round-7: end-to-end BPE tokenization (merge learn + encode),
+    # CEP sequence match, LPA communities, Rocchio PRF retrieval
     "pipeline_bpe_encode",
+    "analytics_cep_pattern",
+    "graph_label_propagation",
+    "search_rocchio_expand",
 ]
 
 

@@ -394,3 +394,57 @@ def hits(
             F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    broadcast_node_cap: int | None = None,
+) -> DataFrame:
+    """Deterministic synchronous label propagation (community detect).
+
+    Returns (node, label) after ``iterations`` synchronous rounds of
+    label(v) ← mode of neighbor labels, ties broken by SMALLEST label
+    (classic LPA randomizes ties and updates asynchronously; this
+    variant is fully deterministic so the unrolled SQL oracle
+    hash-matches it, at the usual synchronous-LPA cost that bipartite
+    structures can oscillate — fixed iteration count, not fixpoint).
+    Init label = own node id.
+
+    Same execution shape as :func:`pagerank`: per round one join of
+    the edge list against the O(V) label table (broadcast under the
+    node cap, co-partitioned above it — edges shuffled once, never
+    again), one (node, label) count, and one node-keyed window to pick
+    the mode; ``localCheckpoint`` truncates lineage per round.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    n = nodes.count()
+    cap = SCORE_BROADCAST_NODE_CAP if broadcast_node_cap is None else broadcast_node_cap
+    sym_l = sym.repartition("b") if n > cap else sym
+    sym_l = sym_l.localCheckpoint(eager=False)
+    from pyspark.sql import Window
+
+    labels = nodes.select("node", F.col("node").alias("label"))
+    pick_w = Window.partitionBy("a").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    for _ in range(iterations):
+        votes = (
+            sym_l.join(_score_side(labels, n, cap), sym_l.b == labels.node)
+            .groupBy("a", "label")
+            .agg(F.count(F.lit(1)).alias("votes"))
+        )
+        labels = (
+            votes.withColumn("rk", F.row_number().over(pick_w))
+            .where(F.col("rk") == 1)
+            .select(F.col("a").alias("node"), "label")
+        )
+        labels = labels.localCheckpoint(eager=False)
+    return labels

@@ -1526,3 +1526,86 @@ def analytics_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(lat_min, 0.50)"), 4).alias("p50_min"),
         F.round(F.expr("percentile(lat_min, 0.90)"), 4).alias("p90_min"),
     )
+
+
+# --- EXT: CEP-style event-sequence pattern match ---------------------------------
+
+# MATCH_RECOGNIZE / Flink-CEP analog as a pure relational op: each
+# user's ordered event history becomes a one-char-per-event string
+# (v/c/p/e/s), and journey patterns are regexes over it. The two
+# graded patterns are unambiguous BY CONSTRUCTION: gaps exclude both
+# terminators ([^ep]*), so a match starting at position s must end at
+# the FIRST terminator after s — the extracted substring and the
+# non-overlapping count are engine-independent (no reliance on
+# greedy-vs-lazy or leftmost-longest differences between Java regex
+# and RE2). Conversion = view → click → purchase with no error or
+# earlier purchase between; abort = the same prefix terminated by an
+# error instead.
+_CEP_CONV_PAT = "v[^ep]*c[^ep]*p"
+_CEP_ABORT_PAT = "v[^ep]*c[^ep]*e"
+
+_CEP_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                    WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e'
+                    ELSE 's' END, '' ORDER BY ts, event_id) AS seq,
+         COUNT(*) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(seq, '{_CEP_CONV_PAT}', 0)) AS BIGINT)
+         AS n_conversions,
+       CAST(len(regexp_extract_all(seq, '{_CEP_ABORT_PAT}', 0)) AS BIGINT)
+         AS n_aborted,
+       CAST(length(regexp_extract(seq, '{_CEP_CONV_PAT}', 0)) AS BIGINT)
+         AS first_conv_len
+FROM seq
+"""
+
+
+@graded("analytics_cep_pattern", oracle=_CEP_ORACLE)
+def analytics_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern match (MATCH_RECOGNIZE analog):
+    per-user conversion/abort journey counts via regex over the
+    encoded event-type sequence. One shuffle (the user-keyed collect);
+    the sort happens inside ``array_sort`` per group, so no global
+    ordering stage exists. Per-entity sequence length is the state
+    bound — at 100 TB the same op runs per (user, session window)
+    exactly like the streaming session queries, capping any one
+    group's string at session size; user-lifetime sequences here match
+    the oracle's scope."""
+    ev = load_table(spark, sf_dir, "events")
+    ch = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "error", "e")
+        .otherwise("s")
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", ch.alias("ch")))
+                ),
+                lambda x: x["ch"],
+            ),
+            "",
+        ).alias("seq"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return seq.select(
+        "user_id",
+        "n_events",
+        F.size(
+            F.expr(f"regexp_extract_all(seq, '{_CEP_CONV_PAT}', 0)")
+        ).cast("long").alias("n_conversions"),
+        F.size(
+            F.expr(f"regexp_extract_all(seq, '{_CEP_ABORT_PAT}', 0)")
+        ).cast("long").alias("n_aborted"),
+        F.length(
+            F.regexp_extract("seq", _CEP_CONV_PAT, 0)
+        ).cast("long").alias("first_conv_len"),
+    )

@@ -1403,3 +1403,69 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return cur.groupBy("node").agg(F.count("*").alias("degree"))
+
+
+# --- EXT: label-propagation community detection ----------------------------------
+
+# Deterministic synchronous LPA over the shared SimHash pair graph: 3
+# unrolled rounds of label(v) ← mode of neighbor labels (ties → min
+# label), init = own id. The oracle replays the identical rounds;
+# COUNT votes and BIGINT labels make every round exact, so the
+# Spark/DuckDB results are bit-equal. Complements the existing graph
+# suite: modularity SCORES a given partition, connected components
+# merges everything reachable — LPA is the op that PRODUCES density-
+# based communities (a near-dup cluster can contain several distinct
+# boilerplate families joined by one bridge doc; LPA splits them, CC
+# cannot).
+_LPA_ITER = """
+lp{i} AS (
+  SELECT a AS node, label FROM (
+    SELECT e.a, l.label,
+           ROW_NUMBER() OVER (PARTITION BY e.a
+                              ORDER BY COUNT(*) DESC, l.label ASC) AS rk
+    FROM edges e JOIN lp{j} l ON e.b = l.node
+    GROUP BY e.a, l.label
+  ) WHERE rk = 1
+)"""
+
+_LPA_ORACLE = (
+    _SIMHASH_PAIRS_SQL
+    + """
+edges AS (
+  SELECT pa AS a, pb AS b FROM pairs
+  UNION
+  SELECT pb AS a, pa AS b FROM pairs
+),
+lp0 AS (SELECT DISTINCT a AS node, a AS label FROM edges),"""
+    + ",".join(_LPA_ITER.format(i=i, j=i - 1) for i in range(1, 4))
+    + """
+SELECT node, CAST(label AS BIGINT) AS label,
+       CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
+FROM lp3
+"""
+)
+
+
+@graded("graph_label_propagation", oracle=_LPA_ORACLE)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the near-dup graph via deterministic
+    synchronous LPA (operators/graph.label_propagation) — the stage
+    that splits a bridge-linked near-dup cluster into its dense
+    boilerplate families before canonical selection. Three rounds,
+    each one edge×label join (label side broadcast under the 20 M-node
+    cap, co-partitioned above — edges never re-shuffle) + one count
+    agg + one node-keyed window; the community-size attach is one more
+    label-keyed window on the O(V) result."""
+    from ..operators.graph import label_propagation
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_pairs(docs)
+    labels = label_propagation(pairs, src="doc_a", dst="doc_b", iterations=3)
+    return labels.select(
+        "node",
+        "label",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("label"))
+        .cast("long")
+        .alias("community_size"),
+    )

@@ -1331,3 +1331,100 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return w.orderBy(F.col("dsir_logweight").desc(), "doc_id").limit(100)
+
+
+# --- EXT: Rocchio pseudo-relevance feedback (query expansion) --------------------
+
+# The second retrieval stage after search_hybrid_rrf: run the seed
+# query under BM25, treat its top-10 docs as pseudo-relevant (Rocchio
+# 1971 / classic PRF), lift the 3 strongest non-seed terms from that
+# slice as expansion terms at half the seed weight (α=2, β=1 in
+# Rocchio's integer-scaled form), and re-rank the corpus under the
+# expanded query. Shares _BM25_CTES / bm25_scores with text_bm25 so
+# the scoring function cannot drift. Every rank step carries a
+# composite unique key and every score is a DECIMAL(18,6) sum —
+# order-independent, bit-equal across engines.
+_ROCCHIO_SEED = ("join", "hash")
+_ROCCHIO_STOP = ("a", "the")
+
+from .text import _BM25_CTES
+
+_ROCCHIO_ORACLE = f"""
+WITH {_BM25_CTES},
+seed(token, w) AS (VALUES ('join', 2), ('hash', 2)),
+q0 AS (
+  SELECT doc_id, SUM(CAST(bm25 AS DECIMAL(18,6))) AS s
+  FROM bm25 JOIN seed USING (token)
+  GROUP BY doc_id ORDER BY s DESC, doc_id LIMIT 10
+),
+expand AS (
+  SELECT token, SUM(CAST(bm25 AS DECIMAL(18,6))) AS mass
+  FROM bm25 JOIN q0 USING (doc_id)
+  WHERE token NOT IN ('join', 'hash', 'a', 'the')
+  GROUP BY token ORDER BY mass DESC, token LIMIT 3
+),
+terms AS (
+  SELECT token, CAST(w AS BIGINT) AS w FROM seed
+  UNION ALL SELECT token, CAST(1 AS BIGINT) AS w FROM expand
+),
+scored AS (
+  SELECT b.doc_id, SUM(CAST(b.bm25 AS DECIMAL(18,6)) * t.w) AS s
+  FROM bm25 b JOIN terms t USING (token)
+  GROUP BY b.doc_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rnk,
+       doc_id, CAST(s AS DOUBLE) AS score
+FROM (SELECT * FROM scored ORDER BY s DESC, doc_id LIMIT 20)
+"""
+
+
+@graded("search_rocchio_expand", oracle=_ROCCHIO_ORACLE)
+def search_rocchio_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance-feedback retrieval: BM25 seed query →
+    top-10 pseudo-relevant docs → top-3 expansion terms by BM25 mass →
+    re-rank under the α=2/β=1 expanded query. The shared score table
+    is checkpointed once (consumed by all three stages); both rank
+    cuts are TakeOrdered (10- and 20-row driver results), the
+    expansion stage runs on a broadcast 10-doc slice, and the re-rank
+    joins a broadcast 5-term table — so the only corpus-sized work is
+    the one tf aggregation inside bm25_scores, exactly like a
+    production two-pass retrieval."""
+    from .text import bm25_scores
+
+    sc = bm25_scores(spark, sf_dir).localCheckpoint(eager=False)
+    dec = F.col("bm25").cast("decimal(18,6)")
+    top10 = (
+        sc.where(F.col("token").isin(*_ROCCHIO_SEED))
+        .groupBy("doc_id")
+        .agg(F.sum(dec).alias("s"))
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(10)
+    )
+    expand = (
+        sc.join(F.broadcast(top10.select("doc_id")), "doc_id")
+        .where(~F.col("token").isin(*(_ROCCHIO_SEED + _ROCCHIO_STOP)))
+        .groupBy("token")
+        .agg(F.sum(dec).alias("mass"))
+        .orderBy(F.col("mass").desc(), "token")
+        .limit(3)
+    )
+    seed_df = spark.createDataFrame(
+        [(t, 2) for t in _ROCCHIO_SEED], "token string, w long"
+    )
+    terms = seed_df.unionByName(
+        expand.select("token", F.lit(1).cast("long").alias("w"))
+    )
+    scored = (
+        sc.join(F.broadcast(terms), "token")
+        .groupBy("doc_id")
+        .agg(F.sum(dec * F.col("w")).alias("s"))
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(20)
+    )
+    ranked = R.attach_unit_group(scored)
+    w = Window.partitionBy(R.UNIT_GROUP).orderBy(F.col("s").desc(), "doc_id")
+    return ranked.select(
+        F.row_number().over(w).cast("long").alias("rnk"),
+        "doc_id",
+        F.col("s").cast("double").alias("score"),
+    )

@@ -579,35 +579,39 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # df, dl, N) is an exact integer aggregate; avgdl and the score are then
 # the same IEEE op sequence over identical operands in both engines, so
 # ROUND(,4) is bit-stable (same recipe as text_tfidf / text_unigram).
-_BM25_ORACLE = """
-WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+# The CTE block is SHARED with the Rocchio expansion oracle
+# (queries/pipelines.py) so the scoring function cannot drift between
+# the retrieval queries.
+_BM25_CTES = """
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
 tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
 dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
 dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
-stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl)
-SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
-       ROUND(
-         LN(1.0 + (CAST(stats.n - dfreq.df AS DOUBLE) + 0.5)
-                  / (CAST(dfreq.df AS DOUBLE) + 0.5))
-         * (CAST(tf.tf AS DOUBLE) * 2.2)
-         / (CAST(tf.tf AS DOUBLE)
-            + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl))),
-         4) AS bm25
-FROM tf
-JOIN dl USING (doc_id)
-JOIN dfreq USING (token), stats
+stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+bm25 AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         ROUND(
+           LN(1.0 + (CAST(stats.n - dfreq.df AS DOUBLE) + 0.5)
+                    / (CAST(dfreq.df AS DOUBLE) + 0.5))
+           * (CAST(tf.tf AS DOUBLE) * 2.2)
+           / (CAST(tf.tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl))),
+           4) AS bm25
+  FROM tf
+  JOIN dl USING (doc_id)
+  JOIN dfreq USING (token), stats
+)"""
+
+_BM25_ORACLE = f"""
+WITH {_BM25_CTES}
+SELECT doc_id, token, tf, df, bm25 FROM bm25
 """
 
 
-@graded("text_bm25", oracle=_BM25_ORACLE)
-def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 (k1=1.2, b=0.75, Lucene idf) per (doc, term) — the
-    ranking function a corpus-retrieval stage runs over the inverted
-    index. Three hash aggs off one token explode; df and the scalar
-    (N, avgdl) stats broadcast back onto the tf stream, and dl rides a
-    doc-keyed join that co-partitions with tf's grouping — so the only
-    full shuffle of the token stream is the tf aggregation itself, same
-    as text_tfidf."""
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (doc_id, token, tf, df, bm25) scoring table — the Spark
+    twin of ``_BM25_CTES``, consumed by ``text_bm25`` and the Rocchio
+    expansion query (queries/pipelines.py)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(T.tokens()).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
@@ -636,6 +640,18 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .select("doc_id", "token", "tf", "df", F.round(score, 4).alias("bm25"))
     )
+
+
+@graded("text_bm25", oracle=_BM25_ORACLE)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75, Lucene idf) per (doc, term) — the
+    ranking function a corpus-retrieval stage runs over the inverted
+    index. Three hash aggs off one token explode; df and the scalar
+    (N, avgdl) stats broadcast back onto the tf stream, and dl rides a
+    doc-keyed join that co-partitions with tf's grouping — so the only
+    full shuffle of the token stream is the tf aggregation itself, same
+    as text_tfidf."""
+    return bm25_scores(spark, sf_dir)
 
 
 # --- EXT: inverted-index construction --------------------------------------------

@@ -177,3 +177,35 @@ def test_bfs_levels_unreachable_and_cap(spark):
     levels = {r.node: r.level for r in bfs_levels(edges, seeds, max_hops=2).collect()}
     # capped at 2 hops; disconnected 10-11 island absent
     assert levels == {0: 0, 1: 1, 2: 2}
+
+
+def test_lpa_splits_bridged_communities(spark):
+    """Two 4-cliques joined by one bridge edge are ONE connected
+    component but TWO LPA communities — the capability CC cannot
+    provide (hand-computed 3-round synchronous trace)."""
+    from canvas_data_2_aws_spark.operators.graph import label_propagation
+
+    cl = lambda ns: [(a, b) for a in ns for b in ns if a < b]
+    edges = spark.createDataFrame(
+        cl([1, 2, 3, 4]) + cl([10, 11, 12, 13]) + [(4, 10)],
+        "src long, dst long",
+    )
+    labels = {r.node: r.label for r in label_propagation(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_lpa_copartitioned_bitwise_equal(spark):
+    """cap=0 forces the co-partitioned label join; integer labels and
+    COUNT votes make both plans exactly equal."""
+    from canvas_data_2_aws_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4)],
+        "src long, dst long",
+    )
+    small = {r.node: r.label for r in label_propagation(edges).collect()}
+    big = {
+        r.node: r.label
+        for r in label_propagation(edges, broadcast_node_cap=0).collect()
+    }
+    assert small == big

@@ -319,3 +319,17 @@ def test_cuped_reduces_variance_and_preserves_grand_mean(spark, sf_dir):
     raw = sum(r.mean_y_usd * r.n_users for r in rows) / n
     adj = sum(r.mean_y_cuped_usd * r.n_users for r in rows) / n
     assert abs(raw - adj) < 0.01  # mean-zero adjustment (4dp rounding)
+
+
+def test_rocchio_expansion_contract(spark, sf_dir):
+    """Rocchio invariants: exactly 20 ranked rows, rnk is a 1..20
+    permutation aligned with (score desc, doc_id asc), and every
+    score positive (α,β > 0 over non-negative BM25 mass)."""
+    from canvas_data_2_aws_spark.queries.pipelines import search_rocchio_expand
+
+    rows = search_rocchio_expand(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert [r.rnk for r in rows] == list(range(1, 21))
+    ordered = sorted(rows, key=lambda r: (-r.score, r.doc_id))
+    assert [r.rnk for r in ordered] == list(range(1, 21))
+    assert all(r.score > 0 for r in rows)

@@ -122,6 +122,7 @@ _NESTED_LOOP_OK = {
     # round-7 additions, same constant-side shapes:
     "pipeline_bpe_encode",  # 1-row merge-list broadcast + unit-group vocab ids
     "text_bpe_fertility",  # 1-row merge-list broadcast
+    "search_rocchio_expand",  # (N, avgdl) 1-row stats + unit-group final rank
     # round-6 additions, same constant-side shapes:
     "analytics_ab_cuped",  # 1-row mid-timestamp + 1-row pooled moments
     "pipeline_dsir_weights",  # 1-row (ts, tt) totals broadcast
