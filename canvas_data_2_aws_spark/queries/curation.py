@@ -1377,3 +1377,102 @@ def pipeline_bpe_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("merges_applied")
     )
+
+
+# --- temperature-scaled language mixing (mC4 / XLM-R style) ---------------------
+
+# Up-weight low-resource languages by sampling ∝ p^α (α = 0.5). The
+# only float stage is sqrt(toks) — IEEE-754 sqrt is correctly rounded,
+# so Spark and DuckDB produce the bit-identical double — immediately
+# floored into integer micro-weights; the apportionment itself is the
+# same exact-integer Hamilton scheme as pipeline_mix_allocation
+# (largest-remainder, Σalloc == budget exactly, lang tie-break).
+_MIX_TEMP_BUDGET = 100_000
+
+_MIX_TEMP_ORACLE = f"""
+WITH counts AS (
+  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+  FROM documents GROUP BY lang
+),
+w AS (
+  SELECT lang, toks,
+         CAST(floor(sqrt(CAST(toks AS DOUBLE)) * 1000000) AS BIGINT) AS w_micros
+  FROM counts
+),
+tot AS (SELECT SUM(w_micros) AS sw FROM w),
+quota AS (
+  SELECT lang, toks, w_micros,
+         ({_MIX_TEMP_BUDGET} * w_micros) // sw AS base,
+         ({_MIX_TEMP_BUDGET} * w_micros) % sw AS rem
+  FROM w, tot
+),
+ranked AS (
+  SELECT lang, toks, w_micros, base,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk,
+         {_MIX_TEMP_BUDGET} - SUM(base) OVER () AS leftover
+  FROM quota
+)
+SELECT lang, toks, w_micros,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM ranked
+ORDER BY lang
+"""
+
+
+@graded("pipeline_mix_temperature", oracle=_MIX_TEMP_ORACLE)
+def pipeline_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data-mix allocation: per-language budgets
+    ∝ toks^0.5 (α = 0.5 flattens the mix toward low-resource langs —
+    the mC4/XLM-R sampling rule), apportioned by Hamilton's
+    largest-remainder method so Σalloc == budget exactly.
+
+    Scale: one corpus-wide token rollup (shuffle on lang) is the only
+    data-scale pass; sqrt/floor/apportionment run on the
+    lang-cardinality table (broadcast-sized at any corpus scale).
+    sqrt is the sole float op and is correctly rounded by IEEE-754, so
+    the floored micro-weights are cross-engine exact.
+    """
+    from ..operators import ranks as R
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("toks")
+    )
+    w = counts.select(
+        "lang",
+        "toks",
+        F.floor(F.sqrt(F.col("toks").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("w_micros"),
+    )
+    tot = w.agg(F.sum("w_micros").alias("sw"))
+    quota = w.crossJoin(F.broadcast(tot)).select(  # scalar broadcast
+        "lang",
+        "toks",
+        "w_micros",
+        F.expr(f"({_MIX_TEMP_BUDGET} * w_micros) DIV sw").alias("base"),
+        F.expr(f"({_MIX_TEMP_BUDGET} * w_micros) % sw").alias("rem"),
+    )
+    w_all = Window.partitionBy(R.UNIT_GROUP)
+    w_rk = Window.partitionBy(R.UNIT_GROUP).orderBy(
+        F.col("rem").desc(), "lang"
+    )  # per-language quotas: broadcast-sized
+    ranked = R.attach_unit_group(quota).select(
+        "lang",
+        "toks",
+        "w_micros",
+        "base",
+        F.row_number().over(w_rk).alias("rk"),
+        (F.lit(_MIX_TEMP_BUDGET) - F.sum("base").over(w_all)).alias("leftover"),
+    )
+    return ranked.select(
+        "lang",
+        "toks",
+        "w_micros",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    ).orderBy("lang")

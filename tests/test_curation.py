@@ -208,3 +208,24 @@ def test_bpe_vocab_growth_curve_monotone(spark, sf_dir):
         assert cur.fertility <= prev.fertility
     # k=0 is the character baseline: fertility = chars per word
     assert rows[0].fertility >= rows[-1].fertility
+
+
+def test_mix_temperature_exact_budget_and_flattening(spark, sf_dir):
+    """Hamilton invariant: Σalloc == budget exactly. Temperature
+    invariant: α = 0.5 flattens the mix, so every below-average-share
+    language gets at least its proportional allocation (concavity of
+    sqrt) and the largest language gets at most it."""
+    from canvas_data_2_aws_spark.queries.curation import (
+        _MIX_TEMP_BUDGET,
+        pipeline_mix_temperature,
+    )
+
+    rows = pipeline_mix_temperature(spark, sf_dir).collect()
+    assert sum(r.alloc for r in rows) == _MIX_TEMP_BUDGET
+    tot_toks = sum(r.toks for r in rows)
+    for r in rows:
+        prop = _MIX_TEMP_BUDGET * r.toks / tot_toks
+        if r.toks * len(rows) <= tot_toks:
+            assert r.alloc >= int(prop) - 1
+    biggest = max(rows, key=lambda r: r.toks)
+    assert biggest.alloc <= _MIX_TEMP_BUDGET * biggest.toks / tot_toks + 1

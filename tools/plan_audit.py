@@ -19,7 +19,12 @@ at fixture scale but fatal at 100 TB:
   declared in ``DELIBERATE`` with a reason; anything else is a failure.
 
 Usage:
-    python tools/plan_audit.py [--sf DIR] [name ...]
+    python tools/plan_audit.py [--sf DIR] [--out FILE] [name ...]
+
+``--out`` writes ONLY the audit report lines to FILE — shell
+redirection of the whole process (``> file 2>&1``) also captures JVM
+stdout (streaming sink paths) and Python worker FutureWarnings, which
+polluted the r07 artifact; the flag keeps the committed report clean.
 
 Exit code 1 if any hof-in-filter hit or unexplained cartesian is found.
 """
@@ -69,12 +74,23 @@ def audit_hof(plan: str) -> list[str]:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    args = [a for a in argv if not a.startswith("--")]
     sf_dir = "/root/testdata/sf0.001"
-    for i, a in enumerate(sys.argv[1:]):
+    out_path = None
+    for i, a in enumerate(argv):
         if a == "--sf":
-            sf_dir = sys.argv[1:][i + 1]
+            sf_dir = argv[i + 1]
             args.remove(sf_dir) if sf_dir in args else None
+        elif a == "--out":
+            out_path = argv[i + 1]
+            args.remove(out_path) if out_path in args else None
+    report: list[str] = []
+
+    def emit(line: str) -> None:
+        report.append(line)
+        print(line, flush=True)
+
     registry.load_all()
     names = args or sorted(registry.QUERIES)
     spark = session.get_spark(app="plan-audit", shuffle_partitions=8)
@@ -89,32 +105,31 @@ def main() -> None:
                 df = registry.QUERIES[name](spark, sf_dir)
             plan = plan_text(df)
         except Exception as exc:  # queries with side effects may not build dry
-            print(f"SKIP {name}: {type(exc).__name__}: {exc}", flush=True)
+            emit(f"SKIP {name}: {type(exc).__name__}: {exc}")
             continue
         for detail in audit_hof(plan):
             bad += 1
-            print(f"BAD  {name}: hof-in-filter: {detail}", flush=True)
+            emit(f"BAD  {name}: hof-in-filter: {detail}")
         for nl in find_nested_loops(df) + ckpt_hits:
             via = "checkpoint " if nl.get("via") == "checkpoint" else ""
             desc = f"{via}{nl['kind']}({nl['build']}, build<={nl['bound']})"
             if nl["ok"]:
                 n_scalar += 1
-                print(f"ok   {name}: scalar-attach {desc}", flush=True)
+                emit(f"ok   {name}: scalar-attach {desc}")
             elif name in DELIBERATE:
                 n_deliberate += 1
-                print(
-                    f"ok   {name}: deliberate {desc}: {DELIBERATE[name]}",
-                    flush=True,
-                )
+                emit(f"ok   {name}: deliberate {desc}: {DELIBERATE[name]}")
             else:
                 bad += 1
-                print(f"BAD  {name}: unexplained cartesian {desc}", flush=True)
-    print(
+                emit(f"BAD  {name}: unexplained cartesian {desc}")
+    emit(
         f"audited {len(names)} queries: {bad} failures, "
         f"{n_scalar} bounded scalar attaches, "
-        f"{n_deliberate} declared deliberate nested loops",
-        flush=True,
+        f"{n_deliberate} declared deliberate nested loops"
     )
+    if out_path:
+        with open(out_path, "w") as fh:
+            fh.write("\n".join(report) + "\n")
     spark.stop()
     sys.exit(1 if bad else 0)
 
