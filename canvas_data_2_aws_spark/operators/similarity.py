@@ -125,7 +125,9 @@ def cosine_blas(
       is within its own row's top-k under the same ordering).
     - ``pairs_threshold``: all ``id_b > id_a`` (block-local if
       ``block_col``) with rounded score ≥ threshold.
-    - ``knn``: per-query top-k among ``id_b ≠ id_a``.
+    - ``knn``: per-query top-k among ``id_b ≠ id_a``; with
+      ``block_col``, only neighbors whose block differs from the
+      query's compete (hard-negative mining for contrastive training).
 
     Scores are rounded to ``round_dp`` BEFORE ranking (4 dp — SURVEY
     §8.5) with id tie-breaks, so ordering is cross-engine stable.
@@ -170,6 +172,15 @@ def cosine_blas(
                 sims = np.round(sims, round_dp)
                 if mode == "knn":
                     valid = ids_all[None, :] != q_ids[:, None]
+                    if blocks_all is not None:
+                        # block_col in knn mode = hard-negative mining:
+                        # only neighbors OUTSIDE the query's block
+                        # (label) compete — the top-k are the most
+                        # confusable wrong-label examples.
+                        valid &= (
+                            blocks_all[None, :]
+                            != blk_full[lo : lo + chunk, None]
+                        )
                 else:
                     valid = ids_all[None, :] > q_ids[:, None]
                     if blocks_all is not None:

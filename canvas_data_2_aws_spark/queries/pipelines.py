@@ -1428,3 +1428,61 @@ def search_rocchio_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("s").cast("double").alias("score"),
     )
+
+
+# --- hard-negative mining for contrastive training ------------------------------
+
+# For each query vector, the top-k most-similar vectors with a
+# DIFFERENT label: exactly the "confusable negatives" a contrastive
+# trainer (DPR / SimCSE style) mines to replace random in-batch
+# negatives. The label plays the positive-set role; at 100 TB the
+# broadcast-BLAS corpus is swapped for the bucketed ANN operators with
+# the same different-label mask.
+_HARD_NEG_ORACLE = """
+SELECT query_id, label, neighbor_id, neighbor_label, score, rn
+FROM (
+  SELECT a.vec_id AS query_id, a.label, b.vec_id AS neighbor_id,
+         b.label AS neighbor_label,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 4) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])), 4) DESC,
+                    b.vec_id
+         ) AS rn
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id <> b.vec_id AND a.label <> b.label
+  WHERE a.vec_id < 32
+) t
+WHERE rn <= 5
+ORDER BY query_id, rn
+"""
+
+
+@graded("search_hard_negatives", oracle=_HARD_NEG_ORACLE)
+def search_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 hard negatives (nearest different-label vectors) for each
+    of 32 query vectors, via the broadcast-corpus BLAS kernel with the
+    different-block mask applied INSIDE the matmul scoring (the
+    same-label columns never reach the top-k heap). Rounded-score +
+    id ordering keeps ranks cross-engine stable; the per-query rank
+    window runs on ≤5·32 rows."""
+    from ..operators.similarity import cosine_blas
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 32)
+    scored = cosine_blas(queries, emb, mode="knn", k=5, block_col="label")
+    lbl = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.join(F.broadcast(lbl), "neighbor_id")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .select("query_id", "label", "neighbor_id", "neighbor_label", "score", "rn")
+        .orderBy("query_id", "rn")
+    )

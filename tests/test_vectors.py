@@ -169,3 +169,21 @@ def test_hybrid_rrf_fusion_invariants(spark, sf_dir):
             1 / (60 + r.rank_vec) if r.rank_vec else 0
         )
         assert abs(r.rrf - expected) < 1e-6
+
+
+def test_hard_negatives_all_cross_label_and_harder_than_rank(spark, sf_dir):
+    """Every mined negative crosses labels (the mask ran inside the
+    BLAS kernel), ranks are dense 1..5 per query, and scores are
+    non-increasing in rank (rounded-score ordering)."""
+    from canvas_data_2_aws_spark.queries.pipelines import search_hard_negatives
+
+    rows = search_hard_negatives(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        assert r.label != r.neighbor_label
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rn)
+        assert [r.rn for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r.score for r in rs]
+        assert scores == sorted(scores, reverse=True)
