@@ -1486,3 +1486,129 @@ def search_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "label", "neighbor_id", "neighbor_label", "score", "rn")
         .orderBy("query_id", "rn")
     )
+
+
+# --- MMR diversified re-rank ----------------------------------------------------
+
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998): greedily
+# pick k=5 of the top-20 candidates per query, trading relevance
+# against redundancy: mmr(d) = λ·sim(d,q) − (1−λ)·max_{s∈S} sim(d,s),
+# λ=0.5. All similarities are 4dp-rounded doubles BEFORE any
+# comparison (SURVEY §8.5); 0.5·x is exact power-of-two scaling, so
+# the greedy argmax sequence is cross-engine deterministic (ties →
+# smaller id). The oracle unrolls the 5 greedy steps as CTE stages —
+# the same pattern as the BPE merge unroll.
+_MMR_STAGE = """
+s{i} AS (
+  SELECT q, d, CAST({i} AS BIGINT) AS rk, mmr FROM (
+    SELECT c.q, c.d,
+           0.5 * c.simq - 0.5 * MAX(pr.s) AS mmr
+    FROM c
+    JOIN pair pr ON pr.q = c.q AND pr.d1 = c.d
+    JOIN sel{p} w ON w.q = pr.q AND w.d = pr.d2
+    WHERE NOT EXISTS (SELECT 1 FROM sel{p} x WHERE x.q = c.q AND x.d = c.d)
+    GROUP BY c.q, c.d, c.simq
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY q ORDER BY mmr DESC, d) = 1
+),
+sel{i} AS (SELECT * FROM sel{p} UNION ALL SELECT * FROM s{i})"""
+
+_MMR_ORACLE = (
+    """
+WITH cand AS (
+  SELECT a.vec_id AS q, b.vec_id AS d,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 4) AS simq,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])), 4) DESC,
+                    b.vec_id
+         ) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 8
+),
+c AS (SELECT q, d, simq FROM cand WHERE rn <= 20),
+pair AS (
+  SELECT x.q, x.d AS d1, y.d AS d2,
+         ROUND(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                      CAST(e2.embedding AS DOUBLE[])), 4) AS s
+  FROM c x JOIN c y ON x.q = y.q AND x.d <> y.d
+  JOIN embeddings e1 ON e1.vec_id = x.d
+  JOIN embeddings e2 ON e2.vec_id = y.d
+),
+s1 AS (
+  SELECT q, d, CAST(1 AS BIGINT) AS rk, 0.5 * simq AS mmr
+  FROM c QUALIFY ROW_NUMBER() OVER (PARTITION BY q ORDER BY simq DESC, d) = 1
+),
+sel1 AS (SELECT * FROM s1),"""
+    + ",".join(_MMR_STAGE.format(i=i, p=i - 1) for i in range(2, 6))
+    + """
+SELECT q AS query_id, rk, d AS neighbor_id, mmr
+FROM sel5
+ORDER BY query_id, rk
+"""
+)
+
+
+@graded("search_mmr_rerank", oracle=_MMR_ORACLE)
+def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR re-rank: per-query greedy diversification of the top-20
+    cosine candidates down to 5 (λ=0.5). The candidate fetch is the
+    broadcast-BLAS knn; the greedy loop runs inside one applyInPandas
+    kernel per query group — O(k'²)=400 pairwise sims per query, NO
+    cross-query work, so the stage shuffles once on query_id and
+    scales linearly in query count (candidates per query are bounded
+    by construction, the re-rank-stage contract)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.similarity import cosine_blas
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    cand = cosine_blas(queries, emb, mode="knn", k=20)
+    withv = cand.join(
+        F.broadcast(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"), "embedding"
+            )
+        ),
+        "neighbor_id",
+    ).select("query_id", "neighbor_id", F.col("score").alias("simq"), "embedding")
+
+    def mmr_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("neighbor_id", ignore_index=True)
+        ids = pdf["neighbor_id"].to_numpy(np.int64)
+        simq = pdf["simq"].to_numpy(np.float64)
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        sims = np.round((mat @ mat.T) / (norms[:, None] * norms[None, :]), 4)
+        picked: list[int] = []
+        out = []
+        for rk in range(1, 6):
+            best_i, best_mmr = -1, None
+            for i in range(len(ids)):
+                if i in picked:
+                    continue
+                # No re-round here: 0.5·x is exact power-of-two
+                # scaling of a 4dp-rounded double, and rounding the
+                # difference to 4dp would create systematic .00005
+                # ties where Python (half-even) and DuckDB
+                # (half-away) disagree — the raw IEEE double is the
+                # deterministic form.
+                pen = max(sims[i, j] for j in picked) if picked else 0.0
+                mmr = 0.5 * simq[i] - 0.5 * pen
+                if best_mmr is None or mmr > best_mmr:
+                    best_i, best_mmr = i, mmr
+            picked.append(best_i)
+            out.append(
+                (int(pdf["query_id"].iloc[0]), rk, int(ids[best_i]), best_mmr)
+            )
+        return pd.DataFrame(
+            out, columns=["query_id", "rk", "neighbor_id", "mmr"]
+        )
+
+    res = withv.groupBy("query_id").applyInPandas(
+        mmr_kernel, "query_id long, rk long, neighbor_id long, mmr double"
+    )
+    return res.orderBy("query_id", "rk")

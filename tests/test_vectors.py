@@ -187,3 +187,55 @@ def test_hard_negatives_all_cross_label_and_harder_than_rank(spark, sf_dir):
         assert [r.rn for r in rs] == list(range(1, len(rs) + 1))
         scores = [r.score for r in rs]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_mmr_rerank_diversifies_vs_plain_topk(spark, sf_dir):
+    """MMR invariants: rank-1 is the plain cosine top-1 (no penalty
+    yet); all 5 picks are distinct members of the top-20 candidate
+    set; and the MMR sequence is no LESS diverse than plain top-5 —
+    measured by max intra-set pairwise cosine."""
+    import itertools
+
+    import numpy as np
+
+    from canvas_data_2_aws_spark.operators.similarity import cosine_blas
+    from canvas_data_2_aws_spark.queries.pipelines import search_mmr_rerank
+    from canvas_data_2_aws_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = cosine_blas(
+        emb.where("vec_id < 8"), emb, mode="knn", k=20
+    ).collect()
+    by_q = {}
+    for r in cand:
+        by_q.setdefault(r.query_id, []).append(r)
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.where("vec_id < 600").collect()
+    }
+
+    def max_pairwise(ids):
+        best = -1.0
+        for a, b in itertools.combinations(ids, 2):
+            va, vb = vecs[a], vecs[b]
+            s = round(
+                float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 4
+            )
+            best = max(best, s)
+        return best
+
+    rows = search_mmr_rerank(spark, sf_dir).collect()
+    sel = {}
+    for r in rows:
+        sel.setdefault(r.query_id, []).append(r)
+    for q, rs in sel.items():
+        rs.sort(key=lambda r: r.rk)
+        cands = sorted(
+            by_q[q], key=lambda r: (-r.score, r.neighbor_id)
+        )
+        assert rs[0].neighbor_id == cands[0].neighbor_id
+        picked = [r.neighbor_id for r in rs]
+        assert len(set(picked)) == 5
+        assert set(picked) <= {c.neighbor_id for c in by_q[q]}
+        plain5 = [c.neighbor_id for c in cands[:5]]
+        assert max_pairwise(picked) <= max_pairwise(plain5) + 1e-9
