@@ -568,8 +568,11 @@ def vector_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ratios are identical-operand IEEE doubles, quantized to
 # DECIMAL(38,9) before the per-doc sum; the prior is one more
 # identical-operand log. Output is the confusion rollup.
-_NB_QUALITY_ORACLE = """
-WITH lab AS (
+# Shared CTE block: weak labels -> token log-odds -> per-doc NB score.
+# Used by the confusion rollup (text_naive_bayes_quality) AND the
+# calibration readout (analytics_calibration_ece) so the scoring
+# semantics live in exactly one place.
+_NB_SCORED_CTES = """lab AS (
   SELECT doc_id,
          CASE WHEN LEN(list_intersect(
                 list_distinct(string_split(text, ' ')),
@@ -604,7 +607,10 @@ scored AS (
                     AS DECIMAL(38,9))) AS DOUBLE) AS score
   FROM tl JOIN cnt c USING (token), tot t, prior p
   GROUP BY tl.doc_id
-)
+)"""
+
+_NB_QUALITY_ORACLE = f"""
+WITH {_NB_SCORED_CTES}
 SELECT label, CASE WHEN score > 0 THEN 1 ELSE 0 END AS pred,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        ROUND(CAST(SUM(CAST(score AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 4)
@@ -613,13 +619,10 @@ FROM scored GROUP BY label, pred
 """
 
 
-@graded("text_naive_bayes_quality", oracle=_NB_QUALITY_ORACLE)
-def text_naive_bayes_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weak-label Naive-Bayes quality scoring: heuristic labels → token
-    log-odds table (vocabulary-sized, broadcast) → per-doc scores →
-    confusion rollup. Two passes over the token stream, both
-    partial-aggregated; nothing quadratic — the distributed shape of
-    every production quality-classifier pretrain filter."""
+def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc NB quality scores (doc_id, label, score) — the shared
+    scoring stage behind the confusion rollup and the calibration
+    readout. Mirrors _NB_SCORED_CTES exactly."""
     docs = load_table(spark, sf_dir, "documents")
     lab = docs.select(
         "doc_id",
@@ -655,6 +658,17 @@ def text_naive_bayes_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.first("prior") + F.sum(llr).cast("double")).alias("score"),
         )
     )
+    return scored
+
+
+@graded("text_naive_bayes_quality", oracle=_NB_QUALITY_ORACLE)
+def text_naive_bayes_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-label Naive-Bayes quality scoring: heuristic labels → token
+    log-odds table (vocabulary-sized, broadcast) → per-doc scores →
+    confusion rollup. Two passes over the token stream, both
+    partial-aggregated; nothing quadratic — the distributed shape of
+    every production quality-classifier pretrain filter."""
+    scored = _nb_scored(spark, sf_dir)
     return (
         scored.withColumn(
             "pred", F.when(F.col("score") > 0, F.lit(1)).otherwise(F.lit(0))
@@ -1476,3 +1490,93 @@ def pipeline_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc"),
     ).orderBy("lang")
+
+
+# --- quality-classifier calibration (reliability bins + ECE) --------------------
+
+# How trustworthy are the NB quality probabilities? Reliability
+# diagram: sigmoid(score) → 10 confidence bins; per bin, mean
+# confidence vs empirical positive rate; ECE = Σ (n_b/N)·|acc−conf|.
+# Determinism: score is the shared decimal-quantized NB sum; sigmoid
+# is identical-operand IEEE exp (the same contract ln already relies
+# on); conf is rounded to 6dp BEFORE binning and summed as
+# DECIMAL(18,6) so bin means are exact; the ≤10-bin ECE fold sums
+# 6dp-rounded decimal contributions.
+_CALIBRATION_ORACLE = f"""
+WITH {{nb}},
+conf AS (
+  SELECT doc_id, label,
+         ROUND(1.0 / (1.0 + exp(-score)), 6) AS conf
+  FROM scored
+),
+binned AS (
+  SELECT CAST(LEAST(CAST(floor(conf * 10) AS BIGINT), 9) AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         ROUND(CAST(SUM(CAST(conf AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
+           AS avg_conf,
+         ROUND(CAST(SUM(label) AS DOUBLE) / COUNT(*), 4) AS frac_pos
+  FROM conf GROUP BY 1
+),
+cal_tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM binned),
+ece AS (
+  SELECT ROUND(CAST(SUM(CAST(
+           ROUND(n_docs * abs(frac_pos - avg_conf) / n, 6)
+         AS DECIMAL(18,6))) AS DOUBLE), 4) AS ece
+  FROM binned, cal_tot
+)
+SELECT b.bin, b.n_docs, b.avg_conf, b.frac_pos, e.ece
+FROM binned b, ece e
+ORDER BY b.bin
+""".replace("{nb}", _NB_SCORED_CTES)
+
+
+@graded("analytics_calibration_ece", oracle=_CALIBRATION_ORACLE)
+def analytics_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error for the NB
+    quality classifier: sigmoid confidences binned into deciles, per
+    bin mean-confidence vs positive-rate, global ECE attached as a
+    1-row scalar broadcast. The only data-scale passes are the shared
+    NB scoring stages; binning is one hash agg on ≤10 keys."""
+    scored = _nb_scored(spark, sf_dir)
+    conf = scored.select(
+        "doc_id",
+        "label",
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score"))), 6
+        ).alias("conf"),
+    )
+    binned = conf.groupBy(
+        F.least(F.floor(F.col("conf") * 10).cast("bigint"), F.lit(9).cast("bigint"))
+        .cast("bigint")
+        .alias("bin")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum(F.col("conf").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            4,
+        ).alias("avg_conf"),
+        F.round(F.sum("label").cast("double") / F.count("*"), 4).alias(
+            "frac_pos"
+        ),
+    ).localCheckpoint(eager=False)  # consumed by bins AND the two scalars
+    tot = binned.agg(F.sum("n_docs").cast("bigint").alias("n"))
+    ece = (
+        binned.crossJoin(F.broadcast(tot))  # scalar broadcast
+        .select(
+            F.round(
+                F.col("n_docs")
+                * F.abs(F.col("frac_pos") - F.col("avg_conf"))
+                / F.col("n"),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("contrib")
+        )
+        .agg(F.round(F.sum("contrib").cast("double"), 4).alias("ece"))
+    )
+    return (
+        binned.crossJoin(F.broadcast(ece))  # scalar broadcast
+        .select("bin", "n_docs", "avg_conf", "frac_pos", "ece")
+        .orderBy("bin")
+    )

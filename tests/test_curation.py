@@ -229,3 +229,28 @@ def test_mix_temperature_exact_budget_and_flattening(spark, sf_dir):
             assert r.alloc >= int(prop) - 1
     biggest = max(rows, key=lambda r: r.toks)
     assert biggest.alloc <= _MIX_TEMP_BUDGET * biggest.toks / tot_toks + 1
+
+
+def test_calibration_ece_consistent_with_bins(spark, sf_dir):
+    """ECE recomputed from the emitted bins equals the attached scalar;
+    bin populations cover the corpus; confidences live in their bin."""
+    from canvas_data_2_aws_spark.queries.curation import (
+        analytics_calibration_ece,
+    )
+    from canvas_data_2_aws_spark.session import load_table
+
+    rows = analytics_calibration_ece(spark, sf_dir).collect()
+    n = sum(r.n_docs for r in rows)
+    assert n == load_table(spark, sf_dir, "documents").count()
+    ece = round(
+        sum(
+            round(r.n_docs * abs(r.frac_pos - r.avg_conf) / n, 6)
+            for r in rows
+        ),
+        4,
+    )
+    assert abs(ece - rows[0].ece) < 1e-9
+    for r in rows:
+        assert 0.0 <= r.avg_conf <= 1.0 and 0.0 <= r.frac_pos <= 1.0
+        if r.bin < 9:
+            assert r.bin / 10 - 1e-4 <= r.avg_conf <= (r.bin + 1) / 10 + 1e-4

@@ -120,6 +120,8 @@ _NESTED_LOOP_OK = {
     "text_corpus_drift",  # 1-row (na, nb) totals broadcast
     "merge_time_travel",  # 1-row cutoff broadcast
     # round-7 additions, same constant-side shapes:
+    "pipeline_mix_temperature",  # 1-row Σmicro-weights broadcast + unit-group rank
+    "analytics_calibration_ece",  # 1-row N + 1-row ECE scalar broadcasts
     "pipeline_bpe_encode",  # 1-row merge-list broadcast + unit-group vocab ids
     "text_bpe_fertility",  # 1-row merge-list broadcast
     "search_rocchio_expand",  # (N, avgdl) 1-row stats + unit-group final rank
