@@ -1580,3 +1580,86 @@ def analytics_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bin", "n_docs", "avg_conf", "frac_pos", "ece")
         .orderBy("bin")
     )
+
+
+# --- boilerplate candidate mining (CCNet-style, source-scoped) ------------------
+
+# Web-corpus boilerplate (navigation strings, footers, templated spans)
+# is domain-local: the SAME n-gram recurring across many documents of
+# ONE source. Mine the top-5 highest document-frequency 3-grams per
+# source — the candidate list a removal pass would strike. Shingling
+# is doc-DISTINCT (a doc repeating its own n-gram isn't boilerplate
+# evidence); ranking is (df DESC, ngram) per source, fully keyed.
+_BOILERPLATE_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+pos AS (
+  SELECT doc_id, source, ts, unnest(range(1, len(ts) - 1)) AS i FROM tok
+),
+sh AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(list_slice(ts, i, i + 2), ' ') AS ng
+  FROM pos
+),
+df AS (SELECT source, ng, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY 1, 2),
+nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1)
+SELECT source, ng, df, n_docs,
+       ROUND(CAST(df AS DOUBLE) / n_docs, 4) AS share, rk
+FROM (
+  SELECT df.source, df.ng, df.df, nd.n_docs,
+         ROW_NUMBER() OVER (
+           PARTITION BY df.source ORDER BY df.df DESC, df.ng
+         ) AS rk
+  FROM df JOIN nd USING (source)
+) t
+WHERE rk <= 5
+ORDER BY source, rk
+"""
+
+
+@graded("text_boilerplate_ngrams", oracle=_BOILERPLATE_ORACLE)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-scoped boilerplate candidates: per-source top-5 3-grams
+    by document frequency. One explode → doc-distinct shingle set →
+    hash agg on (source, ngram); the rank window partitions by source
+    (WindowGroupLimit keeps per-partition top-5 heaps), so the shape
+    is shuffle-on-source-key at any corpus size — the detection stage
+    of a CCNet-style boilerplate strike-out."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("ts")
+    ).where(F.size("ts") >= 3)
+    pos = tok.select(
+        "doc_id",
+        "source",
+        "ts",
+        F.explode(F.expr("sequence(1, size(ts) - 2)")).alias("i"),
+    )
+    sh = pos.select(
+        "doc_id",
+        "source",
+        F.array_join(F.expr("slice(ts, i, 3)"), " ").alias("ng"),
+    ).distinct()
+    df = sh.groupBy("source", "ng").agg(F.count("*").cast("bigint").alias("df"))
+    nd = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("df").desc(), "ng")
+    return (
+        df.join(F.broadcast(nd), "source")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 5)
+        .select(
+            "source",
+            "ng",
+            "df",
+            "n_docs",
+            F.round(F.col("df").cast("double") / F.col("n_docs"), 4).alias(
+                "share"
+            ),
+            "rk",
+        )
+        .orderBy("source", "rk")
+    )
