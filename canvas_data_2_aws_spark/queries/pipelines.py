@@ -1612,3 +1612,163 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         mmr_kernel, "query_id long, rk long, neighbor_id long, mmr double"
     )
     return res.orderBy("query_id", "rk")
+
+
+# --- top principal component via power iteration --------------------------------
+
+# Embedding decorrelation/whitening needs the leading eigenvector of
+# the covariance matrix. Covariance NUMERATORS (n·Σxy − Σx·Σy over
+# 1e-4 integer ticks) are exact BIGINTs that fit a double exactly
+# (≤~1e14), so C is cross-engine identical; each of the 8 power
+# iterations quantizes its matvec through DECIMAL(38,9) (order-free
+# sums) and re-normalizes by a correctly-rounded sqrt, with the
+# iterate rounded to 6dp — every stage is deterministic, so 8
+# identical iterations land on the identical vector in both engines.
+# AS MATERIALIZED: each stage is referenced twice downstream; without
+# the hint DuckDB may inline CTEs, re-evaluating the whole upstream
+# chain 2^8 times.
+_PCA_ITER = """
+w{k} AS MATERIALIZED (
+  SELECT c.d1 AS dim,
+         CAST(SUM(CAST(c.c * v.v AS DECIMAL(38,9))) AS DOUBLE) AS w
+  FROM c JOIN v{p} v ON c.d2 = v.dim GROUP BY 1
+),
+n{k} AS MATERIALIZED (
+  SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,9))) AS DOUBLE)) AS nrm
+  FROM w{k}
+),
+v{k} AS MATERIALIZED (SELECT dim, ROUND(w / nrm, 6) AS v FROM w{k}, n{k})"""
+
+_PCA_ORACLE = (
+    """
+WITH t AS (
+  SELECT vec_id, i AS dim,
+         CAST(round(CAST(list_extract(embedding, i + 1) AS DOUBLE) * 10000)
+              AS BIGINT) AS xi
+  FROM embeddings, range(0, 64) r(i)
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+s1 AS (SELECT dim, CAST(SUM(xi) AS BIGINT) AS s FROM t GROUP BY dim),
+s12 AS MATERIALIZED (
+  SELECT a.dim AS d1, b.dim AS d2, CAST(SUM(a.xi * b.xi) AS BIGINT) AS s12
+  FROM t a JOIN t b USING (vec_id) GROUP BY 1, 2
+),
+c AS MATERIALIZED (
+  SELECT s12.d1, s12.d2,
+         CAST(nn.n * s12.s12 - sa.s * sb.s AS DOUBLE)
+         / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE)) AS c
+  FROM s12
+  JOIN s1 sa ON sa.dim = s12.d1
+  JOIN s1 sb ON sb.dim = s12.d2
+  CROSS JOIN nn
+),
+v0 AS (SELECT i AS dim, 0.125 AS v FROM range(0, 64) r(i)),"""
+    + ",".join(_PCA_ITER.format(k=k, p=k - 1) for k in range(1, 9))
+    + """
+SELECT v8.dim, v8.v AS loading, (SELECT ROUND(nrm, 4) FROM n8) AS eig
+FROM v8 ORDER BY v8.dim
+"""
+)
+
+
+@graded("vector_pca_power", oracle=_PCA_ORACLE)
+def vector_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading principal component of the embedding covariance by 8
+    power iterations. The only corpus-scale pass computes integer
+    outer-product partials (64×64 int64 matmul per Arrow batch inside
+    mapInPandas — map-side combined, shuffle is 4096 rows per
+    partition regardless of corpus size); the iterations run on the
+    64-row eigenvector frame. At 1000 executors this is the textbook
+    tree-aggregated Gramian, not an n×4096 explode."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ticks = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(round(cast(x as double) * 10000) as bigint))"
+        ).alias("tk"),
+    )
+
+    def gram_partials(batches):
+        acc = np.zeros((64, 64), dtype=np.int64)
+        any_rows = False
+        for pdf in batches:
+            m = np.stack(pdf["tk"].to_numpy()).astype(np.int64)
+            acc += m.T @ m
+            any_rows = True
+        if any_rows:
+            d1, d2 = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+            yield pd.DataFrame(
+                {"d1": d1.ravel(), "d2": d2.ravel(), "p": acc.ravel()}
+            )
+
+    s12 = (
+        ticks.mapInPandas(gram_partials, "d1 int, d2 int, p long")
+        .groupBy("d1", "d2")
+        .agg(F.sum("p").cast("bigint").alias("s12"))
+    )
+    s1 = (
+        ticks.select(F.posexplode("tk").alias("dim", "xi"))
+        .groupBy("dim")
+        .agg(F.sum("xi").cast("bigint").alias("s"))
+    )
+    nn = emb.agg(F.count("*").cast("bigint").alias("n"))
+    sa = s1.select(F.col("dim").alias("d1"), F.col("s").alias("sa"))
+    sb = s1.select(F.col("dim").alias("d2"), F.col("s").alias("sb"))
+    c = (
+        s12.join(F.broadcast(sa), "d1")
+        .join(F.broadcast(sb), "d2")
+        .crossJoin(F.broadcast(nn))  # scalar broadcast
+        .select(
+            "d1",
+            "d2",
+            (
+                (F.col("n") * F.col("s12") - F.col("sa") * F.col("sb"))
+                .cast("double")
+                / (F.col("n").cast("double") * F.col("n").cast("double"))
+            ).alias("c"),
+        )
+        .localCheckpoint(eager=False)  # consumed by all 8 iterations
+    )
+    v = spark.range(64).select(
+        F.col("id").cast("int").alias("dim"), F.lit(0.125).alias("v")
+    )
+    norm = None
+    for _ in range(8):
+        w = (
+            c.join(v, c.d2 == v.dim)
+            .groupBy("d1")
+            .agg(
+                F.sum((F.col("c") * F.col("v")).cast("decimal(38,9)"))
+                .cast("double")
+                .alias("w")
+            )
+        )
+        norm = w.agg(
+            F.sqrt(
+                F.sum((F.col("w") * F.col("w")).cast("decimal(38,9)")).cast(
+                    "double"
+                )
+            ).alias("nrm")
+        )
+        v = (
+            w.crossJoin(F.broadcast(norm))  # scalar broadcast
+            .select(
+                F.col("d1").alias("dim"),
+                F.round(F.col("w") / F.col("nrm"), 6).alias("v"),
+            )
+            .localCheckpoint(eager=False)  # keep the iterate's plan shallow
+        )
+    eig = norm.select(F.round("nrm", 4).alias("eig"))
+    return (
+        v.crossJoin(F.broadcast(eig))  # scalar broadcast
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            F.col("v").alias("loading"),
+            "eig",
+        )
+        .orderBy("dim")
+    )

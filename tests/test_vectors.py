@@ -239,3 +239,30 @@ def test_mmr_rerank_diversifies_vs_plain_topk(spark, sf_dir):
         assert set(picked) <= {c.neighbor_id for c in by_q[q]}
         plain5 = [c.neighbor_id for c in cands[:5]]
         assert max_pairwise(picked) <= max_pairwise(plain5) + 1e-9
+
+
+def test_pca_power_matches_numpy_reference(spark, sf_dir):
+    """Independent numpy re-derivation: same integer-tick covariance,
+    same 8 normalized power iterations (float, no decimal quantization
+    → 1e-5 tolerance); loadings unit-norm; eig positive."""
+    import numpy as np
+
+    from canvas_data_2_aws_spark.queries.pipelines import vector_pca_power
+    from canvas_data_2_aws_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    m = np.round(
+        np.stack([np.asarray(r.embedding, dtype=np.float64) for r in emb])
+        * 10000
+    )
+    n = len(m)
+    cov = (n * (m.T @ m) - np.outer(m.sum(0), m.sum(0))) / float(n * n)
+    v = np.full(64, 0.125)
+    for _ in range(8):
+        w = cov @ v
+        v = np.round(w / np.linalg.norm(w), 6)
+    rows = vector_pca_power(spark, sf_dir).collect()
+    got = np.array([r.loading for r in sorted(rows, key=lambda r: r.dim)])
+    assert abs(np.linalg.norm(got) - 1.0) < 1e-4
+    assert rows[0].eig > 0
+    assert np.max(np.abs(got - v)) < 1e-5
