@@ -100,6 +100,13 @@ HEADLINE = [
     "analytics_cep_pattern",
     "graph_label_propagation",
     "search_rocchio_expand",
+    # round-7 late additions: diversified re-rank (per-query greedy
+    # kernel), contrastive hard negatives, PCA power iteration
+    # (tree-aggregated Gramian), boilerplate mining
+    "search_mmr_rerank",
+    "search_hard_negatives",
+    "vector_pca_power",
+    "text_boilerplate_ngrams",
 ]
 
 
