@@ -1663,3 +1663,86 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "rk")
     )
+
+
+# --- Kneser-Ney smoothed bigram LM ----------------------------------------------
+
+# Interpolated Kneser-Ney (the standard n-gram smoothing, Chen &
+# Goodman 1999) with absolute discount d = 0.75 — EXACT in binary
+# (0.75 = 3/4), so max(c12−d, 0) on integer counts is an exact double
+# and every P_KN term is a single identical-operand IEEE expression:
+# no float sums anywhere (the continuation weights are COUNT
+# aggregates). P_KN(w2|w1) = max(c12−d,0)/c1 + (d·N1+(w1·)/c1)·
+# (Ncont(w2)/Ntypes); output is the global top-50 by 6dp-rounded
+# probability with the (w1, w2) unique tie-break.
+_KN_BIGRAM_ORACLE = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+pos AS (
+  SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM words
+),
+bg AS (
+  SELECT list_extract(w, i) AS w1, list_extract(w, i + 1) AS w2 FROM pos
+),
+c12 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2
+),
+c1 AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, CAST(COUNT(*) AS BIGINT) AS n1p
+  FROM c12 GROUP BY 1
+),
+nc AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS ncont FROM c12 GROUP BY 1),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntypes FROM c12)
+SELECT w1, w2, c12,
+       ROUND(greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE)
+             + (0.75 * CAST(n1p AS DOUBLE) / CAST(c1 AS DOUBLE))
+               * (CAST(ncont AS DOUBLE) / CAST(ntypes AS DOUBLE)), 6) AS pkn
+FROM c12 JOIN c1 USING (w1) JOIN nc USING (w2), nt
+ORDER BY pkn DESC, w1, w2
+LIMIT 50
+"""
+
+
+@graded("text_kneser_ney_bigram", oracle=_KN_BIGRAM_ORACLE)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities, top-50. One pass
+    over the bigram stream builds the TYPE table (c12); the context
+    totals, continuation counts, and type total are all aggregates OF
+    that vocabulary²-bounded table, not the stream — so corpus growth
+    moves only the first hash agg. Stats-side joins are broadcast here
+    (vocab-sized); at a 100 TB vocabulary they become ordinary
+    shuffle joins on w1/w2 with the identical plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    bg = words.select(
+        F.explode(T.ngrams_from_words("w", n=2)).alias("bg")
+    ).select(
+        F.substring_index("bg", " ", 1).alias("w1"),
+        F.substring_index("bg", " ", -1).alias("w2"),
+    )
+    c12 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c12"))
+        .localCheckpoint(eager=False)  # consumed by 4 downstream aggs
+    )
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count("*").cast("bigint").alias("n1p"),
+    )
+    nc = c12.groupBy("w2").agg(F.count("*").cast("bigint").alias("ncont"))
+    nt = c12.agg(F.count("*").cast("bigint").alias("ntypes"))
+    pkn = (
+        F.greatest(F.col("c12").cast("double") - F.lit(0.75), F.lit(0.0))
+        / F.col("c1").cast("double")
+        + (F.lit(0.75) * F.col("n1p").cast("double") / F.col("c1").cast("double"))
+        * (F.col("ncont").cast("double") / F.col("ntypes").cast("double"))
+    )
+    return (
+        c12.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(nc), "w2")
+        .crossJoin(F.broadcast(nt))  # scalar broadcast
+        .select("w1", "w2", "c12", F.round(pkn, 6).alias("pkn"))
+        .orderBy(F.col("pkn").desc(), "w1", "w2")
+        .limit(50)
+    )

@@ -254,3 +254,49 @@ def test_calibration_ece_consistent_with_bins(spark, sf_dir):
         assert 0.0 <= r.avg_conf <= 1.0 and 0.0 <= r.frac_pos <= 1.0
         if r.bin < 9:
             assert r.bin / 10 - 1e-4 <= r.avg_conf <= (r.bin + 1) / 10 + 1e-4
+
+
+def test_kneser_ney_is_a_probability_distribution(spark, sf_dir):
+    """For each context w1 present in the top-50, P_KN summed over ALL
+    continuations equals 1 (the KN mass balance: discounts exactly fund
+    the continuation back-off) — recomputed in pure Python from the
+    corpus bigrams."""
+    from collections import Counter, defaultdict
+
+    from canvas_data_2_aws_spark.queries.curation import (
+        text_kneser_ney_bigram,
+    )
+    from canvas_data_2_aws_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    c12 = Counter()
+    for r in docs:
+        ws = r.text.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            c12[(a, b)] += 1
+    c1, n1p, ncont = Counter(), Counter(), Counter()
+    conts = defaultdict(set)
+    for (a, b), c in c12.items():
+        c1[a] += c
+        n1p[a] += 1
+        ncont[b] += 1
+        conts[a].add(b)
+    ntypes = len(c12)
+    rows = text_kneser_ney_bigram(spark, sf_dir).collect()
+    assert len(rows) == 50
+    for r in rows[:5]:
+        w1 = r.w1
+        mass = sum(
+            max(c12[(w1, b)] - 0.75, 0.0) / c1[w1]
+            + (0.75 * n1p[w1] / c1[w1]) * (ncont[b] / ntypes)
+            for b in {b for (a, b) in c12} | conts[w1]
+        )
+        # mass sums Pcont over OBSERVED continuation types only, which
+        # is the support KN normalizes over when Pcont is the
+        # continuation-count distribution.
+        assert abs(mass - 1.0) < 1e-9
+    for r in rows:
+        got = max(c12[(r.w1, r.w2)] - 0.75, 0.0) / c1[r.w1] + (
+            0.75 * n1p[r.w1] / c1[r.w1]
+        ) * (ncont[r.w2] / ntypes)
+        assert abs(round(got, 6) - r.pkn) < 1e-9

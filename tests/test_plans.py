@@ -123,6 +123,7 @@ _NESTED_LOOP_OK = {
     "pipeline_mix_temperature",  # 1-row Σmicro-weights broadcast + unit-group rank
     "analytics_calibration_ece",  # 1-row N + 1-row ECE scalar broadcasts
     "vector_pca_power",  # 1-row n + 1-row norm (×8) + 1-row eig broadcasts
+    "text_kneser_ney_bigram",  # 1-row bigram-type-total broadcast
     "pipeline_bpe_encode",  # 1-row merge-list broadcast + unit-group vocab ids
     "text_bpe_fertility",  # 1-row merge-list broadcast
     "search_rocchio_expand",  # (N, avgdl) 1-row stats + unit-group final rank
