@@ -354,3 +354,28 @@ def ann_lsh_neighbors(
     model = lsh.fit(vecs)
     neighbors = model.approxNearestNeighbors(vecs, query_vec, k)
     return model, neighbors
+
+
+def mmr_select(ids, simq, sims, k: int = 5, lam: float = 0.5):
+    """Greedy Maximal-Marginal-Relevance selection over one candidate
+    set: pick argmax_{d∉S} [λ·sim(d,q) − (1−λ)·max_{s∈S} sim(d,s)],
+    ties to the smaller id (candidates must arrive id-sorted).
+
+    Pure function over (ids, query-sims, pairwise-sims matrix) so the
+    greedy is unit/property-testable outside Spark; the graded query's
+    applyInPandas kernel delegates here. Returns [(rank, id, mmr)].
+    """
+    picked: list[int] = []
+    out = []
+    for rk in range(1, min(k, len(ids)) + 1):
+        best_i, best_mmr = -1, None
+        for i in range(len(ids)):
+            if i in picked:
+                continue
+            pen = max(sims[i][j] for j in picked) if picked else 0.0
+            mmr = lam * simq[i] - (1.0 - lam) * pen
+            if best_mmr is None or mmr > best_mmr:
+                best_i, best_mmr = i, mmr
+        picked.append(best_i)
+        out.append((rk, ids[best_i], best_mmr))
+    return out

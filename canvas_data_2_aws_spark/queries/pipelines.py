@@ -1562,7 +1562,7 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from ..operators.similarity import cosine_blas
+    from ..operators.similarity import cosine_blas, mmr_select
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 8)
@@ -1583,27 +1583,16 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
         sims = np.round((mat @ mat.T) / (norms[:, None] * norms[None, :]), 4)
-        picked: list[int] = []
-        out = []
-        for rk in range(1, 6):
-            best_i, best_mmr = -1, None
-            for i in range(len(ids)):
-                if i in picked:
-                    continue
-                # No re-round here: 0.5·x is exact power-of-two
-                # scaling of a 4dp-rounded double, and rounding the
-                # difference to 4dp would create systematic .00005
-                # ties where Python (half-even) and DuckDB
-                # (half-away) disagree — the raw IEEE double is the
-                # deterministic form.
-                pen = max(sims[i, j] for j in picked) if picked else 0.0
-                mmr = 0.5 * simq[i] - 0.5 * pen
-                if best_mmr is None or mmr > best_mmr:
-                    best_i, best_mmr = i, mmr
-            picked.append(best_i)
-            out.append(
-                (int(pdf["query_id"].iloc[0]), rk, int(ids[best_i]), best_mmr)
-            )
+        # No re-round inside the greedy: 0.5·x is exact power-of-two
+        # scaling of a 4dp-rounded double, and rounding the difference
+        # to 4dp would create systematic .00005 ties where Python
+        # (half-even) and DuckDB (half-away) disagree — the raw IEEE
+        # double is the deterministic form.
+        qid = int(pdf["query_id"].iloc[0])
+        out = [
+            (qid, rk, int(d), mmr)
+            for rk, d, mmr in mmr_select(ids, simq, sims, k=5, lam=0.5)
+        ]
         return pd.DataFrame(
             out, columns=["query_id", "rk", "neighbor_id", "mmr"]
         )
@@ -1639,9 +1628,11 @@ n{k} AS MATERIALIZED (
 ),
 v{k} AS MATERIALIZED (SELECT dim, ROUND(w / nrm, 6) AS v FROM w{k}, n{k})"""
 
-_PCA_ORACLE = (
-    """
-WITH t AS (
+# Shared CTE prefix: tick table -> covariance -> 8 iterations (v8/n8).
+# Reused by vector_pca_power (loadings) and vector_pca_project
+# (projection stats) so the iteration lives in exactly one place.
+_PCA_CTES = (
+    """t AS (
   SELECT vec_id, i AS dim,
          CAST(round(CAST(list_extract(embedding, i + 1) AS DOUBLE) * 10000)
               AS BIGINT) AS xi
@@ -1664,22 +1655,20 @@ c AS MATERIALIZED (
 ),
 v0 AS (SELECT i AS dim, 0.125 AS v FROM range(0, 64) r(i)),"""
     + ",".join(_PCA_ITER.format(k=k, p=k - 1) for k in range(1, 9))
-    + """
+)
+
+_PCA_ORACLE = f"""
+WITH {_PCA_CTES}
 SELECT v8.dim, v8.v AS loading, (SELECT ROUND(nrm, 4) FROM n8) AS eig
 FROM v8 ORDER BY v8.dim
 """
-)
 
 
-@graded("vector_pca_power", oracle=_PCA_ORACLE)
-def vector_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leading principal component of the embedding covariance by 8
-    power iterations. The only corpus-scale pass computes integer
-    outer-product partials (64×64 int64 matmul per Arrow batch inside
-    mapInPandas — map-side combined, shuffle is 4096 rows per
-    partition regardless of corpus size); the iterations run on the
-    64-row eigenvector frame. At 1000 executors this is the textbook
-    tree-aggregated Gramian, not an n×4096 explode."""
+def _pca_top_component(spark: SparkSession, sf_dir: str):
+    """Shared PCA stage: returns (ticks, v, norm) — the 1e-4 integer
+    tick table, the 64-row iterate after 8 power iterations, and the
+    final pre-normalization norm (eigenvalue estimate). Mirrors
+    _PCA_CTES exactly."""
     import numpy as np
     import pandas as pd
 
@@ -1762,6 +1751,19 @@ def vector_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)  # keep the iterate's plan shallow
         )
+    return ticks, v, norm
+
+
+@graded("vector_pca_power", oracle=_PCA_ORACLE)
+def vector_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading principal component of the embedding covariance by 8
+    power iterations. The only corpus-scale pass computes integer
+    outer-product partials (64×64 int64 matmul per Arrow batch inside
+    mapInPandas — map-side combined, shuffle is 4096 rows per
+    partition regardless of corpus size); the iterations run on the
+    64-row eigenvector frame. At 1000 executors this is the textbook
+    tree-aggregated Gramian, not an n×4096 explode."""
+    _, v, norm = _pca_top_component(spark, sf_dir)
     eig = norm.select(F.round("nrm", 4).alias("eig"))
     return (
         v.crossJoin(F.broadcast(eig))  # scalar broadcast
@@ -1771,4 +1773,75 @@ def vector_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             "eig",
         )
         .orderBy("dim")
+    )
+
+
+# --- projection onto the top component: class-separation stats ------------------
+
+# Whitening diagnostic: project every embedding onto the learned top
+# component and roll up per-label mean/variance of the projection —
+# "does the dominant variance direction encode label structure?".
+# xi·v products have ≤6dp exactly (integer tick × 6dp loading), so the
+# DECIMAL(18,6) cast recovers the exact per-vector projection; the
+# moment sums are decimal-exact.
+_PCA_PROJECT_ORACLE = f"""
+WITH {{pca}},
+proj AS MATERIALIZED (
+  SELECT t.vec_id,
+         CAST(SUM(CAST(t.xi * v.v AS DECIMAL(18,6))) AS DOUBLE) AS p
+  FROM t JOIN v8 v ON t.dim = v.dim GROUP BY 1
+)
+SELECT label, n,
+       ROUND(sp / n, 6) AS mean_proj,
+       ROUND(sp2 / n - (sp / n) * (sp / n), 6) AS var_proj
+FROM (
+  SELECT e.label, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS sp,
+         CAST(SUM(CAST(p * p AS DECIMAL(38,12))) AS DOUBLE) AS sp2
+  FROM proj JOIN embeddings e USING (vec_id) GROUP BY 1
+) s
+ORDER BY label
+""".replace("{pca}", _PCA_CTES)
+
+
+@graded("vector_pca_project", oracle=_PCA_PROJECT_ORACLE)
+def vector_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label moments of the embedding projections onto the top
+    principal component (shared _pca_top_component stage). The
+    projection is one broadcast join of the 64-row loading vector
+    against the exploded tick stream + a per-vector sum — narrow at
+    any corpus size; the rollup groups on the label key."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ticks, v, _ = _pca_top_component(spark, sf_dir)
+    tk = ticks.select("vec_id", F.posexplode("tk").alias("dim", "xi"))
+    proj = (
+        tk.join(F.broadcast(v), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sum((F.col("xi") * F.col("v")).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("p")
+        )
+    )
+    return (
+        proj.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("p").cast("decimal(18,6)")).cast("double").alias("sp"),
+            F.sum((F.col("p") * F.col("p")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("sp2"),
+        )
+        .select(
+            "label",
+            "n",
+            F.round(F.col("sp") / F.col("n"), 6).alias("mean_proj"),
+            F.round(
+                F.col("sp2") / F.col("n")
+                - (F.col("sp") / F.col("n")) * (F.col("sp") / F.col("n")),
+                6,
+            ).alias("var_proj"),
+        )
+        .orderBy("label")
     )

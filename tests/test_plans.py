@@ -124,6 +124,7 @@ _NESTED_LOOP_OK = {
     "analytics_calibration_ece",  # 1-row N + 1-row ECE scalar broadcasts
     "vector_pca_power",  # 1-row n + 1-row norm (×8) + 1-row eig broadcasts
     "text_kneser_ney_bigram",  # 1-row bigram-type-total broadcast
+    "vector_pca_project",  # shares vector_pca_power's norm scalar attaches
     "pipeline_bpe_encode",  # 1-row merge-list broadcast + unit-group vocab ids
     "text_bpe_fertility",  # 1-row merge-list broadcast
     "search_rocchio_expand",  # (N, avgdl) 1-row stats + unit-group final rank

@@ -266,3 +266,47 @@ def test_pca_power_matches_numpy_reference(spark, sf_dir):
     assert abs(np.linalg.norm(got) - 1.0) < 1e-4
     assert rows[0].eig > 0
     assert np.max(np.abs(got - v)) < 1e-5
+
+
+def test_mmr_select_stepwise_optimality_property():
+    """Property (no Spark): on random candidate sets, every greedy pick
+    maximizes λ·simq − (1−λ)·max-penalty over the unpicked candidates,
+    with ties to the smaller id — checked by direct re-evaluation."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from canvas_data_2_aws_spark.operators.similarity import mmr_select
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.integers(2, 12), st.integers(0, 2**31 - 1))
+    def run(n, seed):
+        rng = np.random.default_rng(seed)
+        ids = np.sort(rng.choice(10_000, size=n, replace=False)).astype(
+            np.int64
+        )
+        simq = np.round(rng.uniform(-1, 1, n), 4)
+        raw = np.round(rng.uniform(-1, 1, (n, n)), 4)
+        sims = np.triu(raw, 1) + np.triu(raw, 1).T
+        out = mmr_select(ids, simq, sims, k=5, lam=0.5)
+        assert len(out) == min(5, n)
+        picked_idx: list[int] = []
+        idx_of = {int(d): i for i, d in enumerate(ids)}
+        for rk, d, mmr in out:
+            i = idx_of[int(d)]
+            pen = (
+                max(sims[i][j] for j in picked_idx) if picked_idx else 0.0
+            )
+            assert mmr == 0.5 * simq[i] - 0.5 * pen
+            for j in range(n):
+                if j in picked_idx or j == i:
+                    continue
+                pj = (
+                    max(sims[j][p] for p in picked_idx)
+                    if picked_idx
+                    else 0.0
+                )
+                other = 0.5 * simq[j] - 0.5 * pj
+                assert other < mmr or (other == mmr and ids[i] < ids[j])
+            picked_idx.append(i)
+
+    run()
