@@ -1746,3 +1746,115 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pkn").desc(), "w1", "w2")
         .limit(50)
     )
+
+
+# --- coreset selection: greedy k-center (farthest-point traversal) --------------
+
+# Diversity sampling for training-data selection: greedily pick 8
+# centers, each the point FARTHEST (max min-distance) from the chosen
+# set — the classic 2-approximation k-center coreset. Distances are
+# exact BIGINT squared-tick euclidean (Σ(a−b)² over 1e-4 ticks, ≤9e9
+# per pair), so there is NO float anywhere: selection order is exact
+# in both engines by construction (ties → smaller vec_id).
+_KCENTER_STAGE = """
+c{k} AS MATERIALIZED (
+  SELECT vec_id, mind FROM m{p} ORDER BY mind DESC, vec_id LIMIT 1
+),
+m{k} AS MATERIALIZED (
+  SELECT a.vec_id,
+         LEAST(mp.mind, SUM((a.xi - b.xi) * (a.xi - b.xi))) AS mind
+  FROM t a
+  JOIN t b ON a.dim = b.dim AND b.vec_id = (SELECT vec_id FROM c{k})
+  JOIN m{p} mp ON mp.vec_id = a.vec_id
+  GROUP BY a.vec_id, mp.mind
+)"""
+
+_KCENTER_ORACLE = (
+    """
+WITH t AS MATERIALIZED (
+  SELECT vec_id, i AS dim,
+         CAST(round(CAST(list_extract(embedding, i + 1) AS DOUBLE) * 10000)
+              AS BIGINT) AS xi
+  FROM embeddings, range(0, 64) r(i)
+),
+c1 AS MATERIALIZED (SELECT MIN(vec_id) AS vec_id, CAST(0 AS BIGINT) AS mind FROM t),
+m1 AS MATERIALIZED (
+  SELECT a.vec_id, SUM((a.xi - b.xi) * (a.xi - b.xi)) AS mind
+  FROM t a
+  JOIN t b ON a.dim = b.dim AND b.vec_id = (SELECT vec_id FROM c1)
+  GROUP BY a.vec_id
+),"""
+    + ",".join(_KCENTER_STAGE.format(k=k, p=k - 1) for k in range(2, 9))
+    + """
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS rank, vec_id, CAST(mind AS BIGINT) AS radius2 FROM c1
+"""
+    + "".join(
+        f"  UNION ALL SELECT CAST({k} AS BIGINT), vec_id, CAST(mind AS BIGINT) FROM c{k}\n"
+        for k in range(2, 9)
+    )
+    + """) sel
+ORDER BY rank
+"""
+)
+
+
+@graded("sample_coreset_kcenter", oracle=_KCENTER_ORACLE)
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (8 centers): each iteration keeps a
+    per-vector running min-squared-distance to the chosen set (one
+    narrow map per pass — the center's ticks ride a 1-row broadcast)
+    and takes the global argmax via TakeOrderedAndProject. k passes
+    over the corpus, zero floats, no pairwise stage — the textbook
+    distributed farthest-first traversal."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ticks = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(round(cast(x as double) * 10000) as bigint))"
+        ).alias("tk"),
+    )
+    dist2 = F.expr(
+        "aggregate(zip_with(tk, ck, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    seed = ticks.orderBy("vec_id").limit(1)
+    cur = (
+        ticks.crossJoin(
+            F.broadcast(seed.select(F.col("tk").alias("ck")))
+        )
+        .select("vec_id", "tk", dist2.alias("mind"))
+        .localCheckpoint(eager=False)
+    )
+    picks = [
+        seed.select(
+            F.lit(1).cast("bigint").alias("rank"),
+            "vec_id",
+            F.lit(0).cast("bigint").alias("radius2"),
+        )
+    ]
+    for k in range(2, 9):
+        center = cur.orderBy(F.col("mind").desc(), "vec_id").limit(1)
+        picks.append(
+            center.select(
+                F.lit(k).cast("bigint").alias("rank"),
+                "vec_id",
+                F.col("mind").cast("bigint").alias("radius2"),
+            )
+        )
+        cur = (
+            cur.crossJoin(
+                F.broadcast(center.select(F.col("tk").alias("ck")))
+            )
+            .select(
+                "vec_id",
+                "tk",
+                F.least("mind", dist2).alias("mind"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("rank")

@@ -310,3 +310,42 @@ def test_mmr_select_stepwise_optimality_property():
             picked_idx.append(i)
 
     run()
+
+
+def test_kcenter_matches_exact_python_reference(spark, sf_dir):
+    """Integer-exact check: a pure-Python farthest-first traversal on
+    the same tick vectors must reproduce the selection EXACTLY (no
+    float anywhere); radii are non-increasing from rank 2 on."""
+    import numpy as np
+
+    from canvas_data_2_aws_spark.queries.curation import (
+        sample_coreset_kcenter,
+    )
+    from canvas_data_2_aws_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    ticks = {
+        r.vec_id: np.round(
+            np.asarray(r.embedding, dtype=np.float64) * 10000
+        ).astype(np.int64)
+        for r in emb
+    }
+    ids = sorted(ticks)
+    chosen = [ids[0]]
+    mind = {i: int(((ticks[i] - ticks[ids[0]]) ** 2).sum()) for i in ids}
+    expect = [(1, ids[0], 0)]
+    for rk in range(2, 9):
+        nxt = max(ids, key=lambda i: (mind[i], -i))
+        expect.append((rk, nxt, mind[nxt]))
+        for i in ids:
+            d = int(((ticks[i] - ticks[nxt]) ** 2).sum())
+            if d < mind[i]:
+                mind[i] = d
+    rows = sorted(
+        [(r.rank, r.vec_id, r.radius2) for r in
+         sample_coreset_kcenter(spark, sf_dir).collect()]
+    )
+    assert rows == expect
+    radii = [r[2] for r in rows[1:]]
+    assert radii == sorted(radii, reverse=True)
+    assert len({r[1] for r in rows}) == 8
