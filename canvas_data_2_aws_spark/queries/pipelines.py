@@ -1845,3 +1845,159 @@ def vector_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- difference-in-differences readout ------------------------------------------
+
+# Canonical 2×2 DiD panel: arms from stable user-id parity, periods
+# from the exact integer midpoint of the event-time range, outcome =
+# per-user purchase CENTS (integer-exact). The estimate
+# (post−pre)_treat − (post−pre)_control is one mirrored IEEE
+# expression over BIGINT cell sums — the panel-data sibling of
+# analytics_ab_lift/analytics_ab_cuped.
+_DID_ORACLE = """
+WITH b AS (
+  SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid FROM events
+),
+u AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                 AND epoch_us(ts) < b.mid
+              THEN CAST(round(value * 100, 0) AS BIGINT) END), 0) AS BIGINT) AS x,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                 AND epoch_us(ts) >= b.mid
+              THEN CAST(round(value * 100, 0) AS BIGINT) END), 0) AS BIGINT) AS y
+  FROM events, b GROUP BY user_id
+),
+arms AS (
+  SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy
+  FROM u GROUP BY arm
+),
+did AS (
+  SELECT (MAX(CASE WHEN arm = 1 THEN CAST(sy AS DOUBLE) / n_users END)
+          - MAX(CASE WHEN arm = 1 THEN CAST(sx AS DOUBLE) / n_users END))
+         - (MAX(CASE WHEN arm = 0 THEN CAST(sy AS DOUBLE) / n_users END)
+            - MAX(CASE WHEN arm = 0 THEN CAST(sx AS DOUBLE) / n_users END))
+           AS d
+  FROM arms
+)
+SELECT arm, period, n_users, ROUND(mean_cents / 100.0, 4) AS mean_usd,
+       ROUND(did.d / 100.0, 4) AS did_usd
+FROM (
+  SELECT arm, 'pre' AS period, n_users, CAST(sx AS DOUBLE) / n_users AS mean_cents
+  FROM arms
+  UNION ALL
+  SELECT arm, 'post', n_users, CAST(sy AS DOUBLE) / n_users FROM arms
+) cells, did
+ORDER BY arm, period
+"""
+
+
+@graded("analytics_did_lift", oracle=_DID_ORACLE)
+def analytics_did_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: 2×2 (arm × pre/post) cell means of
+    per-user purchase cents plus the DiD estimate as a 1-row scalar
+    attach. One user-keyed collapse then a 2-row arm rollup — the
+    whole panel costs one scan + one exchange at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2")
+        .cast("bigint")
+        .alias("mid")
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    u = (
+        ev.crossJoin(F.broadcast(b))  # scalar broadcast
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("event_type") == "purchase")
+                        & (F.unix_micros("ts") < F.col("mid")),
+                        cents,
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("event_type") == "purchase")
+                        & (F.unix_micros("ts") >= F.col("mid")),
+                        cents,
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    arms = u.groupBy(
+        (F.col("user_id") % 2).cast("int").alias("arm")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+    ).localCheckpoint(eager=False)  # consumed by cells AND the DiD scalar
+    did = arms.agg(
+        (
+            (
+                F.max(
+                    F.when(
+                        F.col("arm") == 1,
+                        F.col("sy").cast("double") / F.col("n_users"),
+                    )
+                )
+                - F.max(
+                    F.when(
+                        F.col("arm") == 1,
+                        F.col("sx").cast("double") / F.col("n_users"),
+                    )
+                )
+            )
+            - (
+                F.max(
+                    F.when(
+                        F.col("arm") == 0,
+                        F.col("sy").cast("double") / F.col("n_users"),
+                    )
+                )
+                - F.max(
+                    F.when(
+                        F.col("arm") == 0,
+                        F.col("sx").cast("double") / F.col("n_users"),
+                    )
+                )
+            )
+        ).alias("d")
+    )
+    pre = arms.select(
+        "arm",
+        F.lit("pre").alias("period"),
+        "n_users",
+        (F.col("sx").cast("double") / F.col("n_users")).alias("mean_cents"),
+    )
+    post = arms.select(
+        "arm",
+        F.lit("post").alias("period"),
+        "n_users",
+        (F.col("sy").cast("double") / F.col("n_users")).alias("mean_cents"),
+    )
+    return (
+        pre.unionByName(post)
+        .crossJoin(F.broadcast(did))  # scalar broadcast
+        .select(
+            "arm",
+            "period",
+            "n_users",
+            F.round(F.col("mean_cents") / 100.0, 4).alias("mean_usd"),
+            F.round(F.col("d") / 100.0, 4).alias("did_usd"),
+        )
+        .orderBy("arm", "period")
+    )
