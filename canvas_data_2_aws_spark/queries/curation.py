@@ -1756,15 +1756,23 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact BIGINT squared-tick euclidean (Σ(a−b)² over 1e-4 ticks, ≤9e9
 # per pair), so there is NO float anywhere: selection order is exact
 # in both engines by construction (ties → smaller vec_id).
+# Each center's 64 ticks are isolated into their own MATERIALIZED CTE
+# before the distance join: a scalar subquery INSIDE the join
+# condition (``b.vec_id = (SELECT ...)``) can miss pushdown and build
+# the full t×t dim join (256M rows/stage at sf0.1 — observed spilling
+# >80 GB); the pre-filtered 64-row side makes every stage a 1:1 join.
 _KCENTER_STAGE = """
 c{k} AS MATERIALIZED (
   SELECT vec_id, mind FROM m{p} ORDER BY mind DESC, vec_id LIMIT 1
+),
+b{k} AS MATERIALIZED (
+  SELECT dim, xi FROM t WHERE vec_id = (SELECT vec_id FROM c{k})
 ),
 m{k} AS MATERIALIZED (
   SELECT a.vec_id,
          LEAST(mp.mind, SUM((a.xi - b.xi) * (a.xi - b.xi))) AS mind
   FROM t a
-  JOIN t b ON a.dim = b.dim AND b.vec_id = (SELECT vec_id FROM c{k})
+  JOIN b{k} b ON a.dim = b.dim
   JOIN m{p} mp ON mp.vec_id = a.vec_id
   GROUP BY a.vec_id, mp.mind
 )"""
@@ -1778,10 +1786,13 @@ WITH t AS MATERIALIZED (
   FROM embeddings, range(0, 64) r(i)
 ),
 c1 AS MATERIALIZED (SELECT MIN(vec_id) AS vec_id, CAST(0 AS BIGINT) AS mind FROM t),
+b1 AS MATERIALIZED (
+  SELECT dim, xi FROM t WHERE vec_id = (SELECT vec_id FROM c1)
+),
 m1 AS MATERIALIZED (
   SELECT a.vec_id, SUM((a.xi - b.xi) * (a.xi - b.xi)) AS mind
   FROM t a
-  JOIN t b ON a.dim = b.dim AND b.vec_id = (SELECT vec_id FROM c1)
+  JOIN b1 b ON a.dim = b.dim
   GROUP BY a.vec_id
 ),"""
     + ",".join(_KCENTER_STAGE.format(k=k, p=k - 1) for k in range(2, 9))

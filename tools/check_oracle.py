@@ -164,6 +164,15 @@ def main() -> int:
     names = args.names or list(registry.QUERIES)
     spark = get_spark("check_oracle")
     con = duckdb.connect()
+    # Bound DuckDB and give it a spill path: the full sf0.1 run shares
+    # the host with a long-lived Spark JVM, and an UNBOUNDED in-memory
+    # DuckDB (default 80% of RAM, no temp dir → no spill) can lose a
+    # transient allocation race against the JVM mid-suite (observed
+    # once at r07: a 32 KB alloc failure on a query that passes
+    # standalone). A modest cap + temp_directory makes it spill
+    # instead of failing.
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/cda2_duckdb_spill'")
     for t in schemas.TABLE_NAMES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
