@@ -300,3 +300,24 @@ def test_kneser_ney_is_a_probability_distribution(spark, sf_dir):
             0.75 * n1p[r.w1] / c1[r.w1]
         ) * (ncont[r.w2] / ntypes)
         assert abs(round(got, 6) - r.pkn) < 1e-9
+
+
+def test_boilerplate_ranks_and_df_bounds(spark, sf_dir):
+    """Per source: exactly 5 dense ranks, df non-increasing in rank,
+    share == df/n_docs, and every mined n-gram is 3 tokens long."""
+    from canvas_data_2_aws_spark.queries.curation import (
+        text_boilerplate_ngrams,
+    )
+
+    rows = text_boilerplate_ngrams(spark, sf_dir).collect()
+    by_s = {}
+    for r in rows:
+        assert len(r.ng.split(" ")) == 3
+        assert r.df <= r.n_docs
+        assert abs(r.share - round(r.df / r.n_docs, 4)) < 1e-9
+        by_s.setdefault(r.source, []).append(r)
+    for s, rs in by_s.items():
+        rs.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rs] == [1, 2, 3, 4, 5]
+        dfs = [r.df for r in rs]
+        assert dfs == sorted(dfs, reverse=True)

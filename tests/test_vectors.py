@@ -349,3 +349,39 @@ def test_kcenter_matches_exact_python_reference(spark, sf_dir):
     radii = [r[2] for r in rows[1:]]
     assert radii == sorted(radii, reverse=True)
     assert len({r[1] for r in rows}) == 8
+
+
+def test_pca_project_moments_match_population(spark, sf_dir):
+    """Per-label projection stats re-derived in numpy from the Spark
+    loadings: counts partition the corpus, means/variances agree to
+    quantization tolerance, and variance is non-negative."""
+    import numpy as np
+
+    from canvas_data_2_aws_spark.queries.pipelines import (
+        vector_pca_power,
+        vector_pca_project,
+    )
+    from canvas_data_2_aws_spark.session import load_table
+
+    v = np.array(
+        [
+            r.loading
+            for r in sorted(
+                vector_pca_power(spark, sf_dir).collect(),
+                key=lambda r: r.dim,
+            )
+        ]
+    )
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    by_label = {}
+    for r in emb:
+        t = np.round(np.asarray(r.embedding, dtype=np.float64) * 10000)
+        by_label.setdefault(r.label, []).append(float(t @ v))
+    rows = vector_pca_project(spark, sf_dir).collect()
+    assert sum(r.n for r in rows) == len(emb)
+    for r in rows:
+        ps = by_label[r.label]
+        assert r.n == len(ps)
+        assert abs(r.mean_proj - np.mean(ps)) < 1e-3
+        assert r.var_proj >= 0
+        assert abs(r.var_proj - (np.mean(np.square(ps)) - np.mean(ps) ** 2)) < 1.0
