@@ -1735,6 +1735,10 @@ def _pca_top_component(spark: SparkSession, sf_dir: str):
                 .cast("double")
                 .alias("w")
             )
+            # consumed twice per iteration (norm + next iterate);
+            # the checkpoint pins one matvec materialization for both
+            # consumers (neutral at 64 rows, correct at any size).
+            .localCheckpoint(eager=False)
         )
         norm = w.agg(
             F.sqrt(
