@@ -2005,3 +2005,103 @@ def analytics_did_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm", "period")
     )
+
+
+# --- leakage-safe target encoding ------------------------------------------------
+
+# Out-of-fold mean target encoding (the Kaggle/feature-store standard):
+# encode each category by the target mean computed WITHOUT the rows of
+# the row's own fold, so the feature never sees its own label. Folds
+# are md5-bucket-deterministic; targets are integer cents, so the OOF
+# mean is one BIGINT-ratio division. Emitted at (category × fold)
+# granularity — the encoding table a trainer would join back.
+_TARGET_ENC_ORACLE = """
+WITH o AS (
+  SELECT n.n_name AS nation,
+         ((strpos('0123456789abcdef',
+                  substring(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 1)) - 1) * 16
+          + strpos('0123456789abcdef',
+                   substring(md5(CAST(o.o_orderkey AS VARCHAR)), 2, 1)) - 1) % 5
+           AS fold,
+         CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+cf AS (
+  SELECT nation, fold, CAST(COUNT(*) AS BIGINT) AS n_f,
+         CAST(SUM(cents) AS BIGINT) AS s_f
+  FROM o GROUP BY 1, 2
+),
+ct AS (
+  SELECT nation, CAST(SUM(n_f) AS BIGINT) AS n_c,
+         CAST(SUM(s_f) AS BIGINT) AS s_c
+  FROM cf GROUP BY 1
+)
+SELECT cf.nation, cf.fold, cf.n_f,
+       ROUND(CAST(ct.s_c - cf.s_f AS DOUBLE) / (ct.n_c - cf.n_f) / 100.0, 4)
+         AS oof_mean_usd
+FROM cf JOIN ct USING (nation)
+ORDER BY nation, fold
+"""
+
+
+@graded("analytics_target_encoding", oracle=_TARGET_ENC_ORACLE)
+def analytics_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding table: one fact scan → (category,
+    fold) partial sums (integer cents) → category totals re-aggregated
+    from the 125-row partial table; the leave-fold-out mean is
+    (total − fold) ratios on that broadcast-sized table. Nothing
+    data-scale happens after the first hash agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    hexpos = (
+        "(instr('0123456789abcdef',"
+        " substring(md5(cast(o_orderkey as string)), {i}, 1)) - 1)"
+    )
+    fold = F.expr(
+        f"cast(({hexpos.format(i=1)} * 16 + {hexpos.format(i=2)}) % 5 as bigint)"
+    )
+    o = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            fold.alias("fold"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        )
+    )
+    cf = (
+        o.groupBy("nation", "fold")
+        .agg(
+            F.count("*").cast("bigint").alias("n_f"),
+            F.sum("cents").cast("bigint").alias("s_f"),
+        )
+        .localCheckpoint(eager=False)  # consumed by ct and the final join
+    )
+    ct = cf.groupBy("nation").agg(
+        F.sum("n_f").cast("bigint").alias("n_c"),
+        F.sum("s_f").cast("bigint").alias("s_c"),
+    )
+    return (
+        cf.join(F.broadcast(ct), "nation")
+        .select(
+            "nation",
+            "fold",
+            "n_f",
+            F.round(
+                (F.col("s_c") - F.col("s_f")).cast("double")
+                / (F.col("n_c") - F.col("n_f"))
+                / 100.0,
+                4,
+            ).alias("oof_mean_usd"),
+        )
+        .orderBy("nation", "fold")
+    )

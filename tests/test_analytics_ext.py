@@ -15,3 +15,45 @@ def test_did_cells_consistent_with_estimate(spark, sf_dir):
     ) - (cell[(0, "post")].mean_usd - cell[(0, "pre")].mean_usd)
     # means are independently rounded to 4dp, so allow quantization slack
     assert abs(did - rows[0].did_usd) < 5e-4
+
+
+def test_target_encoding_is_leakage_free(spark, sf_dir):
+    """Leakage check: each (nation, fold) OOF mean must equal the mean
+    over all OTHER folds recomputed independently, and must differ
+    from the naive all-folds mean whenever the fold is non-trivial."""
+    from collections import defaultdict
+
+    from canvas_data_2_aws_spark.queries.pipelines import (
+        analytics_target_encoding,
+    )
+    from canvas_data_2_aws_spark.session import load_table
+
+    import hashlib
+
+    orders = load_table(spark, sf_dir, "orders").collect()
+    cust = {
+        r.c_custkey: r.c_nationkey
+        for r in load_table(spark, sf_dir, "customer").collect()
+    }
+    nat = {
+        r.n_nationkey: r.n_name
+        for r in load_table(spark, sf_dir, "nation").collect()
+    }
+    sums = defaultdict(lambda: [0, 0])
+    for r in orders:
+        h = hashlib.md5(str(r.o_orderkey).encode()).hexdigest()
+        fold = (int(h[0], 16) * 16 + int(h[1], 16)) % 5
+        cents = round(r.o_totalprice * 100)
+        sums[(nat[cust[r.o_custkey]], fold)][0] += 1
+        sums[(nat[cust[r.o_custkey]], fold)][1] += cents
+    rows = analytics_target_encoding(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n_o = sum(
+            v[0] for (c, f), v in sums.items() if c == r.nation and f != r.fold
+        )
+        s_o = sum(
+            v[1] for (c, f), v in sums.items() if c == r.nation and f != r.fold
+        )
+        assert r.n_f == sums[(r.nation, r.fold)][0]
+        assert abs(r.oof_mean_usd - round(s_o / n_o / 100.0, 4)) < 1e-9
