@@ -2105,3 +2105,114 @@ def analytics_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", "fold")
     )
+
+
+# --- Mann-Whitney U (rank-sum) test ----------------------------------------------
+
+# Nonparametric arm comparison for heavy-tailed metrics where the
+# t/z-family (analytics_ab_lift) is wrong: rank-based U with the
+# standard tie correction. Everything up to z is BIGINT-exact: average
+# ranks enter only as 2·R1 = Σ n1_v·(2·below + t + 1) over VALUE
+# groups (so ties never produce a float), and the tie term Σ(t³−t) is
+# an integer sum. The rank prefix comes from the distributed
+# global_cumsum over the value-distinct table — no single-task sort.
+_MANN_WHITNEY_ORACLE = """
+WITH u AS (
+  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS arm,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100, 0) AS BIGINT) END), 0) AS BIGINT)
+           AS cents
+  FROM events GROUP BY user_id
+),
+vals AS (
+  SELECT cents, CAST(SUM(arm) AS BIGINT) AS n1_v,
+         CAST(COUNT(*) AS BIGINT) AS nt_v
+  FROM u GROUP BY cents
+),
+cumv AS (
+  SELECT cents, n1_v, nt_v,
+         SUM(nt_v) OVER (ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM vals
+),
+s AS (
+  SELECT CAST(SUM(n1_v * (2 * (cum - nt_v) + nt_v + 1)) AS BIGINT) AS r1x2,
+         CAST(SUM(n1_v) AS BIGINT) AS n1,
+         CAST(SUM(nt_v) AS BIGINT) AS n,
+         CAST(SUM(nt_v * nt_v * nt_v - nt_v) AS BIGINT) AS ties
+  FROM s0
+)
+SELECT n1, n - n1 AS n2, CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2, ties,
+       (CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2
+        - CAST(n1 AS DOUBLE) * (n - n1) / 2)
+       / sqrt(CAST(n1 AS DOUBLE) * (n - n1) / 12
+              * ((n + 1) - CAST(ties AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * (n - 1)))) AS z
+FROM s
+"""
+
+
+@graded(
+    "analytics_mann_whitney",
+    oracle=_MANN_WHITNEY_ORACLE.replace("FROM s0", "FROM cumv"),
+)
+def analytics_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Mann-Whitney U between user-parity arms on
+    per-user purchase cents. One user collapse → one value-distinct
+    agg → distributed prefix sum (ranks.global_cumsum: range exchange
+    + per-partition windows, no global single-task sort) → one 4-sum
+    rollup; z is a single mirrored IEEE expression over exact
+    integers."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("cents")
+    ).select((F.col("user_id") % 2).cast("int").alias("arm"), "cents")
+    vals = u.groupBy("cents").agg(
+        F.sum("arm").cast("bigint").alias("n1_v"),
+        F.count("*").cast("bigint").alias("nt_v"),
+    )
+    cumv = R.global_cumsum(vals, ["cents"], "nt_v", out="cum")
+    s = cumv.agg(
+        F.sum(
+            F.col("n1_v")
+            * (2 * (F.col("cum") - F.col("nt_v")) + F.col("nt_v") + 1)
+        )
+        .cast("bigint")
+        .alias("r1x2"),
+        F.sum("n1_v").cast("bigint").alias("n1"),
+        F.sum("nt_v").cast("bigint").alias("n"),
+        F.sum(
+            F.col("nt_v") * F.col("nt_v") * F.col("nt_v") - F.col("nt_v")
+        )
+        .cast("bigint")
+        .alias("ties"),
+    )
+    u1x2 = F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)
+    z = (
+        u1x2.cast("double") / 2
+        - F.col("n1").cast("double") * (F.col("n") - F.col("n1")) / 2
+    ) / F.sqrt(
+        F.col("n1").cast("double") * (F.col("n") - F.col("n1")) / 12
+        * (
+            (F.col("n") + 1)
+            - F.col("ties").cast("double")
+            / (F.col("n").cast("double") * (F.col("n") - 1))
+        )
+    )
+    return s.select(
+        "n1",
+        (F.col("n") - F.col("n1")).cast("bigint").alias("n2"),
+        u1x2.cast("bigint").alias("u1_x2"),
+        "ties",
+        z.alias("z"),
+    )

@@ -57,3 +57,52 @@ def test_target_encoding_is_leakage_free(spark, sf_dir):
         )
         assert r.n_f == sums[(r.nation, r.fold)][0]
         assert abs(r.oof_mean_usd - round(s_o / n_o / 100.0, 4)) < 1e-9
+
+
+def test_mann_whitney_matches_scipy_formula(spark, sf_dir):
+    """Independent re-derivation with scipy-style average ranks in
+    pure Python: U, tie term, and z must match to float tolerance;
+    U1 + U2 == n1·n2 (the rank-sum identity)."""
+    from collections import Counter
+
+    from canvas_data_2_aws_spark.queries.pipelines import (
+        analytics_mann_whitney,
+    )
+    from canvas_data_2_aws_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    totals = Counter()
+    users = set()
+    for r in ev:
+        users.add(r.user_id)
+        if r.event_type == "purchase":
+            totals[r.user_id] += round(r.value * 100)
+    sample = [(uid % 2, totals.get(uid, 0)) for uid in users]
+    xs = sorted(v for _, v in sample)
+    # average rank per value
+    import itertools
+
+    ranks = {}
+    pos = 1
+    ties = 0
+    for v, grp in itertools.groupby(xs):
+        t = len(list(grp))
+        ranks[v] = pos + (t - 1) / 2
+        ties += t**3 - t
+        pos += t
+    n1 = sum(1 for a, _ in sample if a == 1)
+    n = len(sample)
+    r1 = sum(ranks[v] for a, v in sample if a == 1)
+    u1 = r1 - n1 * (n1 + 1) / 2
+    row = analytics_mann_whitney(spark, sf_dir).collect()[0]
+    assert row.n1 == n1 and row.n2 == n - n1
+    assert row.u1_x2 == round(2 * u1)
+    assert row.ties == ties
+    u2 = n1 * (n - n1) - u1
+    assert abs((u1 + u2) - n1 * (n - n1)) < 1e-9
+    import math
+
+    sigma = math.sqrt(
+        n1 * (n - n1) / 12 * ((n + 1) - ties / (n * (n - 1)))
+    )
+    assert abs(row.z - (u1 - n1 * (n - n1) / 2) / sigma) < 1e-9
