@@ -107,6 +107,10 @@ HEADLINE = [
     "search_hard_negatives",
     "vector_pca_power",
     "text_boilerplate_ngrams",
+    "text_kneser_ney_bigram",
+    "sample_coreset_kcenter",
+    "analytics_target_encoding",
+    "analytics_mann_whitney",
 ]
 
 

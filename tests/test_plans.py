@@ -126,6 +126,7 @@ _NESTED_LOOP_OK = {
     "text_kneser_ney_bigram",  # 1-row bigram-type-total broadcast
     "vector_pca_project",  # shares vector_pca_power's norm scalar attaches
     "analytics_did_lift",  # 1-row midpoint + 1-row DiD scalar broadcasts
+    "analytics_mann_whitney",  # ranks.global_cumsum unit-group offset attach
     "pipeline_bpe_encode",  # 1-row merge-list broadcast + unit-group vocab ids
     "text_bpe_fertility",  # 1-row merge-list broadcast
     "search_rocchio_expand",  # (N, avgdl) 1-row stats + unit-group final rank
