@@ -385,3 +385,79 @@ def test_pca_project_moments_match_population(spark, sf_dir):
         assert abs(r.mean_proj - np.mean(ps)) < 1e-3
         assert r.var_proj >= 0
         assert abs(r.var_proj - (np.mean(np.square(ps)) - np.mean(ps) ** 2)) < 1.0
+
+
+def test_hard_negatives_blas_equals_dataframe_derivation(spark, sf_dir):
+    """The BLAS kernel's different-label mask must agree with an
+    independent JVM-side derivation (broadcast join + HOF cosine +
+    rank window) row for row."""
+    from pyspark.sql import Window, functions as F
+
+    from canvas_data_2_aws_spark.functions.vectors import cosine_similarity
+    from canvas_data_2_aws_spark.queries.pipelines import search_hard_negatives
+    from canvas_data_2_aws_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 32").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlab"),
+        F.col("embedding").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nlab"),
+        F.col("embedding").alias("cv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    ref = (
+        q.join(F.broadcast(c), F.col("qlab") != F.col("nlab"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity("qv", "cv"), 4).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn <= 5")
+    )
+    got = {
+        (r.query_id, r.rn): (r.neighbor_id, r.score)
+        for r in search_hard_negatives(spark, sf_dir).collect()
+    }
+    exp = {
+        (r.query_id, r.rn): (r.neighbor_id, r.score)
+        for r in ref.collect()
+    }
+    assert got == exp
+
+
+def test_kcenter_radius_is_2_approx_property():
+    """Property (no Spark): greedy farthest-first on random integer
+    point sets — the selection radius sequence is non-increasing, and
+    the k-th selection radius lower-bounds the optimal k-center radius
+    (standard 2-approximation argument: any k-clustering has two
+    selected points in one cluster)."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.integers(10, 60), st.integers(0, 2**31 - 1))
+    def run(n, seed):
+        rng = np.random.default_rng(seed)
+        pts = rng.integers(-100, 100, size=(n, 4)).astype(np.int64)
+        ids = np.arange(n)
+        chosen = [0]
+        mind = ((pts - pts[0]) ** 2).sum(axis=1)
+        radii = []
+        for _ in range(1, 6):
+            best = max(ids, key=lambda i: (mind[i], -i))
+            radii.append(int(mind[best]))
+            chosen.append(int(best))
+            d = ((pts - pts[best]) ** 2).sum(axis=1)
+            mind = np.minimum(mind, d)
+        assert radii == sorted(radii, reverse=True)
+        # after selecting k centers, max remaining min-dist <= last radius
+        assert int(mind.max()) <= radii[-1]
+
+    run()
