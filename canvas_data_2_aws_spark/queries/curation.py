@@ -1817,7 +1817,12 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow map per pass — the center's ticks ride a 1-row broadcast)
     and takes the global argmax via TakeOrderedAndProject. k passes
     over the corpus, zero floats, no pairwise stage — the textbook
-    distributed farthest-first traversal."""
+    distributed farthest-first traversal. Storage: each pass
+    checkpoints (vec_id, tk, mind), so at most k=8 corpus copies live
+    in executor MEMORY_AND_DISK — the bounded frontier-checkpoint
+    pattern of operators/graph.py (per-executor share shrinks with
+    cluster size; the alternative, re-joining ticks per pass, trades
+    the copies for k corpus shuffles)."""
     emb = load_table(spark, sf_dir, "embeddings")
     ticks = emb.select(
         "vec_id",
