@@ -1567,12 +1567,12 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 8)
     cand = cosine_blas(queries, emb, mode="knn", k=20)
+    # Fetch candidate vectors with a plain key join — the candidate
+    # side is |queries|·20 rows, so the corpus side must NOT be
+    # broadcast (an uncapped full-corpus broadcast would undo the
+    # _np_corpus row cap that bounds the BLAS stage).
     withv = cand.join(
-        F.broadcast(
-            emb.select(
-                F.col("vec_id").alias("neighbor_id"), "embedding"
-            )
-        ),
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
         "neighbor_id",
     ).select("query_id", "neighbor_id", F.col("score").alias("simq"), "embedding")
 
@@ -2064,8 +2064,11 @@ def analytics_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"cast(({hexpos.format(i=1)} * 16 + {hexpos.format(i=2)}) % 5 as bigint)"
     )
     o = (
+        # customer is NOT broadcast: it scales with the fact side (a
+        # key-partitioned shuffle join is the 100 TB shape); nation
+        # (25 rows) is the only hinted broadcast here.
         orders.join(
-            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            cust.select("c_custkey", "c_nationkey"),
             orders.o_custkey == F.col("c_custkey"),
         )
         .join(
