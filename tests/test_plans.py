@@ -35,6 +35,8 @@ def plans(spark, sf_dir):
         "window_topk_per_group",
         "sort_limit_topk",
         "agg_group_sum",
+        "text_boilerplate_ngrams",
+        "text_kneser_ney_bigram",
     ]
     return {n: plan_text(registry.QUERIES[n](spark, sf_dir)) for n in names}
 
@@ -71,6 +73,18 @@ def test_topk_per_group_uses_window_group_limit(plans):
 
 def test_global_topk_avoids_full_sort(plans):
     assert "TakeOrderedAndProject" in plans["sort_limit_topk"]
+
+
+def test_boilerplate_topk_uses_window_group_limit(plans):
+    # per-source top-5 must keep per-partition heaps, not full sorts —
+    # the property that makes the mining pass safe at web-corpus scale.
+    assert "WindowGroupLimit" in plans["text_boilerplate_ngrams"]
+
+
+def test_kneser_ney_topk_avoids_full_sort(plans):
+    # the top-50 over the bigram TYPE table must be TakeOrdered, not a
+    # global sort of the full vocabulary² table.
+    assert "TakeOrderedAndProject" in plans["text_kneser_ney_bigram"]
 
 
 def test_aggregation_is_hash_with_partial_combine(plans):
