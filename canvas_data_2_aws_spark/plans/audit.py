@@ -159,11 +159,14 @@ def audit_checkpoints():
     origs = {cls: cls.__dict__.get("localCheckpoint") for cls in targets}
 
     def make_wrapper(orig):
-        def wrapper(self, eager: bool = True):
+        # Forward *args/**kwargs verbatim: Spark 4's signature is
+        # localCheckpoint(eager=True, storageLevel=None) and may grow —
+        # a pinned (self, eager) wrapper would TypeError on the rest.
+        def wrapper(self, *args, **kwargs):
             for h in find_nested_loops(self):
                 h["via"] = "checkpoint"
                 hits.append(h)
-            return orig(self, eager=eager)
+            return orig(self, *args, **kwargs)
 
         return wrapper
 

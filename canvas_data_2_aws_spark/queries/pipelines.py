@@ -2039,7 +2039,8 @@ ct AS (
   FROM cf GROUP BY 1
 )
 SELECT cf.nation, cf.fold, cf.n_f,
-       ROUND(CAST(ct.s_c - cf.s_f AS DOUBLE) / (ct.n_c - cf.n_f) / 100.0, 4)
+       ROUND(CAST(ct.s_c - cf.s_f AS DOUBLE)
+             / NULLIF(ct.n_c - cf.n_f, 0) / 100.0, 4)
          AS oof_mean_usd
 FROM cf JOIN ct USING (nation)
 ORDER BY nation, fold
@@ -2099,9 +2100,13 @@ def analytics_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nation",
             "fold",
             "n_f",
+            # NULLIF guard: if every order of a nation lands in one fold,
+            # n_c == n_f and Spark's non-ANSI 0-division would yield NULL
+            # while DuckDB's IEEE division yields inf — nullif makes both
+            # engines emit NULL on that (data-dependent) edge.
             F.round(
                 (F.col("s_c") - F.col("s_f")).cast("double")
-                / (F.col("n_c") - F.col("n_f"))
+                / F.nullif(F.col("n_c") - F.col("n_f"), F.lit(0))
                 / 100.0,
                 4,
             ).alias("oof_mean_usd"),
@@ -2143,7 +2148,7 @@ s AS (
          CAST(SUM(n1_v) AS BIGINT) AS n1,
          CAST(SUM(nt_v) AS BIGINT) AS n,
          CAST(SUM(nt_v * nt_v * nt_v - nt_v) AS BIGINT) AS ties
-  FROM s0
+  FROM cumv
 )
 SELECT n1, n - n1 AS n2, CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2, ties,
        (CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2
@@ -2155,10 +2160,7 @@ FROM s
 """
 
 
-@graded(
-    "analytics_mann_whitney",
-    oracle=_MANN_WHITNEY_ORACLE.replace("FROM s0", "FROM cumv"),
-)
+@graded("analytics_mann_whitney", oracle=_MANN_WHITNEY_ORACLE)
 def analytics_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tie-corrected Mann-Whitney U between user-parity arms on
     per-user purchase cents. One user collapse → one value-distinct

@@ -17,6 +17,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+# Registering module per query (``fn.__module__``) — lets tooling map a
+# git-changed source file back to the graded names it defines
+# (tools/check_oracle.py --changed).
+MODULES: dict[str, str] = {}
 
 
 def graded(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
@@ -33,6 +37,7 @@ def graded(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]
         if name in QUERIES:
             raise ValueError(f"duplicate graded query {name!r}")
         QUERIES[name] = fn
+        MODULES[name] = fn.__module__
         if oracle is not None:
             ORACLES[name] = oracle
         return fn

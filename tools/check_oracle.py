@@ -8,6 +8,9 @@ driver's hash match.
 
 Usage:
     python tools/check_oracle.py [query ...]     # default: all
+    python tools/check_oracle.py --only name1 name2   # same as positional
+    python tools/check_oracle.py --changed       # queries whose registering
+                                                 # module differs from HEAD
     python tools/check_oracle.py --sf /root/testdata/sf0.001
 """
 
@@ -155,13 +158,48 @@ def run_one(spark, con, name: str, sf_dir: str) -> tuple[bool, str, float]:
     return True, f"match: {len(s_rows)} rows", elapsed
 
 
+def changed_query_names() -> list[str]:
+    """Graded names whose registering module is dirty vs HEAD.
+
+    Uses ``git status --porcelain`` (covers staged, unstaged, and
+    untracked files) so the per-commit loop is: edit → ``--changed`` →
+    commit; the full both-SF sweep stays a round-close step.
+    """
+    import subprocess
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        ["git", "status", "--porcelain"],
+        cwd=repo_root, capture_output=True, text=True, check=True,
+    ).stdout
+    dirty_modules = set()
+    for line in out.splitlines():
+        path = line[3:].split(" -> ")[-1].strip()
+        if path.endswith(".py"):
+            dirty_modules.add(path[:-3].replace("/", "."))
+    return [n for n, mod in registry.MODULES.items() if mod in dirty_modules]
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*", default=None)
+    ap.add_argument("--only", nargs="+", default=[], metavar="NAME",
+                    help="explicit query names (same as positional)")
+    ap.add_argument("--changed", action="store_true",
+                    help="select queries whose registering module is "
+                         "dirty vs HEAD (git status)")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     args = ap.parse_args()
 
-    names = args.names or list(registry.QUERIES)
+    names = list(dict.fromkeys(args.names + args.only))
+    if args.changed:
+        picked = changed_query_names()
+        print(f"--changed selected {len(picked)} queries: {sorted(picked)}")
+        names = list(dict.fromkeys(names + picked))
+        if not names:
+            print("no graded queries touched by the working-tree diff")
+            return 0
+    names = names or list(registry.QUERIES)
     spark = get_spark("check_oracle")
     con = duckdb.connect()
     # Bound DuckDB and give it a spill path: the full sf0.1 run shares

@@ -74,17 +74,16 @@ def audit_hof(plan: str) -> list[str]:
 
 
 def main() -> None:
-    argv = sys.argv[1:]
-    args = [a for a in argv if not a.startswith("--")]
-    sf_dir = "/root/testdata/sf0.001"
-    out_path = None
-    for i, a in enumerate(argv):
-        if a == "--sf":
-            sf_dir = argv[i + 1]
-            args.remove(sf_dir) if sf_dir in args else None
-        elif a == "--out":
-            out_path = argv[i + 1]
-            args.remove(out_path) if out_path in args else None
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("names", nargs="*", help="query names (default: all)")
+    parser.add_argument("--sf", default="/root/testdata/sf0.001", dest="sf_dir")
+    parser.add_argument("--out", default=None, dest="out_path")
+    ns = parser.parse_args()
+    args = ns.names
+    sf_dir = ns.sf_dir
+    out_path = ns.out_path
     report: list[str] = []
 
     def emit(line: str) -> None:
