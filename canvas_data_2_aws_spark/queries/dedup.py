@@ -554,6 +554,9 @@ def simhash_pairs(docs: DataFrame, group_cap: int = 64) -> DataFrame:
     pairs on its own — the shape that detonates at 100 TB).
     Connectivity per group is preserved, so component-level dedup is
     unchanged. The group census is ≤ 2¹⁶ rows — always broadcast.
+
+    Consumers wanting the session-shared materialized copy should call
+    :func:`simhash_pairs_cached` instead of this builder.
     """
     sh = T.simhash16(docs)
     grp = F.broadcast(
@@ -574,6 +577,21 @@ def simhash_pairs(docs: DataFrame, group_cap: int = 64) -> DataFrame:
     return clique.unionByName(star)
 
 
+def simhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared checkpointed :func:`simhash_pairs` over the
+    fixture ``documents`` table — pagerank, LPA, and HITS all iterate
+    over this same graph, so it materializes once per session
+    (operators/fuzzy_graph.memoized_checkpoint)."""
+    from ..operators.fuzzy_graph import memoized_checkpoint
+
+    return memoized_checkpoint(
+        spark,
+        sf_dir,
+        "simhash_pairs",
+        lambda: simhash_pairs(load_table(spark, sf_dir, "documents")),
+    )
+
+
 @graded("graph_pagerank", oracle=_PAGERANK_ORACLE)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the SimHash near-dup graph (edges =
@@ -586,8 +604,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB cap or sample oversized buckets before pair expansion."""
     from ..operators.graph import pagerank
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = simhash_pairs(docs)
+    pairs = simhash_pairs_cached(spark, sf_dir)
     ranks = pagerank(pairs, src="doc_a", dst="doc_b", iterations=5)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
@@ -610,24 +627,12 @@ def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     record-linkage blocking pattern. The join is a plain equi hash
     join on the block key (the quadratic levenshtein runs only within
     blocks); at 100 TB block sizes, not corpus size, bound the cost —
-    exactly like the MinHash bucket-local pair generation."""
-    p = load_table(spark, sf_dir, "part")
-    a = p.select(
-        F.col("p_partkey").alias("key_a"),
-        F.col("p_name").alias("name_a"),
-        F.col("p_brand").alias("brand"),
-    )
-    b = p.select(
-        F.col("p_partkey").alias("key_b"),
-        F.col("p_name").alias("name_b"),
-        F.col("p_brand").alias("brand"),
-    )
-    dist = F.levenshtein("name_a", "name_b")
-    return (
-        a.join(b, "brand")
-        .where((F.col("key_a") < F.col("key_b")) & (dist <= 4))
-        .select("key_a", "key_b", dist.cast("long").alias("dist"))
-    )
+    exactly like the MinHash bucket-local pair generation. Since r8 the
+    pair generation is salted across S² sub-blocks and shared with the
+    whole fuzzy-graph query family (operators/fuzzy_graph.py)."""
+    from ..operators.fuzzy_graph import fuzzy_pairs
+
+    return fuzzy_pairs(spark, sf_dir)
 
 
 # --- triangle counting over the fuzzy-match graph -------------------------------
@@ -659,15 +664,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts — the clustering-coefficient numerator
     and the standard local-density signal over an entity-match graph.
     Edges are oriented (a < b), so each triangle is enumerated exactly
-    once by the two-hop join. The edge list is localCheckpoint-ed
-    first: without it Catalyst re-runs the levenshtein block-join for
-    each of the three join branches. At 100 TB, orient edges by degree
-    (low→high) instead of by key — that bounds the two-hop fan-out by
-    the arboricity, the classic distributed-triangle trick."""
-    e = (
-        dedup_fuzzy_blocked(spark, sf_dir)
-        .select(F.col("key_a").alias("a"), F.col("key_b").alias("b"))
-        .localCheckpoint()
+    once by the two-hop join. The edge list is the family-shared
+    checkpoint (operators/fuzzy_graph.py): without a materialization
+    Catalyst would re-run the levenshtein block-join for each of the
+    three join branches. At 100 TB, orient edges by degree (low→high)
+    instead of by key — that bounds the two-hop fan-out by the
+    arboricity, the classic distributed-triangle trick."""
+    from ..operators.fuzzy_graph import fuzzy_pairs
+
+    e = fuzzy_pairs(spark, sf_dir).select(
+        F.col("key_a").alias("a"), F.col("key_b").alias("b")
     )
     e1 = e.select(F.col("a"), F.col("b"))
     e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
@@ -844,32 +850,12 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the fuzzy-match graph — the first thing
     to profile before any pairwise expansion (a heavy tail predicts
     quadratic bucket blowup; see the MinHash cap note). Two hash aggs
-    over the symmetrized edge list; both are map-side combinable, so
-    the exchanges carry node- and degree-cardinality rows only."""
-    p = load_table(spark, sf_dir, "part")
-    a = p.select(
-        F.col("p_partkey").alias("key_a"),
-        F.col("p_name").alias("name_a"),
-        F.col("p_brand").alias("brand"),
-    )
-    b = p.select(
-        F.col("p_partkey").alias("key_b"),
-        F.col("p_name").alias("name_b"),
-        F.col("p_brand").alias("brand"),
-    )
-    e = (
-        a.join(b, "brand")
-        .where(
-            (F.col("key_a") < F.col("key_b"))
-            & (F.levenshtein("name_a", "name_b") <= 4)
-        )
-        .select("key_a", "key_b")
-    )
-    sym = e.select(
-        F.col("key_a").alias("node"), F.col("key_b").alias("nbr")
-    ).unionByName(
-        e.select(F.col("key_b").alias("node"), F.col("key_a").alias("nbr"))
-    ).distinct()
+    over the family-shared symmetrized edge list; both are map-side
+    combinable, so the exchanges carry node- and degree-cardinality
+    rows only."""
+    from ..operators.fuzzy_graph import fuzzy_sym
+
+    sym = fuzzy_sym(spark, sf_dir)
     deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
 
@@ -917,31 +903,11 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed frontiers (operators/graph.bfs_levels); the oracle
     unrolls via a bounded recursive CTE. At 100 TB each hop shuffles
     only the frontier, never the full visited set."""
+    from ..operators.fuzzy_graph import fuzzy_sym
     from ..operators.graph import bfs_levels
 
-    p = load_table(spark, sf_dir, "part")
-    a = p.select(
-        F.col("p_partkey").alias("key_a"),
-        F.col("p_name").alias("name_a"),
-        F.col("p_brand").alias("brand"),
-    )
-    b = p.select(
-        F.col("p_partkey").alias("key_b"),
-        F.col("p_name").alias("name_b"),
-        F.col("p_brand").alias("brand"),
-    )
-    e = (
-        a.join(b, "brand")
-        .where(
-            (F.col("key_a") < F.col("key_b"))
-            & (F.levenshtein("name_a", "name_b") <= 4)
-        )
-        .select("key_a", "key_b")
-    )
-    sym = e.select(
-        F.col("key_a").alias("src"), F.col("key_b").alias("dst")
-    ).unionByName(
-        e.select(F.col("key_b").alias("src"), F.col("key_a").alias("dst"))
+    sym = fuzzy_sym(spark, sf_dir).select(
+        F.col("node").alias("src"), F.col("nbr").alias("dst")
     )
     seeds = sym.where(F.col("src") % 100 == 0).select(
         F.col("src").alias("node")
@@ -1073,31 +1039,12 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor (fanout bounded by degree, the same arboricity argument
     as triangle counting); existing edges drop via one anti-join and
     the degree table broadcasts back onto the candidates."""
-    p = load_table(spark, sf_dir, "part")
-    a = p.select(
-        F.col("p_partkey").alias("key_a"),
-        F.col("p_name").alias("name_a"),
-        F.col("p_brand").alias("brand"),
+    from ..operators.fuzzy_graph import fuzzy_pairs, fuzzy_sym
+
+    e = fuzzy_pairs(spark, sf_dir).select(
+        F.col("key_a").alias("ea"), F.col("key_b").alias("eb")
     )
-    b = p.select(
-        F.col("p_partkey").alias("key_b"),
-        F.col("p_name").alias("name_b"),
-        F.col("p_brand").alias("brand"),
-    )
-    e = (
-        a.join(b, "brand")
-        .where(
-            (F.col("key_a") < F.col("key_b"))
-            & (F.levenshtein("name_a", "name_b") <= 4)
-        )
-        .select(F.col("key_a").alias("ea"), F.col("key_b").alias("eb"))
-        .localCheckpoint()  # feeds sym (×2), the anti-join, and deg
-    )
-    sym = (
-        e.select(F.col("ea").alias("node"), F.col("eb").alias("nbr"))
-        .unionByName(e.select(F.col("eb").alias("node"), F.col("ea").alias("nbr")))
-        .distinct()
-    )
+    sym = fuzzy_sym(spark, sf_dir)
     deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
     s1 = sym.select(F.col("node").alias("x"), "nbr")
     s2 = sym.select(F.col("node").alias("y"), "nbr")
@@ -1361,33 +1308,9 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     round cost is the first. At 100 TB the loop would add a
     convergence check (count unchanged ⇒ stop), matching
     operators/graph.py's iterate-to-fixpoint harness."""
-    p = load_table(spark, sf_dir, "part")
-    a = p.select(
-        F.col("p_partkey").alias("key_a"),
-        F.col("p_name").alias("name_a"),
-        F.col("p_brand").alias("brand"),
-    )
-    b = p.select(
-        F.col("p_partkey").alias("key_b"),
-        F.col("p_name").alias("name_b"),
-        F.col("p_brand").alias("brand"),
-    )
-    e = (
-        a.join(b, "brand")
-        .where(
-            (F.col("key_a") < F.col("key_b"))
-            & (F.levenshtein("name_a", "name_b") <= 4)
-        )
-        .select("key_a", "key_b")
-    )
-    cur = (
-        e.select(F.col("key_a").alias("node"), F.col("key_b").alias("nbr"))
-        .unionByName(
-            e.select(F.col("key_b").alias("node"), F.col("key_a").alias("nbr"))
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    from ..operators.fuzzy_graph import fuzzy_sym
+
+    cur = fuzzy_sym(spark, sf_dir)
     for _ in range(_KCORE_PEELS):
         keep = (
             cur.groupBy("node")
@@ -1458,8 +1381,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     label-keyed window on the O(V) result."""
     from ..operators.graph import label_propagation
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = simhash_pairs(docs)
+    pairs = simhash_pairs_cached(spark, sf_dir)
     labels = label_propagation(pairs, src="doc_a", dst="doc_b", iterations=3)
     return labels.select(
         "node",

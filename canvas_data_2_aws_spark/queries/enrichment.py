@@ -1550,10 +1550,10 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     above the oracle); iterative joins Spark-side
     (operators/graph.hits), unrolled exact-decimal twin in SQL."""
     from ..operators.graph import hits
-    from .dedup import simhash_pairs
+    from .dedup import simhash_pairs_cached
 
-    docs = load_table(spark, sf_dir, "documents")
-    scores = hits(simhash_pairs(docs), src="doc_a", dst="doc_b", iterations=2)
+    pairs = simhash_pairs_cached(spark, sf_dir)
+    scores = hits(pairs, src="doc_a", dst="doc_b", iterations=2)
     return scores.select(
         "node",
         F.round("hub", 6).alias("hub"),

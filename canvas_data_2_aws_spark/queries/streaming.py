@@ -503,33 +503,60 @@ def stream_session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandasWithState in the streaming twin of
     stream_stateful_totals. Oracle: recursive-CTE replay, so even
     this beyond-SQL operator hash-matches."""
+    import numpy as np
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
 
-    def sessionize(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        gap = pd.Timedelta(minutes=30)
-        cap = pd.Timedelta(hours=2)
-        sess, prev_ts, start = -1, None, None
-        ids = []
-        for ts in pdf["ts"]:
-            if prev_ts is None or ts > prev_ts + gap or ts > start + cap:
-                sess += 1
-                start = ts
-            ids.append(sess)
-            prev_ts = ts
-        pdf = pdf.assign(session_id=ids)
-        out = pdf.groupby("session_id", as_index=False).agg(
-            n_events=("ts", "size"), t_start=("ts", "min"), t_end=("ts", "max")
-        )
-        out.insert(0, "user_id", pdf["user_id"].iloc[0])
-        return out
+    GAP_NS = 30 * 60 * 10**9
+    CAP_NS = 2 * 3600 * 10**9
 
-    return ev.groupBy("user_id").applyInPandas(
-        sessionize,
-        "user_id long, session_id long, n_events long,"
-        " t_start timestamp, t_end timestamp",
+    def sessionize(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Session-at-a-time jumps instead of a row-at-a-time Timestamp
+        # fold (identical semantics, far less Python): within a session
+        # there is no gap-break (the next one is precomputed in `gaps`)
+        # and no cap-break (searchsorted finds the first ts > start +
+        # cap), so each loop iteration closes one whole session; the
+        # aggregates then fall out of the sorted order (min = first
+        # row, max = last) with no pandas groupby at all.
+        ts = pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+        t = ts[np.lexsort((pdf["event_id"].to_numpy(), ts))]
+        n = len(t)
+        gaps = np.flatnonzero(np.diff(t) > GAP_NS) + 1
+        starts = []
+        i = 0
+        gi = 0
+        while i < n:
+            starts.append(i)
+            while gi < len(gaps) and gaps[gi] <= i:
+                gi += 1
+            g = gaps[gi] if gi < len(gaps) else n
+            c = np.searchsorted(t, t[i] + CAP_NS, side="right")
+            i = min(g, c)
+        s = np.asarray(starts, dtype="int64")
+        e = np.append(s[1:], n)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].iloc[0],
+                "session_id": np.arange(len(s), dtype="int64"),
+                "n_events": e - s,
+                "t_start": t[s].astype("datetime64[ns]"),
+                "t_end": t[e - 1].astype("datetime64[ns]"),
+            }
+        )
+
+    # Explicit width: the post-shuffle stage would otherwise be AQE-
+    # coalesced to ONE partition at fixture row counts, serializing all
+    # 1 500 per-user folds through a single Python worker (measured
+    # 12.5 s → ~2 s with the explicit 32-way exchange).
+    return (
+        ev.repartition(32, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(
+            sessionize,
+            "user_id long, session_id long, n_events long,"
+            " t_start timestamp, t_end timestamp",
+        )
     )
 
 

@@ -45,6 +45,10 @@ def canon_cell(v):
     if isinstance(v, bool):
         return f"bool:{v}"
     if isinstance(v, dt.datetime):
+        if v.tzinfo is not None:
+            # Arrow fetch path: session-tz-aware (UTC) → naive UTC,
+            # the same wall clock collect()/DuckDB produce.
+            v = v.astimezone(dt.timezone.utc)
         return "ts:" + v.replace(tzinfo=None).isoformat(timespec="microseconds")
     if isinstance(v, dt.date):
         return "date:" + v.isoformat()
@@ -120,11 +124,31 @@ def canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return out
 
 
+def fetch_rows(sdf) -> list[tuple]:
+    """Materialize a result as Python tuples — Arrow path when possible.
+
+    ``toArrow()`` + ``to_pylist`` yields the same Python objects as
+    row-object ``collect()`` (ints/floats/str/date/Decimal/bytes;
+    timestamps arrive session-tz-aware and ``canon_cell`` normalizes
+    them to the naive UTC wall clock) but transfers columnar Arrow
+    batches instead of per-row py4j objects — ~10× on the multi-
+    million-row dedup/link-prediction results, measuring the engine
+    rather than the row-deserializer. Falls back to ``collect()`` for
+    types Arrow can't carry.
+    """
+    try:
+        tbl = sdf.toArrow()
+        cols = [c.to_pylist() for c in tbl.columns]
+        return [tuple(r) for r in zip(*cols)] if cols else []
+    except Exception:
+        return [tuple(r) for r in sdf.collect()]
+
+
 def run_one(spark, con, name: str, sf_dir: str) -> tuple[bool, str, float]:
     fn = registry.QUERIES[name]
     t0 = time.time()
     sdf = fn(spark, sf_dir)
-    s_rows = sdf.collect()
+    s_rows = fetch_rows(sdf)
     s_cols = sdf.columns
     elapsed = time.time() - t0
     oracle = registry.ORACLES.get(name)
