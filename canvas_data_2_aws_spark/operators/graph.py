@@ -37,6 +37,42 @@ def _score_side(scores: DataFrame, n_nodes: int, cap: int) -> DataFrame:
     return F.broadcast(scores) if n_nodes <= cap else scores
 
 
+def symmetrized(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Distinct undirected ``(a, b)`` expansion of a pair list — the
+    shared first step of every algorithm in this module."""
+    return (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+
+
+def iterate_rounds(state, step, rounds: int, *, eager: bool = False, stop=None):
+    """Synchronous-rounds driver — the ONE place the per-round
+    checkpoint policy lives for pagerank/HITS/LPA/CC/BFS/k-core.
+
+    Runs ``state = step(state, ckpt)`` up to ``rounds`` times; ``step``
+    passes every frame it will re-consume through ``ckpt``
+    (``localCheckpoint`` — lineage truncation, hooked by
+    ``audit_checkpoints`` so every round stays plan-auditable).
+    ``eager=False`` folds the checkpoint into the next job (HITS: 4
+    fewer jobs ≈ 7 s at sf0.1); eager is required when driver logic
+    probes the round's frame (CC convergence, BFS empty-frontier) —
+    which ``stop(new, old)`` expresses to end the loop early.
+    """
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=eager)
+
+    for _ in range(rounds):
+        new = step(state, ckpt)
+        done = stop is not None and stop(new, state)
+        state = new
+        if done:
+            break
+    return state
+
+
 #: Below this many (symmetrized, distinct) edges, connected components
 #: run as a DRIVER-side union-find instead of iterative label
 #: propagation.  A ≤1M-edge pair graph is broadcast-sized (~16 MB of
@@ -96,12 +132,7 @@ def connected_components(
     # without the checkpoint each of those jobs re-executes the full
     # upstream edge derivation (for near-dup callers, the entire
     # MinHash/SimHash pipeline, once per iteration).
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    sym = symmetrized(edges, src, dst).localCheckpoint(eager=False)
     # Size probe: count first (LIMIT cap+1 so no full count job), and
     # only collect edge rows when the graph is confirmed small — a big
     # graph never ships cap+1 Row objects to the driver just to discard
@@ -126,21 +157,21 @@ def connected_components(
         .agg(F.least(F.min("b"), F.first("a")).alias("comp"))
         .select(F.col("a").alias("node"), "comp")
     )
-    for _ in range(max_iter):
+
+    def step(labels: DataFrame, ckpt) -> DataFrame:
         # propagate: each node takes min(own comp, neighbors' comps)
         neighbor_best = (
             sym.join(labels, sym.b == labels.node)
             .groupBy("a")
             .agg(F.min("comp").alias("n_comp"))
         )
-        new_labels = (
-            labels.join(neighbor_best, labels.node == neighbor_best.a, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
-                ).alias("comp"),
-            )
+        new_labels = labels.join(
+            neighbor_best, labels.node == neighbor_best.a, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
+            ).alias("comp"),
         )
         # pointer jumping: adopt the label of your label — doubles the
         # propagated distance per round, O(log diameter) convergence
@@ -148,27 +179,26 @@ def connected_components(
         parents = new_labels.select(
             F.col("node").alias("comp"), F.col("comp").alias("parent_comp")
         )
-        new_labels = (
-            new_labels.join(parents, "comp", "left")
-            .select(
+        return ckpt(
+            new_labels.join(parents, "comp", "left").select(
                 "node",
                 F.least(
                     F.col("comp"), F.coalesce(F.col("parent_comp"), F.col("comp"))
                 ).alias("comp"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
+
+    def converged(new: DataFrame, old: DataFrame) -> bool:
+        return (
+            new.alias("n")
+            .join(old.alias("o"), "node")
             .where(F.col("n.comp") != F.col("o.comp"))
             .limit(1)
             .count()
+            == 0
         )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+
+    return iterate_rounds(labels, step, max_iter, eager=True, stop=converged)
 
 
 def resolve_duplicates(
@@ -214,11 +244,7 @@ def pagerank(
     localCheckpoint truncates the growing lineage like
     :func:`connected_components`.
     """
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-    )
+    sym = symmetrized(edges, src, dst)
     nodes = sym.select(F.col("a").alias("node")).distinct()
     n = nodes.count()
     cap = SCORE_BROADCAST_NODE_CAP if broadcast_node_cap is None else broadcast_node_cap
@@ -235,22 +261,25 @@ def pagerank(
     sym_deg = sym_deg.localCheckpoint(eager=False)
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     teleport = F.lit((1.0 - damping) / n)
-    for _ in range(iterations):
+
+    def step(ranks: DataFrame, ckpt) -> DataFrame:
         contribs = sym_deg.join(
             _score_side(ranks, n, cap), sym_deg.a == ranks.node
         ).select(
             F.col("b").alias("node"),
             (F.col("rank") / F.col("deg")).alias("contrib"),
         )
-        ranks = contribs.groupBy("node").agg(
-            (
-                teleport
-                + F.lit(damping)
-                * F.sum(F.col("contrib").cast("decimal(28,12)")).cast("double")
-            ).alias("rank")
+        return ckpt(
+            contribs.groupBy("node").agg(
+                (
+                    teleport
+                    + F.lit(damping)
+                    * F.sum(F.col("contrib").cast("decimal(28,12)")).cast("double")
+                ).alias("rank")
+            )
         )
-        ranks = ranks.localCheckpoint(eager=False)
-    return ranks
+
+    return iterate_rounds(ranks, step, iterations)
 
 
 def bfs_levels(
@@ -271,33 +300,35 @@ def bfs_levels(
     the whole prefix once per downstream consumer (the round-2 shared-
     subtree law). Deterministic: min-level semantics, no randomness.
     """
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    sym = symmetrized(edges, src, dst).localCheckpoint(eager=True)
     visited = (
         seeds.select(F.col(seed_col).alias("node"))
         .distinct()
         .withColumn("level", F.lit(0).cast("long"))
         .localCheckpoint(eager=True)
     )
-    frontier = visited
-    for hop in range(1, max_hops + 1):
-        nxt = (
+    hop = 0
+
+    def step(state, ckpt):
+        nonlocal hop
+        visited, frontier = state
+        hop += 1
+        nxt = ckpt(
             frontier.join(sym, frontier.node == sym.a)
             .select(F.col("b").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("level", F.lit(hop).cast("long"))
-            .localCheckpoint(eager=True)
         )
-        if nxt.limit(1).count() == 0:
-            break
-        visited = visited.unionByName(nxt)
-        frontier = nxt
-    return visited
+        return visited.unionByName(nxt), nxt
+
+    def exhausted(new, _old) -> bool:
+        return new[1].limit(1).count() == 0
+
+    final_visited, _ = iterate_rounds(
+        (visited, visited), step, max_hops, eager=True, stop=exhausted
+    )
+    return final_visited
 
 
 def hits(
@@ -355,24 +386,23 @@ def hits(
         e_by_d = e.repartition("d").localCheckpoint(eager=False)
     else:
         e_by_s = e_by_d = e
-    hub = nodes.select("node", F.lit(1.0).alias("score"))
-    auth = None
-    for _ in range(iterations):
+    def step(state, ckpt):
+        # Lazy checkpoints (ckpt): truncate lineage and cache on first
+        # materialization WITHOUT an eager job per half-step — the
+        # eager form cost one full scheduling round-trip per score
+        # table (4 extra jobs for 2 iterations, ~7 s of the 9 s
+        # sf0.1 wall clock).
+        hub, _ = state
         a_raw = (
             e_by_s.join(_score_side(hub.withColumnRenamed("node", "s"), n, cap), "s")
             .groupBy(F.col("d").alias("node"))
             .agg(F.sum(F.col("score").cast("decimal(28,12)")).cast("double").alias("v"))
         )
         a_max = a_raw.agg(F.max("v").alias("m"))
-        # Lazy checkpoint: truncates lineage and caches on first
-        # materialization WITHOUT an eager job per half-step — the
-        # eager form cost one full scheduling round-trip per score
-        # table (4 extra jobs for 2 iterations, ~7 s of the 9 s
-        # sf0.1 wall clock).
-        auth = (
-            a_raw.crossJoin(F.broadcast(a_max))
-            .select("node", (F.col("v") / F.col("m")).alias("score"))
-            .localCheckpoint(eager=False)
+        auth = ckpt(
+            a_raw.crossJoin(F.broadcast(a_max)).select(
+                "node", (F.col("v") / F.col("m")).alias("score")
+            )
         )
         h_raw = (
             e_by_d.join(_score_side(auth.withColumnRenamed("node", "d"), n, cap), "d")
@@ -380,11 +410,15 @@ def hits(
             .agg(F.sum(F.col("score").cast("decimal(28,12)")).cast("double").alias("v"))
         )
         h_max = h_raw.agg(F.max("v").alias("m"))
-        hub = (
-            h_raw.crossJoin(F.broadcast(h_max))
-            .select("node", (F.col("v") / F.col("m")).alias("score"))
-            .localCheckpoint(eager=False)
+        hub = ckpt(
+            h_raw.crossJoin(F.broadcast(h_max)).select(
+                "node", (F.col("v") / F.col("m")).alias("score")
+            )
         )
+        return hub, auth
+
+    hub0 = nodes.select("node", F.lit(1.0).alias("score"))
+    hub, auth = iterate_rounds((hub0, None), step, iterations)
     return (
         nodes.join(hub.withColumnRenamed("score", "hub"), "node", "left")
         .join(auth.withColumnRenamed("score", "auth"), "node", "left")
@@ -419,11 +453,7 @@ def label_propagation(
     again), one (node, label) count, and one node-keyed window to pick
     the mode; ``localCheckpoint`` truncates lineage per round.
     """
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-    )
+    sym = symmetrized(edges, src, dst)
     nodes = sym.select(F.col("a").alias("node")).distinct()
     n = nodes.count()
     cap = SCORE_BROADCAST_NODE_CAP if broadcast_node_cap is None else broadcast_node_cap
@@ -431,20 +461,21 @@ def label_propagation(
     sym_l = sym_l.localCheckpoint(eager=False)
     from pyspark.sql import Window
 
-    labels = nodes.select("node", F.col("node").alias("label"))
     pick_w = Window.partitionBy("a").orderBy(
         F.col("votes").desc(), F.col("label").asc()
     )
-    for _ in range(iterations):
+
+    def step(labels: DataFrame, ckpt) -> DataFrame:
         votes = (
             sym_l.join(_score_side(labels, n, cap), sym_l.b == labels.node)
             .groupBy("a", "label")
             .agg(F.count(F.lit(1)).alias("votes"))
         )
-        labels = (
+        return ckpt(
             votes.withColumn("rk", F.row_number().over(pick_w))
             .where(F.col("rk") == 1)
             .select(F.col("a").alias("node"), "label")
         )
-        labels = labels.localCheckpoint(eager=False)
-    return labels
+
+    labels = nodes.select("node", F.col("node").alias("label"))
+    return iterate_rounds(labels, step, iterations)

@@ -1309,22 +1309,24 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     convergence check (count unchanged ⇒ stop), matching
     operators/graph.py's iterate-to-fixpoint harness."""
     from ..operators.fuzzy_graph import fuzzy_sym
+    from ..operators.graph import iterate_rounds
 
-    cur = fuzzy_sym(spark, sf_dir)
-    for _ in range(_KCORE_PEELS):
+    def peel(cur: DataFrame, ckpt) -> DataFrame:
         keep = (
             cur.groupBy("node")
             .agg(F.count("*").alias("deg"))
             .where(F.col("deg") >= _KCORE_K)
             .select("node")
         )
-        cur = (
-            cur.join(keep, "node", "left_semi")
-            .join(
+        return ckpt(
+            cur.join(keep, "node", "left_semi").join(
                 keep.withColumnRenamed("node", "nbr"), "nbr", "left_semi"
             )
-            .localCheckpoint()
         )
+
+    cur = iterate_rounds(
+        fuzzy_sym(spark, sf_dir), peel, _KCORE_PEELS, eager=True
+    )
     return cur.groupBy("node").agg(F.count("*").alias("degree"))
 
 
