@@ -969,6 +969,142 @@ def vector_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- EXT: deterministic IVF ANN composite (cells → probe → exact rerank) ----------
+
+# The end-to-end IVF search as ONE hash-matched query — closing the last
+# closable rows-only gap (ann_ivf stays rows-only because MLlib k-means
+# seeds privately; every piece here is the already-graded deterministic
+# machinery): cells = the k-means c2 assignment (_KMEANS_CTES verbatim),
+# probe = per query the nprobe nearest cells by the SAME decimal
+# distance table (d2) that defined the assignment, rerank = exact cosine
+# inside the probed cells only, top-10. nprobe = GREATEST(2, k // 4)
+# scales with the √n cell count, so probed volume ≈ nprobe·n/k ≈ √n per
+# query at any corpus size — the IVF cost law. The emitted score is
+# ROUND(cos, 4); DuckDB appends `+ 0.0` because its ROUND preserves
+# -0.0 while Spark's normalizes (§8 erratum r4).
+_IVF_NPROBE_SQL = f"GREATEST(2, {_KMEANS_K_SQL} // 4)"
+
+_IVF_DET_ORACLE = f"""
+WITH {_KMEANS_CTES},
+probe AS (
+  SELECT vec_id AS query_id, j AS cell FROM (
+    SELECT vec_id, j,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rk
+    FROM d2 WHERE vec_id < 32) t
+  WHERE rk <= {_IVF_NPROBE_SQL}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN a2 a ON a.c2 = p.cell
+  WHERE a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                      CAST(ne.embedding AS DOUBLE[])), 4)
+           + 0.0 AS score
+  FROM cand c
+  JOIN embeddings qe ON qe.vec_id = c.query_id
+  JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rn, score
+FROM (SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rn
+      FROM scored) t
+WHERE rn <= 10
+"""
+
+
+@graded("ann_ivf_deterministic", oracle=_IVF_DET_ORACLE)
+def ann_ivf_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF ANN with a full SQL oracle: deterministic k-means
+    cells (the session-cached index), nprobe-nearest-cell probe per
+    query (decimal-exact centroid distances, id tie-break), exact
+    cosine rerank inside probed cells, top-10 per query.
+
+    Plan shape: the probe side is queries×k rows (tiny); candidates
+    come from ONE equi join on the cell id (candidate volume =
+    nprobe·n/k ≈ √n per query — never the corpus); the rerank joins
+    the 32-row query embedding table broadcast against cell members.
+    At 100 TB the cell centroids ship with the stored index instead of
+    being re-derived, and the cell-member join is the same shape the
+    bucketed hyperplane path uses."""
+    import math
+
+    from ..functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k = max(4, math.ceil(math.sqrt(n / 50.0)))  # mirrors _KMEANS_K_SQL
+    nprobe = max(2, k // 4)
+    assign = _kmeans_assignment(spark, sf_dir)
+    pos = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "vf")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("vf").cast("double").alias("v"),
+    )
+    # cent1 re-derived from the cached c1 assignment — identical decimal
+    # expression to the builder's second-iteration centroid table.
+    cent1 = (
+        pos.join(assign.select("vec_id", F.col("c1").alias("j")), "vec_id")
+        .groupBy("j", "dim")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(38,10)")).cast("double")
+                / F.count("*")
+            ).alias("c")
+        )
+    )
+    qd = (
+        pos.where(F.col("vec_id") < 32)
+        .join(F.broadcast(cent1), "dim")
+        .groupBy("vec_id", "j")
+        .agg(
+            F.sum(F.expr("CAST((v - c) * (v - c) AS DECIMAL(38,12))")).alias(
+                "dist"
+            )
+        )
+    )
+    w_probe = Window.partitionBy("vec_id").orderBy("dist", "j")
+    probe = (
+        qd.withColumn("rk", F.row_number().over(w_probe))
+        .where(F.col("rk") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), F.col("j").alias("cell"))
+    )
+    members = assign.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("c2").alias("cell")
+    )
+    cand = probe.join(members, "cell").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    qe = emb.where(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    ne = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
+    )
+    scored = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ne, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity("q_emb", "n_emb"), 4).alias("score"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= 10)
+        .select("query_id", "neighbor_id", F.col("rn").cast("long"), "score")
+    )
+
+
 # --- EXT: hybrid retrieval — BM25 ⊕ cosine via reciprocal-rank fusion -----------
 
 # The standard hybrid-search shape (lexical + dense legs fused with

@@ -587,3 +587,64 @@ def test_merge_sink_crash_recovery_exactly_once(spark, sf_dir, tmp_path):
     assert expected.exceptAll(got).count() == 0
     # the replayed batch must not have duplicated any key
     assert got.select("o_orderkey").distinct().count() == got.count()
+
+
+def test_stateful_totals_rocksdb_equals_default(spark, sf_dir):
+    """SCALE.md §4 prescribes RocksDBStateStoreProvider for 100 TB
+    state; this pins it locally as a measured fact (r7 verdict task 3):
+    the same applyInPandasWithState totals replay, run under RocksDB vs
+    the default HDFSBackedStateStore, must produce identical final
+    state. RocksDB ships in Spark 4's JVM — no extra install."""
+    import shutil
+
+    from canvas_data_2_aws_spark.queries.streaming import (
+        _few_state_partitions,
+        _replay_dir,
+    )
+    from canvas_data_2_aws_spark.streaming.windows import (
+        read_event_stream,
+        run_available_now,
+        stateful_user_totals_stream,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+
+    def run_with_provider(provider: str | None, tag: str) -> dict:
+        base = _replay_dir(spark, sf_dir)
+        try:
+            old = spark.conf.get(key)
+        except Exception:
+            old = None
+        try:
+            if provider:
+                spark.conf.set(key, provider)
+            with _few_state_partitions(spark):
+                totals = stateful_user_totals_stream(
+                    read_event_stream(spark, f"{base}/part*")
+                )
+                rows = run_available_now(
+                    totals, f"state_provider_eq_{tag}", output_mode="update"
+                )
+            final: dict = {}
+            for r in rows:
+                prev = final.get(r.user_id, (0, 0))
+                final[r.user_id] = (
+                    max(prev[0], r.n_events),
+                    max(prev[1], r.total_cents),
+                )
+            return final
+        finally:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+            shutil.rmtree(base, ignore_errors=True)
+
+    default_state = run_with_provider(None, "default")
+    rocksdb_state = run_with_provider(
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+        "rocksdb",
+    )
+    assert default_state, "default-store run produced no state"
+    assert rocksdb_state == default_state

@@ -29,6 +29,37 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert len(exact_ids & approx_ids) >= 6, (exact_ids, approx_ids)
 
 
+def test_ivf_deterministic_structure_and_recall(spark, sf_dir):
+    """The hash-matched IVF composite: per-query top-10 from probed
+    cells only, ranks contiguous, and recall vs exact ≥ 50% on average
+    (nprobe=2 of 4 cells at sf0.01 — half the corpus is scanned, so
+    most true neighbors must be recoverable)."""
+    rows = registry.QUERIES["ann_ivf_deterministic"](spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(32))
+    for q, rs in by_q.items():
+        assert sorted(r.rn for r in rs) == list(range(1, len(rs) + 1))
+        assert len(rs) == 10
+        assert all(r.neighbor_id != q for r in rs)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_blas(
+        emb.where(F.col("vec_id") < 32), emb, mode="knn", k=11
+    ).where(F.col("neighbor_id") != F.col("query_id"))
+    exact_sets: dict[int, set] = {}
+    for r in exact.collect():
+        s = exact_sets.setdefault(r.query_id, set())
+        if len(s) < 10:
+            s.add(r.neighbor_id)
+    hits = sum(
+        len(exact_sets[q] & {r.neighbor_id for r in rs})
+        for q, rs in by_q.items()
+    )
+    assert hits >= 0.5 * 10 * 32, hits
+
+
 def test_kmeans_assignments_valid_and_moving(spark, sf_dir):
     from canvas_data_2_aws_spark import registry
     from canvas_data_2_aws_spark.session import load_table
