@@ -467,6 +467,13 @@ def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy(F.col("l_orderkey").alias("ok"))
         .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+        # Explicit width before the checkpoint: AQE sizes this exchange
+        # by basket BYTES, but the next stage's cost is the quadratic
+        # pair explode of each array — work AQE cannot see. Coalesced
+        # to 3 partitions it straggled (~1.5 s for the pair stage at
+        # sf0.1; 0.35 s at full width — the r8 root cause of the
+        # r6→r7 bench drift on this query).
+        .repartition(li.sparkSession.sparkContext.defaultParallelism)
         .localCheckpoint(eager=True)  # feeds supports, count, pairs
     )
     n = baskets.agg(F.count(F.lit(1)).alias("n"))

@@ -54,32 +54,32 @@ def load_all() -> None:
     eventually receives a driver verdict (r01–r05 sampled the first 50 of
     the alphabetical order = aggregates/analytics/…; union 77/270).
 
-    Round-7 rotation: udfs(6) + setops(5) + text(22) + vectors(13) +
-    semistructured(first 4) fill the 50-name sample with queries never
-    driver-graded before (r01–r06 union = 127 distinct names, zero
-    failures). Next rotations should continue with sketches, layout,
-    validation, curation, pipelines, enrichment, multimodal, and the
-    tails of streaming/merge/dedup until all registered names carry a
-    driver verdict. New queries land in late modules (streaming,
-    curation, …) so the first-50 window stays stable within a round.
+    Round-8 rotation: sketches(4) + layout(2) + validation(7) +
+    curation(19) + multimodal(6) + pipelines(first 12) fill the 50-name
+    sample with queries never driver-graded before (r01–r07 union =
+    177 distinct names, zero failures; r07 window was udfs/setops/
+    text/vectors/semistructured). Next rotations: the rest of
+    pipelines, enrichment, then the tails of streaming/merge/dedup.
+    New queries land in late modules so the first-50 window stays
+    stable within a round.
     """
     from .queries import (  # noqa: F401
+        sketches,
+        layout,
+        validation,
+        curation,
+        multimodal,
+        pipelines,
+        enrichment,
+        streaming,
+        merge,
+        dedup,
         udfs,
         setops,
         text,
         vectors,
         semistructured,
-        sketches,
-        layout,
-        validation,
-        curation,
-        pipelines,
-        enrichment,
-        multimodal,
-        streaming,
-        merge,
         joins,
-        dedup,
         relational,
         scalars,
         windows,
