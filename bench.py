@@ -122,6 +122,9 @@ HEADLINE = [
     "graph_bfs_levels",
     "stream_session_capped",
     "dedup_fuzzy_blocked",
+    # round-8 additions: record-linkage scoring + block-kernel cc
+    "match_fellegi_sunter",
+    "graph_clustering_coefficient",
 ]
 
 

@@ -1607,3 +1607,221 @@ def multimodal_shard_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "doc_id")
     )
+
+
+# --- EXT: per-node clustering coefficient over the fuzzy-match graph -------------
+
+# cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — the local-density ratio that
+# separates genuine duplicate cliques (cc ≈ 1) from hub-and-spoke
+# false-positive stars (cc ≈ 0) before cluster resolution. Both counts
+# come from the shared brand-block Gram kernel (triangles and 2-hop
+# paths are block-local); the single division is exact-integer
+# operands → one IEEE double op, bit-identical cross-engine.
+_CLUSTERING_ORACLE = """
+WITH e AS (
+  SELECT a.p_partkey AS a, b.p_partkey AS b
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 4
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+roles AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+tcnt AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM roles GROUP BY node),
+sym AS (SELECT a AS node, b AS nbr FROM e UNION SELECT b, a FROM e),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY node)
+SELECT d.node, d.degree,
+       CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+       2.0 * COALESCE(t.n_tri, 0) / (d.degree * (d.degree - 1)) AS clustering
+FROM deg d LEFT JOIN tcnt t USING (node)
+WHERE d.degree >= 2
+"""
+
+
+@graded("graph_clustering_coefficient", oracle=_CLUSTERING_ORACLE)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node (degree ≥ 2) of the
+    brand-blocked fuzzy-match graph — triangles, degrees, and the
+    ratio all from one block-local Gram kernel
+    (queries/dedup._fuzzy_brand_kernel; same scale argument)."""
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import _fuzzy_brand_kernel
+
+    def kernel(ids: "np.ndarray", A: "np.ndarray") -> "pd.DataFrame":
+        tri = (((A @ A.T) * A).sum(axis=1) / 2.0).astype(np.int64)
+        deg = A.sum(axis=1).astype(np.int64)
+        keep = deg >= 2
+        d = deg[keep]
+        t = tri[keep]
+        return pd.DataFrame(
+            {
+                "node": ids[keep],
+                "degree": d,
+                "n_tri": t,
+                "clustering": (2.0 * t) / (d * (d - 1)),
+            }
+        )
+
+    return _fuzzy_brand_kernel(
+        spark,
+        sf_dir,
+        kernel,
+        "node long, degree long, n_tri long, clustering double",
+    )
+
+
+# --- EXT: Fellegi–Sunter match scoring over blocked candidates -------------------
+
+# The probabilistic record-linkage scorer: per candidate pair, the sum
+# of per-field log-likelihood-ratio weights — ln(m/u) when the field
+# agrees, ln((1−m)/(1−u)) when it disagrees — where m = P(agree | match
+# proxy: edit distance ≤ 1) and u = P(agree | any blocked candidate),
+# both Laplace-smoothed exact-integer ratios over the shared fuzzy
+# candidate set. Fields: p_type, p_size, and a $10 price band
+# (integer-cents DIV 1000). Only ln() leaves exact arithmetic, so the
+# emitted score is ROUND(,4) (the tfidf precedent); the DuckDB side
+# appends `+ 0.0` because a near-zero negative score rounds to -0.0
+# there (§8 erratum r4).
+_FS_ORACLE = """
+WITH cand AS (
+  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+         CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+         CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS ag_type,
+         CASE WHEN a.p_size = b.p_size THEN 1 ELSE 0 END AS ag_size,
+         CASE WHEN CAST(round(a.p_retailprice * 100, 0) AS BIGINT) // 1000
+                 = CAST(round(b.p_retailprice * 100, 0) AS BIGINT) // 1000
+              THEN 1 ELSE 0 END AS ag_price
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 4
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(ag_type) AS BIGINT) AS t,
+         CAST(SUM(ag_size) AS BIGINT) AS s, CAST(SUM(ag_price) AS BIGINT) AS p
+  FROM cand WHERE dist <= 1
+),
+u AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(ag_type) AS BIGINT) AS t,
+         CAST(SUM(ag_size) AS BIGINT) AS s, CAST(SUM(ag_price) AS BIGINT) AS p
+  FROM cand
+),
+w AS (
+  SELECT CAST(m.t + 1 AS DOUBLE) / (m.n + 2) AS m_t,
+         CAST(u.t + 1 AS DOUBLE) / (u.n + 2) AS u_t,
+         CAST(m.s + 1 AS DOUBLE) / (m.n + 2) AS m_s,
+         CAST(u.s + 1 AS DOUBLE) / (u.n + 2) AS u_s,
+         CAST(m.p + 1 AS DOUBLE) / (m.n + 2) AS m_p,
+         CAST(u.p + 1 AS DOUBLE) / (u.n + 2) AS u_p
+  FROM m, u
+)
+SELECT c.key_a, c.key_b, c.dist,
+       CAST(c.ag_type AS BIGINT) AS ag_type,
+       CAST(c.ag_size AS BIGINT) AS ag_size,
+       CAST(c.ag_price AS BIGINT) AS ag_price,
+       ROUND(
+         (CASE WHEN c.ag_type = 1 THEN ln(w.m_t / w.u_t)
+               ELSE ln((1 - w.m_t) / (1 - w.u_t)) END)
+         + (CASE WHEN c.ag_size = 1 THEN ln(w.m_s / w.u_s)
+                 ELSE ln((1 - w.m_s) / (1 - w.u_s)) END)
+         + (CASE WHEN c.ag_price = 1 THEN ln(w.m_p / w.u_p)
+                 ELSE ln((1 - w.m_p) / (1 - w.u_p)) END), 4) + 0.0 AS fs_score
+FROM cand c, w
+"""
+
+
+@graded("match_fellegi_sunter", oracle=_FS_ORACLE)
+def match_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter log-likelihood match scores for every blocked
+    fuzzy candidate pair. Plan: the shared fuzzy pairs pick up their
+    field values via two key joins; the m/u census is two 1-row
+    aggregates over the materialized candidate table; the weight table
+    (6 doubles) broadcasts back onto the candidates as a bounded
+    scalar attach. At 100 TB nothing here exceeds the candidate set's
+    size — the same bound as the dedup verify stage."""
+    from ..operators.fuzzy_graph import fuzzy_pairs
+
+    part = load_table(spark, sf_dir, "part")
+
+    def side(suffix: str) -> DataFrame:
+        return part.select(
+            F.col("p_partkey").alias(f"key_{suffix}"),
+            F.col("p_type").alias(f"type_{suffix}"),
+            F.col("p_size").alias(f"size_{suffix}"),
+            F.round(F.col("p_retailprice") * 100, 0)
+            .cast("bigint")
+            .alias(f"cents_{suffix}"),
+        )
+
+    cand = (
+        fuzzy_pairs(spark, sf_dir)
+        .join(side("a"), "key_a")
+        .join(side("b"), "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            "dist",
+            (F.col("type_a") == F.col("type_b")).cast("bigint").alias("ag_type"),
+            (F.col("size_a") == F.col("size_b")).cast("bigint").alias("ag_size"),
+            (
+                F.expr("cents_a DIV 1000") == F.expr("cents_b DIV 1000")
+            ).cast("bigint").alias("ag_price"),
+        )
+        .localCheckpoint(eager=False)  # consumed by m, u, and the score
+    )
+    # ONE conditional-aggregation pass yields both the match-proxy (m)
+    # and the all-candidates (u) census — no nested 1-row cross join,
+    # and the plan audit's bound resolver sees a single grouping-free
+    # aggregate.
+    is_m = F.col("dist") <= 1
+
+    def both(col: str, tag: str) -> list:
+        return [
+            F.sum(F.when(is_m, F.col(col)).otherwise(0)).cast("bigint").alias(f"m{tag}"),
+            F.sum(col).cast("bigint").alias(f"u{tag}"),
+        ]
+
+    stats = cand.agg(
+        F.sum(F.when(is_m, 1).otherwise(0)).cast("bigint").alias("mn"),
+        F.count(F.lit(1)).cast("bigint").alias("un"),
+        *both("ag_type", "t"),
+        *both("ag_size", "s"),
+        *both("ag_price", "p"),
+    )
+    w = stats.select(
+        *[
+            ((F.col(f"{side}{tag}") + 1).cast("double") / (F.col(f"{side}n") + 2))
+            .alias(f"{side}_{tag}")
+            for tag in ("t", "s", "p")
+            for side in ("m", "u")
+        ]
+    )
+
+    def field_w(flag: str, mcol: str, ucol: str):
+        return F.when(
+            F.col(flag) == 1, F.log(F.col(mcol) / F.col(ucol))
+        ).otherwise(F.log((1 - F.col(mcol)) / (1 - F.col(ucol))))
+
+    return cand.crossJoin(F.broadcast(w)).select(
+        "key_a",
+        "key_b",
+        "dist",
+        "ag_type",
+        "ag_size",
+        "ag_price",
+        F.round(
+            field_w("ag_type", "m_t", "u_t")
+            + field_w("ag_size", "m_s", "u_s")
+            + field_w("ag_price", "m_p", "u_p"),
+            4,
+        ).alias("fs_score"),
+    )
