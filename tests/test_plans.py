@@ -133,6 +133,8 @@ _NESTED_LOOP_OK = {
     "vector_recall_eval",  # exact-KNN side: deliberate brute-force baseline
     "text_corpus_drift",  # 1-row (na, nb) totals broadcast
     "merge_time_travel",  # 1-row cutoff broadcast
+    # round-8 addition, same constant-side shape:
+    "match_fellegi_sunter",  # 1-row m/u weight census broadcast
     # round-7 additions, same constant-side shapes:
     "pipeline_mix_temperature",  # 1-row Σmicro-weights broadcast + unit-group rank
     "analytics_calibration_ece",  # 1-row N + 1-row ECE scalar broadcasts
