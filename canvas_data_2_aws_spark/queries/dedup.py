@@ -1274,6 +1274,13 @@ def dedup_simhash_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = sh.select(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b")
     )
+    # No distinct needed: a qualifying pair matches exactly ONE of the
+    # 17 probe keys — the exact key when hamming = 0 (no flip of sim_a
+    # can also equal sim_a), the single differing-bit flip when
+    # hamming = 1 (the exact key and the other 15 flips all miss) — so
+    # the join emits each (a, b) once and the old .distinct() was a
+    # pure 4.3M-row shuffle (r8; the oracle's DISTINCT stays, equally
+    # vacuous, and the both-SF hash match pins the claim).
     cand = (
         probes.join(idx, probes.probe == idx.sim_b)
         .where(F.col("doc_id") < F.col("doc_b"))
@@ -1283,7 +1290,6 @@ def dedup_simhash_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("simhash").alias("sim_a"),
             "sim_b",
         )
-        .distinct()
     )
     return cand.select(
         "doc_a",
