@@ -93,30 +93,48 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """16-bit SimHash over engine-neutral token codes.
+SIMHASH_BITS = 63
 
-    Classic construction: each token votes ±1 per bit of its code; the
-    sign of each bit's total sets that bit. Near-identical documents
-    land in the same bucket. Explode ×16 then two hash aggregations —
-    shuffle-light and fully integer-deterministic.
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """63-bit md5 SimHash (the 64-bit construction with the sign bit
+    left clear, so the BIGINT stays positive and ``1 << bit`` / ``xor``
+    stay in range in DuckDB as well as Spark).
+
+    Classic construction: each token votes ±1 per bit of its md5 (bit
+    b = bit ``b % 4`` of hex nibble ``b // 4``); the sign of each
+    bit's total sets that bit. Near-identical documents land in nearby
+    hashes (small Hamming distance). One groupBy(doc) with 63
+    conditional-sum accumulators over 16 nibble columns — no ×63 bit
+    explode; partial aggregation keeps the shuffle at 63 counters per
+    doc regardless of token count.
+
+    Replaced the 16-bit ascii·31+length variant in round 9: the 16-bit
+    code space saturated on a templated corpus (4.32 M Hamming≤1
+    candidate pairs from 5 000 sf0.1 docs ≈ 35 % of all pairs —
+    quadratic in disguise); md5-63 yields 95 on the same corpus.
     """
     tok = df.select(id_col, F.explode(tokens(text_col)).alias("token"))
-    codes = tok.select(id_col, token_code().alias("code"))
-    # One groupBy(doc) with 16 conditional-sum accumulators — no ×16
-    # bit explode, no second exchange. Partial aggregation keeps the
-    # shuffle at 16 counters per doc regardless of token count.
+    nibs = tok.select(id_col, F.md5("token").alias("h")).select(
+        id_col,
+        *[
+            F.conv(F.substring("h", 1 + i, 1), 16, 10)
+            .cast("int")
+            .alias(f"n{i}")
+            for i in range(16)
+        ],
+    )
     votes = [
         F.sum(
-            F.when(F.expr(f"(code DIV {1 << b}) % 2") == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            )
+            F.when(
+                F.expr(f"(n{b // 4} DIV {1 << (b % 4)}) % 2") == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
         ).alias(f"_s{b}")
-        for b in range(16)
+        for b in range(SIMHASH_BITS)
     ]
-    bit_sums = codes.groupBy(id_col).agg(*votes)
+    bit_sums = nibs.groupBy(id_col).agg(*votes)
     sim = None
-    for b in range(16):
+    for b in range(SIMHASH_BITS):
         term = F.when(F.col(f"_s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return bit_sums.select(id_col, sim.cast("bigint").alias("simhash"))

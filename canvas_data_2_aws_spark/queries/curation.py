@@ -20,8 +20,16 @@ from ..operators import text as T
 from ..operators.similarity import cosine_blas
 from ..registry import graded
 from ..session import load_table
-from .dedup import _MINHASH_BANDS_SQL, _MINHASH_SIG, minhash_candidates
-from .vectors import _KMEANS_CTES, _kmeans_assignment
+from .shared_sql import (
+    KMEANS_CTES as _KMEANS_CTES,
+    MINHASH_BANDS_SQL as _MINHASH_BANDS_SQL,
+    MINHASH_SIG as _MINHASH_SIG,
+)
+
+# NOTE: engine-side helpers from registering modules (dedup.minhash_candidates,
+# vectors._kmeans_assignment) are imported inside the consuming functions —
+# a top-level import would drag those modules' registrations into this
+# module's slot in the driver-sampling order (registry.load_all).
 
 # --- SemDeDup: embedding-cluster near-dup pruning -------------------------------
 
@@ -63,6 +71,8 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape already proven by ann_hyperplane_lsh."""
     import numpy as np
     import pandas as pd
+
+    from .vectors import _kmeans_assignment
 
     assign = _kmeans_assignment(spark, sf_dir).select(
         "vec_id", F.col("c2").alias("cluster")
@@ -244,6 +254,8 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     J ≥ 0.5 ground truth (postings-join enumeration). One row:
     n_truth / n_cand / n_hit / recall — the metric that decides
     band×row geometry before a corpus-wide dedup run."""
+    from .dedup import minhash_candidates
+
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select("doc_id", F.split("text", " ").alias("w"))
     sh = words.repartition("doc_id").select(

@@ -24,7 +24,7 @@ from ..operators import text as T
 from ..operators.ranks import attach_unit_group, exact_ntile, grouped_prefix_max
 from ..registry import graded
 from ..session import load_table
-from .dedup import _SIMHASH_PAIRS_SQL
+from .shared_sql import SIMHASH_PAIRS_SQL as _SIMHASH_PAIRS_SQL
 
 _EPOCH_SPARK = "datediff(to_date({c}), date'1970-01-01')"
 _EPOCH_DUCK = "date_diff('day', DATE '1970-01-01', CAST({c} AS DATE))"

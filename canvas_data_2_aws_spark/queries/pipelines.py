@@ -21,6 +21,7 @@ from ..operators import ranks as R
 from ..operators.ranks import exact_ntile
 from ..registry import graded
 from ..session import load_table
+from .shared_sql import SIMHASH_SH_CTES as _SIMHASH_SH_CTES
 
 # --- ordered conversion funnel (view → click → purchase) -----------------------
 
@@ -238,25 +239,7 @@ def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Every stage is an operator graded elsewhere (text_quality,
 # dedup_keep_canonical, sample_train_test_split); this query proves
 # they COMPOSE — one plan, no materialization between stages.
-_CURATION_ORACLE = """
-WITH tok AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
-),
-codes AS (
-  SELECT doc_id, ascii(substring(token, 1, 1)) * 31 + length(token) AS code
-  FROM tok
-),
-bits AS (
-  SELECT doc_id, bit,
-         SUM(CASE WHEN (code // (1 << bit)) % 2 = 1 THEN 1 ELSE -1 END) AS s
-  FROM codes, range(0, 16) t(bit)
-  GROUP BY doc_id, bit
-),
-sh AS (
-  SELECT doc_id,
-         CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
-  FROM bits GROUP BY doc_id
-),
+_CURATION_ORACLE = _SIMHASH_SH_CTES + """,
 quality AS (
   SELECT d.doc_id, d.lang,
          LEN(string_split(d.text, ' ')) AS n_tokens,
@@ -291,9 +274,9 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality gate → SimHash canonical dedup → stable hash split →
     per-(lang, split) doc/token budget: the full corpus-curation
     funnel as ONE Catalyst plan. At 100 TB each stage keeps its scale
-    path (quality is a map, dedup shuffles on the 16-bit bucket,
-    split is a stateless hash) — composing them adds no extra wide
-    exchange beyond the dedup shuffle."""
+    path (quality is a map, dedup shuffles on the 63-bit md5 SimHash
+    bucket, split is a stateless hash) — composing them adds no extra
+    wide exchange beyond the dedup shuffle."""
     from ..operators import text as T
 
     docs = load_table(spark, sf_dir, "documents")
@@ -304,7 +287,7 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", "text", n_tokens.alias("n_tokens"))
         .where((F.col("n_tokens") >= 8) & (uniq_ratio >= 0.3))
     )
-    sh = T.simhash16(gated).select("doc_id", "simhash")
+    sh = T.simhash64(gated).select("doc_id", "simhash")
     keeper = F.min("doc_id").over(Window.partitionBy("simhash"))
     canonical = (
         gated.join(sh, "doc_id")
@@ -1072,11 +1055,9 @@ def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n_reassigned counts docs whose naive per-doc hash split would have
 # disagreed with their cluster's split (each one a leak prevented).
 
-from .dedup import _SIMHASH_PAIRS_SQL as _SH_SQL
-
 _LEAKAGE_SPLIT_ORACLE = (
-    _SH_SQL
-    + """
+    _SIMHASH_SH_CTES
+    + """,
 hubs AS (
   SELECT simhash, MIN(doc_id) AS hub FROM sh GROUP BY simhash
 ),
@@ -1106,16 +1087,18 @@ def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever straddles train/test. Same hash-of-key reproducibility
     contract as sample_train_test_split — assignment survives reruns,
     repartitions, and incremental appends; appends can only join an
-    EXISTING cluster's split or found a new cluster. The group census
-    is ≤ 2¹⁶ rows (16-bit hash) — always broadcast; at 100 TB with a
-    wider cluster id (banded MinHash components) the same plan keys
-    the join on the cluster-root table instead."""
+    EXISTING cluster's split or found a new cluster. With the 63-bit
+    hash the group census is ~one row per doc, so the hub attach is a
+    single window-min over the simhash partition key (one exchange,
+    tiny groups — no broadcast of a corpus-sized census); the banded-
+    MinHash component variant below handles wide clusters."""
     from ..operators import text as T
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = T.simhash16(docs)
-    hubs = sh.groupBy("simhash").agg(F.min("doc_id").alias("hub"))
-    assign = sh.join(F.broadcast(hubs), "simhash")
+    sh = T.simhash64(docs)
+    assign = sh.withColumn(
+        "hub", F.min("doc_id").over(Window.partitionBy("simhash"))
+    )
     bucket = lambda c: F.when(  # noqa: E731
         F.substring(F.md5(F.col(c).cast("string")), 1, 2) < "1a", "test"
     ).otherwise("train")
@@ -1142,9 +1125,9 @@ def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- leakage-safe split keyed on banded-MinHash component roots -----------------
 
 # The wide-cluster-id variant the SimHash split's docstring promises:
-# when 16-bit collision groups saturate (at corpus scale nearly every
-# group is hash-collision noise, not true near-duplication), the
-# cluster id must come from the REAL near-dup graph — banded-MinHash
+# equality-SimHash clusters only capture essentially-identical docs,
+# so for broader near-duplication the cluster id must come from the
+# REAL near-dup graph — banded-MinHash
 # verified pairs (jaccard ≥ 0.5) closed under connectivity. The root is
 # each connected component's minimum doc_id (operators/graph.py
 # min-label propagation); docs in no pair are singleton clusters.
@@ -1154,7 +1137,7 @@ def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # closure as a recursive CTE — full hash-match, including the
 # iterative component resolution.
 
-from .dedup import _MINHASH_BANDED_ORACLE as _MB_SQL
+from .shared_sql import MINHASH_BANDED_ORACLE as _MB_SQL
 
 _MINHASH_SPLIT_ORACLE = f"""
 WITH RECURSIVE pairs AS (
@@ -1347,7 +1330,7 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROCCHIO_SEED = ("join", "hash")
 _ROCCHIO_STOP = ("a", "the")
 
-from .text import _BM25_CTES
+from .shared_sql import BM25_CTES as _BM25_CTES
 
 _ROCCHIO_ORACLE = f"""
 WITH {_BM25_CTES},

@@ -582,25 +582,10 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The CTE block is SHARED with the Rocchio expansion oracle
 # (queries/pipelines.py) so the scoring function cannot drift between
 # the retrieval queries.
-_BM25_CTES = """
-tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
-dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
-dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
-stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
-bm25 AS (
-  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
-         ROUND(
-           LN(1.0 + (CAST(stats.n - dfreq.df AS DOUBLE) + 0.5)
-                    / (CAST(dfreq.df AS DOUBLE) + 0.5))
-           * (CAST(tf.tf AS DOUBLE) * 2.2)
-           / (CAST(tf.tf AS DOUBLE)
-              + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl))),
-           4) AS bm25
-  FROM tf
-  JOIN dl USING (doc_id)
-  JOIN dfreq USING (token), stats
-)"""
+# Defined once in queries/shared_sql.py (also consumed by the Rocchio
+# oracle in queries/pipelines.py, which must not import this
+# registering module for SQL text).
+from .shared_sql import BM25_CTES as _BM25_CTES  # noqa: E402
 
 _BM25_ORACLE = f"""
 WITH {_BM25_CTES}

@@ -333,54 +333,12 @@ def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # double in Spark, DuckDB, and Python produce the same integer), so
 # assignments still hash-match at every sf; at the graded sf0.01
 # (n=500) it evaluates to the historical k=4.
-_KMEANS_K_SQL = (
-    "(SELECT GREATEST(4, CAST(ceil(sqrt(COUNT(*) / 50.0)) AS BIGINT))"
-    " FROM embeddings)"
+# Defined once in queries/shared_sql.py (curation.py's SemDeDup oracle
+# consumes the same CTEs without importing this registering module).
+from .shared_sql import (  # noqa: E402
+    KMEANS_CTES as _KMEANS_CTES,
+    KMEANS_K_SQL as _KMEANS_K_SQL,
 )
-
-_KMEANS_CTES = f"""pos AS (
-  SELECT vec_id, pos AS dim,
-         CAST(list_extract(embedding, pos) AS DOUBLE) AS v
-  FROM embeddings, range(1, 65) t(pos)
-),
-cent0 AS (
-  SELECT vec_id % {_KMEANS_K_SQL} AS j, dim,
-         CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS c
-  FROM pos GROUP BY j, dim
-),
-d1 AS (
-  SELECT p.vec_id, c.j,
-         SUM(CAST((p.v - c.c) * (p.v - c.c) AS DECIMAL(38,12))) AS dist
-  FROM pos p JOIN cent0 c ON p.dim = c.dim
-  GROUP BY p.vec_id, c.j
-),
-a1 AS (
-  SELECT vec_id, j AS c1
-  FROM (SELECT vec_id, j,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rk
-        FROM d1)
-  WHERE rk = 1
-),
-cent1 AS (
-  SELECT a1.c1 AS j, p.dim,
-         CAST(SUM(CAST(p.v AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS c
-  FROM pos p JOIN a1 ON p.vec_id = a1.vec_id
-  GROUP BY j, p.dim
-),
-d2 AS (
-  SELECT p.vec_id, c.j,
-         SUM(CAST((p.v - c.c) * (p.v - c.c) AS DECIMAL(38,12))) AS dist
-  FROM pos p JOIN cent1 c ON p.dim = c.dim
-  GROUP BY p.vec_id, c.j
-),
-a2 AS (
-  SELECT vec_id, j AS c2
-  FROM (SELECT vec_id, j,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rk
-        FROM d2)
-  WHERE rk = 1
-)
-"""
 
 _KMEANS_ORACLE = f"""
 WITH {_KMEANS_CTES}

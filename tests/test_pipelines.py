@@ -215,7 +215,7 @@ def test_leakage_safe_split_is_cluster_atomic(spark, sf_dir):
     from canvas_data_2_aws_spark.session import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = T.simhash16(docs)
+    sh = T.simhash64(docs)
     hubs = sh.groupBy("simhash").agg(F.min("doc_id").alias("hub"))
     assign = sh.join(hubs, "simhash").select(
         "doc_id",
