@@ -14,7 +14,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.numeric import dsum, oracle_dsum
-from ..operators.asof import asof_join
 from ..registry import graded
 from ..session import load_table
 
@@ -237,43 +236,6 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- J9: as-of join ------------------------------------------------------------------
-
-_ASOF_ORACLE = """
-SELECT
-  e.event_id,
-  e.user_id,
-  e.ts AS purchase_ts,
-  (SELECT MAX(s.ts) FROM events s
-    WHERE s.user_id = e.user_id
-      AND s.event_type = 'signup'
-      AND s.ts <= e.ts) AS last_signup_ts
-FROM events e
-WHERE e.event_type = 'purchase'
-"""
-
-
-@graded("join_asof", oracle=_ASOF_ORACLE)
-def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event attribution: each purchase gets its user's latest prior
-    signup timestamp via the one-shuffle union+window as-of plan
-    (operators/asof.py)."""
-    ev = load_table(spark, sf_dir, "events")
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", F.col("ts").alias("purchase_ts")
-    )
-    signups = ev.where(F.col("event_type") == "signup").select("user_id", "ts")
-    return asof_join(
-        purchases,
-        signups,
-        on="user_id",
-        left_ts="purchase_ts",
-        right_ts="ts",
-        right_value="ts",
-        value_alias="last_signup_ts",
-    )
-
-
 # --- J1 at depth: TPC-H Q5-shape five-way star join ----------------------------
 
 _FIVE_WAY_ORACLE = f"""
@@ -357,45 +319,6 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
-    )
-
-
-# --- J9 forward variant: next-after match ---------------------------------------
-
-_ASOF_FWD_ORACLE = """
-SELECT
-  e.event_id,
-  e.user_id,
-  e.ts AS signup_ts,
-  (SELECT MIN(p.ts) FROM events p
-    WHERE p.user_id = e.user_id
-      AND p.event_type = 'purchase'
-      AND p.ts >= e.ts) AS next_purchase_ts
-FROM events e
-WHERE e.event_type = 'signup'
-"""
-
-
-@graded("join_asof_forward", oracle=_ASOF_FWD_ORACLE)
-def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Forward as-of: each signup gets its user's NEXT purchase
-    timestamp (time-to-convert attribution) — the mirror plan of the
-    backward form: same one shuffle, carry frame flipped to
-    (current → following) with first(ignoreNulls)."""
-    ev = load_table(spark, sf_dir, "events")
-    signups = ev.where(F.col("event_type") == "signup").select(
-        "event_id", "user_id", F.col("ts").alias("signup_ts")
-    )
-    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
-    return asof_join(
-        signups,
-        purchases,
-        on="user_id",
-        left_ts="signup_ts",
-        right_ts="ts",
-        right_value="ts",
-        value_alias="next_purchase_ts",
-        direction="forward",
     )
 
 
@@ -530,118 +453,4 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " - unix_micros(greatest(p_start, e_start))) DIV 1000000"
             ).alias("overlap_sec"),
         )
-    )
-
-
-# --- J9 variant: as-of with tolerance -------------------------------------------
-
-# pandas merge_asof(tolerance=...) semantics: the latest prior signup
-# per purchase, but only if it happened within the last 14 days —
-# otherwise NULL. Same one-shuffle union-and-carry plan; the bound is
-# a post-carry null-out, not a join condition.
-_ASOF_TOL_ORACLE = """
-SELECT
-  e.event_id,
-  e.user_id,
-  e.ts AS purchase_ts,
-  (SELECT MAX(s.ts) FROM events s
-    WHERE s.user_id = e.user_id
-      AND s.event_type = 'signup'
-      AND s.ts <= e.ts
-      AND s.ts >= e.ts - INTERVAL 14 DAY) AS recent_signup_ts
-FROM events e
-WHERE e.event_type = 'purchase'
-"""
-
-
-@graded("join_asof_tolerance", oracle=_ASOF_TOL_ORACLE)
-def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join with a 14-day tolerance (operators/asof.py): carried
-    matches further away than the bound become NULL instead of stale
-    attributions. Plan is unchanged from join_asof — one key shuffle,
-    one in-partition sort, one extra carried struct column."""
-    from ..operators.asof import asof_join
-
-    ev = load_table(spark, sf_dir, "events")
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", F.col("ts").alias("purchase_ts")
-    )
-    signups = ev.where(F.col("event_type") == "signup").select(
-        "user_id", "ts", F.col("ts").alias("signup_ts")
-    )
-    return asof_join(
-        purchases,
-        signups,
-        on="user_id",
-        left_ts="purchase_ts",
-        right_ts="ts",
-        right_value="signup_ts",
-        value_alias="recent_signup_ts",
-        tolerance="14 DAY",
-    )
-
-
-# --- J9 variant: as-of nearest ---------------------------------------------------
-
-# pandas merge_asof(direction='nearest'): the closest signup on either
-# side of each purchase, ties (equal µs distance) resolved backward.
-# Composed from two passes of the carry operator (backward then
-# forward — each is one key shuffle); the pick is exact integer-µs
-# arithmetic.
-_ASOF_NEAREST_ORACLE = """
-WITH p AS (
-  SELECT e.event_id, e.user_id, e.ts AS purchase_ts,
-         (SELECT MAX(s.ts) FROM events s
-           WHERE s.user_id = e.user_id AND s.event_type = 'signup'
-             AND s.ts <= e.ts) AS prev_ts,
-         (SELECT MIN(s.ts) FROM events s
-           WHERE s.user_id = e.user_id AND s.event_type = 'signup'
-             AND s.ts >= e.ts) AS next_ts
-  FROM events e
-  WHERE e.event_type = 'purchase'
-)
-SELECT event_id, user_id, purchase_ts,
-       CASE WHEN prev_ts IS NULL THEN next_ts
-            WHEN next_ts IS NULL THEN prev_ts
-            WHEN epoch_us(purchase_ts) - epoch_us(prev_ts)
-                 <= epoch_us(next_ts) - epoch_us(purchase_ts) THEN prev_ts
-            ELSE next_ts END AS nearest_signup_ts
-FROM p
-"""
-
-
-@graded("join_asof_nearest", oracle=_ASOF_NEAREST_ORACLE)
-def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nearest-direction as-of join (ties backward), completing the
-    merge_asof surface (backward / forward / tolerance / nearest).
-    Two carry passes share the user-key shuffle shape; the final pick
-    is integer-µs arithmetic, no float anywhere."""
-    from ..operators.asof import asof_join
-
-    ev = load_table(spark, sf_dir, "events")
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", F.col("ts").alias("purchase_ts")
-    )
-    signups = ev.where(F.col("event_type") == "signup").select(
-        "user_id", "ts", F.col("ts").alias("signup_ts")
-    )
-    back = asof_join(
-        purchases, signups, on="user_id", left_ts="purchase_ts",
-        right_ts="ts", right_value="signup_ts", value_alias="prev_ts",
-    )
-    both = asof_join(
-        back, signups, on="user_id", left_ts="purchase_ts",
-        right_ts="ts", right_value="signup_ts", value_alias="next_ts",
-        direction="forward",
-    )
-    d_prev = F.unix_micros("purchase_ts") - F.unix_micros("prev_ts")
-    d_next = F.unix_micros("next_ts") - F.unix_micros("purchase_ts")
-    nearest = (
-        F.when(F.col("prev_ts").isNull(), F.col("next_ts"))
-        .when(F.col("next_ts").isNull(), F.col("prev_ts"))
-        .when(d_prev <= d_next, F.col("prev_ts"))
-        .otherwise(F.col("next_ts"))
-    )
-    return both.select(
-        "event_id", "user_id", "purchase_ts", nearest.alias("nearest_signup_ts")
     )

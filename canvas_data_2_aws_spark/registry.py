@@ -54,25 +54,30 @@ def load_all() -> None:
     eventually receives a driver verdict (r01–r05 sampled the first 50 of
     the alphabetical order = aggregates/analytics/…; union 77/270).
 
-    Round-8 rotation: sketches(4) + layout(2) + validation(7) +
-    curation(19) + multimodal(6) + pipelines(first 12) fill the 50-name
-    sample with queries never driver-graded before (r01–r07 union =
-    177 distinct names, zero failures; r07 window was udfs/setops/
-    text/vectors/semistructured). Next rotations: the rest of
-    pipelines, enrichment, then the tails of streaming/merge/dedup.
+    Round-9 rotation: pipelines(28) + joins_asof(4) + enrichment(first
+    18) fill the 50-name sample with 48 names never driver-graded
+    before (r01–r08 union = 202 distinct, zero current failures) —
+    plus join_asof, whose only driver verdict is a stale r02 FAIL from
+    the nanos-fixture era (judge re-verified pass in r08), and
+    join_asof_forward (r-pass refresh). Cross-module SQL constants
+    moved to queries/shared_sql.py in r9 so pipelines/enrichment no
+    longer drag dedup/vectors/text registrations into the window.
+    Next rotations: enrichment tail (6), streaming/timeseries, merge,
+    multimodal.
     New queries land in late modules so the first-50 window stays
     stable within a round.
     """
     from .queries import (  # noqa: F401
+        pipelines,
+        joins_asof,
+        enrichment,
+        streaming,
+        merge,
+        multimodal,
         sketches,
         layout,
         validation,
         curation,
-        multimodal,
-        pipelines,
-        enrichment,
-        streaming,
-        merge,
         dedup,
         udfs,
         setops,
