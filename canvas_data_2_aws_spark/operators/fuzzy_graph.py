@@ -24,6 +24,20 @@ checkpointed result:
    form, Spark ≥ 3.5) early-exits the DP once the distance provably
    exceeds 4 — measured 1.6× over the unbounded form at sf0.1 on its
    own, 8.6× combined with the salting.
+3. **Composed secondary blocking key** (round 9): the join key is
+   ``(brand, length-band, u, v)`` — levenshtein ≤ 4 implies a length
+   difference ≤ 4, so side B registers at its own ``len DIV 5`` band
+   and side A probes every band reachable within ±4 (≤ 3 bands).
+   EXACT: no qualifying pair can be missed, outputs are unchanged.
+   On this fixture (name lengths 7–12) the band prunes only ~0.4 % of
+   candidates, yet the warm build still measured 1.98 → 1.65 s at
+   sf0.1 — the finer join key splits hash buckets and raises task
+   parallelism. On corpora with real length spread the same key
+   prunes proportionally to length variance. NOTE the honest bound:
+   13.5 % of this fixture's brand pairs are TRUE matches, and no
+   complete blocking scheme can emit fewer candidates than true
+   pairs — when block sizes grow, raise ``SALT`` to keep per-task
+   pair counts constant (the knob that actually bounds task time).
 
 The memo is keyed by Spark ``applicationId`` so a new session (new
 JVM, dead checkpoint blocks) rebuilds; ``localCheckpoint`` keeps the
@@ -90,14 +104,30 @@ def fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bu = b.withColumn("v", salt_b.cast("int")).withColumn(
             "u", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1)))
         )
+        # Composed secondary blocking key (module docstring §3):
+        # levenshtein <= 4 forces |len(a)-len(b)| <= 4, so banding on
+        # len DIV 5 is EXACT — B registers once, A probes the <= 3
+        # reachable bands. Each qualifying pair still meets exactly
+        # once: B's band is a single value and A probes it once.
+        bu = bu.withColumn("band", (F.length("name_b") / 5).cast("int"))
+        au = au.withColumn(
+            "band",
+            F.explode(
+                F.sequence(
+                    ((F.length("name_a") - 4) / 5).cast("int"),
+                    ((F.length("name_a") + 4) / 5).cast("int"),
+                )
+            ),
+        )
+        keys = ["brand", "band", "u", "v"]
         # repartition on the salted key: the fixture scan is ONE row
         # group, so without an explicit exchange the whole quadratic
         # filter would run in one task (SURVEY §8 erratum 3).
-        au = au.repartition("brand", "u", "v")
-        bu = bu.repartition("brand", "u", "v")
+        au = au.repartition(*keys)
+        bu = bu.repartition(*keys)
         dist = F.levenshtein("name_a", "name_b", 4)
         return (
-            au.join(bu.hint("shuffle_hash"), ["brand", "u", "v"])
+            au.join(bu.hint("shuffle_hash"), keys)
             .where((F.col("key_a") < F.col("key_b")) & (dist >= 0))
             .select("key_a", "key_b", dist.cast("long").alias("dist"))
         )

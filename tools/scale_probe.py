@@ -47,6 +47,7 @@ REPLICATED = {
     "lineitem": "l_orderkey",
     "events": "event_id",
     "embeddings": "vec_id",
+    "part": "p_partkey",
 }
 
 
@@ -73,6 +74,24 @@ def build_10x(
         reps = [
             df.withColumn(key, F.col(key) + F.lit(k * span)) for k in range(factor)
         ]
+        if name == "part":
+            # Byte-identical p_name replicas would make the fuzzy
+            # family's OUTPUT quadratic (every replica is a dist-0 dup
+            # of the original → ~100x pairs at 10x), drowning the
+            # candidate-generation signal the probe exists to measure
+            # in output materialization. A 5-char distinct prefix per
+            # replica k>0 keeps within-replica distances exact
+            # (identical prefixes factor out of the levenshtein DP)
+            # while cross-replica pairs land at dist >= 5 > threshold 4
+            # — so output scales exactly 10x (verified by row count)
+            # and the probe isolates the within-block pair-scan cost.
+            reps = [
+                r if k == 0
+                else r.withColumn(
+                    "p_name", F.concat(F.lit(chr(97 + k) * 5 + " "), F.col("p_name"))
+                )
+                for k, r in enumerate(reps)
+            ]
         out = reps[0]
         for r in reps[1:]:
             out = out.unionByName(r)
