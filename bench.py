@@ -125,6 +125,13 @@ HEADLINE = [
     # round-8 additions: record-linkage scoring + block-kernel cc
     "match_fellegi_sunter",
     "graph_clustering_coefficient",
+    # round-9: the corpus-curation capstone (gate -> simhash64 dedup ->
+    # split -> budget in ONE Catalyst plan) - the query a 100 TB user
+    # runs nightly (r8 verdict task 5) - plus the deterministic IVF
+    # composite now that its index (assignment + centroids) is
+    # session-memoized like a stored index.
+    "pipeline_corpus_curation",
+    "ann_ivf_deterministic",
 ]
 
 

@@ -254,8 +254,8 @@ def ann_ivf_neighbors(
     df: DataFrame,
     query_vec,
     k: int,
-    n_clusters: int = 16,
-    nprobe: int = 4,
+    n_clusters: int | None = None,
+    nprobe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -271,9 +271,18 @@ def ann_ivf_neighbors(
     nprobe/n_clusters of full, and the cell filter prunes Parquet
     partitions when the index is written partitioned by cell.
 
+    ``n_clusters`` defaults to the corpus-scaled rule shared with the
+    deterministic IVF composite (``max(16, ceil(sqrt(n/50)))`` — √n
+    cells keep both cell size and centroid-table size O(√n), so the
+    per-query probed volume stays ~√n at any corpus scale) and
+    ``nprobe`` to ``max(4, n_clusters // 4)``. Pass explicit values to
+    pin the historical 16/4 geometry.
+
     Deterministic per seed within Spark; not reproducible cross-engine
     (k-means init) → rows-only grading, recall asserted in tests.
     """
+    import math
+
     import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -281,6 +290,11 @@ def ann_ivf_neighbors(
     vecs = df.select(
         id_col, vec_col, array_to_vector(F.col(vec_col)).alias("features")
     )
+    if n_clusters is None:
+        n = vecs.count()
+        n_clusters = max(16, math.ceil(math.sqrt(n / 50.0)))
+    if nprobe is None:
+        nprobe = max(4, n_clusters // 4)
     km = KMeans(k=n_clusters, seed=seed, featuresCol="features", predictionCol="cell")
     model = km.fit(vecs)
     indexed = model.transform(vecs)

