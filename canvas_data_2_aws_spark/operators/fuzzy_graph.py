@@ -50,6 +50,8 @@ cold build + ~0 per reuse.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -61,6 +63,7 @@ from ..session import load_table
 SALT = 8
 
 _CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_CACHE_LOCK = threading.Lock()
 
 
 def memoized_checkpoint(
@@ -68,12 +71,26 @@ def memoized_checkpoint(
 ) -> DataFrame:
     """Session-scoped materialized-frame cache: build → eager
     localCheckpoint once per (applicationId, sf_dir, kind). Shared by
-    the fuzzy-graph family here and the SimHash pair graph the
-    centrality queries reuse (queries/dedup.py)."""
-    key = (spark.sparkContext.applicationId, sf_dir, kind)
-    if key not in _CACHE:
-        _CACHE[key] = build().localCheckpoint(eager=True)
-    return _CACHE[key]
+    the fuzzy-graph family here, the SimHash pair graph the centrality
+    queries reuse (queries/dedup.py), and the IVF centroid index
+    (queries/vectors.py).
+
+    Entries keyed by a DEAD applicationId are evicted on access
+    (ADVICE r8): after a session restart in one process the old keys
+    can never hit again but would retain DataFrame plan graphs (and
+    their dead checkpoint references) forever. The lock serializes
+    first-builds so two threads racing on a cold key cannot
+    double-localCheckpoint; the build itself runs outside the lock
+    only in the already-built fast path.
+    """
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, kind)
+    with _CACHE_LOCK:
+        for stale in [k for k in _CACHE if k[0] != app]:
+            del _CACHE[stale]
+        if key not in _CACHE:
+            _CACHE[key] = build().localCheckpoint(eager=True)
+        return _CACHE[key]
 
 
 _memo = memoized_checkpoint

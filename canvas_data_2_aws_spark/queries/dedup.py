@@ -835,33 +835,46 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- multi-source BFS levels over the fuzzy-match graph -------------------------
 
 # Levels are min-hop distances — order-independent, so the iterative
-# Spark frontier expansion and the recursive-CTE oracle agree exactly.
-# The CTE generates every path of length ≤ 3 from the seed set (finite
-# because lvl is bounded); MIN(lvl) collapses duplicates.
+# Spark frontier expansion and the unrolled oracle agree exactly.
+# UNROLLED per level, not a recursive CTE (r9, differential wall-clock):
+# the old `UNION ALL` recursion enumerated EVERY path of length ≤ 3
+# from the seed set — ~250 M path rows on the 1.08 M-edge sf0.1 graph
+# (129 s, the whole sweep's dominant oracle). Each level CTE below is
+# "reachable within i hops" with a DISTINCT that caps it at |V|, and
+# MIN over the level union is the same min-hop collapse (a node first
+# reached at hop 1 also appears at 2 and 3 — MIN picks 1). Same
+# kcore-style unrolling, identical results.
 _BFS_ORACLE = """
-WITH RECURSIVE e AS (
+WITH e AS MATERIALIZED (
   SELECT a.p_partkey AS a, b.p_partkey AS b
   FROM part a JOIN part b
     ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
   WHERE levenshtein(a.p_name, b.p_name) <= 4
 ),
-sym AS (
+sym AS MATERIALIZED (
   SELECT a AS src, b AS dst FROM e
   UNION
   SELECT b, a FROM e
 ),
-seeds AS (
+l0 AS MATERIALIZED (
   SELECT DISTINCT src AS node FROM sym WHERE src % 100 = 0
 ),
-bfs AS (
-  SELECT node, CAST(0 AS BIGINT) AS lvl FROM seeds
-  UNION ALL
-  SELECT s.dst, bfs.lvl + 1
-  FROM bfs JOIN sym s ON s.src = bfs.node
-  WHERE bfs.lvl < 3
+l1 AS MATERIALIZED (
+  SELECT DISTINCT s.dst AS node FROM sym s JOIN l0 ON s.src = l0.node
+),
+l2 AS MATERIALIZED (
+  SELECT DISTINCT s.dst AS node FROM sym s JOIN l1 ON s.src = l1.node
+),
+l3 AS MATERIALIZED (
+  SELECT DISTINCT s.dst AS node FROM sym s JOIN l2 ON s.src = l2.node
 )
 SELECT node, MIN(lvl) AS level
-FROM bfs
+FROM (
+  SELECT node, CAST(0 AS BIGINT) AS lvl FROM l0
+  UNION ALL SELECT node, CAST(1 AS BIGINT) FROM l1
+  UNION ALL SELECT node, CAST(2 AS BIGINT) FROM l2
+  UNION ALL SELECT node, CAST(3 AS BIGINT) FROM l3
+) t
 GROUP BY node
 """
 

@@ -352,17 +352,21 @@ FROM a1 JOIN a2 ON a1.vec_id = a2.vec_id
 # the materialized (localCheckpoint) result per (session, sf_dir) so
 # consumers share one build instead of re-running two Lloyd iterations
 # each — the in-session analog of writing the IVF index to storage.
-_ASSIGN_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Cache unified on operators/fuzzy_graph.memoized_checkpoint (r9,
+# ADVICE r8): dead-applicationId entries evict on access and first
+# builds are lock-serialized, instead of this module keeping its own
+# never-evicting dict.
 
 
 def _kmeans_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _ASSIGN_CACHE.get(key)
-    if cached is not None:
-        return cached
-    built = _build_kmeans_assignment(spark, sf_dir).localCheckpoint()
-    _ASSIGN_CACHE[key] = built
-    return built
+    from ..operators.fuzzy_graph import memoized_checkpoint
+
+    return memoized_checkpoint(
+        spark,
+        sf_dir,
+        "kmeans_assign",
+        lambda: _build_kmeans_assignment(spark, sf_dir),
+    )
 
 
 # Above this corpus size the exact index build (two Lloyd iterations as

@@ -86,11 +86,28 @@ def test_aqe_skew_split_fires_and_salted_matches(spark):
         plain = joined.collect()  # finalizes joined's own adaptive plan
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "isFinalPlan=true" in plan
-        assert "skew=true" in plan, plan[:2000]
-        assert any(
+        # Plan-STRING markers ('skew=true', AQEShuffleRead 'skewed')
+        # are not a stable Spark API (ADVICE r8): hard-assert only on
+        # the pyspark minor this spelling was pinned against; on other
+        # versions a missing marker warns instead of failing the suite
+        # without a real regression. The behavioral half below
+        # (salted_join row-equal to the plain join) stays unconditional.
+        import warnings
+
+        import pyspark
+
+        markers = "skew=true" in plan and any(
             "AQEShuffleRead" in line and "skewed" in line
             for line in plan.splitlines()
-        ), plan[:2000]
+        )
+        if pyspark.__version__.startswith("4.1."):
+            assert markers, plan[:2000]
+        elif not markers:
+            warnings.warn(
+                "AQE skew plan-string markers not found on pyspark "
+                f"{pyspark.__version__} — spelling may have drifted; "
+                "behavioral equality below still enforced"
+            )
 
         salted = salted_join(big, small, on=["k"], n_salts=16)
         key = lambda r: (r["k"], r["payload"], r["v"])  # noqa: E731

@@ -52,6 +52,14 @@ def canon_cell(v):
         return "ts:" + v.replace(tzinfo=None).isoformat(timespec="microseconds")
     if isinstance(v, dt.date):
         return "date:" + v.isoformat()
+    if hasattr(v, "asDict"):
+        # pyspark Row (struct cell via collect()) — normalize to the
+        # same sorted key/value form as the Arrow path's dict so the
+        # two fetch paths canonicalize identically (ADVICE r8).
+        return canon_cell(v.asDict())
+    if isinstance(v, dict):
+        items = sorted((str(k), canon_cell(x)) for k, x in v.items())
+        return "{" + ",".join(f"{k}={x}" for k, x in items) + "}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon_cell(x) for x in v) + "]"
     if isinstance(v, bytes):
@@ -182,12 +190,20 @@ def run_one(spark, con, name: str, sf_dir: str) -> tuple[bool, str, float]:
     return True, f"match: {len(s_rows)} rows", elapsed
 
 
-def changed_query_names() -> list[str]:
-    """Graded names whose registering module is dirty vs HEAD.
+def changed_query_names() -> tuple[list[str], list[str]]:
+    """(graded names whose registering module is dirty vs HEAD,
+    dirty package files that are NOT registering modules).
 
     Uses ``git status --porcelain`` (covers staged, unstaged, and
     untracked files) so the per-commit loop is: edit → ``--changed`` →
     commit; the full both-SF sweep stays a round-close step.
+
+    The second element is the blind-spot guard (ADVICE r8): an edit to
+    a shared non-registering module (operators/, functions/, sources/,
+    streaming/, plans/, session.py, queries/shared_sql.py, …) defines
+    no graded names itself but can change ANY query's behavior — the
+    caller must fall back to the full suite rather than silently
+    selecting zero queries.
     """
     import subprocess
 
@@ -197,11 +213,18 @@ def changed_query_names() -> list[str]:
         cwd=repo_root, capture_output=True, text=True, check=True,
     ).stdout
     dirty_modules = set()
+    shared_dirty = []
+    registering = set(registry.MODULES.values())
     for line in out.splitlines():
         path = line[3:].split(" -> ")[-1].strip()
-        if path.endswith(".py"):
-            dirty_modules.add(path[:-3].replace("/", "."))
-    return [n for n, mod in registry.MODULES.items() if mod in dirty_modules]
+        if not path.endswith(".py"):
+            continue
+        mod = path[:-3].replace("/", ".")
+        dirty_modules.add(mod)
+        if path.startswith("canvas_data_2_aws_spark/") and mod not in registering:
+            shared_dirty.append(path)
+    picked = [n for n, mod in registry.MODULES.items() if mod in dirty_modules]
+    return picked, shared_dirty
 
 
 def main() -> int:
@@ -217,12 +240,24 @@ def main() -> int:
 
     names = list(dict.fromkeys(args.names + args.only))
     if args.changed:
-        picked = changed_query_names()
-        print(f"--changed selected {len(picked)} queries: {sorted(picked)}")
-        names = list(dict.fromkeys(names + picked))
-        if not names:
-            print("no graded queries touched by the working-tree diff")
-            return 0
+        picked, shared_dirty = changed_query_names()
+        if shared_dirty:
+            # A dirty shared (non-registering) module can affect ANY
+            # graded query — running only the registering-module
+            # selection would give false confidence (ADVICE r8: the r8
+            # operators/ refactors selected zero queries). Fall back to
+            # the full suite, loudly.
+            print(
+                "WARNING --changed: dirty shared modules affect the whole "
+                f"suite, running ALL queries: {sorted(shared_dirty)}"
+            )
+            names = []
+        else:
+            print(f"--changed selected {len(picked)} queries: {sorted(picked)}")
+            names = list(dict.fromkeys(names + picked))
+            if not names:
+                print("no graded queries touched by the working-tree diff")
+                return 0
     names = names or list(registry.QUERIES)
     spark = get_spark("check_oracle")
     con = duckdb.connect()
