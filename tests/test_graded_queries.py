@@ -144,3 +144,72 @@ def test_phash_bucket_cap(tmp_path, spark):
     # bucket at n-1 edges, distinct across the two bands -> n-1 pairs
     assert len(rows) == n - 1
     assert all(r.hamming == 0 and r.doc_a == 0 for r in rows)
+
+
+def test_simhash_band_pigeonhole():
+    """The banded candidate scheme's exactness argument (pure math, no
+    Spark): any two 63-bit hashes within Hamming distance 3 MUST share
+    one of the 4 16-bit bands — a 4-band split can't spread 3 flipped
+    bits across every band. Property-checked over deterministic
+    md5-derived hash pairs."""
+    import hashlib
+
+    def h63(seed: str) -> int:
+        return int(hashlib.md5(seed.encode()).hexdigest()[:16], 16) & ((1 << 63) - 1)
+
+    for t in range(200):
+        base = h63(f"base:{t}")
+        flips = sorted(
+            int(hashlib.md5(f"f:{t}:{j}".encode()).hexdigest()[:4], 16) % 63
+            for j in range(3)
+        )
+        other = base
+        for f in set(flips):  # <=3 distinct bit flips
+            other ^= 1 << f
+        shares_band = any(
+            (base >> (b * 16)) & 0xFFFF == (other >> (b * 16)) & 0xFFFF
+            for b in range(4)
+        )
+        assert shares_band, (t, flips)
+
+
+def test_simhash_pairs_verified_within_threshold(spark, sf_dir):
+    """Every emitted near-dup pair honors the exact Hamming gate
+    (bit_count(xor) <= SIMHASH_HAM_MAX) and is doc_a < doc_b exactly
+    once — the invariants the graph family builds on."""
+    from pyspark.sql import functions as F
+
+    from canvas_data_2_aws_spark.operators import text as T
+    from canvas_data_2_aws_spark.queries.dedup import simhash_pairs
+    from canvas_data_2_aws_spark.queries.shared_sql import SIMHASH_HAM_MAX
+    from canvas_data_2_aws_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_pairs(docs).localCheckpoint()
+    n = pairs.count()
+    assert n == pairs.select("doc_a", "doc_b").distinct().count()
+    assert pairs.where(F.col("doc_a") >= F.col("doc_b")).count() == 0
+    sh = T.simhash64(docs)
+    joined = (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("simhash", "sim_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("simhash", "sim_b")
+    )
+    over = joined.where(
+        F.expr(f"bit_count(sim_a ^ sim_b) > {SIMHASH_HAM_MAX}")
+    ).count()
+    assert over == 0
+
+
+def test_simhash64_stays_in_bigint_range(spark, sf_dir):
+    """The 63-bit construction must never set the sign bit: DuckDB
+    raises Out of Range on 1::BIGINT << 63, so a negative simhash
+    would break every oracle twin's shift/xor arithmetic."""
+    from pyspark.sql import functions as F
+
+    from canvas_data_2_aws_spark.operators import text as T
+    from canvas_data_2_aws_spark.session import load_table
+
+    sh = T.simhash64(load_table(spark, sf_dir, "documents"))
+    assert sh.where(F.col("simhash") < 0).count() == 0
