@@ -63,7 +63,11 @@ from ..session import load_table
 SALT = 8
 
 _CACHE: dict[tuple[str, str, str], DataFrame] = {}
-_CACHE_LOCK = threading.Lock()
+# RLock, NOT Lock: builds NEST — fuzzy_sym's build() calls
+# fuzzy_pairs() which re-enters memoized_checkpoint on the same
+# thread (a plain Lock self-deadlocked here, caught same-round by the
+# sf0.1 sweep hanging on graph_degree_stats).
+_CACHE_LOCK = threading.RLock()
 
 
 def memoized_checkpoint(

@@ -1886,3 +1886,101 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in picks[1:]:
         out = out.unionByName(p)
     return out.orderBy("rank")
+
+
+# --- banded-SimHash recall evaluation (r9: does 4×16 find the ham≤8 truth?) -----
+
+# The production near-dup graph (shared_sql.SIMHASH_PAIRS_SQL / Spark
+# twin dedup.simhash_pairs) generates candidates from 4 bands of 16
+# bits — EXACT only to Hamming 3 by pigeonhole; pairs at distance 4–8
+# are found only when their flipped bits happen to cluster. This query
+# measures that recall against EXACT Hamming ≤ 8 truth computed with a
+# SECOND pigeonhole banding — 9 bands of 7 bits, which IS exact for
+# τ = 8 (9 bands cannot all contain one of ≤ 8 flipped bits) — so even
+# the truth side is a bounded equi-join (≈ n²/2⁷ candidates per band
+# at random bits), never an all-pairs scan. The same eval harness
+# pattern as dedup_lsh_recall_eval; all counts are integers and the
+# single recall division is identical-operand IEEE.
+from .shared_sql import SIMHASH_PAIRS_SQL as _SIMHASH_PAIRS_SQL
+
+_SIMHASH_RECALL_ORACLE = (
+    _SIMHASH_PAIRS_SQL
+    + """
+tb AS MATERIALIZED (
+  SELECT doc_id, simhash, b7, CAST((simhash >> (b7 * 7)) & 127 AS BIGINT) AS bv7
+  FROM sh, range(0, 9) t(b7)
+),
+truth AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM tb a
+  JOIN tb b ON a.b7 = b.b7 AND a.bv7 = b.bv7 AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+),
+hit AS MATERIALIZED (
+  SELECT t.doc_a FROM truth t JOIN pairs p ON p.pa = t.doc_a AND p.pb = t.doc_b
+)
+SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+       (SELECT COUNT(*) FROM pairs) AS n_found,
+       (SELECT COUNT(*) FROM hit) AS n_hit,
+       ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+             / (SELECT COUNT(*) FROM truth), 4) AS recall
+"""
+)
+
+
+@graded("dedup_simhash_recall_eval", oracle=_SIMHASH_RECALL_ORACLE)
+def dedup_simhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the production 4×16-band simhash near-dup pairs
+    against exact Hamming ≤ 8 truth from a 9×7-bit pigeonhole banding
+    (exact for τ = 8, and still a bounded band-key equi-join — the
+    truth harness scales the same way the production path does). One
+    row: n_truth, n_found, n_hit, recall."""
+    from pyspark.sql import functions as F
+
+    from .dedup import simhash_pairs_cached
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = T.simhash64(docs).localCheckpoint(eager=True)  # both truth legs
+    tb = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(9)])).alias("b7"),
+    ).select(
+        "doc_id",
+        "simhash",
+        "b7",
+        F.expr("CAST((simhash >> (b7 * 7)) & 127 AS BIGINT)").alias("bv7"),
+    )
+    a = tb.select(
+        "b7", "bv7", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa")
+    )
+    b = tb.select(
+        "b7", "bv7", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb")
+    )
+    truth = (
+        a.join(b, ["b7", "bv7"])
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & F.expr("bit_count(sa ^ sb) <= 8")
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds n_truth and the hit join
+    )
+    found = simhash_pairs_cached(spark, sf_dir)
+    hit = truth.join(found, ["doc_a", "doc_b"])
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_found = found.agg(F.count("*").alias("n_found"))
+    n_hit = hit.agg(F.count("*").alias("n_hit"))
+    return (
+        n_truth.crossJoin(F.broadcast(n_found))  # scalar×scalar (whitelisted)
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_truth",
+            "n_found",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_truth"), 4
+            ).alias("recall"),
+        )
+    )
