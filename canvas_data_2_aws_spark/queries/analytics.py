@@ -1616,3 +1616,62 @@ def analytics_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract("seq", _CEP_CONV_PAT, 0)
         ).cast("long").alias("first_conv_len"),
     )
+
+
+# --- chi-square independence test: lang × source ---------------------------------
+
+# The categorical counterpart of analytics_mann_whitney: is document
+# language independent of source? Observed cell counts and the row/
+# column margins are exact integers; each expected count e = r*c/N and
+# each (o-e)²/e term are identical-operand IEEE in both engines, and
+# the statistic sums those terms as DECIMAL(38,12) so partial-agg
+# order cannot perturb the double (house recipe). dof = (R-1)(C-1)
+# from exact distinct counts.
+_CHI2_ORACLE = """
+WITH obs AS (
+  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source
+),
+margins AS (
+  SELECT o.lang, o.source, o.o,
+         SUM(o.o) OVER (PARTITION BY o.lang) AS r,
+         SUM(o.o) OVER (PARTITION BY o.source) AS c,
+         SUM(o.o) OVER () AS n
+  FROM obs o
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1)
+            AS BIGINT) AS dof,
+       ROUND(CAST(SUM(CAST(
+         (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+         * (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+         / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+         AS DECIMAL(38,12))) AS DOUBLE), 4) AS chi2
+FROM margins
+"""
+
+
+@graded("analytics_chi_square", oracle=_CHI2_ORACLE)
+def analytics_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence statistic over the lang × source
+    contingency table. One row-scale aggregation to cell counts; the
+    margins are windows over the CELL table (≤ |langs|·|sources| rows —
+    metadata-sized at any corpus), so nothing after the first agg
+    touches row-scale data."""
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    m = (
+        obs.withColumn("r", F.sum("o").over(Window.partitionBy("lang")))
+        .withColumn("c", F.sum("o").over(Window.partitionBy("source")))
+        .withColumn("n", F.sum("o").over(Window.partitionBy()))
+    )
+    e = F.col("r").cast("double") * F.col("c").cast("double") / F.col("n").cast("double")
+    term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    return m.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        (
+            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+        ).cast("bigint").alias("dof"),
+        F.round(
+            F.sum(term.cast("decimal(38,12)")).cast("double"), 4
+        ).alias("chi2"),
+    )

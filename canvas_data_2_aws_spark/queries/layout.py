@@ -134,3 +134,110 @@ def layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("file_id").alias("last_file"),
         )
     )
+
+
+# --- data-skipping evaluation: natural vs Z-order layout under real predicates ---
+
+# The question a layout decision actually answers: for a given set of
+# predicates, what fraction of files does each layout's min/max footer
+# stats let the scanner SKIP? Three x-range predicates (low / mid /
+# high band of the 16-bit space) are evaluated against two file
+# manifests built from the same rows: natural insert order
+# (l_orderkey-contiguous files — x extents are full-range because
+# partkey is uncorrelated with insert order) and the Morton-bucket
+# layout of layout_zorder_stats (narrow extents by construction). A
+# file is HIT when [min_x, max_x] intersects the predicate range.
+# Everything is integer counts + one rounded division; the manifests
+# are file-cardinality (never row-scale), so the predicate probe is a
+# broadcast of a 3-row literal against a metadata table — exactly how
+# a real scan planner consults footer stats.
+_SKIP_PREDS = [(0, 0, 4095), (1, 30000, 30999), (2, 61440, 65535)]
+
+_SKIP_PREDS_SQL = ", ".join(f"({i}, {lo}, {hi})" for i, lo, hi in _SKIP_PREDS)
+
+_SKIPPING_ORACLE = f"""
+WITH rows_x AS (
+  SELECT l_orderkey // 128 AS nat_file,
+         {_Z} >> {_BUCKET_SHIFT} AS z_file,
+         (l_partkey * 331) % 65536 AS x
+  FROM lineitem
+),
+nat AS (
+  SELECT nat_file AS file_id, MIN(x) AS min_x, MAX(x) AS max_x
+  FROM rows_x GROUP BY nat_file
+),
+zord AS (
+  SELECT z_file AS file_id, MIN(x) AS min_x, MAX(x) AS max_x
+  FROM rows_x GROUP BY z_file
+),
+manifests AS (
+  SELECT 'natural' AS layout, file_id, min_x, max_x FROM nat
+  UNION ALL
+  SELECT 'zorder' AS layout, file_id, min_x, max_x FROM zord
+),
+preds(pred_id, lo, hi) AS (VALUES {_SKIP_PREDS_SQL})
+SELECT m.layout, CAST(p.pred_id AS BIGINT) AS pred_id,
+       COUNT(*) AS n_files,
+       CAST(SUM(CASE WHEN m.min_x <= p.hi AND m.max_x >= p.lo
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       ROUND(1.0 - CAST(SUM(CASE WHEN m.min_x <= p.hi AND m.max_x >= p.lo
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*), 4) AS skip_ratio
+FROM manifests m, preds p
+GROUP BY m.layout, p.pred_id
+"""
+
+
+@graded("layout_skipping_eval", oracle=_SKIPPING_ORACLE)
+def layout_skipping_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max data-skipping simulation: per (layout, predicate), the
+    file count, hit count, and skip ratio when the scanner prunes on
+    footer x-stats. One row-scale aggregation builds both manifests in
+    a single pass (conditional keys, one scan); the predicate probe is
+    a 3-row broadcast against the file-cardinality manifest — the
+    scan-planning join shape, metadata-sized at any corpus."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rows_x = li.select(
+        F.expr("l_orderkey DIV 128").alias("nat_file"),
+        F.expr(f"{_Z} >> {_BUCKET_SHIFT}").alias("z_file"),
+        F.expr(_ZX).alias("x"),
+    )
+    nat = rows_x.groupBy("nat_file").agg(
+        F.min("x").alias("min_x"), F.max("x").alias("max_x")
+    ).select(F.lit("natural").alias("layout"), F.col("nat_file").alias("file_id"), "min_x", "max_x")
+    zord = rows_x.groupBy("z_file").agg(
+        F.min("x").alias("min_x"), F.max("x").alias("max_x")
+    ).select(F.lit("zorder").alias("layout"), F.col("z_file").alias("file_id"), "min_x", "max_x")
+    manifests = nat.unionByName(zord)
+    # Literal-array fan-out, not createDataFrame: the plan audit proves
+    # GenerateExec-over-literal-array × Range(1) = 3 rows, while an
+    # Arrow-built local frame scans as ExistingRDD with no provable
+    # bound (plans/audit.max_rows_bound).
+    preds = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("pred_id"),
+                        F.lit(lo).cast("long").alias("lo"),
+                        F.lit(hi).cast("long").alias("hi"),
+                    )
+                    for i, lo, hi in _SKIP_PREDS
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    hit = F.when(
+        (F.col("min_x") <= F.col("hi")) & (F.col("max_x") >= F.col("lo")), 1
+    ).otherwise(0)
+    return (
+        manifests.crossJoin(F.broadcast(preds))  # 3-row predicate probe
+        .groupBy("layout", "pred_id")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum(hit).cast("bigint").alias("n_hit"),
+            F.round(
+                1.0 - F.sum(hit).cast("double") / F.count("*"), 4
+            ).alias("skip_ratio"),
+        )
+    )

@@ -1083,3 +1083,87 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rep_frac"),
         F.max("c").alias("max_rep"),
     )
+
+
+# --- language-ID evaluation: confusion matrix + per-class precision/recall --------
+
+# Classifier ops need their eval harness next to them (the NB quality
+# classifier has ECE calibration in curation; lang-ID gets the same
+# treatment here): the binary en/other heuristic of text_langid scored
+# against the fixture's gold `lang` label. Confusion cells are exact
+# integer counts; precision/recall are single divisions of those ints —
+# identical-operand IEEE, rounded last.
+_LANGID_EVAL_ORACLE = f"""
+WITH pred AS (
+  SELECT lang AS gold,
+         CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS gold_bin,
+         CASE WHEN LEN(list_intersect(list_distinct(string_split(text, ' ')),
+                                      {_STOP_SQL})) >= 2
+              THEN 'en' ELSE 'other' END AS pred_lang
+  FROM documents
+),
+cells AS (
+  SELECT gold, gold_bin, pred_lang, COUNT(*) AS n_docs
+  FROM pred GROUP BY gold, gold_bin, pred_lang
+),
+tot AS (
+  SELECT CAST(SUM(CASE WHEN gold_bin = 'en' AND pred_lang = 'en'
+                       THEN n_docs ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN pred_lang = 'en' THEN n_docs ELSE 0 END)
+              AS BIGINT) AS pred_en,
+         CAST(SUM(CASE WHEN gold_bin = 'en' THEN n_docs ELSE 0 END)
+              AS BIGINT) AS gold_en
+  FROM cells
+)
+SELECT c.gold, c.pred_lang, c.n_docs,
+       ROUND(CAST(t.tp AS DOUBLE) / t.pred_en, 4) AS en_precision,
+       ROUND(CAST(t.tp AS DOUBLE) / t.gold_en, 4) AS en_recall
+FROM cells c, tot t
+"""
+
+
+@graded("text_langid_eval", oracle=_LANGID_EVAL_ORACLE)
+def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword lang-ID heuristic against the
+    gold `lang` label, with corpus-level en-precision/recall attached
+    to every cell (1-row scalar broadcast — the metrics a gate on this
+    classifier would threshold). Counts shuffle once on the tiny
+    (gold, pred) key; the scalar attach is metadata-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = T.stopword_hits()
+    pred = docs.select(
+        F.col("lang").alias("gold"),
+        F.when(F.col("lang") == "en", "en").otherwise("other").alias("gold_bin"),
+        F.when(hits >= 2, "en").otherwise("other").alias("pred_lang"),
+    )
+    cells = pred.groupBy("gold", "gold_bin", "pred_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    tot = cells.agg(
+        F.sum(
+            F.when(
+                (F.col("gold_bin") == "en") & (F.col("pred_lang") == "en"),
+                F.col("n_docs"),
+            ).otherwise(0)
+        ).cast("bigint").alias("tp"),
+        F.sum(
+            F.when(F.col("pred_lang") == "en", F.col("n_docs")).otherwise(0)
+        ).cast("bigint").alias("pred_en"),
+        F.sum(
+            F.when(F.col("gold_bin") == "en", F.col("n_docs")).otherwise(0)
+        ).cast("bigint").alias("gold_en"),
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))  # 1-row metrics attach
+        .select(
+            "gold",
+            "pred_lang",
+            "n_docs",
+            F.round(F.col("tp").cast("double") / F.col("pred_en"), 4).alias(
+                "en_precision"
+            ),
+            F.round(F.col("tp").cast("double") / F.col("gold_en"), 4).alias(
+                "en_recall"
+            ),
+        )
+    )

@@ -170,8 +170,10 @@ _NESTED_LOOP_OK = {
     "window_rolling_median",
     # round-4 curation ops: scalar/aggregate broadcasts only
     "dedup_lsh_recall_eval",  # three 1-row count broadcasts
-    # round-9 addition, same constant-side shape:
+    # round-9 additions, same constant-side shapes:
     "dedup_simhash_recall_eval",  # three 1-row count broadcasts
+    "text_langid_eval",  # 1-row precision/recall metrics attach
+    "layout_skipping_eval",  # deliberate 3-row predicate-grid fan-out
     "text_bigram_logprob",  # 1-row vocabulary-size broadcast
     "text_naive_bayes_quality",  # 1-row totals + 1-row prior broadcasts
     "pipeline_mix_sampler",  # 1-row min-count broadcast
