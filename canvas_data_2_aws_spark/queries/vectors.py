@@ -1217,3 +1217,115 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
+
+
+# --- EXT: binary quantization + Hamming-gated exact rerank (r9) -------------------
+
+# The current-generation embedding compression: 1 bit per dimension
+# (the sign), 64d float32 → two 32-bit words = 32× smaller, distance
+# by popcount. The search funnel is BQ-Hamming gate → exact rerank of
+# survivors — same candidates-then-verify shape as the banded SimHash
+# and hyperplane-LSH families, fully deterministic (float sign bits
+# are exact in both engines) so the WHOLE funnel hash-matches, unlike
+# seed-private PQ/LSH libraries. Two 32-bit words, not one 64-bit
+# mask: bit 63 stays untouched (DuckDB range rule, SURVEY §8 r9) and
+# both words stay positive. Gate at Hamming ≤ 24/64 keeps ~3 % of
+# candidates on the fixture (measured: min observed distance 17).
+_BQ_WORD = (
+    "aggregate(sequence({lo}, {hi}), CAST(0 AS BIGINT),"
+    " (acc, i) -> acc + IF(element_at(embedding, i + 1) > 0,"
+    " shiftleft(CAST(1 AS BIGINT), i - {lo}), CAST(0 AS BIGINT)))"
+)
+
+_BQ_ORACLE = """
+WITH bq AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN CAST(list_extract(embedding, i + 1) AS DOUBLE) > 0
+                        AND i < 32
+                       THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS b0,
+         CAST(SUM(CASE WHEN CAST(list_extract(embedding, i + 1) AS DOUBLE) > 0
+                        AND i >= 32
+                       THEN CAST(1 AS BIGINT) << (i - 32) ELSE 0 END) AS BIGINT) AS b1
+  FROM embeddings, range(0, 64) t(i)
+  GROUP BY vec_id
+),
+cand AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         CAST(bit_count(xor(q.b0, v.b0)) + bit_count(xor(q.b1, v.b1))
+              AS INTEGER) AS hamming
+  FROM bq q JOIN bq v ON v.vec_id <> q.vec_id
+  WHERE q.vec_id < 32
+    AND bit_count(xor(q.b0, v.b0)) + bit_count(xor(q.b1, v.b1)) <= 24
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, c.hamming,
+         ROUND(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                      CAST(ne.embedding AS DOUBLE[])), 4)
+           + 0.0 AS score
+  FROM cand c
+  JOIN embeddings qe ON qe.vec_id = c.query_id
+  JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, hamming, score, CAST(rn AS BIGINT) AS rn
+FROM (SELECT query_id, neighbor_id, hamming, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rn
+      FROM scored) t
+WHERE rn <= 5
+"""
+
+
+@graded("vector_bq_hamming_topk", oracle=_BQ_ORACLE)
+def vector_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN: sign-bit codes (2×32-bit words per
+    vector), Hamming ≤ 24 candidate gate against 32 broadcast query
+    codes, exact-cosine rerank of the ~3 % survivors, top-5 per query.
+
+    Plan shape: code derivation is a pure map (one aggregate HOF per
+    word — no explode); the gate is a 32-row broadcast against the
+    corpus codes (popcount per row, map-side); only survivors reach
+    the window rerank. At 100 TB the codes table is 16 B/vector — the
+    gate scans compressed codes, never raw embeddings, and the rerank
+    reads full vectors for survivors only (the BQ promise)."""
+    from ..functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bq = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(_BQ_WORD.format(lo=0, hi=31)).alias("b0"),
+        F.expr(_BQ_WORD.format(lo=32, hi=63)).alias("b1"),
+    )
+    # limit(32) after the filter makes the broadcast bound PROVABLE to
+    # the plan audit (exactly 32 rows pass the filter anyway).
+    q = (
+        bq.where(F.col("vec_id") < 32)
+        .limit(32)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("b0").alias("qb0"),
+            F.col("b1").alias("qb1"),
+        )
+    )
+    ham = F.expr("bit_count(qb0 ^ b0) + bit_count(qb1 ^ b1)")
+    cand = (
+        bq.join(
+            F.broadcast(q),
+            (F.col("vec_id") != F.col("query_id")) & (ham <= 24),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            ham.cast("int").alias("hamming"),
+            F.round(cosine_similarity("q_emb", "embedding"), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "neighbor_id"
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "hamming", "score", "rn")
+    )
