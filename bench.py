@@ -132,6 +132,14 @@ HEADLINE = [
     # session-memoized like a stored index.
     "pipeline_corpus_curation",
     "ann_ivf_deterministic",
+    # round-9 additions: the rewritten-family eval (banded simhash
+    # recall), BQ ANN funnel, layout pruning eval, classifier eval,
+    # categorical independence test
+    "dedup_simhash_recall_eval",
+    "vector_bq_hamming_topk",
+    "layout_skipping_eval",
+    "text_langid_eval",
+    "analytics_chi_square",
 ]
 
 
