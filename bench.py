@@ -125,12 +125,10 @@ HEADLINE = [
     # round-8 additions: record-linkage scoring + block-kernel cc
     "match_fellegi_sunter",
     "graph_clustering_coefficient",
-    # round-9: the corpus-curation capstone (gate -> simhash64 dedup ->
-    # split -> budget in ONE Catalyst plan) - the query a 100 TB user
-    # runs nightly (r8 verdict task 5) - plus the deterministic IVF
-    # composite now that its index (assignment + centroids) is
-    # session-memoized like a stored index.
-    "pipeline_corpus_curation",
+    # round-9: the deterministic IVF composite, now that its index
+    # (assignment + centroids) is session-memoized like a stored
+    # index. (pipeline_corpus_curation - r8 verdict task 5 - was
+    # already a HEADLINE entry in the r8 list above.)
     "ann_ivf_deterministic",
     # round-9 additions: the rewritten-family eval (banded simhash
     # recall), BQ ANN funnel, layout pruning eval, classifier eval,
@@ -140,6 +138,7 @@ HEADLINE = [
     "layout_skipping_eval",
     "text_langid_eval",
     "analytics_chi_square",
+    "vector_bq_recall_eval",
 ]
 
 

@@ -621,13 +621,13 @@ def _fuzzy_brand_kernel(spark: SparkSession, sf_dir: str, kernel, schema: str):
 # --- triangle counting over the fuzzy-match graph -------------------------------
 
 _TRIANGLE_ORACLE = """
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT a.p_partkey AS a, b.p_partkey AS b
   FROM part a JOIN part b
     ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
   WHERE levenshtein(a.p_name, b.p_name) <= 4
 ),
-tri AS (
+tri AS MATERIALIZED (
   SELECT e1.a, e1.b, e2.b AS c
   FROM e e1
   JOIN e e2 ON e2.a = e1.b
@@ -797,7 +797,7 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # undirected degree is the count of symmetrized neighbors. Histogram
 # keys and counts are exact integers — nothing to round.
 _DEGREE_ORACLE = """
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT a.p_partkey AS a, b.p_partkey AS b
   FROM part a JOIN part b
     ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
@@ -984,18 +984,18 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # left unrounded (bit-identical cross-engine; ROUND would add a
 # half-tie hazard on exact .xxxx5 quotients like 1/16).
 _LINKPRED_ORACLE = """
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT a.p_partkey AS a, b.p_partkey AS b
   FROM part a JOIN part b
     ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
   WHERE levenshtein(a.p_name, b.p_name) <= 4
 ),
-sym AS (
+sym AS MATERIALIZED (
   SELECT a AS node, b AS nbr FROM e
   UNION
   SELECT b, a FROM e
 ),
-deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY node),
+deg AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY node),
 hop2 AS (
   SELECT s1.node AS x, s2.node AS y, CAST(COUNT(*) AS BIGINT) AS common
   FROM sym s1 JOIN sym s2
@@ -1257,19 +1257,26 @@ _KCORE_PEELS = 4
 
 
 def _kcore_oracle() -> str:
+    # Every s_i is referenced twice (k_{i+1} and s_{i+1}) and each k_i
+    # twice — AS MATERIALIZED throughout, or DuckDB's inlining
+    # heuristic can re-evaluate the 8 M-pair levenshtein join
+    # exponentially often (observed at the r9 close: the same inline
+    # SQL ran in 3 s in one sweep and sat >6 min in the next; fresh-
+    # connection A/B measured inline 74 s vs materialized 10 s at
+    # sf0.1 — the heuristic is not stable run-to-run, so pin it).
     base = """
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT a.p_partkey AS a, b.p_partkey AS b
   FROM part a JOIN part b
     ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
   WHERE levenshtein(a.p_name, b.p_name) <= 4
 ),
-s0 AS (SELECT a AS node, b AS nbr FROM e UNION SELECT b, a FROM e)"""
+s0 AS MATERIALIZED (SELECT a AS node, b AS nbr FROM e UNION SELECT b, a FROM e)"""
     cur = "s0"
     for i in range(1, _KCORE_PEELS + 1):
         base += f""",
-k{i} AS (SELECT node FROM {cur} GROUP BY node HAVING COUNT(*) >= {_KCORE_K}),
-s{i} AS (SELECT s.node, s.nbr FROM {cur} s
+k{i} AS MATERIALIZED (SELECT node FROM {cur} GROUP BY node HAVING COUNT(*) >= {_KCORE_K}),
+s{i} AS MATERIALIZED (SELECT s.node, s.nbr FROM {cur} s
          JOIN k{i} x ON s.node = x.node
          JOIN k{i} y ON s.nbr = y.node)"""
         cur = f"s{i}"

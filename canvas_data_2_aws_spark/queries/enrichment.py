@@ -1618,13 +1618,13 @@ def multimodal_shard_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # paths are block-local); the single division is exact-integer
 # operands → one IEEE double op, bit-identical cross-engine.
 _CLUSTERING_ORACLE = """
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT a.p_partkey AS a, b.p_partkey AS b
   FROM part a JOIN part b
     ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
   WHERE levenshtein(a.p_name, b.p_name) <= 4
 ),
-tri AS (
+tri AS MATERIALIZED (
   SELECT e1.a, e1.b, e2.b AS c
   FROM e e1
   JOIN e e2 ON e2.a = e1.b
@@ -1693,7 +1693,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 # appends `+ 0.0` because a near-zero negative score rounds to -0.0
 # there (§8 erratum r4).
 _FS_ORACLE = """
-WITH cand AS (
+WITH cand AS MATERIALIZED (
   SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
          CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
          CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS ag_type,
