@@ -243,3 +243,130 @@ def agg_bitmap_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             (both.cast("double") / F.col("n_union")).alias("jaccard"),
         )
     )
+
+
+# --- deterministic HLL: md5 registers, integer-exact accumulation (r9) -----------
+
+# The hash-matched twin that closes the sketch family's last rows-only
+# gap (agg_hll_sketch_merge stays rows-only because DataSketches
+# registers aren't reproducible in DuckDB) — the same move that closed
+# the IVF gap with ann_ivf_deterministic. Classic HLL with m = 256
+# registers, every step cross-engine exact:
+#   bucket  = first 2 md5 hex chars (the house 256-bucket STRING key);
+#   rho     = leading-zero count of the next 8 hex chars + 1, derived
+#             by STRING arithmetic (leading-'0' run ×4 + a per-nibble
+#             lookup), capped at 32 so 2^(32-rho) stays integral;
+#   S       = Σ 2^(32-R_j) accumulated as BIGINT (≤ 257·2³² < 2⁴¹ —
+#             order-independent by construction, no float sum);
+#   raw     = α·m²·2³² / S with α·m²·2³² embedded as ONE literal both
+#             engines parse to the same double;
+#   est     = m·ln(m/V) (linear counting) when raw ≤ 2.5 m and V > 0
+#             zero registers remain, else raw — identical-operand IEEE.
+# Registers merge associatively (MAX), so the partial state is 256
+# bytes per group at any scale — the whole point of the sketch.
+_HLL_ALPHA_M2_2_32 = "202175761456818.41"  # 0.7213/(1+1.079/256)·256²·2³²
+
+_HLL_DET_ORACLE = f"""
+WITH hashed AS (
+  SELECT o_orderpriority AS grp, md5(CAST(o_custkey AS VARCHAR)) AS h
+  FROM orders
+),
+rho AS (
+  SELECT grp, substring(h, 1, 2) AS bucket,
+         CASE WHEN ltrim(substring(h, 3, 8), '0') = '' THEN 32
+              ELSE LEAST(
+                (8 - length(ltrim(substring(h, 3, 8), '0'))) * 4
+                + CASE substring(ltrim(substring(h, 3, 8), '0'), 1, 1)
+                    WHEN '1' THEN 3
+                    WHEN '2' THEN 2 WHEN '3' THEN 2
+                    WHEN '4' THEN 1 WHEN '5' THEN 1
+                    WHEN '6' THEN 1 WHEN '7' THEN 1
+                    ELSE 0 END
+                + 1, 32) END AS rho
+  FROM hashed
+),
+regs AS (
+  SELECT grp, bucket, MAX(rho) AS r FROM rho GROUP BY grp, bucket
+),
+acc AS (
+  SELECT grp,
+         CAST(COUNT(*) AS BIGINT) AS n_present,
+         CAST(SUM(CAST(1 AS BIGINT) << (32 - r)) AS BIGINT) AS s_present
+  FROM regs GROUP BY grp
+),
+est AS (
+  SELECT grp,
+         CAST(256 - n_present AS BIGINT) AS n_zero_registers,
+         {_HLL_ALPHA_M2_2_32}
+           / (s_present + (256 - n_present) * 4294967296) AS raw
+  FROM acc
+),
+exact AS (
+  SELECT o_orderpriority AS grp,
+         COUNT(DISTINCT o_custkey) AS n_exact
+  FROM orders GROUP BY grp
+)
+SELECT e.grp, x.n_exact, e.n_zero_registers,
+       ROUND(CASE WHEN e.raw <= 640.0 AND e.n_zero_registers > 0
+                  THEN 256.0 * ln(256.0 / e.n_zero_registers)
+                  ELSE e.raw END, 4) AS hll_estimate
+FROM est e JOIN exact x ON x.grp = e.grp
+"""
+
+
+@graded("agg_hll_deterministic", oracle=_HLL_DET_ORACLE)
+def agg_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count estimate per order
+    priority (md5-derived 256-register sketch, rationale above the
+    oracle), with the exact count alongside for error inspection. Two
+    hash aggs: (grp, bucket) MAX(rho) then per-grp integer fold — the
+    shuffle carries ≤ 256 registers per group at any corpus size."""
+    o = load_table(spark, sf_dir, "orders")
+    hashed = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.md5(F.col("o_custkey").cast("string")).alias("h"),
+    )
+    rho = hashed.select(
+        "grp",
+        F.substring("h", 1, 2).alias("bucket"),
+        F.expr(
+            """CASE WHEN ltrim('0', substring(h, 3, 8)) = '' THEN 32
+               ELSE LEAST(
+                 (8 - length(ltrim('0', substring(h, 3, 8)))) * 4
+                 + CASE substring(ltrim('0', substring(h, 3, 8)), 1, 1)
+                     WHEN '1' THEN 3
+                     WHEN '2' THEN 2 WHEN '3' THEN 2
+                     WHEN '4' THEN 1 WHEN '5' THEN 1
+                     WHEN '6' THEN 1 WHEN '7' THEN 1
+                     ELSE 0 END
+                 + 1, 32) END"""
+        ).alias("rho"),
+    )
+    regs = rho.groupBy("grp", "bucket").agg(F.max("rho").alias("r"))
+    acc = regs.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_present"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 32 - r)"))
+        .cast("bigint")
+        .alias("s_present"),
+    )
+    est = acc.select(
+        "grp",
+        (F.lit(256) - F.col("n_present")).cast("bigint").alias("n_zero_registers"),
+        (
+            F.lit(float(_HLL_ALPHA_M2_2_32))
+            / (
+                F.col("s_present")
+                + (F.lit(256) - F.col("n_present")) * F.lit(4294967296)
+            )
+        ).alias("raw"),
+    )
+    exact = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    hll = F.when(
+        (F.col("raw") <= 640.0) & (F.col("n_zero_registers") > 0),
+        256.0 * F.log(256.0 / F.col("n_zero_registers")),
+    ).otherwise(F.col("raw"))
+    return est.join(exact, "grp").select(
+        "grp", "n_exact", "n_zero_registers", F.round(hll, 4).alias("hll_estimate")
+    )
