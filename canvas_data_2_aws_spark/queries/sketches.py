@@ -370,3 +370,109 @@ def agg_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "grp").select(
         "grp", "n_exact", "n_zero_registers", F.round(hll, 4).alias("hll_estimate")
     )
+
+
+# --- KMV set-overlap sketch: Jaccard from k-minimum values (r9) -------------------
+
+# The sketch capability HLL does NOT have: set OVERLAP estimation.
+# K-minimum-values keeps each set's k lexicographically-smallest
+# md5(key) values (md5 order is uniform, so the k smallest of the
+# UNION are a uniform sample of it); the fraction of that sample
+# belonging to both sets estimates Jaccard. Everything is string
+# ranking + integer counts — no hex-to-float parsing anywhere, so the
+# whole sketch is trivially cross-engine. The exact Jaccard rides
+# along for error inspection (same eval-next-to-sketch pattern as
+# agg_hll_deterministic). The top-k is TakeOrderedAndProject — never
+# a global sort — and the sketch state is k strings per set:
+# mergeable (union = k smallest of concatenation), constant-size at
+# any corpus.
+_KMV_K = 256
+
+_KMV_ORACLE = f"""
+WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders
+           WHERE o_orderpriority = '1-URGENT'),
+b AS (SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE o_orderpriority = '5-LOW'),
+u AS (
+  SELECT k,
+         CASE WHEN k IN (SELECT k FROM a) THEN 1 ELSE 0 END AS in_a,
+         CASE WHEN k IN (SELECT k FROM b) THEN 1 ELSE 0 END AS in_b
+  FROM (SELECT k FROM a UNION SELECT k FROM b) t
+),
+topk AS (
+  SELECT in_a, in_b
+  FROM (SELECT in_a, in_b,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(k AS VARCHAR)), k) AS rn
+        FROM u) r
+  WHERE rn <= {_KMV_K}
+),
+sk AS (
+  SELECT CAST(SUM(in_a * in_b) AS BIGINT) AS kmv_hits FROM topk
+),
+ex AS (
+  SELECT CAST(SUM(in_a * in_b) AS BIGINT) AS n_inter,
+         CAST(COUNT(*) AS BIGINT) AS n_union
+  FROM u
+)
+SELECT CAST({_KMV_K} AS BIGINT) AS k,
+       ex.n_inter, ex.n_union,
+       ROUND(CAST(ex.n_inter AS DOUBLE) / ex.n_union, 4) AS j_exact,
+       sk.kmv_hits,
+       ROUND(CAST(sk.kmv_hits AS DOUBLE) / {_KMV_K}, 4) AS j_kmv
+FROM ex, sk
+"""
+
+
+@graded("agg_kmv_jaccard", oracle=_KMV_ORACLE)
+def agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard similarity of two customer sets (URGENT vs LOW order
+    priorities) estimated from a k=256 KMV sketch, with the exact
+    value alongside (rationale above the oracle). Plan: two distinct
+    aggs → full-outer flag join → TakeOrdered top-256 by md5 → two
+    1-row aggregates cross-joined (bounded scalar attach)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def keys(prio: str, flag: str) -> DataFrame:
+        return (
+            o.where(F.col("o_orderpriority") == prio)
+            .select(F.col("o_custkey").alias("k"))
+            .distinct()
+            .withColumn(flag, F.lit(1))
+        )
+
+    u = (
+        keys("1-URGENT", "fa")
+        .join(keys("5-LOW", "fb"), "k", "full_outer")
+        .select(
+            "k",
+            F.coalesce("fa", F.lit(0)).alias("in_a"),
+            F.coalesce("fb", F.lit(0)).alias("in_b"),
+        )
+    )
+    topk = (
+        u.select(
+            "in_a", "in_b", F.md5(F.col("k").cast("string")).alias("h"), "k"
+        )
+        .orderBy("h", "k")
+        .limit(_KMV_K)
+    )
+    sk = topk.agg(
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("kmv_hits")
+    )
+    ex = u.agg(
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("n_inter"),
+        F.count("*").cast("bigint").alias("n_union"),
+    )
+    return (
+        ex.crossJoin(F.broadcast(sk))  # 1-row sketch attach
+        .select(
+            F.lit(_KMV_K).cast("bigint").alias("k"),
+            "n_inter",
+            "n_union",
+            F.round(F.col("n_inter").cast("double") / F.col("n_union"), 4).alias(
+                "j_exact"
+            ),
+            "kmv_hits",
+            F.round(F.col("kmv_hits").cast("double") / _KMV_K, 4).alias("j_kmv"),
+        )
+    )

@@ -176,6 +176,7 @@ _NESTED_LOOP_OK = {
     "layout_skipping_eval",  # deliberate 3-row predicate-grid fan-out
     "vector_bq_hamming_topk",  # 32-row broadcast query-code probe
     "vector_bq_recall_eval",  # exact-KNN baseline + 32-row BQ probe
+    "agg_kmv_jaccard",  # 1-row sketch-census attach
     "text_bigram_logprob",  # 1-row vocabulary-size broadcast
     "text_naive_bayes_quality",  # 1-row totals + 1-row prior broadcasts
     "pipeline_mix_sampler",  # 1-row min-count broadcast
