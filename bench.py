@@ -142,6 +142,31 @@ HEADLINE = [
 ]
 
 
+def _builds() -> list[tuple[str, object]]:
+    """Session-shared cache builds, timed as EXPLICIT bench rows.
+
+    The memoized frames (operators/fuzzy_graph.memoized_checkpoint)
+    build once per session; before round 10 that cold cost landed on
+    whichever consumer the headline order reached first — BENCH_r09
+    showed graph_hits at 4.06 s (vs 1.2 s warm) purely because it was
+    the first simhash_pairs consumer, a phantom regression (r9 verdict
+    What's-wrong #3). Naming the builds makes every consumer row a
+    warm-plan measurement and the one-off build cost its own
+    attributable number. Order matters: simhash_sh feeds simhash_pairs,
+    so the pairs row is the INCREMENTAL banded-join cost.
+    """
+    from canvas_data_2_aws_spark.operators import fuzzy_graph
+    from canvas_data_2_aws_spark.operators import text as T
+    from canvas_data_2_aws_spark.queries import dedup, vectors
+
+    return [
+        ("simhash_sh_build", T.simhash_sh_cached),
+        ("simhash_pairs_build", dedup.simhash_pairs_cached),
+        ("fuzzy_pairs_build", fuzzy_graph.fuzzy_sym),
+        ("ivf_assign_build", vectors._kmeans_assignment),
+    ]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -154,6 +179,20 @@ def main() -> None:
     # first use costs ~1.5 s once per executor, not per query).
     registry.QUERIES["agg_group_sum"](spark, sf_dir).toPandas()
     registry.QUERIES["udf_scalar_charge"](spark, sf_dir).toPandas()
+
+    # Session-shared cache builds as explicit rows (once per session by
+    # design — std is structurally 0 and recorded as such; the row
+    # exists so the one-off cost is attributable instead of inflating
+    # whichever consumer runs first).
+    build_timings: dict[str, float] = {}
+    for bname, bfn in _builds():
+        t0 = time.perf_counter()
+        bfn(spark, sf_dir)
+        build_timings[bname] = round(time.perf_counter() - t0, 3)
+        print(
+            f"  {bname:30s} build  {build_timings[bname]:8.3f}s  (once/session)",
+            file=sys.stderr,
+        )
 
     # 3 timed repetitions per query; the MEDIAN is the headline number
     # (machine-load noise here is ±15–40% — a single sample hid a real
@@ -186,6 +225,10 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    for bname, bsec in build_timings.items():
+        timings[bname] = bsec
+        mins[bname] = bsec
+        stds[bname] = 0.0
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -196,6 +239,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_min": mins,
                 "queries_std": stds,
+                "builds": build_timings,
                 "reps": reps,
                 "sf": sf,
             }

@@ -63,11 +63,17 @@ from ..session import load_table
 SALT = 8
 
 _CACHE: dict[tuple[str, str, str], DataFrame] = {}
-# RLock, NOT Lock: builds NEST — fuzzy_sym's build() calls
-# fuzzy_pairs() which re-enters memoized_checkpoint on the same
-# thread (a plain Lock self-deadlocked here, caught same-round by the
-# sf0.1 sweep hanging on graph_degree_stats).
-_CACHE_LOCK = threading.RLock()
+# Registry lock guards only the two dicts (entry lookup, stale-key
+# eviction, per-key lock creation) — never a build. Each key builds
+# under its OWN RLock so unrelated cold builds run concurrently.
+# RLock, NOT Lock, on the per-key locks: builds NEST across keys on
+# one thread (fuzzy_sym's build() calls fuzzy_pairs(), which re-enters
+# memoized_checkpoint; simhash_pairs_cached likewise builds on top of
+# simhash_sh_cached) — nesting takes two DIFFERENT per-key locks, but
+# RLock also keeps a same-key re-entry from deadlocking silently (it
+# would recurse instead, which raises and is debuggable).
+_REGISTRY_LOCK = threading.Lock()
+_KEY_LOCKS: dict[tuple[str, str, str], threading.RLock] = {}
 
 
 def memoized_checkpoint(
@@ -75,25 +81,40 @@ def memoized_checkpoint(
 ) -> DataFrame:
     """Session-scoped materialized-frame cache: build → eager
     localCheckpoint once per (applicationId, sf_dir, kind). Shared by
-    the fuzzy-graph family here, the SimHash pair graph the centrality
-    queries reuse (queries/dedup.py), and the IVF centroid index
+    the fuzzy-graph family here, the SimHash hash + pair frames
+    (operators/text.py, queries/dedup.py), and the IVF centroid index
     (queries/vectors.py).
 
-    Entries keyed by a DEAD applicationId are evicted on access
-    (ADVICE r8): after a session restart in one process the old keys
-    can never hit again but would retain DataFrame plan graphs (and
-    their dead checkpoint references) forever. The lock serializes
-    first-builds so two threads racing on a cold key cannot
-    double-localCheckpoint; the build itself runs outside the lock
-    only in the already-built fast path.
+    Entries keyed by a DEAD applicationId are evicted under the
+    registry lock (ADVICE r8): after a session restart in one process
+    the old keys can never hit again but would retain DataFrame plan
+    graphs (and their dead checkpoint references) forever. Eviction on
+    app mismatch is safe because classic PySpark allows one active
+    SparkContext per process — any applicationId other than the
+    caller's belongs to a stopped context.
+
+    Locking (ADVICE r9): the registry lock is held only for dict
+    bookkeeping; the build + eager localCheckpoint run under a
+    PER-KEY lock, so a slow cold build (fuzzy edges, ~1.3 s at sf0.1)
+    no longer serializes unrelated keys or sf_dirs. Two threads racing
+    the same cold key still build exactly once (double-checked under
+    the key lock).
     """
     app = spark.sparkContext.applicationId
     key = (app, sf_dir, kind)
-    with _CACHE_LOCK:
+    with _REGISTRY_LOCK:
         for stale in [k for k in _CACHE if k[0] != app]:
             del _CACHE[stale]
+            _KEY_LOCKS.pop(stale, None)
+        cached = _CACHE.get(key)
+        if cached is not None:
+            return cached
+        key_lock = _KEY_LOCKS.setdefault(key, threading.RLock())
+    with key_lock:
         if key not in _CACHE:
-            _CACHE[key] = build().localCheckpoint(eager=True)
+            built = build().localCheckpoint(eager=True)
+            with _REGISTRY_LOCK:
+                _CACHE[key] = built
         return _CACHE[key]
 
 

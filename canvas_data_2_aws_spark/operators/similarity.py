@@ -291,6 +291,12 @@ def ann_ivf_neighbors(
         id_col, vec_col, array_to_vector(F.col(vec_col)).alias("features")
     )
     if n_clusters is None:
+        # One count action per defaulted call (ADVICE r9): accepted —
+        # the KMeans.fit that follows dominates it by orders of
+        # magnitude, and this operator has no (session, sf_dir) key to
+        # memoize on (it takes an arbitrary frame). Callers that probe
+        # repeatedly should pass n_clusters explicitly (and will get
+        # the pinned geometry as a bonus).
         n = vecs.count()
         n_clusters = max(16, math.ceil(math.sqrt(n / 50.0)))
     if nprobe is None:

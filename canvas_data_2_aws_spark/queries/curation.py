@@ -1939,8 +1939,7 @@ def dedup_simhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .dedup import simhash_pairs_cached
 
-    docs = load_table(spark, sf_dir, "documents")
-    sh = T.simhash64(docs).localCheckpoint(eager=True)  # both truth legs
+    sh = T.simhash_sh_cached(spark, sf_dir)  # both truth legs, shared
     tb = sh.select(
         "doc_id",
         "simhash",

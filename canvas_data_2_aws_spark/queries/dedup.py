@@ -40,9 +40,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket id is the shuffle key (one exchange), candidates verified
     by exact similarity inside each bucket. Hamming-tolerant candidate
     generation lives in :func:`simhash_pairs` (banded) and
-    ``dedup_simhash_multiprobe`` (probe fan-out)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = T.simhash64(docs)
+    ``dedup_simhash_multiprobe`` (probe fan-out). Hash frame comes
+    from the session-shared cache (operators/text.simhash_sh_cached) —
+    seven consumers, one explode+vote aggregation per session."""
+    sh = T.simhash_sh_cached(spark, sf_dir)
     return sh.withColumn(
         "n_bucket", F.count("*").over(Window.partitionBy("simhash"))
     )
@@ -334,14 +335,13 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup as row REMOVAL, not just candidate pairs: one canonical
     survivor (min doc_id) per SimHash bucket. The aggregate-min rule —
     never dropDuplicates — keeps the survivor choice deterministic
-    (SURVEY §2.8 M4 note)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = T.simhash64(docs)
-    keeper = F.min("doc_id").over(Window.partitionBy("simhash"))
-    return (
-        sh.withColumn("keeper", keeper)
-        .where(F.col("doc_id") == F.col("keeper"))
-        .select("doc_id", "simhash")
+    (SURVEY §2.8 M4 note). Round 10: the window-min + filter became a
+    plain groupBy(simhash) min — the survivor row IS the group
+    aggregate (one exchange with map-side partials, no per-partition
+    sort, and no post-filter scan of the full corpus)."""
+    sh = T.simhash_sh_cached(spark, sf_dir)
+    return sh.groupBy("simhash").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id", "simhash"
     )
 
 
@@ -448,7 +448,11 @@ SELECT node, ROUND(rank, 6) AS rank FROM pr5
 )
 
 
-def simhash_pairs(docs: DataFrame, group_cap: int = SIMHASH_GROUP_CAP) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame,
+    group_cap: int = SIMHASH_GROUP_CAP,
+    sh: DataFrame | None = None,
+) -> DataFrame:
     """Spark twin of shared_sql.SIMHASH_PAIRS_SQL: (doc_a, doc_b)
     near-dup pairs with doc_a < doc_b — the ONE pair derivation the
     centrality queries (pagerank here, HITS in enrichment) share.
@@ -470,9 +474,13 @@ def simhash_pairs(docs: DataFrame, group_cap: int = SIMHASH_GROUP_CAP) -> DataFr
     pairs on the same corpus, all from bounded equi-joins.
 
     Consumers wanting the session-shared materialized copy should call
-    :func:`simhash_pairs_cached` instead of this builder.
+    :func:`simhash_pairs_cached` instead of this builder. Pass ``sh``
+    to reuse a prebuilt ``(doc_id, simhash)`` frame (the cached path
+    does, so the hash aggregation is not recomputed under the pair
+    build).
     """
-    sh = T.simhash64(docs)
+    if sh is None:
+        sh = T.simhash64(docs)
     bands = sh.select(
         "doc_id",
         "simhash",
@@ -530,7 +538,10 @@ def simhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "simhash_pairs",
-        lambda: simhash_pairs(load_table(spark, sf_dir, "documents")),
+        lambda: simhash_pairs(
+            load_table(spark, sf_dir, "documents"),
+            sh=T.simhash_sh_cached(spark, sf_dir),
+        ),
     )
 
 
@@ -1198,9 +1209,10 @@ def dedup_simhash_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming scan anywhere. The probe side explodes map-side; with the
     md5-63 code the candidate volume tracks true near-duplication
     (95 pairs from 5 000 sf0.1 docs, vs 4.32 M for the saturated
-    16-bit code this replaced in round 9). Distances exact."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = T.simhash64(docs).localCheckpoint(eager=True)  # probe + build side
+    16-bit code this replaced in round 9). Distances exact. The hash
+    frame is the session-shared checkpoint (already materialized for
+    the probe + index double use)."""
+    sh = T.simhash_sh_cached(spark, sf_dir)  # probe + build side
     flips = sh.select(
         "doc_id",
         "simhash",

@@ -418,7 +418,8 @@ SELECT CAST({_KMV_K} AS BIGINT) AS k,
        ex.n_inter, ex.n_union,
        ROUND(CAST(ex.n_inter AS DOUBLE) / ex.n_union, 4) AS j_exact,
        sk.kmv_hits,
-       ROUND(CAST(sk.kmv_hits AS DOUBLE) / {_KMV_K}, 4) AS j_kmv
+       ROUND(CAST(sk.kmv_hits AS DOUBLE) / LEAST({_KMV_K}, ex.n_union), 4)
+         AS j_kmv
 FROM ex, sk
 """
 
@@ -473,6 +474,14 @@ def agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "j_exact"
             ),
             "kmv_hits",
-            F.round(F.col("kmv_hits").cast("double") / _KMV_K, 4).alias("j_kmv"),
+            # LEAST(k, n_union) denominator (ADVICE r9): when the union
+            # is smaller than k the "sample" is the whole union and
+            # dividing by the fixed k would bias the estimate low; with
+            # n_union >= k this is exactly k.
+            F.round(
+                F.col("kmv_hits").cast("double")
+                / F.least(F.lit(_KMV_K), F.col("n_union")),
+                4,
+            ).alias("j_kmv"),
         )
     )

@@ -648,3 +648,42 @@ def test_stateful_totals_rocksdb_equals_default(spark, sf_dir):
     )
     assert default_state, "default-store run produced no state"
     assert rocksdb_state == default_state
+
+
+def test_streaming_simhash_pairs_equal_batch(spark, sf_dir, tmp_path):
+    """r10 equivalence (judge task 4): replaying documents in three
+    micro-batches through the incremental band-index pairing yields
+    EXACTLY the batch simhash_pairs set. Precondition asserted first:
+    the corpus is in the uncapped regime (largest band group <=
+    SIMHASH_GROUP_CAP), because hub-star edges depend on global group
+    membership — if fixture drift ever trips the cap, this assertion
+    names the real cause instead of a mystery set diff."""
+    from canvas_data_2_aws_spark.operators import text as T
+    from canvas_data_2_aws_spark.queries.dedup import simhash_pairs
+    from canvas_data_2_aws_spark.queries.shared_sql import SIMHASH_GROUP_CAP
+    from canvas_data_2_aws_spark.session import load_table
+    from canvas_data_2_aws_spark.streaming.dedup_pairs import (
+        _band_rows,
+        simhash_pairs_replay,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = T.simhash64(docs).localCheckpoint(eager=True)
+    max_group = (
+        _band_rows(sh)
+        .groupBy("b", "bv")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert max_group <= SIMHASH_GROUP_CAP, "fixture left the uncapped regime"
+
+    batch = {
+        (r.doc_a, r.doc_b) for r in simhash_pairs(docs, sh=sh).collect()
+    }
+    docs_dir = str(tmp_path / "docs")
+    docs.repartition(3).write.parquet(docs_dir)
+    streamed_df = simhash_pairs_replay(spark, docs_dir, str(tmp_path / "work"))
+    streamed = {(r.doc_a, r.doc_b) for r in streamed_df.collect()}
+    assert streamed == batch
+    assert len(batch) > 0, "vacuous equivalence: fixture has no near-dups"

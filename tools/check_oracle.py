@@ -153,20 +153,28 @@ def fetch_rows(sdf) -> list[tuple]:
 
 
 def run_one(spark, con, name: str, sf_dir: str) -> tuple[bool, str, float]:
+    """Returns (ok, message, total_s). The message carries per-leg
+    timing (``s=<spark> d=<duck>``) so a slow sweep row is attributable
+    to the right engine before anyone optimizes the wrong leg (r9
+    verdict task 6: the 9.2 s worst row turned out to be a Spark
+    streaming smoke, not a DuckDB oracle)."""
     fn = registry.QUERIES[name]
     t0 = time.time()
     sdf = fn(spark, sf_dir)
     s_rows = fetch_rows(sdf)
     s_cols = sdf.columns
-    elapsed = time.time() - t0
+    spark_s = time.time() - t0
     oracle = registry.ORACLES.get(name)
     if oracle is None:
         ok = len(s_rows) >= 0
-        return ok, f"rows-only: {len(s_rows)} rows", elapsed
+        return ok, f"rows-only: {len(s_rows)} rows  (s={spark_s:.1f}s)", spark_s
+    t1 = time.time()
     rel = con.sql(oracle)
     d_cols = list(rel.columns)
     d_types = list(rel.types)
     d_rows = rel.fetchall()
+    duck_s = time.time() - t1
+    elapsed = spark_s + duck_s
     msgs = []
     if len(s_rows) != len(d_rows):
         msgs.append(f"ROWCOUNT spark={len(s_rows)} duckdb={len(d_rows)}")
@@ -187,7 +195,11 @@ def run_one(spark, con, name: str, sf_dir: str) -> tuple[bool, str, float]:
             msgs.append(f"VALUES first-diffs={diffs}")
     if msgs:
         return False, "; ".join(msgs), elapsed
-    return True, f"match: {len(s_rows)} rows", elapsed
+    return (
+        True,
+        f"match: {len(s_rows)} rows  (s={spark_s:.1f}s d={duck_s:.1f}s)",
+        elapsed,
+    )
 
 
 def changed_query_names() -> tuple[list[str], list[str]]:
@@ -246,12 +258,22 @@ def main() -> int:
             # graded query — running only the registering-module
             # selection would give false confidence (ADVICE r8: the r8
             # operators/ refactors selected zero queries). Fall back to
-            # the full suite, loudly.
+            # the full suite, loudly — UNLESS the user combined
+            # --changed with an explicit selection, which stays binding
+            # (ADVICE r9: the fallback used to silently discard it).
             print(
                 "WARNING --changed: dirty shared modules affect the whole "
-                f"suite, running ALL queries: {sorted(shared_dirty)}"
+                f"suite: {sorted(shared_dirty)}"
+                + (
+                    " — honoring the explicit selection anyway"
+                    if names
+                    else ", running ALL queries"
+                )
             )
-            names = []
+            if not names:
+                names = []
+            else:
+                names = list(dict.fromkeys(names + picked))
         else:
             print(f"--changed selected {len(picked)} queries: {sorted(picked)}")
             names = list(dict.fromkeys(names + picked))
