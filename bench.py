@@ -139,6 +139,13 @@ HEADLINE = [
     "text_langid_eval",
     "analytics_chi_square",
     "vector_bq_recall_eval",
+    # round-10 additions: mergeable deterministic quantile sketch,
+    # integer-exact Neyman stratified sampler. (The round's third new
+    # query, stream_simhash_pairs_replay, follows the streaming-smoke
+    # precedent — replay machinery dominates its wall, so it is graded
+    # and swept but not a headline row.)
+    "agg_quantile_sketch",
+    "sample_stratified_neyman",
 ]
 
 

@@ -1983,3 +1983,117 @@ def dedup_simhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# --- stratified Neyman-allocation sampling (r10) ----------------------------------
+
+# Training-mix sampling done the survey-statistics way: allocate a
+# fixed document budget across strata (language) proportionally to
+# N_h·S_h (stratum size × stratum std of n_chars) — high-variance
+# strata get more samples — then select deterministically by md5 rank
+# inside each stratum (the same hash-of-key reproducibility contract
+# as sample_train_test_split: assignment survives reruns and appends).
+#
+# Every allocation quantity is INTEGER-exact cross-engine: with
+# x = n_chars (int), N_h·Σx² − (Σx)² = N_h²·Var_h is a BIGINT, and
+# √(N_h²·Var_h) = N_h·S_h — so the Neyman weight is FLOOR(SQRT()) of
+# an exact integer (doubles represent it exactly below 2⁵³; IEEE sqrt
+# is correctly rounded; both engines agree bit-for-bit), and quotas
+# are bigint multiply-divide. No float sum ever crosses a shuffle.
+_NEYMAN_BUDGET = 200
+
+_NEYMAN_ORACLE = f"""
+WITH s AS (
+  SELECT lang, COUNT(*) AS n_stratum,
+         SUM(CAST(n_chars AS BIGINT)) AS sx,
+         SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS sxx
+  FROM documents GROUP BY lang
+),
+w AS (
+  SELECT lang, n_stratum,
+         CAST(FLOOR(SQRT(CAST(n_stratum * sxx - sx * sx AS DOUBLE)))
+              AS BIGINT) AS weight
+  FROM s
+),
+tot AS (SELECT SUM(weight) AS tw FROM w),
+alloc AS (
+  SELECT lang, n_stratum, weight,
+         CAST(LEAST(n_stratum,
+                    GREATEST(CAST(1 AS BIGINT),
+                             ({_NEYMAN_BUDGET} * weight) // tw))
+              AS BIGINT) AS n_alloc
+  FROM w, tot
+),
+sel AS (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM documents
+)
+SELECT a.lang, a.n_stratum, a.weight, a.n_alloc,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(CAST(d.n_chars AS BIGINT)) AS BIGINT) AS sample_chars
+FROM alloc a JOIN sel d ON d.lang = a.lang AND d.rn <= a.n_alloc
+GROUP BY a.lang, a.n_stratum, a.weight, a.n_alloc
+"""
+
+
+@graded("sample_stratified_neyman", oracle=_NEYMAN_ORACLE)
+def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample with Neyman allocation (rationale above): one
+    stats pass (groupBy lang — integer partials), a ≤|strata|-row
+    allocation table (always broadcast), and a per-stratum md5-rank
+    window with the broadcast quota as the filter. At 100 TB the
+    window partitions by stratum — with few huge strata, sub-salt the
+    rank (md5 prefix bucket) and take per-bucket quotas, same recipe
+    as the fuzzy SALT; the allocation math is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    xs = F.col("n_chars").cast("bigint")
+    s = docs.groupBy("lang").agg(
+        F.count("*").alias("n_stratum"),
+        F.sum(xs).alias("sx"),
+        F.sum(xs * xs).alias("sxx"),
+    )
+    w = s.select(
+        "lang",
+        "n_stratum",
+        F.floor(F.sqrt((F.col("n_stratum") * F.col("sxx")
+                        - F.col("sx") * F.col("sx")).cast("double")))
+        .cast("bigint")
+        .alias("weight"),
+    )
+    tot = w.agg(F.sum("weight").alias("tw"))
+    alloc = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_stratum",
+        "weight",
+        F.least(
+            F.col("n_stratum"),
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.expr(f"({_NEYMAN_BUDGET} * weight) DIV tw"),
+            ),
+        ).alias("n_alloc"),
+    )
+    sel = docs.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        )
+        .alias("rn"),
+    )
+    return (
+        sel.join(F.broadcast(alloc), "lang")
+        .where(F.col("rn") <= F.col("n_alloc"))
+        .groupBy("lang", "n_stratum", "weight", "n_alloc")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sampled"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("sample_chars"),
+        )
+    )

@@ -485,3 +485,121 @@ def agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("j_kmv"),
         )
     )
+
+
+# --- KMV-sample quantile sketch: mergeable percentiles, deterministic (r10) -------
+
+# The quantile capability approx_percentile provides only rows-only:
+# a DETERMINISTIC mergeable quantile estimate. The sketch state is the
+# k = 256 rows with the smallest md5(key) — a uniform random-but-fixed
+# sample of the table (md5 order is uniform in the keys), mergeable
+# exactly like the KMV overlap sketch (union = k smallest of the
+# concatenation, constant size at any corpus). The q-th percentile
+# estimate is the DISCRETE percentile of the sample; discrete (index
+# ((m-1)·q) DIV 100, pure integer arithmetic) rather than
+# interpolated, so no float blending exists to diverge between
+# engines — both sides select stored values verbatim. The exact
+# discrete percentile rides along (distributed global ranks — never a
+# single-task sort) so the row shows sketch error directly.
+_QSK_K = 256
+_QSK_QS = (25, 50, 75, 90, 99)
+
+_QSK_ORACLE = f"""
+WITH base AS (
+  SELECT o_totalprice AS v, o_orderkey AS k FROM orders
+),
+nn AS (SELECT COUNT(*) AS n FROM base),
+qs(q) AS (VALUES (25), (50), (75), (90), (99)),
+ranked AS MATERIALIZED (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v, k) AS rn FROM base
+),
+exact AS (
+  SELECT qs.q, r.v AS exact_v
+  FROM qs, nn
+  JOIN ranked r ON r.rn = ((nn.n - 1) * qs.q) // 100 + 1
+),
+samp AS MATERIALIZED (
+  SELECT v, k
+  FROM (SELECT v, k,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(k AS VARCHAR)), k) AS sr
+        FROM base) t
+  WHERE sr <= {_QSK_K}
+),
+mm AS (SELECT COUNT(*) AS m FROM samp),
+sranked AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v, k) AS srn FROM samp
+),
+est AS (
+  SELECT qs.q, s.v AS kmv_v
+  FROM qs, mm
+  JOIN sranked s ON s.srn = ((mm.m - 1) * qs.q) // 100 + 1
+)
+SELECT CAST(e.q AS BIGINT) AS q, x.exact_v, e.kmv_v,
+       ROUND(ABS(e.kmv_v - x.exact_v) / x.exact_v, 4) AS rel_err
+FROM est e JOIN exact x ON x.q = e.q
+"""
+
+
+@graded("agg_quantile_sketch", oracle=_QSK_ORACLE)
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mergeable quantile sketch (rationale above): the
+    256-smallest-md5 sample's discrete percentiles vs the exact
+    discrete percentiles of o_totalprice, with relative error. Plan:
+    sample side is TakeOrderedAndProject(256) + a 256-row local rank;
+    exact side is the distributed global rank (operators/ranks.py) —
+    no single-task sort anywhere; the 5-row q table is a literal
+    fan-out and every attach is broadcast-bounded."""
+    from ..operators.ranks import global_row_number
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"), F.col("o_orderkey").alias("k")
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in _QSK_QS])).alias("q")
+    )
+    nn = o.agg(F.count("*").alias("n"))
+    targets = F.broadcast(
+        qs.crossJoin(F.broadcast(nn)).select(
+            "q", F.expr("((n - 1) * q) DIV 100 + 1").alias("rn_t")
+        )
+    )
+    ranked = global_row_number(o, ["v", "k"], out="rn")
+    exact = ranked.join(targets, F.col("rn") == F.col("rn_t")).select(
+        "q", F.col("v").alias("exact_v")
+    )
+    samp = (
+        o.select("v", "k", F.md5(F.col("k").cast("string")).alias("h"))
+        .orderBy("h", "k")
+        .limit(_QSK_K)
+    )
+    mm = samp.agg(F.count("*").alias("m"))
+    st = F.broadcast(
+        qs.crossJoin(F.broadcast(mm)).select(
+            "q", F.expr("((m - 1) * q) DIV 100 + 1").alias("srn_t")
+        )
+    )
+    from pyspark.sql import Window
+
+    # 256-row frame: the single-task sort is the intended plan here
+    # (the sketch IS driver-sized by construction), declared via the
+    # unit-group pattern so the plan audit sees a bounded window.
+    from ..operators.ranks import UNIT_GROUP, attach_unit_group
+
+    sranked = attach_unit_group(samp).withColumn(
+        "srn",
+        F.row_number().over(Window.partitionBy(UNIT_GROUP).orderBy("v", "k")),
+    )
+    est = sranked.join(st, F.col("srn") == F.col("srn_t")).select(
+        "q", F.col("v").alias("kmv_v")
+    )
+    return (
+        est.join(exact, "q")
+        .select(
+            F.col("q").cast("bigint").alias("q"),
+            "exact_v",
+            "kmv_v",
+            F.round(
+                F.abs(F.col("kmv_v") - F.col("exact_v")) / F.col("exact_v"), 4
+            ).alias("rel_err"),
+        )
+    )

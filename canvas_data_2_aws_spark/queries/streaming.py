@@ -1367,3 +1367,66 @@ def analytics_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(20)
     )
+
+
+# --- streaming SimHash near-dup pairing, hash-matched (r10) ----------------------
+
+# The first streaming query in the repo graded by FULL SQL hash-match,
+# not rows-only: Trigger.AvailableNow replays documents in three
+# micro-batches through the incremental band-index pairing
+# (streaming/dedup_pairs.py — new-vs-seen + new-vs-new equi-joins on
+# the (band, value) key, append-only emission), and the accumulated
+# pair set must equal the UNCAPPED banded derivation exactly. The
+# oracle is deliberately the uncapped form: the batch builder's
+# hub-star cap keys on GLOBAL group membership (a later batch can
+# contain a smaller doc_id and change the hub), which is not
+# expressible append-only — so the streaming twin's contract is the
+# full clique semantics, and the batch/capped relationship is pinned
+# separately (tests/test_streaming.py asserts streamed == capped batch
+# whenever the corpus is in the uncapped regime). A production
+# deployment bounds oversized band groups per micro-batch instead
+# (batch-local cap), trading edges for the same bounded-join shape.
+def _stream_pairs_oracle() -> str:
+    from .shared_sql import SIMHASH_HAM_MAX, SIMHASH_SH_CTES
+
+    return (
+        SIMHASH_SH_CTES
+        + f""",
+bands AS MATERIALIZED (
+  SELECT doc_id, simhash, b,
+         CAST((simhash >> (b * 16)) & 65535 AS BIGINT) AS bv
+  FROM sh, range(0, 4) t(b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAM_MAX}
+"""
+    )
+
+
+@graded("stream_simhash_pairs_replay", oracle=_stream_pairs_oracle())
+def stream_simhash_pairs_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup pairing under Structured Streaming,
+    hash-matched against the uncapped banded batch oracle (rationale
+    above). Three micro-batches; per batch the work is
+    batch × band-fan-out joins against the accumulated parquet band
+    index — the 100 TB ingest shape, where a day's shard joins the
+    corpus index instead of the corpus self-joining."""
+    from ..streaming.dedup_pairs import simhash_pairs_replay
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="cda2_shpairs_")
+    try:
+        docs_dir = os.path.join(tmp, "docs")
+        docs.repartition(3).write.parquet(docs_dir)
+        # Replay-scale shuffle clamp (same rationale as the stateful
+        # replays): each of the 3 micro-batches runs several joins —
+        # 32-way exchanges on ~kB frames are pure dispatch overhead.
+        with _few_state_partitions(spark, 8):
+            out = simhash_pairs_replay(
+                spark, docs_dir, os.path.join(tmp, "work")
+            )
+        return materialize_outliving(out, tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
