@@ -80,3 +80,36 @@ def test_bitmap_distinct_equals_exact(spark, sf_dir):
         .collect()
     }
     assert got == exact
+
+
+def test_quantile_sketch_bounded_error(spark, sf_dir):
+    """r10: the 256-sample discrete percentile tracks the exact one.
+    DKW-style bound: with k=256 the empirical CDF is within ~0.085 of
+    the true CDF w.h.p. — assert the loose practical form (quantile
+    VALUES within the 15% relative band on this distribution, exact
+    match on monotonicity)."""
+    rows = registry.QUERIES["agg_quantile_sketch"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    by_q = {r.q: r for r in rows}
+    assert sorted(by_q) == [25, 50, 75, 90, 99]
+    for r in rows:
+        assert r.rel_err <= 0.15, (r.q, r.rel_err)
+    # both estimate series are monotone in q
+    ks = sorted(by_q)
+    assert all(by_q[a].exact_v <= by_q[b].exact_v for a, b in zip(ks, ks[1:]))
+    assert all(by_q[a].kmv_v <= by_q[b].kmv_v for a, b in zip(ks, ks[1:]))
+
+
+def test_neyman_allocation_invariants(spark, sf_dir):
+    """r10: quotas respect the budget and the stratum sizes, selection
+    fills every quota exactly (md5 rank never undershoots), and
+    weights follow N_h·S_h ordering."""
+    from canvas_data_2_aws_spark.queries.curation import _NEYMAN_BUDGET
+
+    rows = registry.QUERIES["sample_stratified_neyman"](spark, sf_dir).collect()
+    assert rows
+    assert sum(r.n_alloc for r in rows) <= _NEYMAN_BUDGET + len(rows)
+    for r in rows:
+        assert 1 <= r.n_alloc <= r.n_stratum
+        assert r.n_sampled == r.n_alloc
+        assert r.weight >= 0

@@ -687,3 +687,27 @@ def test_streaming_simhash_pairs_equal_batch(spark, sf_dir, tmp_path):
     streamed = {(r.doc_a, r.doc_b) for r in streamed_df.collect()}
     assert streamed == batch
     assert len(batch) > 0, "vacuous equivalence: fixture has no near-dups"
+
+
+def test_streaming_simhash_pairs_rerun_idempotent(spark, sf_dir, tmp_path):
+    """r10 exactly-once shape: a SECOND AvailableNow run against the
+    same work_dir (checkpoint already at end-of-log) must process zero
+    new batches and leave the pair set unchanged — the restart story
+    for the incremental pairing."""
+    from canvas_data_2_aws_spark.session import load_table
+    from canvas_data_2_aws_spark.streaming.dedup_pairs import (
+        simhash_pairs_replay,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs_dir = str(tmp_path / "docs")
+    docs.repartition(3).write.parquet(docs_dir)
+    work = str(tmp_path / "work")
+    first = {
+        (r.doc_a, r.doc_b) for r in simhash_pairs_replay(spark, docs_dir, work).collect()
+    }
+    second = {
+        (r.doc_a, r.doc_b) for r in simhash_pairs_replay(spark, docs_dir, work).collect()
+    }
+    assert second == first
+    assert first
