@@ -146,6 +146,7 @@ HEADLINE = [
     # and swept but not a headline row.)
     "agg_quantile_sketch",
     "sample_stratified_neyman",
+    "pipeline_rendezvous_resharding",
 ]
 
 

@@ -1515,7 +1515,7 @@ s{i} AS (
     GROUP BY c.q, c.d, c.simq
   ) QUALIFY ROW_NUMBER() OVER (PARTITION BY q ORDER BY mmr DESC, d) = 1
 ),
-sel{i} AS (SELECT * FROM sel{p} UNION ALL SELECT * FROM s{i})"""
+sel{i} AS MATERIALIZED (SELECT * FROM sel{p} UNION ALL SELECT * FROM s{i})"""
 
 _MMR_ORACLE = (
     """
@@ -1532,8 +1532,8 @@ WITH cand AS (
   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
   WHERE a.vec_id < 8
 ),
-c AS (SELECT q, d, simq FROM cand WHERE rn <= 20),
-pair AS (
+c AS MATERIALIZED (SELECT q, d, simq FROM cand WHERE rn <= 20),
+pair AS MATERIALIZED (
   SELECT x.q, x.d AS d1, y.d AS d2,
          ROUND(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
                                       CAST(e2.embedding AS DOUBLE[])), 4) AS s
@@ -1545,7 +1545,7 @@ s1 AS (
   SELECT q, d, CAST(1 AS BIGINT) AS rk, 0.5 * simq AS mmr
   FROM c QUALIFY ROW_NUMBER() OVER (PARTITION BY q ORDER BY simq DESC, d) = 1
 ),
-sel1 AS (SELECT * FROM s1),"""
+sel1 AS MATERIALIZED (SELECT * FROM s1),"""
     + ",".join(_MMR_STAGE.format(i=i, p=i - 1) for i in range(2, 6))
     + """
 SELECT q AS query_id, rk, d AS neighbor_id, mmr
@@ -2225,4 +2225,92 @@ def analytics_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         u1x2.cast("bigint").alias("u1_x2"),
         "ties",
         z.alias("z"),
+    )
+
+
+# --- rendezvous-hash resharding: minimal-disruption re-shard (r10) ----------------
+
+# Growing a training-data export from 8 to 9 shards with mod-hash
+# (doc_id % N) moves ~8/9 of all keys — every downstream cache,
+# resume-token, and dedup index invalidates. Rendezvous (HRW) hashing
+# moves ONLY the keys the new shard wins: shard(k) = argmin over
+# shards s of md5(s:k). This query grades the property itself: per
+# old shard, how many keys depart — and `n_moved_elsewhere`, the
+# count of keys that moved between OLD shards, which HRW guarantees
+# is ZERO (a graded value, not a test assertion: if the hash family
+# or tie-break broke the guarantee, the differential would fail).
+# Everything is md5-string ranking — deterministic cross-engine; the
+# argmin tie-break appends the shard id to the hash so min_by's key
+# is unique.
+_RENDEZVOUS_ORACLE = """
+WITH scores AS (
+  SELECT doc_id, s,
+         md5(CAST(s AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))
+           || ':' || CAST(s AS VARCHAR) AS hk
+  FROM documents, range(0, 9) t(s)
+),
+a8 AS (
+  SELECT doc_id, arg_min(s, hk) AS shard_old
+  FROM scores WHERE s < 8 GROUP BY doc_id
+),
+a9 AS (
+  SELECT doc_id, arg_min(s, hk) AS shard_new
+  FROM scores GROUP BY doc_id
+)
+SELECT CAST(a8.shard_old AS BIGINT) AS shard_old,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN a9.shard_new = 8 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_to_new,
+       CAST(SUM(CASE WHEN a9.shard_new <> 8
+                      AND a9.shard_new <> a8.shard_old
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_elsewhere
+FROM a8 JOIN a9 ON a9.doc_id = a8.doc_id
+GROUP BY a8.shard_old
+"""
+
+
+@graded("pipeline_rendezvous_resharding", oracle=_RENDEZVOUS_ORACLE)
+def pipeline_rendezvous_resharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HRW resharding 8 → 9 (rationale above): per old shard, the keys
+    that depart go ONLY to the new shard (n_moved_elsewhere = 0 by the
+    rendezvous guarantee, graded as a value). Plan: one 9-way literal
+    fan-out over doc ids (map-side), two groupBy(doc_id) argmins, one
+    join on doc_id, final 8-row rollup — at 100 TB the fan-out factor
+    is |shards|, the shuffles are all on doc_id, and nothing is
+    corpus-broadcast."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    scores = docs.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(s) for s in range(9)])).alias("s"),
+    ).select(
+        "doc_id",
+        "s",
+        F.concat_ws(
+            ":",
+            F.md5(F.concat_ws(":", F.col("s").cast("string"),
+                              F.col("doc_id").cast("string"))),
+            F.col("s").cast("string"),
+        ).alias("hk"),
+    )
+    a8 = (
+        scores.where(F.col("s") < 8)
+        .groupBy("doc_id")
+        .agg(F.min_by("s", "hk").alias("shard_old"))
+    )
+    a9 = scores.groupBy("doc_id").agg(F.min_by("s", "hk").alias("shard_new"))
+    return (
+        a8.join(a9, "doc_id")
+        .groupBy(F.col("shard_old").cast("bigint").alias("shard_old"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("shard_new") == 8).cast("int"))
+            .cast("bigint")
+            .alias("n_to_new"),
+            F.sum(
+                ((F.col("shard_new") != 8)
+                 & (F.col("shard_new") != F.col("shard_old"))).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_moved_elsewhere"),
+        )
     )
