@@ -147,6 +147,7 @@ HEADLINE = [
     "agg_quantile_sketch",
     "sample_stratified_neyman",
     "pipeline_rendezvous_resharding",
+    "validate_psi_drift",
 ]
 
 

@@ -363,3 +363,147 @@ def validate_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --- population-stability-index drift monitor (r10) -------------------------------
+
+# THE post-sync distribution check a replication pipeline runs after
+# the integrity checks above: did the VALUE distribution shift between
+# loads? PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) over reference-decile
+# bins (reference = first half-month of events, current = second).
+# Industry thresholds: <0.1 stable, 0.1–0.25 drifting, >0.25 broken.
+#
+# Determinism recipe (SURVEY §8): decile cut points are DISCRETE
+# reference percentiles (integer index arithmetic, distributed global
+# ranks); p_i, q_i are exact int/int divisions; the only transcendental
+# is ln(p/max(q,ε)) on identical doubles, and each bin term is rounded
+# to 9 dp (+0.0 to normalize a potential −0.0) before the
+# order-independent DECIMAL sum — the same ln-quantization the
+# perplexity family uses.
+_PSI_ORACLE = """
+WITH ref AS (
+  SELECT value AS v, event_id FROM events WHERE date_part('day', ts) <= 15
+),
+cur AS (
+  SELECT value AS v, event_id FROM events WHERE date_part('day', ts) > 15
+),
+nref AS (SELECT COUNT(*) AS n FROM ref),
+ks(k) AS (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)),
+ranked AS MATERIALIZED (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v, event_id) AS rn FROM ref
+),
+cuts AS MATERIALIZED (
+  SELECT ks.k, r.v AS cut_v
+  FROM ks, nref JOIN ranked r ON r.rn = ((nref.n - 1) * ks.k) // 10 + 1
+),
+rbin AS (
+  SELECT rf.event_id, 1 + COUNT(c.k) AS bin
+  FROM ref rf LEFT JOIN cuts c ON rf.v > c.cut_v GROUP BY rf.event_id
+),
+cbin AS (
+  SELECT cu.event_id, 1 + COUNT(c.k) AS bin
+  FROM cur cu LEFT JOIN cuts c ON cu.v > c.cut_v GROUP BY cu.event_id
+),
+rcnt AS (SELECT bin, COUNT(*) AS ref_n FROM rbin GROUP BY bin),
+ccnt AS (SELECT bin, COUNT(*) AS cur_n FROM cbin GROUP BY bin),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM ref) AS rt, (SELECT COUNT(*) FROM cur) AS ct
+),
+terms AS MATERIALIZED (
+  SELECT r.bin,
+         r.ref_n,
+         COALESCE(c.cur_n, 0) AS cur_n,
+         ROUND((CAST(r.ref_n AS DOUBLE) / tot.rt
+                - CAST(COALESCE(c.cur_n, 0) AS DOUBLE) / tot.ct)
+               * CAST(CAST(ln((CAST(r.ref_n AS DOUBLE) / tot.rt)
+                              / GREATEST(CAST(COALESCE(c.cur_n, 0) AS DOUBLE)
+                                         / tot.ct, 1e-6))
+                           AS DECIMAL(38,9)) AS DOUBLE),
+               9) + 0.0 AS psi_term
+  FROM rcnt r LEFT JOIN ccnt c ON c.bin = r.bin, tot
+),
+tsum AS (
+  SELECT ROUND(CAST(SUM(CAST(psi_term AS DECIMAL(18,12))) AS DOUBLE), 6) + 0.0
+           AS psi_total
+  FROM terms
+)
+SELECT CAST(t.bin AS BIGINT) AS bin,
+       CAST(t.ref_n AS BIGINT) AS ref_n,
+       CAST(t.cur_n AS BIGINT) AS cur_n,
+       t.psi_term, s.psi_total
+FROM terms t, tsum s
+"""
+
+
+@graded("validate_psi_drift", oracle=_PSI_ORACLE)
+def validate_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift between the two half-month event loads (rationale and
+    determinism recipe above). Plan: one distributed global rank over
+    the reference for the 9 cut points (fetched driver-side — a
+    bounded ≤9-row index, the centroid-fetch precedent), then binning
+    is a literal CASE chain (pure map, zero extra shuffle at any
+    corpus), two 10-row bin aggregates, and a broadcast scalar attach
+    of the total."""
+    from ..operators.ranks import global_row_number
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.where(F.dayofmonth("ts") <= 15).select(
+        F.col("value").alias("v"), "event_id"
+    )
+    cur = ev.where(F.dayofmonth("ts") > 15).select(
+        F.col("value").alias("v"), "event_id"
+    )
+    ranked = global_row_number(ref, ["v", "event_id"], out="rn")
+    nref = ref.count()
+    targets = {((nref - 1) * k) // 10 + 1 for k in range(1, 10)}
+    cut_rows = (
+        ranked.where(F.col("rn").isin(sorted(targets))).select("v").collect()
+    )
+    if len(cut_rows) > 9:  # bounded-fetch guard (rn is unique ⇒ ≤9)
+        raise RuntimeError("PSI cut fetch returned more rows than cut points")
+    cuts = sorted(r.v for r in cut_rows)
+    bin_col = sum(
+        ((F.col("v") > F.lit(c)).cast("int") for c in cuts), F.lit(1)
+    ).alias("bin")
+
+    def bin_counts(side: DataFrame, out: str) -> DataFrame:
+        return side.select(bin_col).groupBy("bin").agg(
+            F.count("*").alias(out)
+        )
+
+    rcnt = bin_counts(ref, "ref_n")
+    ccnt = bin_counts(cur, "cur_n")
+    rt = float(nref)
+    ct = float(cur.count())
+    p = F.col("ref_n").cast("double") / F.lit(rt)
+    q = F.coalesce(F.col("cur_n"), F.lit(0)).cast("double") / F.lit(ct)
+    term = (
+        F.round(
+            (p - q)
+            * F.log(p / F.greatest(q, F.lit(1e-6)))
+            .cast("decimal(38,9)")
+            .cast("double"),
+            9,
+        )
+        + 0.0
+    ).alias("psi_term")
+    terms = (
+        rcnt.join(ccnt, "bin", "left")
+        .select(
+            F.col("bin").cast("bigint").alias("bin"),
+            F.col("ref_n").cast("bigint").alias("ref_n"),
+            F.coalesce(F.col("cur_n"), F.lit(0)).cast("bigint").alias("cur_n"),
+            term,
+        )
+        .localCheckpoint(eager=True)  # feeds rows + the total attach
+    )
+    tsum = terms.agg(
+        (
+            F.round(
+                F.sum(F.col("psi_term").cast("decimal(18,12)")).cast("double"),
+                6,
+            )
+            + 0.0
+        ).alias("psi_total")
+    )
+    return terms.crossJoin(F.broadcast(tsum))  # 1-row scalar attach

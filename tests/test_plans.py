@@ -188,6 +188,10 @@ _NESTED_LOOP_OK = {
     "timeseries_bollinger",  # unit group key on the calendar frame
     "text_zipf_slope",  # unit group key on the 1000-row LIMIT frame
     "text_perplexity_buckets",  # 1-row corpus-N + exact_ntile count broadcasts
+    # round-10 additions, same constant-side shapes:
+    "agg_quantile_sketch",  # 5-row q-target broadcasts + unit-group sample rank
+    "sample_stratified_neyman",  # 1-row Σweight broadcast
+    "validate_psi_drift",  # 1-row PSI-total attach (terms checkpointed)
     "pipeline_curriculum_stages",  # exact_ntile: 1-row total-n broadcast
     "graph_modularity",  # 1-row edge-count broadcast
     "pipeline_shard_assignment",  # global_row_number offset manifest
