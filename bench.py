@@ -148,6 +148,8 @@ HEADLINE = [
     "sample_stratified_neyman",
     "pipeline_rendezvous_resharding",
     "validate_psi_drift",
+    "dedup_cluster_histogram",
+    "sample_coordinated_fk",
 ]
 
 

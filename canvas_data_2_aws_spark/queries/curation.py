@@ -2097,3 +2097,108 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_chars").cast("bigint")).alias("sample_chars"),
         )
     )
+
+
+# --- coordinated FK-consistent downsampling (r10) ---------------------------------
+
+# Downscaling a warehouse for a dev/test replica the RIGHT way: sample
+# the PARENT entity by a stable hash rule and let every child table
+# inherit membership through its FK — the resulting mini-warehouse
+# satisfies every FK (n_fk_orphans is computed by a real anti-join and
+# graded as a value, not asserted), joins behave like production, and
+# the rule is coordinate-free (md5 of the key: any engine, any time,
+# same sample — appends included). Contrast: independently sampling
+# each table at 12.5% orphans ~87.5% of child rows. Child retention
+# tracks parent retention only as far as FK fan-out is uniform — the
+# pct columns measure exactly that.
+_COORD_SAMPLE_ORACLE = """
+WITH sc AS (
+  SELECT c_custkey FROM customer
+  WHERE substring(md5(CAST(c_custkey AS VARCHAR)), 1, 2) < '20'
+),
+so AS (
+  SELECT o.o_orderkey, o.o_custkey FROM orders o
+  WHERE o.o_custkey IN (SELECT c_custkey FROM sc)
+),
+sl AS (
+  SELECT l.l_orderkey FROM lineitem l
+  WHERE l.l_orderkey IN (SELECT o_orderkey FROM so)
+)
+SELECT 'customer' AS tbl,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_total,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM sc) AS n_sampled,
+       ROUND((SELECT CAST(COUNT(*) AS DOUBLE) FROM sc)
+             / (SELECT COUNT(*) FROM customer), 4) AS pct,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM sc
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM customer))
+         AS n_fk_orphans
+UNION ALL
+SELECT 'orders',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM so),
+       ROUND((SELECT CAST(COUNT(*) AS DOUBLE) FROM so)
+             / (SELECT COUNT(*) FROM orders), 4),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM so
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM sc))
+UNION ALL
+SELECT 'lineitem',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM sl),
+       ROUND((SELECT CAST(COUNT(*) AS DOUBLE) FROM sl)
+             / (SELECT COUNT(*) FROM lineitem), 4),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM sl
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM so))
+"""
+
+
+@graded("sample_coordinated_fk", oracle=_COORD_SAMPLE_ORACLE)
+def sample_coordinated_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coordinated FK-consistent sample (rationale above): one md5
+    rule on the parent key, children inherit by LEFT SEMI join (the
+    FK-scale join shape — no broadcast of the data, shuffles on the
+    join keys Catalyst already uses), orphan checks by LEFT ANTI. The
+    result is nine 1-row aggregates assembled into a 3-row report —
+    every attach bounded."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sc = cust.where(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 2) < "20"
+    ).select("c_custkey")
+    so = orders.join(
+        sc, orders.o_custkey == sc.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_custkey")
+    sl = li.join(
+        so, li.l_orderkey == so.o_orderkey, "left_semi"
+    ).select("l_orderkey")
+
+    def report(tbl: str, total_df, samp_df, orphan_df) -> DataFrame:
+        t = total_df.agg(F.count("*").cast("bigint").alias("n_total"))
+        s = samp_df.agg(F.count("*").cast("bigint").alias("n_sampled"))
+        o = orphan_df.agg(F.count("*").cast("bigint").alias("n_fk_orphans"))
+        return (
+            t.crossJoin(F.broadcast(s))  # 1-row count attaches
+            .crossJoin(F.broadcast(o))
+            .select(
+                F.lit(tbl).alias("tbl"),
+                "n_total",
+                "n_sampled",
+                F.round(
+                    F.col("n_sampled").cast("double") / F.col("n_total"), 4
+                ).alias("pct"),
+                "n_fk_orphans",
+            )
+        )
+
+    rows = [
+        report("customer", cust, sc,
+               sc.join(cust, "c_custkey", "left_anti")),
+        report("orders", orders, so,
+               so.join(sc, so.o_custkey == sc.c_custkey, "left_anti")),
+        report("lineitem", li, sl,
+               sl.join(so, sl.l_orderkey == so.o_orderkey, "left_anti")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -1391,3 +1391,40 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("community_size"),
     )
+
+
+# --- near-dup cluster-size histogram (r10) ----------------------------------------
+
+# The dedup health dashboard: how much of the corpus is duplicated,
+# and in what clump sizes? One groupBy(simhash) for cluster sizes,
+# one groupBy(size) for the histogram — the k=1 row is the unique
+# mass, the tail is what dedup will reclaim. At 100 TB both aggs are
+# plain hash aggregations on bounded keys (cluster count ≤ corpus,
+# distinct sizes ≪ corpus); docs_reclaimable = (k−1)·clusters is the
+# exact row count dedup_keep_canonical would delete.
+_CLUSTER_HIST_ORACLE = (
+    _SH_CTES
+    + """
+, sizes AS (SELECT simhash, COUNT(*) AS k FROM sh GROUP BY simhash)
+SELECT k AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) * k AS BIGINT) AS n_docs,
+       CAST(COUNT(*) * (k - 1) AS BIGINT) AS docs_reclaimable
+FROM sizes GROUP BY k
+"""
+)
+
+
+@graded("dedup_cluster_histogram", oracle=_CLUSTER_HIST_ORACLE)
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the exact-SimHash near-dup clusters
+    (rationale above); rides the session-shared hash frame."""
+    sh = T.simhash_sh_cached(spark, sf_dir)
+    sizes = sh.groupBy("simhash").agg(F.count("*").alias("k"))
+    return sizes.groupBy(F.col("k").alias("cluster_size")).agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        (F.count("*") * F.col("cluster_size")).cast("bigint").alias("n_docs"),
+        (F.count("*") * (F.col("cluster_size") - 1))
+        .cast("bigint")
+        .alias("docs_reclaimable"),
+    )

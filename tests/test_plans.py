@@ -192,6 +192,7 @@ _NESTED_LOOP_OK = {
     "agg_quantile_sketch",  # 5-row q-target broadcasts + unit-group sample rank
     "sample_stratified_neyman",  # 1-row Σweight broadcast
     "validate_psi_drift",  # 1-row PSI-total attach (terms checkpointed)
+    "sample_coordinated_fk",  # nine 1-row count attaches (3-row report)
     "pipeline_curriculum_stages",  # exact_ntile: 1-row total-n broadcast
     "graph_modularity",  # 1-row edge-count broadcast
     "pipeline_shard_assignment",  # global_row_number offset manifest
