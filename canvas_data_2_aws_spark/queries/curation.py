@@ -126,7 +126,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # catches it. Same blocked-pair plan as dedup_ngram_jaccard — exact
 # small-integer division, no floats until the output edge.
 _CONTAINMENT_ORACLE = """
-WITH sh AS (
+WITH sh AS MATERIALIZED (
   SELECT doc_id, lang, source,
          list_distinct(list_transform(
            range(1, GREATEST(LEN(string_split(text, ' ')) - 1, 1)),
@@ -136,14 +136,29 @@ WITH sh AS (
                 list_extract(string_split(text, ' '), i + 2))
          )) AS shingles
   FROM documents
+),
+-- |A∩B| via explode + grouped equi-join (r10 oracle-stability recipe:
+-- identical integers/doubles, hash-join plan DuckDB cannot flip into
+-- re-evaluated per-pair intersects). Threshold 0.05 > 0 ⇒ only pairs
+-- with a shared shingle can qualify, so the inner join is complete.
+cnt AS MATERIALIZED (SELECT doc_id, LEN(shingles) AS ns FROM sh),
+px AS MATERIALIZED (
+  SELECT doc_id, lang, source, unnest(shingles) AS g FROM sh
+),
+inter AS MATERIALIZED (
+  SELECT a.doc_id AS pa, b.doc_id AS pb, COUNT(*) AS ni
+  FROM px a
+  JOIN px b ON a.g = b.g AND a.lang = b.lang AND a.source = b.source
+            AND a.doc_id < b.doc_id
+  GROUP BY pa, pb
 )
 SELECT doc_a, doc_b, containment
 FROM (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         CAST(LEN(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-           / LEAST(LEN(a.shingles), LEN(b.shingles)) AS containment
-  FROM sh a
-  JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang AND a.source = b.source
+  SELECT i.pa AS doc_a, i.pb AS doc_b,
+         CAST(i.ni AS DOUBLE) / LEAST(x.ns, y.ns) AS containment
+  FROM inter i
+  JOIN cnt x ON x.doc_id = i.pa
+  JOIN cnt y ON y.doc_id = i.pb
 ) t
 WHERE containment >= 0.05
 """
@@ -204,7 +219,7 @@ _LSH_RECALL_ORACLE = f"""
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ),
-sh AS (
+sh AS MATERIALIZED (
   SELECT doc_id, list_distinct(list_transform(
            range(1, GREATEST(LEN(w) - 1, 1)),
            i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
@@ -216,7 +231,7 @@ inter AS (
   FROM px a JOIN px b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY doc_a, doc_b
 ),
-truth AS (
+truth AS MATERIALIZED (
   SELECT i.doc_a, i.doc_b
   FROM inter i
   JOIN sh x ON x.doc_id = i.doc_a
@@ -233,17 +248,19 @@ sig AS (
 bands AS (
   {_MINHASH_BANDS_SQL}
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a
   JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+hit AS MATERIALIZED (
+  SELECT COUNT(*) AS n FROM truth t JOIN cand c
+    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
 )
 SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
        (SELECT COUNT(*) FROM cand) AS n_cand,
-       (SELECT COUNT(*) FROM truth t JOIN cand c
-          ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit,
-       ROUND(CAST((SELECT COUNT(*) FROM truth t JOIN cand c
-                     ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS DOUBLE)
+       (SELECT n FROM hit) AS n_hit,
+       ROUND(CAST((SELECT n FROM hit) AS DOUBLE)
              / (SELECT COUNT(*) FROM truth), 4) AS recall
 """
 

@@ -52,7 +52,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- EXT: n-gram Jaccard ----------------------------------------------------------
 
 _JACCARD_ORACLE = """
-WITH sh AS (
+WITH sh AS MATERIALIZED (
   SELECT doc_id, lang, source,
          list_distinct(list_transform(
            range(1, GREATEST(LEN(string_split(text, ' ')) - 1, 1)),
@@ -62,13 +62,32 @@ WITH sh AS (
                 list_extract(string_split(text, ' '), i + 2))
          )) AS shingles
   FROM documents
+),
+-- Intersection sizes via explode + hash join, not per-pair
+-- list_intersect: |A∩B| = COUNT(*) of shared distinct shingles. Same
+-- integers, same doubles, but the plan is a grouped equi-join DuckDB
+-- cannot flip into a re-evaluated nested intersect (r10: the inline
+-- form drew a pathological plan mid-sweep — SURVEY §8 r9 erratum 3's
+-- volatility, dodged structurally).
+cnt AS MATERIALIZED (
+  SELECT doc_id, lang, source, LEN(shingles) AS ns FROM sh
+),
+px AS MATERIALIZED (
+  SELECT doc_id, lang, source, unnest(shingles) AS g FROM sh
+),
+inter AS MATERIALIZED (
+  SELECT a.doc_id AS pa, b.doc_id AS pb, COUNT(*) AS ni
+  FROM px a
+  JOIN px b ON a.g = b.g AND a.lang = b.lang AND a.source = b.source
+            AND a.doc_id < b.doc_id
+  GROUP BY pa, pb
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(LEN(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-         / (LEN(a.shingles) + LEN(b.shingles)
-            - LEN(list_intersect(a.shingles, b.shingles))) AS jaccard
-FROM sh a
-JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang AND a.source = b.source
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       CAST(COALESCE(i.ni, 0) AS DOUBLE)
+         / (x.ns + y.ns - COALESCE(i.ni, 0)) AS jaccard
+FROM cnt x
+JOIN cnt y ON x.doc_id < y.doc_id AND x.lang = y.lang AND x.source = y.source
+LEFT JOIN inter i ON i.pa = x.doc_id AND i.pb = y.doc_id
 """
 
 
@@ -359,15 +378,28 @@ WITH RECURSIVE sh AS (
          )) AS shingles
   FROM documents
 ),
-pairs AS (
-  SELECT a.doc_id AS pa, b.doc_id AS pb
-  FROM sh a
-  JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang AND a.source = b.source
-  WHERE CAST(LEN(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-          / (LEN(a.shingles) + LEN(b.shingles)
-             - LEN(list_intersect(a.shingles, b.shingles))) >= 0.2
+pairs_cnt AS MATERIALIZED (SELECT doc_id, LEN(shingles) AS ns FROM sh),
+pairs_px AS MATERIALIZED (
+  SELECT doc_id, lang, source, unnest(shingles) AS g FROM sh
 ),
-sym AS (
+pairs_inter AS MATERIALIZED (
+  SELECT a.doc_id AS pa, b.doc_id AS pb, COUNT(*) AS ni
+  FROM pairs_px a
+  JOIN pairs_px b ON a.g = b.g AND a.lang = b.lang AND a.source = b.source
+                 AND a.doc_id < b.doc_id
+  GROUP BY pa, pb
+),
+-- Jaccard >= 0.2 > 0 requires a shared shingle, so the grouped
+-- equi-join intersection is complete (r10 oracle-stability recipe:
+-- same integers, hash-join plan instead of per-pair list_intersect).
+pairs AS MATERIALIZED (
+  SELECT i.pa, i.pb
+  FROM pairs_inter i
+  JOIN pairs_cnt x ON x.doc_id = i.pa
+  JOIN pairs_cnt y ON y.doc_id = i.pb
+  WHERE CAST(i.ni AS DOUBLE) / (x.ns + y.ns - i.ni) >= 0.2
+),
+sym AS MATERIALIZED (
   SELECT pa AS a, pb AS b FROM pairs
   UNION
   SELECT pb AS a, pa AS b FROM pairs

@@ -688,15 +688,28 @@ WITH RECURSIVE sh AS (
          )) AS shingles
   FROM documents
 ),
-pairs AS (
-  SELECT a.doc_id AS pa, b.doc_id AS pb
-  FROM sh a
-  JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang AND a.source = b.source
-  WHERE CAST(LEN(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-          / (LEN(a.shingles) + LEN(b.shingles)
-             - LEN(list_intersect(a.shingles, b.shingles))) >= 0.2
+pairs_cnt AS MATERIALIZED (SELECT doc_id, LEN(shingles) AS ns FROM sh),
+pairs_px AS MATERIALIZED (
+  SELECT doc_id, lang, source, unnest(shingles) AS g FROM sh
 ),
-sym AS (
+pairs_inter AS MATERIALIZED (
+  SELECT a.doc_id AS pa, b.doc_id AS pb, COUNT(*) AS ni
+  FROM pairs_px a
+  JOIN pairs_px b ON a.g = b.g AND a.lang = b.lang AND a.source = b.source
+                 AND a.doc_id < b.doc_id
+  GROUP BY pa, pb
+),
+-- Jaccard >= 0.2 > 0 requires a shared shingle, so the grouped
+-- equi-join intersection is complete (r10 oracle-stability recipe:
+-- same integers, hash-join plan instead of per-pair list_intersect).
+pairs AS MATERIALIZED (
+  SELECT i.pa, i.pb
+  FROM pairs_inter i
+  JOIN pairs_cnt x ON x.doc_id = i.pa
+  JOIN pairs_cnt y ON y.doc_id = i.pb
+  WHERE CAST(i.ni AS DOUBLE) / (x.ns + y.ns - i.ni) >= 0.2
+),
+sym AS MATERIALIZED (
   SELECT pa AS a, pb AS b FROM pairs
   UNION
   SELECT pb AS a, pa AS b FROM pairs
@@ -706,7 +719,7 @@ reach(a, b) AS (
   UNION
   SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
 ),
-comp AS (
+comp AS MATERIALIZED (
   SELECT a AS node, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
 ),
 deg AS (SELECT a AS node, COUNT(*) AS d FROM sym GROUP BY a),
