@@ -1033,22 +1033,32 @@ WITH e AS MATERIALIZED (
     ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
   WHERE levenshtein(a.p_name, b.p_name) <= 4
 ),
-sym AS MATERIALIZED (
+-- Only `e` is materialized (3 references through sym's two branches
+-- plus the anti join; recomputing 16M levenshteins 3x dwarfs the
+-- 1.08M-row buffer). sym/deg/hop2 stay INLINE deliberately: an
+-- A/B measured this round showed materializing the 2.16M-row sym
+-- buffer forces a stop-and-buffer before the self-join that DuckDB
+-- otherwise pipelines (7.6 s vs 27.7 s end-to-end) — the multi-ref
+-- MATERIALIZED rule applies when recompute cost exceeds buffer cost,
+-- which a cheap projection of an already-materialized CTE fails.
+sym AS (
   SELECT a AS node, b AS nbr FROM e
   UNION
   SELECT b, a FROM e
 ),
-deg AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY node),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY node),
 hop2 AS (
   SELECT s1.node AS x, s2.node AS y, CAST(COUNT(*) AS BIGINT) AS common
   FROM sym s1 JOIN sym s2
     ON s1.nbr = s2.nbr AND s1.node < s2.node
   GROUP BY s1.node, s2.node
 ),
+-- Explicit LEFT-ANTI instead of correlated NOT EXISTS: one plan shape.
 cand AS (
-  SELECT h.x, h.y, h.common FROM hop2 h
-  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = h.x AND e.b = h.y)
-    AND h.common >= 2
+  SELECT h.x, h.y, h.common
+  FROM hop2 h
+  LEFT JOIN e ON e.a = h.x AND e.b = h.y
+  WHERE e.a IS NULL AND h.common >= 2
 )
 SELECT c.x, c.y, c.common,
        CAST(c.common AS DOUBLE)
