@@ -150,6 +150,7 @@ HEADLINE = [
     "validate_psi_drift",
     "dedup_cluster_histogram",
     "sample_coordinated_fk",
+    "dedup_simhash_cap_effect",
 ]
 
 

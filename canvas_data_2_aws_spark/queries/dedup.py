@@ -1470,3 +1470,102 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("docs_reclaimable"),
     )
+
+
+# --- cap-effect audit: capped vs uncapped banded pairs (r10) -----------------------
+
+# Quantifies exactly the divergence the streaming twin documents
+# (stream_simhash_pairs_replay grades the UNCAPPED semantics because
+# the hub-star cap is not expressible append-only): how many verified
+# pairs exist uncapped, how many survive the production group_cap, how
+# many band groups are oversized, and how many candidate edges the
+# hub-star substitution contributes. On a corpus where the cap never
+# fires the first two columns are equal and the last two are zero —
+# the audit a deployment runs before trusting batch/stream parity.
+_CAP_EFFECT_ORACLE = (
+    _SIMHASH_PAIRS_SQL
+    + f"""
+bands_u AS MATERIALIZED (
+  SELECT doc_id, simhash, b,
+         CAST((simhash >> (b * 16)) & 65535 AS BIGINT) AS bv
+  FROM sh, range(0, 4) t(b)
+),
+uncapped AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+  FROM bands_u a
+  JOIN bands_u b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAM_MAX}
+),
+over AS (
+  SELECT COUNT(*) AS n_oversized,
+         CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS n_star_edges
+  FROM bgrp WHERE n > {SIMHASH_GROUP_CAP}
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM uncapped) AS n_uncapped,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_capped,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM uncapped u
+        WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                          WHERE p.pa = u.pa AND p.pb = u.pb)) AS n_lost_to_cap,
+       o.n_oversized, o.n_star_edges
+FROM over o
+"""
+)
+
+
+@graded("dedup_simhash_cap_effect", oracle=_CAP_EFFECT_ORACLE)
+def dedup_simhash_cap_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped-vs-uncapped pair audit (rationale above). One row:
+    n_uncapped, n_capped, n_lost_to_cap, n_oversized (band groups over
+    group_cap), n_star_edges. Both pair sets ride the session-shared
+    hash frame; the uncapped set is the same bounded band equi-join
+    with the cap predicate removed."""
+    sh = T.simhash_sh_cached(spark, sf_dir)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("b"),
+    ).select(
+        "doc_id",
+        "simhash",
+        "b",
+        F.expr("CAST((simhash >> (b * 16)) & 65535 AS BIGINT)").alias("bv"),
+    )
+    a = bands.select(
+        "b", "bv", F.col("doc_id").alias("pa"), F.col("simhash").alias("sa")
+    )
+    bb = bands.select(
+        "b", "bv", F.col("doc_id").alias("pb"), F.col("simhash").alias("sb")
+    )
+    uncapped = (
+        a.join(bb, ["b", "bv"])
+        .where(
+            (F.col("pa") < F.col("pb"))
+            & F.expr(f"bit_count(sa ^ sb) <= {SIMHASH_HAM_MAX}")
+        )
+        .select("pa", "pb")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds the count and the anti join
+    )
+    capped = simhash_pairs_cached(spark, sf_dir).select(
+        F.col("doc_a").alias("pa"), F.col("doc_b").alias("pb")
+    )
+    grp = bands.groupBy("b", "bv").agg(F.count("*").alias("n"))
+    over = grp.where(F.col("n") > SIMHASH_GROUP_CAP).agg(
+        F.count("*").alias("n_oversized"),
+        F.coalesce(F.sum(F.col("n") - 1), F.lit(0))
+        .cast("bigint")
+        .alias("n_star_edges"),
+    )
+    n_unc = uncapped.agg(F.count("*").cast("bigint").alias("n_uncapped"))
+    n_cap = capped.agg(F.count("*").cast("bigint").alias("n_capped"))
+    n_lost = (
+        uncapped.join(capped, ["pa", "pb"], "left_anti")
+        .agg(F.count("*").cast("bigint").alias("n_lost_to_cap"))
+    )
+    return (
+        n_unc.crossJoin(F.broadcast(n_cap))  # 1-row count attaches
+        .crossJoin(F.broadcast(n_lost))
+        .crossJoin(F.broadcast(over))
+        .select("n_uncapped", "n_capped", "n_lost_to_cap",
+                "n_oversized", "n_star_edges")
+    )

@@ -193,6 +193,7 @@ _NESTED_LOOP_OK = {
     "sample_stratified_neyman",  # 1-row Σweight broadcast
     "validate_psi_drift",  # 1-row PSI-total attach (terms checkpointed)
     "sample_coordinated_fk",  # nine 1-row count attaches (3-row report)
+    "dedup_simhash_cap_effect",  # four 1-row count attaches (1-row audit)
     "pipeline_curriculum_stages",  # exact_ntile: 1-row total-n broadcast
     "graph_modularity",  # 1-row edge-count broadcast
     "pipeline_shard_assignment",  # global_row_number offset manifest
