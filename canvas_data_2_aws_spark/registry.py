@@ -56,12 +56,13 @@ def graded(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]
 # the five round-9 operators the round-9 judge re-executed directly
 # (dedup_simhash_recall_eval, text_langid_eval, vector_bq_hamming_topk,
 # vector_bq_recall_eval, analytics_chi_square → round-11 window —
-# TOGETHER WITH the 7 new r10 operators (stream_simhash_pairs_replay,
+# TOGETHER WITH the 8 new r10 operators (stream_simhash_pairs_replay,
 # agg_quantile_sketch, sample_stratified_neyman,
 # pipeline_rendezvous_resharding, validate_psi_drift,
-# dedup_cluster_histogram, sample_coordinated_fk): 12 first-time slots,
-# the remaining 38 refreshing the oldest r01–r02 verdicts; that closes
-# the driver union at 311/311), plus
+# dedup_cluster_histogram, sample_coordinated_fk,
+# dedup_simhash_cap_effect): 13 first-time slots, the remaining 37
+# refreshing the oldest r01–r02 verdicts; that closes the driver
+# union at 312/312), plus
 # join_interval_overlap, whose only driver record is a stale r02 error
 # from the nanos-fixture era (fixed in r03 by type-adaptive load_table;
 # round-9 judge re-verified a 41-row hash-match — this slot records the
