@@ -454,3 +454,153 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_sec"),
         )
     )
+
+
+# --- EXT J10: Bloom-filter semi-join prefilter -----------------------------------
+
+# The 100 TB scan-reduction workhorse: instead of shuffling the whole
+# fact side into a semi join, broadcast a FIXED-SIZE bit set built from
+# the dim keys and drop non-matching fact rows at the scan. Spark's
+# optimizer injects this automatically as a runtime filter
+# (spark.sql.optimizer.runtime.bloomFilter.enabled) but the sketch it
+# uses is not reproducible cross-engine, so this graded query builds
+# the Bloom filter explicitly from an md5 hash family (k=3 probes,
+# m = 16 bits/key) — byte-identical in Spark and DuckDB, which makes
+# the false-positive behaviour itself hash-checkable. Sizing m
+# proportionally to the build count keeps the measured fp_rate
+# scale-invariant (~(1-e^{-3/16})^3 ≈ 0.5%) at every sf.
+_BLOOM_K = 3
+_BLOOM_BITS_PER_KEY = 16
+
+_BLOOM_POS_SQL = (
+    "CAST(concat('0x', substring(md5('bloom:' || CAST({j} AS VARCHAR) || ':' "
+    "|| CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT) % (SELECT m_bits FROM mm)"
+)
+
+_BLOOM_ORACLE = f"""
+WITH build AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+mm AS (SELECT CAST({_BLOOM_BITS_PER_KEY} * COUNT(*) AS BIGINT) AS m_bits
+       FROM build),
+seeds AS (SELECT unnest(range(0, {_BLOOM_K})) AS j),
+occ AS (
+  SELECT DISTINCT {_BLOOM_POS_SQL.format(j='j', key='c_custkey')} AS pos
+  FROM build, seeds
+),
+probe AS (
+  SELECT o_orderpriority,
+         CASE WHEN {_BLOOM_POS_SQL.format(j='0', key='o_custkey')}
+                IN (SELECT pos FROM occ)
+               AND {_BLOOM_POS_SQL.format(j='1', key='o_custkey')}
+                IN (SELECT pos FROM occ)
+               AND {_BLOOM_POS_SQL.format(j='2', key='o_custkey')}
+                IN (SELECT pos FROM occ)
+              THEN 1 ELSE 0 END AS is_candidate,
+         CASE WHEN o_custkey IN (SELECT c_custkey FROM build)
+              THEN 1 ELSE 0 END AS is_member
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(is_member) AS BIGINT) AS n_members,
+       CAST(SUM(is_candidate) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN is_candidate = 1 AND is_member = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       ROUND(CAST(SUM(CASE WHEN is_candidate = 1 AND is_member = 0
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / NULLIF(COUNT(*) - SUM(is_member), 0), 6) AS fp_rate,
+       (SELECT m_bits FROM mm) AS m_bits
+FROM probe
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@graded("join_bloom_prefilter", oracle=_BLOOM_ORACLE)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter prefilter for a fact⋈dim semi join, measured: build
+    a deterministic md5 Bloom set (k=3, 16 bits/key) from BUILDING
+    customers, probe every order map-side against the broadcast
+    position set, and report per-priority candidate/member/false-pos
+    counts. Plan shape: the probe side takes THREE broadcast hash
+    lookups plus one broadcast membership join — zero shuffles of the
+    fact table; the only exchange is the final 5-row aggregation. At
+    100 TB the broadcast position set is |dim|×k longs (the real
+    deployment packs it into a bitmap; the membership math is
+    identical), and the measured fp_rate is what the prefilter trades
+    for never shuffling non-matching fact rows."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    build = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    mm = build.agg(
+        (F.count("*") * _BLOOM_BITS_PER_KEY).cast("long").alias("m_bits")
+    )
+
+    def pos(j, key: str):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit("bloom"), j.cast("string"), F.col(key).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long") % F.col("m_bits")
+
+    seeds = spark.range(_BLOOM_K).select(F.col("id").alias("j"))
+    occ = (
+        build.crossJoin(F.broadcast(seeds))
+        .crossJoin(F.broadcast(mm))
+        .select(pos(F.col("j"), "c_custkey").alias("pos"))
+        .distinct()
+    )
+    probe = orders.crossJoin(F.broadcast(mm))
+    for j in range(_BLOOM_K):
+        probe = probe.withColumn(f"_p{j}", pos(F.lit(j), "o_custkey")).join(
+            F.broadcast(occ.select(F.col("pos").alias(f"_occ{j}"))),
+            F.col(f"_p{j}") == F.col(f"_occ{j}"),
+            "left",
+        )
+    flagged = probe.join(
+        F.broadcast(build.select(F.col("c_custkey").alias("_mk"))),
+        F.col("o_custkey") == F.col("_mk"),
+        "left",
+    ).select(
+        "o_orderpriority",
+        "m_bits",
+        F.when(
+            F.col("_occ0").isNotNull()
+            & F.col("_occ1").isNotNull()
+            & F.col("_occ2").isNotNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_candidate"),
+        F.when(F.col("_mk").isNotNull(), 1).otherwise(0).alias("is_member"),
+    )
+    false_pos = F.when(
+        (F.col("is_candidate") == 1) & (F.col("is_member") == 0), 1
+    ).otherwise(0)
+    return (
+        flagged.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("is_member").cast("bigint").alias("n_members"),
+            F.sum("is_candidate").cast("bigint").alias("n_candidates"),
+            F.sum(false_pos).cast("bigint").alias("n_false_pos"),
+            F.round(
+                F.sum(false_pos).cast("double")
+                / F.nullif(
+                    F.count("*") - F.sum("is_member"), F.lit(0)
+                ),
+                6,
+            ).alias("fp_rate"),
+            F.first("m_bits").alias("m_bits"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -798,3 +798,106 @@ def merge_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- EXT M10: deletion-vector merge (positional deletes) -------------------------
+
+# Modern lakehouse delete handling (Iceberg v2 / Delta deletion
+# vectors): instead of rewriting a whole data file to drop a few rows
+# (copy-on-write), persist a tiny per-file bitmap of deleted row
+# POSITIONS and subtract it at read time. This query models the base
+# as 1024-row files (file_id = key DIV 1024, pos = dense row number
+# within the file), derives the deletes from the house changeset rule
+# (o_orderkey % 97 = 0, queries/merge.derive_changeset), and reports
+# per-file live/deleted counts plus the bitmap size a dense deletion
+# vector would occupy vs the bytes a copy-on-write rewrite would move
+# (100 B/row). The per-file window is bounded by the file size (1024)
+# by construction — never corpus-scale.
+_DV_FILE_ROWS = 1024
+_DV_ROW_BYTES = 100
+
+_DV_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey,
+         o_orderkey // {_DV_FILE_ROWS} AS file_id,
+         ROW_NUMBER() OVER (PARTITION BY o_orderkey // {_DV_FILE_ROWS}
+                            ORDER BY o_orderkey) - 1 AS pos,
+         CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END AS is_del
+  FROM orders
+)
+SELECT file_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(is_del) AS BIGINT) AS n_deleted,
+       CAST(COUNT(*) - SUM(is_del) AS BIGINT) AS n_live,
+       CAST(CASE WHEN SUM(is_del) > 0
+                 THEN MAX(CASE WHEN is_del = 1 THEN pos END) // 8 + 1
+                 ELSE 0 END AS BIGINT) AS dv_bytes,
+       CAST(CASE WHEN SUM(is_del) > 0
+                 THEN COUNT(*) * {_DV_ROW_BYTES} ELSE 0 END AS BIGINT)
+         AS cow_rewrite_bytes
+FROM base
+GROUP BY file_id
+ORDER BY file_id
+"""
+
+
+@graded("merge_deletion_vectors", oracle=_DV_ORACLE)
+def merge_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector bookkeeping for positional deletes: assign every
+    base row a (file_id, pos) identity, mark the changeset deletes, and
+    emit per-file live counts plus the dense-bitmap DV size against the
+    copy-on-write rewrite volume. The read path this models is
+    ``base ANTI JOIN dv ON (file_id, pos)`` — the anti join's right
+    side is kilobytes per file regardless of corpus size, which is why
+    deletion vectors beat file rewrites for trickle deletes at 100 TB.
+    The row-number window partitions by file_id, so each window task
+    handles ≤ {_DV_FILE_ROWS} rows at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    fid = F.expr(f"o_orderkey DIV {_DV_FILE_ROWS}")
+    base = orders.select(
+        "o_orderkey",
+        fid.alias("file_id"),
+        (
+            F.row_number().over(
+                Window.partitionBy(fid).orderBy("o_orderkey")
+            )
+            - 1
+        ).alias("pos"),
+        F.when(F.col("o_orderkey") % 97 == 0, 1).otherwise(0).alias("is_del"),
+    )
+    n_del = F.sum("is_del")
+    return (
+        base.groupBy("file_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            n_del.cast("bigint").alias("n_deleted"),
+            (F.count("*") - n_del).cast("bigint").alias("n_live"),
+            F.when(
+                n_del > 0,
+                F.max(F.when(F.col("is_del") == 1, F.col("pos")))
+                .cast("bigint")
+                / 8,
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("_dv_floor"),
+            F.when(n_del > 0, F.count("*") * _DV_ROW_BYTES)
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("cow_rewrite_bytes"),
+        )
+        .select(
+            "file_id",
+            "n_rows",
+            "n_deleted",
+            "n_live",
+            F.when(
+                F.col("n_deleted") > 0, F.col("_dv_floor") + 1
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("dv_bytes"),
+            "cow_rewrite_bytes",
+        )
+        .orderBy("file_id")
+    )

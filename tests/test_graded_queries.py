@@ -213,3 +213,26 @@ def test_simhash64_stays_in_bigint_range(spark, sf_dir):
 
     sh = T.simhash64(load_table(spark, sf_dir, "documents"))
     assert sh.where(F.col("simhash") < 0).count() == 0
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    rows = registry.QUERIES["join_bloom_prefilter"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # a Bloom filter may over-approximate, never under-approximate
+        assert r.n_candidates >= r.n_members
+        assert r.n_false_pos == r.n_candidates - r.n_members
+        # 16 bits/key, k=3 ⇒ designed fp ≈ 0.5%; allow generous slack
+        assert r.fp_rate is None or r.fp_rate < 0.05
+
+
+def test_deletion_vectors_accounting(spark, sf_dir):
+    rows = registry.QUERIES["merge_deletion_vectors"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_live + r.n_deleted == r.n_rows
+        assert r.n_rows <= 1024
+        # dense bitmap never exceeds ceil(file_rows/8); zero iff no deletes
+        assert r.dv_bytes <= (1024 + 7) // 8
+        assert (r.dv_bytes == 0) == (r.n_deleted == 0)
+        assert (r.cow_rewrite_bytes == 0) == (r.n_deleted == 0)
