@@ -479,3 +479,61 @@ def label_propagation(
 
     labels = nodes.select("node", F.col("node").alias("label"))
     return iterate_rounds(labels, step, iterations)
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+    broadcast_node_cap: int | None = None,
+) -> tuple[DataFrame, int]:
+    """PageRank personalized to a single seed node (the minimum node
+    id): teleport mass returns to the SEED instead of spreading
+    uniformly, so ranks measure proximity to the seed through the
+    near-dup graph — the "find everything related to this document"
+    primitive (random walk with restart).
+
+    Returns ``(ranks, seed)``. Same determinism discipline as
+    :func:`pagerank` (DECIMAL(28,12) contribution sums, per-round
+    localCheckpoint) and the same broadcast-vs-co-partitioned switch;
+    the only structural changes are the teleport vector (an indicator
+    on the seed) and the init (all mass at the seed). Nodes the walk
+    has not reached after ``iterations`` rounds keep rank 0 — exact in
+    both engines, no epsilon floor."""
+    sym = symmetrized(edges, src, dst)
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    n = nodes.count()
+    seed = sym.agg(F.min("a")).collect()[0][0]  # scalar, driver-sized
+    if seed is None:  # empty graph: no nodes, no ranks
+        return nodes.select("node", F.lit(0.0).alias("rank")), -1
+    cap = SCORE_BROADCAST_NODE_CAP if broadcast_node_cap is None else broadcast_node_cap
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
+    sym_deg = sym.join(deg, "a")
+    if n > cap:
+        sym_deg = sym_deg.repartition("a")
+    sym_deg = sym_deg.localCheckpoint(eager=False)
+    is_seed = F.when(F.col("node") == seed, F.lit(1.0)).otherwise(F.lit(0.0))
+    ranks = nodes.select("node", is_seed.alias("rank"))
+    teleport = F.when(
+        F.col("node") == seed, F.lit(1.0 - damping)
+    ).otherwise(F.lit(0.0))
+
+    def step(ranks: DataFrame, ckpt) -> DataFrame:
+        contribs = sym_deg.join(
+            _score_side(ranks, n, cap), sym_deg.a == ranks.node
+        ).select(
+            F.col("b").alias("node"),
+            (F.col("rank") / F.col("deg")).alias("contrib"),
+        )
+        return ckpt(
+            contribs.groupBy("node").agg(
+                (
+                    F.lit(damping)
+                    * F.sum(F.col("contrib").cast("decimal(28,12)")).cast("double")
+                ).alias("rank")
+            ).select("node", (F.col("rank") + teleport).alias("rank"))
+        )
+
+    return iterate_rounds(ranks, step, iterations), seed

@@ -1569,3 +1569,68 @@ def dedup_simhash_cap_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_uncapped", "n_capped", "n_lost_to_cap",
                 "n_oversized", "n_star_edges")
     )
+
+
+# --- EXT: personalized PageRank (random walk with restart) from a seed doc ------
+
+# "Everything related to THIS document": teleport returns to one seed
+# node instead of spreading uniformly, so rank becomes a proximity
+# score through the near-dup graph — the primitive behind expanding a
+# known-bad document into its whole contamination neighborhood. The
+# oracle unrolls the same five exact-decimal iterations as
+# graph_pagerank with the teleport vector swapped for a seed
+# indicator; the seed is MIN(node), so both engines agree on it
+# without any randomness.
+_PPR_ITER = """
+ppr{i} AS (
+  SELECT e.dst AS node,
+         CASE WHEN e.dst = (SELECT s FROM seed)
+              THEN CAST(0.15 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+         + CAST(0.85 AS DOUBLE)
+           * CAST(SUM(CAST(p.rank / d.deg AS DECIMAL(28,12))) AS DOUBLE)
+           AS rank
+  FROM edges e
+  JOIN ppr{j} p ON p.node = e.src
+  JOIN deg d ON d.node = e.src
+  GROUP BY e.dst
+)"""
+
+_PPR_ORACLE = (
+    _SIMHASH_PAIRS_SQL
+    + """
+edges AS (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION
+  SELECT pb AS src, pa AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+seed AS (SELECT MIN(node) AS s FROM nodes),
+deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+ppr0 AS (
+  SELECT node,
+         CASE WHEN node = (SELECT s FROM seed)
+              THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS rank
+  FROM nodes
+),"""
+    + ",".join(_PPR_ITER.format(i=i, j=i - 1) for i in range(1, 6))
+    + """
+SELECT node, ROUND(rank, 6) AS rank FROM ppr5
+"""
+)
+
+
+@graded("graph_pagerank_personalized", oracle=_PPR_ORACLE)
+def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-walk-with-restart proximity from the minimum-id document
+    through the SimHash near-dup graph (operators/graph.py
+    personalized_pagerank). Same per-round plan as graph_pagerank —
+    one broadcast-or-co-partitioned join + one decimal-summed groupBy
+    over the checkpointed edge list — with teleport mass pinned to the
+    seed; unreached nodes keep an exact 0 rank."""
+    from ..operators.graph import personalized_pagerank
+
+    pairs = simhash_pairs_cached(spark, sf_dir)
+    ranks, _seed = personalized_pagerank(
+        pairs, src="doc_a", dst="doc_b", iterations=5
+    )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

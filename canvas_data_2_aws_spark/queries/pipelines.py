@@ -2314,3 +2314,111 @@ def pipeline_rendezvous_resharding(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("n_moved_elsewhere"),
         )
     )
+
+
+# --- Kolmogorov–Smirnov two-sample test -------------------------------------------
+
+# Distribution-shape counterpart of analytics_mann_whitney (location):
+# KS asks whether URGENT and LOW order-value distributions differ
+# ANYWHERE by comparing full ECDFs. D = max_v |F_a(v) − F_b(v)| needs
+# a global prefix sum over the VALUE-DISTINCT table; both arms' prefix
+# counts ride ONE distributed cumsum by packing (na_v, nb_v) into a
+# single BIGINT (na_v·2³¹ + nb_v — exact while each arm < 2³¹ rows,
+# i.e. ~2e9, far past any fixture and re-packable wider at need), so
+# the range exchange happens once, not twice. Every ECDF value is an
+# exact-integer ratio; D and the scaled statistic are identical-operand
+# IEEE in both engines.
+_KS_PACK = 1 << 31
+
+_KS_ORACLE = """
+WITH s AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+vals AS (
+  SELECT cents, CAST(SUM(is_a) AS BIGINT) AS na_v,
+         CAST(COUNT(*) - SUM(is_a) AS BIGINT) AS nb_v
+  FROM s GROUP BY cents
+),
+cumv AS (
+  SELECT SUM(na_v) OVER w AS cum_a, SUM(nb_v) OVER w AS cum_b
+  FROM vals
+  WINDOW w AS (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+),
+t AS (SELECT CAST(MAX(cum_a) AS BIGINT) AS n_a,
+             CAST(MAX(cum_b) AS BIGINT) AS n_b FROM cumv),
+d AS (
+  SELECT MAX(ABS(CAST(cum_a AS DOUBLE) / n_a
+                 - CAST(cum_b AS DOUBLE) / n_b)) AS ks_d_raw
+  FROM cumv, t
+)
+SELECT t.n_a, t.n_b,
+       ROUND(d.ks_d_raw, 6) AS ks_d,
+       ROUND(d.ks_d_raw * sqrt(CAST(t.n_a AS DOUBLE) * t.n_b
+                               / (t.n_a + t.n_b)), 4) AS ks_stat
+FROM t, d
+"""
+
+
+@graded("analytics_ks_test", oracle=_KS_ORACLE)
+def analytics_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS statistic between URGENT and LOW order values.
+    Plan: one row-scale agg to the value-distinct table, ONE
+    distributed prefix sum (ranks.global_cumsum — range exchange +
+    per-partition windows, no single-task global sort) carrying both
+    arms in a packed BIGINT, then a scalar max. The oracle unpacks
+    nothing: DuckDB runs two plain window sums, and the final doubles
+    agree because every operand is an exact integer."""
+    o = load_table(spark, sf_dir, "orders")
+    s = o.where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("is_a"),
+    )
+    vals = s.groupBy("cents").agg(
+        F.sum("is_a").cast("bigint").alias("na_v"),
+        (F.count("*") - F.sum("is_a")).cast("bigint").alias("nb_v"),
+    )
+    packed = vals.select(
+        "cents", (F.col("na_v") * _KS_PACK + F.col("nb_v")).alias("comb")
+    )
+    cumv = R.global_cumsum(packed, ["cents"], "comb", out="cum").select(
+        F.expr(f"cum DIV {_KS_PACK}").alias("cum_a"),
+        (F.col("cum") % _KS_PACK).alias("cum_b"),
+    )
+    totals = cumv.agg(
+        F.max("cum_a").cast("bigint").alias("n_a"),
+        F.max("cum_b").cast("bigint").alias("n_b"),
+    )
+    d = (
+        cumv.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_a").cast("double") / F.col("n_a")
+                    - F.col("cum_b").cast("double") / F.col("n_b")
+                )
+            ).alias("ks_d_raw"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+    )
+    return d.select(
+        "n_a",
+        "n_b",
+        F.round("ks_d_raw", 6).alias("ks_d"),
+        F.round(
+            F.col("ks_d_raw")
+            * F.sqrt(
+                F.col("n_a").cast("double")
+                * F.col("n_b")
+                / (F.col("n_a") + F.col("n_b"))
+            ),
+            4,
+        ).alias("ks_stat"),
+    )

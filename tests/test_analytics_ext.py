@@ -106,3 +106,13 @@ def test_mann_whitney_matches_scipy_formula(spark, sf_dir):
         n1 * (n - n1) / 12 * ((n + 1) - ties / (n * (n - 1)))
     )
     assert abs(row.z - (u1 - n1 * (n - n1) / 2) / sigma) < 1e-9
+
+
+def test_ks_test_bounds(spark, sf_dir):
+    from canvas_data_2_aws_spark import registry
+
+    registry.load_all()
+    r = registry.QUERIES["analytics_ks_test"](spark, sf_dir).collect()[0]
+    assert 0.0 <= r.ks_d <= 1.0
+    assert r.ks_stat >= 0.0
+    assert r.n_a > 0 and r.n_b > 0

@@ -209,3 +209,19 @@ def test_lpa_copartitioned_bitwise_equal(spark):
         for r in label_propagation(edges, broadcast_node_cap=0).collect()
     }
     assert small == big
+
+
+def test_personalized_pagerank_proximity(spark, sf_dir):
+    from canvas_data_2_aws_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["graph_pagerank_personalized"](spark, sf_dir).collect()
+    if not rows:  # sf0.001 graph may be empty — covered at sf0.01
+        return
+    total = sum(r.rank for r in rows)
+    # walk mass is conserved up to the rounding: Σ rank ≤ 1 + ε
+    assert total <= 1.0 + 1e-4
+    seed = min(r.node for r in rows)
+    by_node = {r.node: r.rank for r in rows}
+    # the seed retains the most mass under restart
+    assert by_node[seed] == max(by_node.values())
