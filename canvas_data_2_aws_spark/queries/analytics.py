@@ -1675,3 +1675,258 @@ def analytics_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(term.cast("decimal(38,12)")).cast("double"), 4
         ).alias("chi2"),
     )
+
+
+# --- Poisson-bootstrap confidence interval -----------------------------------------
+
+# Resampling-based uncertainty WITHOUT collecting the sample: the
+# classic bootstrap draws n rows with replacement per replicate, which
+# is undistributable; the Poisson bootstrap replaces each row's draw
+# count with an independent Poisson(1) weight, so every (row,
+# replicate) weight is a pure function of the row — one scan, B
+# replicate aggregates, map-side combinable. Weights are DETERMINISTIC
+# here: u = md5("boot:b:key") as a 52-bit uniform, inverted through
+# the Poisson(1) CDF (literal thresholds shared by both engines), so
+# the whole resampling experiment hash-matches cross-engine. CI bounds
+# are the 5th/196th order statistics of the B=200 replicate means
+# (the index convention for a 2.5%/97.5% interval at B=200).
+import math as _math
+
+_BOOT_B = 200
+_POIS_CDF = []
+_acc = 0.0
+for _k in range(9):
+    _acc += _math.exp(-1.0) / _math.factorial(_k)
+    _POIS_CDF.append(repr(_acc))
+del _acc, _k
+
+
+def _boot_w_sql(hex_int: str) -> str:
+    """Poisson(1) inverse-CDF over a 52-bit uniform, engine-shared."""
+    u = f"(CAST({hex_int} AS DOUBLE) / 4503599627370496.0)"
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches} ELSE 9 END"
+
+
+_BOOT_SEED_DUCK = (
+    "CAST(concat('0x', substring(md5('boot:' || CAST(b AS VARCHAR) || ':' "
+    "|| CAST(c_custkey AS VARCHAR)), 1, 13)) AS BIGINT)"
+)
+_BOOT_SEED_SPARK = (
+    "CAST(conv(substring(md5(concat_ws(':', 'boot', CAST(b AS STRING), "
+    "CAST(c_custkey AS STRING))), 1, 13), 16, 10) AS BIGINT)"
+)
+
+_BOOT_ORACLE = f"""
+WITH base AS (
+  SELECT c_custkey,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+  FROM customer
+),
+grand AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS mean_cents
+  FROM base
+),
+reps AS (SELECT unnest(range(0, {_BOOT_B})) AS b),
+weighted AS (
+  SELECT r.b, x.cents,
+         {_boot_w_sql(_BOOT_SEED_DUCK)} AS w
+  FROM base x, reps r
+),
+rep AS (
+  SELECT b,
+         CAST(SUM(w * cents) AS DOUBLE) / NULLIF(SUM(w), 0) AS mean_b
+  FROM weighted GROUP BY b
+),
+bar AS (
+  SELECT CAST(SUM(CAST(mean_b AS DECIMAL(38,12))) AS DOUBLE)
+           / {_BOOT_B} AS bar
+  FROM rep
+),
+ranked AS (
+  SELECT mean_b, ROW_NUMBER() OVER (ORDER BY mean_b, b) AS rn FROM rep
+),
+ci AS (
+  SELECT COUNT(*) AS b_count,
+         MIN(CASE WHEN rn = 5 THEN mean_b END) AS lo,
+         MIN(CASE WHEN rn = 196 THEN mean_b END) AS hi,
+         sqrt(CAST(SUM(CAST((mean_b - (SELECT bar FROM bar))
+                            * (mean_b - (SELECT bar FROM bar))
+                            AS DECIMAL(38,12))) AS DOUBLE)
+              / ({_BOOT_B} - 1)) AS se
+  FROM ranked
+)
+SELECT CAST(ci.b_count AS BIGINT) AS b_count,
+       grand.n,
+       ROUND(grand.mean_cents / 100, 4) AS mean_usd,
+       ROUND(ci.lo / 100, 4) AS ci_lo_usd,
+       ROUND(ci.hi / 100, 4) AS ci_hi_usd,
+       ROUND(ci.se / 100, 4) AS se_usd
+FROM ci, grand
+"""
+
+
+@graded("analytics_bootstrap_ci", oracle=_BOOT_ORACLE)
+def analytics_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Poisson-bootstrap CI for the mean customer balance. One
+    base scan crossed with a broadcast 200-row replicate axis; each
+    (row, replicate) Poisson(1) weight is a deterministic md5
+    function, so the shuffle reduces 200·n weighted rows to 200
+    replicate means with full map-side combine. Everything after the
+    replicate agg is a 200-row frame — order statistics and the
+    deviation sum are metadata-sized at any corpus."""
+    from ..operators import ranks as RK
+
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("cents"),
+    )
+    grand = base.agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.sum("cents").cast("double") / F.count("*")).alias("mean_cents"),
+    )
+    reps = spark.range(_BOOT_B).select(F.col("id").alias("b"))
+    weighted = base.crossJoin(F.broadcast(reps)).select(
+        "b", "cents", F.expr(_boot_w_sql(_BOOT_SEED_SPARK)).alias("w")
+    )
+    rep = weighted.groupBy("b").agg(
+        (
+            F.sum(F.col("w") * F.col("cents")).cast("double")
+            / F.nullif(F.sum("w"), F.lit(0))
+        ).alias("mean_b")
+    )
+    bar = rep.agg(
+        (
+            F.sum(F.col("mean_b").cast("decimal(38,12)")).cast("double")
+            / _BOOT_B
+        ).alias("bar")
+    )
+    ranked = RK.attach_unit_group(rep).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(RK.UNIT_GROUP).orderBy("mean_b", "b")
+        ),
+    )
+    dev = F.col("mean_b") - F.col("bar")
+    ci = (
+        ranked.crossJoin(F.broadcast(bar))
+        .agg(
+            F.count("*").cast("bigint").alias("b_count"),
+            F.min(F.when(F.col("rn") == 5, F.col("mean_b"))).alias("lo"),
+            F.min(F.when(F.col("rn") == 196, F.col("mean_b"))).alias("hi"),
+            F.sqrt(
+                F.sum((dev * dev).cast("decimal(38,12)")).cast("double")
+                / (_BOOT_B - 1)
+            ).alias("se"),
+        )
+    )
+    return ci.crossJoin(F.broadcast(grand)).select(
+        "b_count",
+        "n",
+        F.round(F.col("mean_cents") / 100, 4).alias("mean_usd"),
+        F.round(F.col("lo") / 100, 4).alias("ci_lo_usd"),
+        F.round(F.col("hi") / 100, 4).alias("ci_hi_usd"),
+        F.round(F.col("se") / 100, 4).alias("se_usd"),
+    )
+
+
+# --- mutual information between two categorical columns ----------------------------
+
+# The information-theoretic sibling of analytics_chi_square: how many
+# nats does knowing the source tell you about the language? All
+# probabilities are exact-integer ratios over the contingency CELL
+# table (metadata-sized at any corpus), each ln() runs on
+# identical-operand doubles in both engines, and the three sums use
+# the DECIMAL(38,12) house recipe so partial-agg order cannot perturb
+# them. NMI normalizes by sqrt(H_lang · H_source).
+_MI_ORACLE = """
+WITH obs AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY lang, source
+),
+nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+lr AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY lang),
+sc AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY source),
+mi AS (
+  SELECT SUM(CAST(
+    (CAST(obs.o AS DOUBLE) / nn.n)
+    * ln(CAST(obs.o AS DOUBLE) * nn.n
+         / (CAST(lr.r AS DOUBLE) * sc.c))
+    AS DECIMAL(38,12))) AS mi_dec
+  FROM obs JOIN lr USING (lang) JOIN sc USING (source), nn
+),
+hl AS (
+  SELECT SUM(CAST(-(CAST(r AS DOUBLE) / nn.n)
+                  * ln(CAST(r AS DOUBLE) / nn.n)
+                  AS DECIMAL(38,12))) AS h_dec
+  FROM lr, nn
+),
+hs AS (
+  SELECT SUM(CAST(-(CAST(c AS DOUBLE) / nn.n)
+                  * ln(CAST(c AS DOUBLE) / nn.n)
+                  AS DECIMAL(38,12))) AS h_dec
+  FROM sc, nn
+)
+SELECT nn.n,
+       ROUND(CAST(mi.mi_dec AS DOUBLE), 6) AS mi_nats,
+       ROUND(CAST(hl.h_dec AS DOUBLE), 6) AS h_lang,
+       ROUND(CAST(hs.h_dec AS DOUBLE), 6) AS h_source,
+       ROUND(CAST(mi.mi_dec AS DOUBLE)
+             / sqrt(CAST(hl.h_dec AS DOUBLE)
+                    * CAST(hs.h_dec AS DOUBLE)), 6) AS nmi
+FROM nn, mi, hl, hs
+"""
+
+
+@graded("analytics_mutual_information", oracle=_MI_ORACLE)
+def analytics_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (and sqrt-normalized NMI) between document
+    language and source. One row-scale agg to the contingency cells;
+    margins, entropies, and the MI sum all run over cell/margin tables
+    bounded by |langs|·|sources| — nothing after the first shuffle is
+    corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("o")
+    )
+    nn = obs.agg(F.sum("o").cast("bigint").alias("n"))
+    lr = obs.groupBy("lang").agg(F.sum("o").cast("bigint").alias("r"))
+    sc = obs.groupBy("source").agg(F.sum("o").cast("bigint").alias("c"))
+    joined = obs.join(lr, "lang").join(sc, "source").crossJoin(F.broadcast(nn))
+    mi_term = (F.col("o").cast("double") / F.col("n")) * F.log(
+        F.col("o").cast("double") * F.col("n")
+        / (F.col("r").cast("double") * F.col("c"))
+    )
+    mi = joined.agg(F.sum(mi_term.cast("decimal(38,12)")).alias("mi_dec"))
+
+    def entropy(margin: DataFrame, cnt: str) -> DataFrame:
+        p = F.col(cnt).cast("double") / F.col("n")
+        return margin.crossJoin(F.broadcast(nn)).agg(
+            F.sum((-p * F.log(p)).cast("decimal(38,12)")).alias("h_dec")
+        )
+
+    hl = entropy(lr, "r").withColumnRenamed("h_dec", "hl_dec")
+    hs = entropy(sc, "c").withColumnRenamed("h_dec", "hs_dec")
+    return (
+        nn.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(hs))
+        .select(
+            "n",
+            F.round(F.col("mi_dec").cast("double"), 6).alias("mi_nats"),
+            F.round(F.col("hl_dec").cast("double"), 6).alias("h_lang"),
+            F.round(F.col("hs_dec").cast("double"), 6).alias("h_source"),
+            F.round(
+                F.col("mi_dec").cast("double")
+                / F.sqrt(
+                    F.col("hl_dec").cast("double")
+                    * F.col("hs_dec").cast("double")
+                ),
+                6,
+            ).alias("nmi"),
+        )
+    )

@@ -1167,3 +1167,79 @@ def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- feature hashing (the hashing trick) -------------------------------------------
+
+# Fixed-width bag-of-words without a vocabulary: token → md5 bucket in
+# [0, 1024), ± sign from an independent md5 bit so colliding tokens
+# partially cancel instead of always adding (Weinberger et al.'s
+# signed hashing). The point at 100 TB: the feature space is bounded
+# BEFORE the shuffle — the agg state is ≤ D buckets per partition no
+# matter how many distinct tokens exist, where a vocabulary-based
+# featurizer would need a corpus-wide dictionary build first. The
+# md5 family makes bucket assignment engine-identical, so collision
+# statistics themselves are hash-graded.
+_FH_D = 1024
+
+_FH_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+hashed AS (
+  SELECT token,
+         CAST(concat('0x', substring(md5('fh:' || token), 1, 8))
+              AS BIGINT) % {_FH_D} AS bucket,
+         CASE WHEN substring(md5('fhs:' || token), 1, 1) < '8'
+              THEN 1 ELSE -1 END AS sign
+  FROM tok
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct_tokens,
+       CAST(SUM(sign) AS BIGINT) AS net_weight
+FROM hashed
+GROUP BY bucket
+ORDER BY n_tokens DESC, bucket
+LIMIT 20
+"""
+
+
+@graded("text_feature_hashing", oracle=_FH_ORACLE)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed hashing-trick featurization over the corpus token
+    stream: md5 bucket in [0, 1024) + ±1 sign, reporting the 20
+    heaviest buckets with their collision load (distinct tokens per
+    bucket) and net signed weight. One explode + one bounded-state
+    groupBy; the top-k is TakeOrderedAndProject, never a global
+    sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(T.tokens()).alias("token"))
+    hashed = tok.select(
+        "token",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("fh:"), F.col("token"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % _FH_D
+        ).alias("bucket"),
+        F.when(
+            F.substring(F.md5(F.concat(F.lit("fhs:"), F.col("token"))), 1, 1)
+            < "8",
+            1,
+        )
+        .otherwise(-1)
+        .alias("sign"),
+    )
+    return (
+        hashed.groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.countDistinct("token").cast("bigint").alias("n_distinct_tokens"),
+            F.sum("sign").cast("bigint").alias("net_weight"),
+        )
+        .orderBy(F.col("n_tokens").desc(), "bucket")
+        .limit(20)
+    )

@@ -116,3 +116,26 @@ def test_ks_test_bounds(spark, sf_dir):
     assert 0.0 <= r.ks_d <= 1.0
     assert r.ks_stat >= 0.0
     assert r.n_a > 0 and r.n_b > 0
+
+
+def test_bootstrap_ci_brackets_mean(spark, sf_dir):
+    from canvas_data_2_aws_spark import registry
+
+    registry.load_all()
+    r = registry.QUERIES["analytics_bootstrap_ci"](spark, sf_dir).collect()[0]
+    assert r.b_count == 200
+    assert r.ci_lo_usd <= r.ci_hi_usd
+    # the point estimate falls inside its own 95% interval
+    assert r.ci_lo_usd <= r.mean_usd <= r.ci_hi_usd
+    assert r.se_usd > 0
+
+
+def test_mutual_information_bounds(spark, sf_dir):
+    from canvas_data_2_aws_spark import registry
+
+    registry.load_all()
+    r = registry.QUERIES["analytics_mutual_information"](spark, sf_dir).collect()[0]
+    # MI is nonnegative and bounded by both entropies
+    assert r.mi_nats >= 0.0
+    assert r.mi_nats <= min(r.h_lang, r.h_source) + 1e-6
+    assert 0.0 <= r.nmi <= 1.0 + 1e-9

@@ -321,3 +321,16 @@ def test_boilerplate_ranks_and_df_bounds(spark, sf_dir):
         assert [r.rk for r in rs] == [1, 2, 3, 4, 5]
         dfs = [r.df for r in rs]
         assert dfs == sorted(dfs, reverse=True)
+
+
+def test_feature_hashing_load(spark, sf_dir):
+    from canvas_data_2_aws_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["text_feature_hashing"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.bucket < 1024
+        assert r.n_tokens >= r.n_distinct_tokens >= 1
+        # net signed weight can never exceed the occurrence count
+        assert abs(r.net_weight) <= r.n_tokens
