@@ -1930,3 +1930,140 @@ def analytics_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+# --- randomization (permutation) test ----------------------------------------------
+
+# Exact-null inference without distributional assumptions: re-assign
+# each user's arm label B times under the null (labels exchangeable)
+# and ask how often the resampled |mean difference| beats the observed
+# one. Labels are md5 coin flips keyed on (replicate, user) — fully
+# deterministic, so the whole Monte-Carlo experiment hash-matches
+# cross-engine. Same scan-shape as analytics_bootstrap_ci: one user
+# collapse, a broadcast 200-row replicate axis, map-side-combined
+# replicate aggregates, then a 200-row tail. The +1/(B+1) correction
+# keeps the p-value valid (never exactly 0).
+_PERM_B = 200
+
+_PERM_ORACLE = f"""
+WITH u AS (
+  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS arm,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100, 0) AS BIGINT) END), 0) AS BIGINT)
+           AS cents
+  FROM events GROUP BY user_id
+),
+obs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(arm * cents) AS DOUBLE) / SUM(arm)
+         - CAST(SUM((1 - arm) * cents) AS DOUBLE) / SUM(1 - arm) AS d_obs
+  FROM u
+),
+reps AS (SELECT unnest(range(0, {_PERM_B})) AS b),
+relab AS (
+  SELECT r.b,
+         CASE WHEN substring(md5('perm:' || CAST(r.b AS VARCHAR) || ':'
+                                  || CAST(u.user_id AS VARCHAR)), 1, 1) < '8'
+              THEN 1 ELSE 0 END AS arm,
+         u.cents
+  FROM u, reps r
+),
+perm AS (
+  SELECT b,
+         CAST(SUM(arm * cents) AS DOUBLE) / NULLIF(SUM(arm), 0)
+         - CAST(SUM((1 - arm) * cents) AS DOUBLE)
+           / NULLIF(SUM(1 - arm), 0) AS d_b
+  FROM relab GROUP BY b
+)
+SELECT obs.n_users,
+       ROUND(obs.d_obs / 100, 4) AS d_obs_usd,
+       CAST({_PERM_B} AS BIGINT) AS b_count,
+       CAST(SUM(CASE WHEN ABS(perm.d_b) >= ABS(obs.d_obs)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+       ROUND((1.0 + SUM(CASE WHEN ABS(perm.d_b) >= ABS(obs.d_obs)
+                             THEN 1 ELSE 0 END)) / (1.0 + {_PERM_B}), 6)
+         AS p_value
+FROM perm, obs
+GROUP BY obs.n_users, obs.d_obs
+"""
+
+
+@graded("analytics_permutation_test", oracle=_PERM_ORACLE)
+def analytics_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization test for the purchase-spend difference between
+    user-parity arms: 200 deterministic md5 relabelings, two-sided
+    p-value with the standard +1 correction. The replicate axis
+    broadcasts; the only row-scale shuffle is the user collapse shared
+    with analytics_mann_whitney."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("cents")
+    ).select("user_id", (F.col("user_id") % 2).cast("int").alias("arm"), "cents")
+    arm, cents = F.col("arm"), F.col("cents")
+    obs = u.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        (
+            F.sum(arm * cents).cast("double") / F.sum(arm)
+            - F.sum((1 - arm) * cents).cast("double") / F.sum(1 - arm)
+        ).alias("d_obs"),
+    )
+    reps = spark.range(_PERM_B).select(F.col("id").alias("b"))
+    relab = u.crossJoin(F.broadcast(reps)).select(
+        "b",
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit("perm"),
+                        F.col("b").cast("string"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            )
+            < "8",
+            1,
+        )
+        .otherwise(0)
+        .alias("parm"),
+        "cents",
+    )
+    parm = F.col("parm")
+    perm = relab.groupBy("b").agg(
+        (
+            F.sum(parm * cents).cast("double") / F.nullif(F.sum(parm), F.lit(0))
+            - F.sum((1 - parm) * cents).cast("double")
+            / F.nullif(F.sum(1 - parm), F.lit(0))
+        ).alias("d_b")
+    )
+    extreme = F.when(F.abs(F.col("d_b")) >= F.abs(F.col("d_obs")), 1).otherwise(0)
+    return (
+        perm.crossJoin(F.broadcast(obs))
+        .groupBy("n_users", "d_obs")
+        .agg(
+            F.lit(_PERM_B).cast("bigint").alias("b_count"),
+            F.sum(extreme).cast("bigint").alias("n_extreme"),
+            F.round(
+                (1.0 + F.sum(extreme)) / (1.0 + _PERM_B), 6
+            ).alias("p_value"),
+        )
+        .select(
+            "n_users",
+            F.round(F.col("d_obs") / 100, 4).alias("d_obs_usd"),
+            "b_count",
+            "n_extreme",
+            "p_value",
+        )
+    )

@@ -139,3 +139,14 @@ def test_mutual_information_bounds(spark, sf_dir):
     assert r.mi_nats >= 0.0
     assert r.mi_nats <= min(r.h_lang, r.h_source) + 1e-6
     assert 0.0 <= r.nmi <= 1.0 + 1e-9
+
+
+def test_permutation_test_valid_p(spark, sf_dir):
+    from canvas_data_2_aws_spark import registry
+
+    registry.load_all()
+    r = registry.QUERIES["analytics_permutation_test"](spark, sf_dir).collect()[0]
+    assert r.b_count == 200
+    assert 0 <= r.n_extreme <= r.b_count
+    # +1 correction keeps p in (0, 1]
+    assert 0.0 < r.p_value <= 1.0
