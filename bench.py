@@ -151,6 +151,20 @@ HEADLINE = [
     "dedup_cluster_histogram",
     "sample_coordinated_fk",
     "dedup_simhash_cap_effect",
+    # round-10 second wave: scan-reduction + lakehouse-delete + stats
+    # breadth — Bloom semi-join prefilter, deletion-vector accounting,
+    # seeded random-walk proximity, and the resampling/information
+    # family (KS, bootstrap, permutation, MI, hashing trick).
+    "join_bloom_prefilter",
+    "merge_deletion_vectors",
+    "graph_pagerank_personalized",
+    "analytics_ks_test",
+    "analytics_bootstrap_ci",
+    "analytics_permutation_test",
+    "analytics_mutual_information",
+    "text_feature_hashing",
+    "validate_join_cardinality",
+    "graph_closeness_seeds",
 ]
 
 

@@ -1701,9 +1701,11 @@ for _k in range(9):
 del _acc, _k
 
 
-def _boot_w_sql(hex_int: str) -> str:
-    """Poisson(1) inverse-CDF over a 52-bit uniform, engine-shared."""
-    u = f"(CAST({hex_int} AS DOUBLE) / 4503599627370496.0)"
+def _boot_w_sql(u: str) -> str:
+    """Poisson(1) inverse-CDF over an already-computed 52-bit uniform
+    column — the md5 hashes ONCE per (row, replicate); inlining the
+    hash into every CASE branch re-evaluated it up to 10× per row
+    (measured 3.5 s → ~1 s at sf0.1)."""
     branches = " ".join(
         f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
     )
@@ -1731,10 +1733,13 @@ grand AS (
   FROM base
 ),
 reps AS (SELECT unnest(range(0, {_BOOT_B})) AS b),
-weighted AS (
+uni AS (
   SELECT r.b, x.cents,
-         {_boot_w_sql(_BOOT_SEED_DUCK)} AS w
+         CAST({_BOOT_SEED_DUCK} AS DOUBLE) / 4503599627370496.0 AS u
   FROM base x, reps r
+),
+weighted AS (
+  SELECT b, cents, {_boot_w_sql('u')} AS w FROM uni
 ),
 rep AS (
   SELECT b,
@@ -1789,10 +1794,32 @@ def analytics_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         (F.sum("cents").cast("double") / F.count("*")).alias("mean_cents"),
     )
-    reps = spark.range(_BOOT_B).select(F.col("id").alias("b"))
-    weighted = base.crossJoin(F.broadcast(reps)).select(
-        "b", "cents", F.expr(_boot_w_sql(_BOOT_SEED_SPARK)).alias("w")
+    # Replicate fan-out as a literal-bounded sequence explode (no join
+    # node at all — the plan audit proves the 200-row bound from the
+    # sequence literals). The explode multiplies whatever parallelism
+    # the scan gives; the fixture's customer table is ONE parquet
+    # row-group, so without a spread the 200·n md5 evaluations run on a
+    # single core (measured 4.4 s → ~1 s at sf0.1). At 100 TB the base
+    # arrives in thousands of scan partitions and this 16-way spread of
+    # the pre-fan-out rows is noise.
+    uni = (
+        base.repartition(16)
+        .select(
+            "c_custkey",
+            "cents",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.lit(_BOOT_B - 1).cast("long"))
+            ).alias("b"),
+        )
+        .select(
+            "b",
+            "cents",
+            (
+                F.expr(_BOOT_SEED_SPARK).cast("double") / 4503599627370496.0
+            ).alias("u"),
+        )
     )
+    weighted = uni.select("b", "cents", F.expr(_boot_w_sql("u")).alias("w"))
     rep = weighted.groupBy("b").agg(
         (
             F.sum(F.col("w") * F.col("cents")).cast("double")
@@ -2017,8 +2044,15 @@ def analytics_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.sum((1 - arm) * cents).cast("double") / F.sum(1 - arm)
         ).alias("d_obs"),
     )
-    reps = spark.range(_PERM_B).select(F.col("id").alias("b"))
-    relab = u.crossJoin(F.broadcast(reps)).select(
+    # Literal-bounded sequence explode, same shape (and rationale) as
+    # analytics_bootstrap_ci's replicate axis — no join node to audit.
+    relab = u.select(
+        "user_id",
+        "cents",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(_PERM_B - 1).cast("long"))
+        ).alias("b"),
+    ).select(
         "b",
         F.when(
             F.substring(

@@ -1634,3 +1634,107 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs, src="doc_a", dst="doc_b", iterations=5
     )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+# --- harmonic closeness centrality from seed nodes --------------------------------
+
+# Which flagged records sit closest to everything else? Harmonic
+# closeness Σ 1/dist over a bounded radius — the centrality that stays
+# defined on disconnected graphs (unreached nodes contribute 0 rather
+# than an infinite denominator). Per-seed BFS carried as (seed, node)
+# pairs so all seeds expand in the same three bounded equi-joins; the
+# min-hop collapse makes level order irrelevant, so the unrolled
+# oracle and the Spark expansion agree exactly. Radius 3 bounds every
+# frontier by |seeds|·|V| at any corpus.
+_CLOSENESS_ORACLE = """
+WITH e AS MATERIALIZED (
+  SELECT a.p_partkey AS a, b.p_partkey AS b
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 4
+),
+sym AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e
+  UNION
+  SELECT b, a FROM e
+),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS seed, src AS node FROM sym WHERE src % 500 = 0
+),
+l1 AS MATERIALIZED (
+  SELECT DISTINCT l.seed, s.dst AS node
+  FROM sym s JOIN l0 l ON s.src = l.node
+),
+l2 AS MATERIALIZED (
+  SELECT DISTINCT l.seed, s.dst AS node
+  FROM sym s JOIN l1 l ON s.src = l.node
+),
+l3 AS MATERIALIZED (
+  SELECT DISTINCT l.seed, s.dst AS node
+  FROM sym s JOIN l2 l ON s.src = l.node
+),
+dist AS (
+  SELECT seed, node, MIN(lvl) AS d
+  FROM (
+    SELECT seed, node, CAST(0 AS BIGINT) AS lvl FROM l0
+    UNION ALL SELECT seed, node, CAST(1 AS BIGINT) FROM l1
+    UNION ALL SELECT seed, node, CAST(2 AS BIGINT) FROM l2
+    UNION ALL SELECT seed, node, CAST(3 AS BIGINT) FROM l3
+  ) t
+  GROUP BY seed, node
+)
+SELECT seed,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+       ROUND(CAST(SUM(CAST(CASE WHEN d > 0
+                  THEN CAST(1.0 AS DOUBLE) / d END
+                  AS DECIMAL(38,12))) AS DOUBLE), 6) AS h_closeness
+FROM dist
+GROUP BY seed
+ORDER BY seed
+"""
+
+
+@graded("graph_closeness_seeds", oracle=_CLOSENESS_ORACLE)
+def graph_closeness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic closeness (radius 3) of seed parts over the
+    fuzzy-match graph. All seeds ride one BFS by keying the frontier
+    on (seed, node); three joins against the family-shared symmetrized
+    edge list, a min-hop collapse, then one per-seed aggregation of
+    exact 1/d terms summed as DECIMAL(38,12)."""
+    from ..operators.fuzzy_graph import fuzzy_sym
+
+    sym = fuzzy_sym(spark, sf_dir).select(
+        F.col("node").alias("src"), F.col("nbr").alias("dst")
+    )
+    l0 = (
+        sym.where(F.col("src") % 500 == 0)
+        .select(F.col("src").alias("seed"), F.col("src").alias("node"))
+        .distinct()
+    )
+    levels = [l0]
+    for _ in range(3):
+        prev = levels[-1]
+        levels.append(
+            sym.join(prev, sym.src == prev.node)
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+        )
+    tagged = [
+        lvl.select("seed", "node", F.lit(i).cast("bigint").alias("lvl"))
+        for i, lvl in enumerate(levels)
+    ]
+    un = tagged[0]
+    for t in tagged[1:]:
+        un = un.unionByName(t)
+    dist = un.groupBy("seed", "node").agg(F.min("lvl").alias("d"))
+    inv = F.when(F.col("d") > 0, F.lit(1.0) / F.col("d"))
+    return (
+        dist.groupBy("seed")
+        .agg(
+            (F.count("*") - 1).cast("bigint").alias("n_reached"),
+            F.round(
+                F.sum(inv.cast("decimal(38,12)")).cast("double"), 6
+            ).alias("h_closeness"),
+        )
+        .orderBy("seed")
+    )

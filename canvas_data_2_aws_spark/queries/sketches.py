@@ -603,3 +603,102 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+# --- join-cardinality estimation from count sketches ------------------------------
+
+# The optimizer question at 100 TB: how big is A ⋈ B going to be,
+# without scanning either side twice? The inner product of two
+# count-min rows upper-bounds Σ_k cntA(k)·cntB(k) (Cormode &
+# Muthukrishnan's join-size estimate); for a SELF join that is the
+# second frequency moment F₂ = Σ_k cnt(k)² — the quantity that decides
+# whether a key is safe to shuffle on or needs salting. Sketch state:
+# d×w integers per side, mergeable, built in one pass. The md5 family
+# keeps the whole estimate engine-deterministic, so even the
+# approximation error is hash-graded; collisions only ADD cross terms,
+# so est ≥ exact always (one-sided, pinned in tests).
+_JC_ORACLE = f"""
+WITH keys AS (
+  SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY o_custkey
+),
+exact AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS f2_exact
+  FROM keys
+),
+seeds AS (SELECT unnest(range(0, {_CMS_D})) AS j),
+cms AS (
+  SELECT j,
+         CAST(concat('0x', substring(md5(CAST(j AS VARCHAR) || ':' ||
+                                         CAST(k AS VARCHAR)), 1, 8))
+              AS BIGINT) % {_CMS_W} AS bucket,
+         CAST(SUM(cnt) AS BIGINT) AS c
+  FROM keys, seeds
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT MIN(s) AS f2_cms
+  FROM (SELECT j, SUM(c * c) AS s FROM cms GROUP BY j) per_row
+)
+SELECT exact.n_rows, exact.n_keys, exact.f2_exact,
+       CAST(est.f2_cms AS BIGINT) AS f2_cms,
+       CAST(est.f2_cms - exact.f2_exact AS BIGINT) AS overcount,
+       ROUND(CAST(est.f2_cms AS DOUBLE) / exact.f2_exact, 4) AS ratio
+FROM exact, est
+"""
+
+
+@graded("validate_join_cardinality", oracle=_JC_ORACLE)
+def validate_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join cardinality (F₂) of orders on o_custkey, exact AND
+    from a 4×512 md5 count-min sketch — the shuffle-planning estimate
+    next to its ground truth. One key collapse (map-side combinable),
+    a broadcast 4-row seed axis, and two metadata-sized reductions;
+    the sketch never exceeds d·w integers regardless of key
+    cardinality."""
+    o = load_table(spark, sf_dir, "orders")
+    keys = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    exact = keys.agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("f2_exact"),
+    )
+    seeds = spark.range(_CMS_D).select(F.col("id").alias("j"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.col("j").cast("string"), F.col("k").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_W
+    )
+    cms = (
+        keys.crossJoin(F.broadcast(seeds))
+        .groupBy("j", bucket.alias("bucket"))
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
+    )
+    est = (
+        cms.groupBy("j")
+        .agg(F.sum(F.col("c") * F.col("c")).alias("s"))
+        .agg(F.min("s").cast("bigint").alias("f2_cms"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_rows",
+        "n_keys",
+        "f2_exact",
+        "f2_cms",
+        (F.col("f2_cms") - F.col("f2_exact")).cast("bigint").alias("overcount"),
+        F.round(
+            F.col("f2_cms").cast("double") / F.col("f2_exact"), 4
+        ).alias("ratio"),
+    )

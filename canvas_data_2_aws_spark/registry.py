@@ -60,9 +60,14 @@ def graded(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]
 # agg_quantile_sketch, sample_stratified_neyman,
 # pipeline_rendezvous_resharding, validate_psi_drift,
 # dedup_cluster_histogram, sample_coordinated_fk,
-# dedup_simhash_cap_effect): 13 first-time slots, the remaining 37
-# refreshing the oldest r01–r02 verdicts; that closes the driver
-# union at 312/312), plus
+# dedup_simhash_cap_effect) and the 8 second-wave r10 operators
+# (join_bloom_prefilter, merge_deletion_vectors,
+# graph_pagerank_personalized, analytics_ks_test,
+# analytics_bootstrap_ci, analytics_permutation_test,
+# analytics_mutual_information, text_feature_hashing,
+# validate_join_cardinality, graph_closeness_seeds): 23 first-time
+# slots, the remaining 27 refreshing the oldest r01–r02 verdicts;
+# that closes the driver union at 322/322), plus
 # join_interval_overlap, whose only driver record is a stale r02 error
 # from the nanos-fixture era (fixed in r03 by type-adaptive load_table;
 # round-9 judge re-verified a 41-row hash-match — this slot records the

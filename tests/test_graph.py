@@ -225,3 +225,17 @@ def test_personalized_pagerank_proximity(spark, sf_dir):
     by_node = {r.node: r.rank for r in rows}
     # the seed retains the most mass under restart
     assert by_node[seed] == max(by_node.values())
+
+
+def test_closeness_seeds_bounds(spark, sf_dir):
+    from canvas_data_2_aws_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["graph_closeness_seeds"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.seed % 500 == 0
+        # radius-3 harmonic sum: each reached node contributes at most 1/1
+        assert r.h_closeness is None or float(r.h_closeness) <= r.n_reached
+        # and at least 1/3 each
+        if r.n_reached:
+            assert float(r.h_closeness) >= r.n_reached / 3.0 - 1e-9

@@ -201,6 +201,14 @@ _NESTED_LOOP_OK = {
     "timeseries_rolling_corr",  # unit group key on the calendar frame
     "analytics_error_monitor",  # unit group key on the calendar frame
     "graph_hits",  # 1-row max-score normalization broadcasts
+    # round-10 second wave, same constant-side shapes:
+    "join_bloom_prefilter",  # 1-row m_bits broadcast (+3-row seed axis)
+    "analytics_ks_test",  # 1-row (n_a, n_b) totals + cumsum offset attach
+    "analytics_bootstrap_ci",  # 1-row bar/grand attaches (replicate axis
+    # is a literal sequence explode, not a join)
+    "analytics_permutation_test",  # 1-row obs attach (explode axis likewise)
+    "analytics_mutual_information",  # 1-row n + three 1-row term attaches
+    "validate_join_cardinality",  # 4-row Range seed axis + 1-row est attach
 }
 
 # Construction-time side effects or non-DataFrame surfaces — no static

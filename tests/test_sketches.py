@@ -113,3 +113,16 @@ def test_neyman_allocation_invariants(spark, sf_dir):
         assert 1 <= r.n_alloc <= r.n_stratum
         assert r.n_sampled == r.n_alloc
         assert r.weight >= 0
+
+
+def test_join_cardinality_one_sided(spark, sf_dir):
+    from canvas_data_2_aws_spark import registry
+
+    registry.load_all()
+    r = registry.QUERIES["validate_join_cardinality"](spark, sf_dir).collect()[0]
+    # CMS collisions only ADD cross terms: the estimate is an upper bound
+    assert r.f2_cms >= r.f2_exact
+    assert r.overcount == r.f2_cms - r.f2_exact
+    assert r.ratio >= 1.0
+    # F2 of any multiset is at least its size
+    assert r.f2_exact >= r.n_rows
