@@ -164,6 +164,7 @@ HEADLINE = [
     "analytics_mutual_information",
     "text_feature_hashing",
     "validate_join_cardinality",
+    "validate_f2_ams_sketch",
     "graph_closeness_seeds",
 ]
 

@@ -14,7 +14,7 @@ structure."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators import text as T
 from ..registry import graded
@@ -700,5 +700,100 @@ def validate_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("f2_cms") - F.col("f2_exact")).cast("bigint").alias("overcount"),
         F.round(
             F.col("f2_cms").cast("double") / F.col("f2_exact"), 4
+        ).alias("ratio"),
+    )
+
+
+# --- AMS (Tug-of-War) sign sketch: unbiased F2 ------------------------------------
+
+# The two-sided companion to validate_join_cardinality: the CMS inner
+# product can only OVER-estimate F₂; the Alon–Matias–Szegedy sign
+# sketch is unbiased — each key pulls ±cnt(k) on a counter per hash
+# row, and E[(Σ ±cnt)²] = F₂ exactly. The estimator here is the MEAN
+# of d=8 independent rows (each row's (Σ±cnt)² is ~F₂·χ²₁, so a
+# median-of-rows would sit near 0.455·F₂ — the textbook
+# median-of-MEANS needs groups of rows, which at d=8 degenerates to
+# the plain mean anyway); variance 2F₂²/d keeps the fixture estimates
+# within ~2× (pinned loosely in tests), and the VALUES are
+# engine-deterministic via the md5 sign family, so the grade is a
+# full hash-match. Sketch state: d BIGINTs — the smallest mergeable
+# summary in the repo.
+_AMS_D = 8
+
+_AMS_ORACLE = f"""
+WITH keys AS (
+  SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY o_custkey
+),
+exact AS (
+  SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS f2_exact FROM keys
+),
+seeds AS (SELECT unnest(range(0, {_AMS_D})) AS j),
+signed AS (
+  SELECT j,
+         CASE WHEN substring(md5('ams:' || CAST(j AS VARCHAR) || ':'
+                                  || CAST(k AS VARCHAR)), 1, 1) < '8'
+              THEN cnt ELSE -cnt END AS pull
+  FROM keys, seeds
+),
+rows_est AS (
+  SELECT j, CAST(SUM(pull) * SUM(pull) AS BIGINT) AS est
+  FROM signed GROUP BY j
+),
+med AS (
+  SELECT CAST(SUM(est) // {_AMS_D} AS BIGINT) AS f2_ams FROM rows_est
+)
+SELECT exact.f2_exact, med.f2_ams,
+       ROUND(CAST(med.f2_ams AS DOUBLE) / exact.f2_exact, 4) AS ratio
+FROM exact, med
+"""
+
+
+@graded("validate_f2_ams_sketch", oracle=_AMS_ORACLE)
+def validate_f2_ams_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased F₂ estimate from an 8-row AMS sign sketch over the
+    orders key distribution, next to the exact moment. One key
+    collapse, an 8-way broadcast seed fan-out, and an 8-row tail; the
+    d BIGINT counters merge by addition — the minimal distributed
+    sketch. Estimator error is data-dependent (tests pin a loose
+    band), but the VALUE is engine-deterministic, so the grade is a
+    full hash-match."""
+    o = load_table(spark, sf_dir, "orders")
+    keys = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    exact = keys.agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("f2_exact")
+    )
+    seeds = spark.range(_AMS_D).select(F.col("id").alias("j"))
+    signed = keys.crossJoin(F.broadcast(seeds)).select(
+        "j",
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit("ams"), F.col("j").cast("string"), F.col("k").cast("string")
+                    )
+                ),
+                1,
+                1,
+            )
+            < "8",
+            F.col("cnt"),
+        )
+        .otherwise(-F.col("cnt"))
+        .alias("pull"),
+    )
+    rows_est = signed.groupBy("j").agg(
+        (F.sum("pull") * F.sum("pull")).cast("bigint").alias("est")
+    )
+    med = rows_est.agg(
+        F.expr(f"SUM(est) DIV {_AMS_D}").cast("bigint").alias("f2_ams")
+    )
+    return exact.crossJoin(F.broadcast(med)).select(
+        "f2_exact",
+        "f2_ams",
+        F.round(
+            F.col("f2_ams").cast("double") / F.col("f2_exact"), 4
         ).alias("ratio"),
     )

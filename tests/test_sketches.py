@@ -126,3 +126,14 @@ def test_join_cardinality_one_sided(spark, sf_dir):
     assert r.ratio >= 1.0
     # F2 of any multiset is at least its size
     assert r.f2_exact >= r.n_rows
+
+
+def test_f2_ams_band(spark, sf_dir):
+    from canvas_data_2_aws_spark import registry
+
+    registry.load_all()
+    r = registry.QUERIES["validate_f2_ams_sketch"](spark, sf_dir).collect()[0]
+    # mean-of-8 AMS rows: sigma/mean = sqrt(2/8) = 0.5; pin a loose
+    # 4-sigma band (observed fixtures: 0.49-1.41)
+    assert 0.2 <= r.ratio <= 3.0
+    assert r.f2_ams > 0
