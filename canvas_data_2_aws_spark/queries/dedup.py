@@ -1714,8 +1714,13 @@ def graph_closeness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     levels = [l0]
     for _ in range(3):
         prev = levels[-1]
+        # Broadcast the frontier so the O(E) edge list never shuffles —
+        # the frontier is bounded by |seeds|·|ball(3)| (sparse near-dup
+        # balls), the same small-side regime as pagerank's score table;
+        # past SCORE_BROADCAST_NODE_CAP swap to the co-partitioned form
+        # exactly as operators/graph.pagerank does.
         levels.append(
-            sym.join(prev, sym.src == prev.node)
+            sym.join(F.broadcast(prev), sym.src == prev.node)
             .select("seed", F.col("dst").alias("node"))
             .distinct()
         )
