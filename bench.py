@@ -166,6 +166,7 @@ HEADLINE = [
     "validate_join_cardinality",
     "validate_f2_ams_sketch",
     "graph_closeness_seeds",
+    "merge_ivm_join_view",
 ]
 
 

@@ -901,3 +901,103 @@ def merge_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_id")
     )
+
+
+# --- EXT M11: incremental maintenance of a JOIN view -------------------------------
+
+# merge_incremental_agg maintains an aggregate-only view; real
+# replicated marts maintain JOIN views. The delta algebra for a view
+# V = orders ⋈ customer under a changeset on orders alone is
+# ΔV = Δorders ⋈ customer — the unchanged dim side joins only the
+# DELTA, never the full fact table: at 100 TB the maintenance cost is
+# |changeset| broadcast-joined against the dim, plus a keyed probe for
+# the changed keys' old images. The oracle recomputes the view from
+# scratch on the merged replica; exact decimal deltas make
+# maintenance ≡ recompute bit-for-bit, so the hash-match IS the proof
+# of the IVM algebra.
+_IVM_JOIN_ORACLE = """
+WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+ins AS (
+  SELECT mx.m + ROW_NUMBER() OVER (ORDER BY s.o_orderkey) AS o_orderkey,
+         s.o_custkey, s.o_orderstatus, s.o_totalprice, s.o_orderdate,
+         s.o_orderpriority, 'U' AS action
+  FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 100) s, mx
+),
+changeset AS (
+  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+         o_totalprice + 1.0 AS o_totalprice, o_orderdate, o_orderpriority,
+         'U' AS action
+  FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         o_orderpriority, 'D' AS action
+  FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT * FROM ins
+),
+merged AS (
+  SELECT o_orderkey, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changeset)
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice
+  FROM changeset WHERE action = 'U'
+)
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(m.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM merged m JOIN customer c ON m.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@graded("merge_ivm_join_view", oracle=_IVM_JOIN_ORACLE)
+def merge_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment (count, revenue) of the orders⋈customer view,
+    maintained by deltas: +new image and −old image of every touched
+    key, each broadcast-joined against the unchanged customer dim and
+    folded into the stored per-segment state. The full fact table is
+    touched only by the stored-state recompute stand-in and a keyed
+    old-image probe — the delta joins scale with |changeset|."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    cs = derive_changeset(orders)
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    dim = F.broadcast(customer.select("c_custkey", "c_mktsegment"))
+
+    # Stored view state (in production: read back, not recomputed).
+    old_view = (
+        orders.join(dim, orders.o_custkey == dim.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("dn"), F.sum(dec("o_totalprice")).alias("dr"))
+    )
+    # ΔV⁺ = new images ⋈ dim.
+    adds = (
+        cs.where(F.col("action") == "U")
+        .join(dim, cs.o_custkey == dim.c_custkey)
+        .select(
+            "c_mktsegment",
+            F.lit(1).cast("long").alias("dn"),
+            dec("o_totalprice").alias("dr"),
+        )
+    )
+    # ΔV⁻ = old images of touched keys ⋈ dim (keyed probe, not a scan).
+    touched = cs.select("o_orderkey").distinct()
+    rems = (
+        orders.join(touched, "o_orderkey", "left_semi")
+        .join(dim, orders.o_custkey == dim.c_custkey)
+        .select(
+            "c_mktsegment",
+            F.lit(-1).cast("long").alias("dn"),
+            (-dec("o_totalprice")).alias("dr"),
+        )
+    )
+    return (
+        old_view.unionByName(adds)
+        .unionByName(rems)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("dn").cast("bigint").alias("n_orders"),
+            F.sum("dr").cast("double").alias("revenue"),
+        )
+        .where(F.col("n_orders") > 0)
+    )

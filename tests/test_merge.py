@@ -194,3 +194,40 @@ def test_asof_tolerance_grammar_rejected(spark):
     ok = asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
                    right_value="v", tolerance="90 minutes")
     assert ok.count() == 1
+
+
+def test_ivm_join_view_matches_recompute(spark):
+    """Spark-side recompute equivalence, independent of the oracle: the
+    delta-maintained join view equals a from-scratch recompute of the
+    merged replica joined with the dim."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from canvas_data_2_aws_spark import registry
+    from canvas_data_2_aws_spark.operators.merge import apply_changeset
+    from canvas_data_2_aws_spark.queries.merge import derive_changeset
+    from canvas_data_2_aws_spark.session import load_table
+
+    registry.load_all()
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    got = {
+        r.c_mktsegment: (r.n_orders, round(r.revenue, 6))
+        for r in registry.QUERIES["merge_ivm_join_view"](spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    merged = apply_changeset(orders, derive_changeset(orders), keys=["o_orderkey"])
+    want = {
+        r.c_mktsegment: (r.n, round(r.rev, 6))
+        for r in merged.join(customer, merged.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("rev"),
+        )
+        .collect()
+    }
+    assert got == want
