@@ -167,6 +167,7 @@ HEADLINE = [
     "validate_f2_ams_sketch",
     "graph_closeness_seeds",
     "merge_ivm_join_view",
+    "merge_equality_deletes",
 ]
 
 

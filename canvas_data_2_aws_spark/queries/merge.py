@@ -1001,3 +1001,98 @@ def merge_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_orders") > 0)
     )
+
+
+# --- EXT M12: equality deletes (erase-by-value) ------------------------------------
+
+# The OTHER lakehouse delete shape (Iceberg v2 equality deletes): a
+# delete keyed by column VALUE — "erase these customers everywhere" —
+# written as a tiny value list, applied at read as an anti join, with
+# NO knowledge of which files/positions hold the rows. The trade
+# against merge_deletion_vectors' positional bitmaps: equality deletes
+# are O(|values|) to WRITE (no scan at delete time — the GDPR
+# erasure path), but every reader pays the anti-join probe until
+# compaction rewrites; positional DVs cost a scan at delete time and
+# are nearly free to read. This query quantifies that trade per file:
+# how many rows each file loses to an erased-customer list and what
+# fraction of files a compaction must touch.
+_EQDEL_ORACLE = """
+WITH del AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 250 = 0
+),
+base AS (
+  SELECT o_orderkey // 1024 AS file_id,
+         CASE WHEN o_custkey IN (SELECT c_custkey FROM del)
+              THEN 1 ELSE 0 END AS is_del
+  FROM orders
+),
+per_file AS (
+  SELECT file_id,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(is_del) AS BIGINT) AS n_erased
+  FROM base GROUP BY file_id
+)
+SELECT CAST((SELECT COUNT(*) FROM del) AS BIGINT) AS n_delete_keys,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN n_erased > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_files_touched,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       CAST(SUM(n_erased) AS BIGINT) AS n_erased,
+       ROUND(CAST(SUM(CASE WHEN n_erased > 0 THEN n_rows ELSE 0 END)
+                  AS DOUBLE) / SUM(n_rows), 4) AS compact_rewrite_frac
+FROM per_file
+"""
+
+
+@graded("merge_equality_deletes", oracle=_EQDEL_ORACLE)
+def merge_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality-delete impact audit: a value-keyed erasure list (every
+    250th customer) anti-probed against the fact table, rolled up to
+    the per-file blast radius and the fraction of bytes a compaction
+    must rewrite to retire the delete list. The erasure list broadcasts
+    (it is the small side BY DESIGN — an erasure request, not a scan
+    product); the fact side is one scan + one file-grain aggregation,
+    and at 100 TB the per-file counts ARE the compaction planner's
+    input."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    dels = customer.where(F.col("c_custkey") % 250 == 0).select("c_custkey")
+    n_del = dels.agg(F.count("*").cast("bigint").alias("n_delete_keys"))
+    flagged = orders.join(
+        F.broadcast(dels.withColumnRenamed("c_custkey", "_dk")),
+        F.col("o_custkey") == F.col("_dk"),
+        "left",
+    ).select(
+        F.expr("o_orderkey DIV 1024").alias("file_id"),
+        F.when(F.col("_dk").isNotNull(), 1).otherwise(0).alias("is_del"),
+    )
+    per_file = flagged.groupBy("file_id").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("is_del").cast("bigint").alias("n_erased"),
+    )
+    return (
+        per_file.agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum(F.when(F.col("n_erased") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_files_touched"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("n_erased").cast("bigint").alias("n_erased"),
+            F.round(
+                F.sum(
+                    F.when(F.col("n_erased") > 0, F.col("n_rows")).otherwise(0)
+                ).cast("double")
+                / F.sum("n_rows"),
+                4,
+            ).alias("compact_rewrite_frac"),
+        )
+        .crossJoin(F.broadcast(n_del))
+        .select(
+            "n_delete_keys",
+            "n_files",
+            "n_files_touched",
+            "n_rows",
+            "n_erased",
+            "compact_rewrite_frac",
+        )
+    )

@@ -231,3 +231,18 @@ def test_ivm_join_view_matches_recompute(spark):
         .collect()
     }
     assert got == want
+
+
+def test_equality_deletes_accounting(spark):
+    import os
+
+    from canvas_data_2_aws_spark import registry
+
+    registry.load_all()
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    r = registry.QUERIES["merge_equality_deletes"](spark, sf_dir).collect()[0]
+    assert r.n_files_touched <= r.n_files
+    assert r.n_erased <= r.n_rows
+    assert 0.0 <= r.compact_rewrite_frac <= 1.0
+    # a touched file implies at least one erased row and vice versa
+    assert (r.n_files_touched == 0) == (r.n_erased == 0)
