@@ -168,6 +168,7 @@ HEADLINE = [
     "graph_closeness_seeds",
     "merge_ivm_join_view",
     "merge_equality_deletes",
+    "analytics_dp_counts",
 ]
 
 

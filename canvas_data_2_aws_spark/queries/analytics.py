@@ -2101,3 +2101,77 @@ def analytics_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_value",
         )
     )
+
+
+# --- differentially-private count release (mechanics demo) -------------------------
+
+# The release shape privacy teams ask the warehouse for: per-category
+# counts with Laplace(1/ε) noise and a post-hoc non-negativity clamp.
+# Real DP requires non-reproducible randomness; this graded query
+# demonstrates the MECHANICS with a deterministic md5-uniform driven
+# through the Laplace inverse CDF (noise = −b·sgn(u−½)·ln(1−2|u−½|)),
+# which makes the whole release hash-checkable cross-engine — swap the
+# uniform for a secure RNG in production and nothing else changes. The
+# true counts are deliberately NOT in the output. Sensitivity of a
+# per-user-disjoint count is 1; ε=0.5 ⇒ b=2.
+_DP_EPS = 0.5
+
+_DP_ORACLE = f"""
+WITH cnt AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type
+),
+uni AS (
+  SELECT event_type, c,
+         CAST(concat('0x', substring(md5('dp:' || event_type), 1, 13))
+              AS BIGINT) / 4503599627370496.0 AS u
+  FROM cnt
+),
+noised AS (
+  SELECT event_type,
+         c + (CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
+             * (1.0 / {_DP_EPS}) * ln(1.0 - 2.0 * ABS(u - 0.5)) AS noisy
+  FROM uni
+)
+SELECT event_type,
+       CAST(GREATEST(round(noisy, 0), 0) AS BIGINT) AS released_count,
+       CAST({_DP_EPS} AS DOUBLE) AS epsilon
+FROM noised
+ORDER BY event_type
+"""
+
+
+@graded("analytics_dp_counts", oracle=_DP_ORACLE)
+def analytics_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε=0.5 Laplace-noised per-event-type counts, rounded and clamped
+    to ℕ — the standard private count release. One row-scale
+    aggregation; the noise is per-CATEGORY work on the metadata-sized
+    count table (the md5 uniform stands in for the secure RNG so both
+    engines release identical values; the inverse-CDF transform is the
+    production mechanism verbatim)."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("event_type").agg(F.count("*").cast("bigint").alias("c"))
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dp:"), F.col("event_type"))), 1, 13),
+            16,
+            10,
+        ).cast("bigint")
+        / 4503599627370496.0
+    )
+    noisy = F.col("c") + (
+        F.when(F.col("u") < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * (1.0 / _DP_EPS)
+        * F.log(1.0 - 2.0 * F.abs(F.col("u") - 0.5))
+    )
+    return (
+        cnt.withColumn("u", u)
+        .select(
+            "event_type",
+            F.greatest(F.round(noisy, 0), F.lit(0))
+            .cast("bigint")
+            .alias("released_count"),
+            F.lit(_DP_EPS).alias("epsilon"),
+        )
+        .orderBy("event_type")
+    )

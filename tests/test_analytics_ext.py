@@ -260,3 +260,27 @@ def test_bloom_positions_match_pure_python(spark, sf_dir):
     # every member's three positions are occupied — no false negatives
     for k in keys[:50]:
         assert all(pos(j, k) in occupied for j in range(3))
+
+
+def test_dp_counts_plausible_noise(spark, sf_dir):
+    """The released counts stay within a generous Laplace(2) tail of
+    the true counts (|noise| < 30 ⇔ P ≈ 3e-7 per category), and the
+    true counts never appear verbatim-by-construction guarantees are
+    not testable — but non-negativity and the noise bound are."""
+    import duckdb
+
+    from canvas_data_2_aws_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["analytics_dp_counts"](spark, sf_dir).collect()
+    true = dict(
+        duckdb.connect().execute(
+            f"SELECT event_type, COUNT(*) FROM '{sf_dir}/events.parquet' "
+            f"GROUP BY event_type"
+        ).fetchall()
+    )
+    assert rows
+    for r in rows:
+        assert r.released_count >= 0
+        assert abs(r.released_count - true[r.event_type]) < 30
+        assert r.epsilon == 0.5
