@@ -209,6 +209,9 @@ _NESTED_LOOP_OK = {
     "analytics_permutation_test",  # 1-row obs attach (explode axis likewise)
     "analytics_mutual_information",  # 1-row n + three 1-row term attaches
     "validate_join_cardinality",  # 4-row Range seed axis + 1-row est attach
+    "validate_f2_ams_sketch",  # 8-row Range seed axis + 1-row mean attach
+    "merge_ivm_join_view",  # max-PK 1-row broadcast (changeset derivation)
+    "merge_equality_deletes",  # 1-row delete-key-count attach
 }
 
 # Construction-time side effects or non-DataFrame surfaces — no static
