@@ -169,6 +169,8 @@ HEADLINE = [
     "merge_ivm_join_view",
     "merge_equality_deletes",
     "analytics_dp_counts",
+    "analytics_welch_ttest",
+    "graph_walk_corpus",
 ]
 
 

@@ -2175,3 +2175,104 @@ def analytics_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- Welch's unequal-variance t-test -----------------------------------------------
+
+# Completes the classical readout family (z-proportions in ab_lift,
+# CUPED, rank-sum, KS, permutation): Welch's t on the continuous
+# per-user spend metric with the Satterthwaite degrees of freedom —
+# the default two-sample mean test when arm variances differ. Every
+# moment (n, Σx, Σx²) is an exact BIGINT from integer cents; the
+# t/dof expressions run on identical-operand doubles in both engines
+# (Σx is cast to double BEFORE squaring — the BIGINT square overflows
+# at ~1.5e10 total cents).
+_WELCH_ORACLE = """
+WITH u AS (
+  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS arm,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100, 0) AS BIGINT) END), 0) AS BIGINT)
+           AS cents
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT CAST(SUM(arm) AS BIGINT) AS na,
+         CAST(COUNT(*) - SUM(arm) AS BIGINT) AS nb,
+         CAST(SUM(arm * cents) AS BIGINT) AS sa,
+         CAST(SUM((1 - arm) * cents) AS BIGINT) AS sb,
+         CAST(SUM(arm * cents * cents) AS BIGINT) AS qa,
+         CAST(SUM((1 - arm) * cents * cents) AS BIGINT) AS qb
+  FROM u
+),
+v AS (
+  SELECT na, nb,
+         CAST(sa AS DOUBLE) / na AS ma,
+         CAST(sb AS DOUBLE) / nb AS mb,
+         (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na) / (na - 1)
+           AS va,
+         (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1)
+           AS vb
+  FROM m
+)
+SELECT na, nb,
+       ROUND((ma - mb) / 100, 4) AS mean_diff_usd,
+       ROUND((ma - mb) / sqrt(va / na + vb / nb), 4) AS t_welch,
+       ROUND((va / na + vb / nb) * (va / na + vb / nb)
+             / ((va / na) * (va / na) / (na - 1)
+                + (vb / nb) * (vb / nb) / (nb - 1)), 1) AS dof
+FROM v
+"""
+
+
+@graded("analytics_welch_ttest", oracle=_WELCH_ORACLE)
+def analytics_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t between user-parity arms on per-user purchase cents:
+    one user collapse, one 6-moment global aggregate, then scalar
+    arithmetic — a single scan + user-keyed exchange at any corpus
+    size."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("cents")
+    ).select((F.col("user_id") % 2).cast("int").alias("arm"), "cents")
+    arm, cents = F.col("arm"), F.col("cents")
+    m = u.agg(
+        F.sum(arm).cast("bigint").alias("na"),
+        (F.count("*") - F.sum(arm)).cast("bigint").alias("nb"),
+        F.sum(arm * cents).cast("bigint").alias("sa"),
+        F.sum((1 - arm) * cents).cast("bigint").alias("sb"),
+        F.sum(arm * cents * cents).cast("bigint").alias("qa"),
+        F.sum((1 - arm) * cents * cents).cast("bigint").alias("qb"),
+    )
+    ma = F.col("sa").cast("double") / F.col("na")
+    mb = F.col("sb").cast("double") / F.col("nb")
+    va = (
+        F.col("qa").cast("double")
+        - F.col("sa").cast("double") * F.col("sa") / F.col("na")
+    ) / (F.col("na") - 1)
+    vb = (
+        F.col("qb").cast("double")
+        - F.col("sb").cast("double") * F.col("sb") / F.col("nb")
+    ) / (F.col("nb") - 1)
+    sea = va / F.col("na")
+    seb = vb / F.col("nb")
+    return m.select(
+        "na",
+        "nb",
+        F.round((ma - mb) / 100, 4).alias("mean_diff_usd"),
+        F.round((ma - mb) / F.sqrt(sea + seb), 4).alias("t_welch"),
+        F.round(
+            (sea + seb) * (sea + seb)
+            / (sea * sea / (F.col("na") - 1) + seb * seb / (F.col("nb") - 1)),
+            1,
+        ).alias("dof"),
+    )

@@ -1743,3 +1743,113 @@ def graph_closeness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seed")
     )
+
+
+# --- deterministic random-walk corpus (node2vec-style training data) ---------------
+
+# Graph-embedding training data is a corpus of random walks; at scale
+# the walk step is the textbook "iterative join" — every walker picks
+# a successor among its current node's neighbors SIMULTANEOUSLY, one
+# equi-join + one per-walker argmin per step, never a per-walker loop.
+# The "random" choice is the md5-minimum neighbor keyed on
+# (step, current), so both engines — and any re-run — pick the same
+# successor: a reproducible walk corpus, which real embedding
+# pipelines want anyway for debuggability. Ties are impossible in
+# practice (md5) and broken by (hash, neighbor) ordering regardless.
+_WALK_STEPS = 3
+
+_WALK_ORACLE = """
+WITH e AS MATERIALIZED (
+  SELECT a.p_partkey AS a, b.p_partkey AS b
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 4
+),
+sym AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e
+  UNION
+  SELECT b, a FROM e
+),
+w0 AS (SELECT DISTINCT src AS seed, src AS node FROM sym WHERE src % 500 = 0),
+w1 AS (
+  SELECT seed, node FROM (
+    SELECT w.seed, s.dst AS node,
+           ROW_NUMBER() OVER (PARTITION BY w.seed ORDER BY
+             md5('walk:1:' || CAST(w.node AS VARCHAR) || ':'
+                 || CAST(s.dst AS VARCHAR)), s.dst) AS rn
+    FROM w0 w JOIN sym s ON s.src = w.node
+  ) t WHERE rn = 1
+),
+w2 AS (
+  SELECT seed, node FROM (
+    SELECT w.seed, s.dst AS node,
+           ROW_NUMBER() OVER (PARTITION BY w.seed ORDER BY
+             md5('walk:2:' || CAST(w.node AS VARCHAR) || ':'
+                 || CAST(s.dst AS VARCHAR)), s.dst) AS rn
+    FROM w1 w JOIN sym s ON s.src = w.node
+  ) t WHERE rn = 1
+),
+w3 AS (
+  SELECT seed, node FROM (
+    SELECT w.seed, s.dst AS node,
+           ROW_NUMBER() OVER (PARTITION BY w.seed ORDER BY
+             md5('walk:3:' || CAST(w.node AS VARCHAR) || ':'
+                 || CAST(s.dst AS VARCHAR)), s.dst) AS rn
+    FROM w2 w JOIN sym s ON s.src = w.node
+  ) t WHERE rn = 1
+)
+SELECT seed, CAST(0 AS BIGINT) AS step, node FROM w0
+UNION ALL SELECT seed, CAST(1 AS BIGINT), node FROM w1
+UNION ALL SELECT seed, CAST(2 AS BIGINT), node FROM w2
+UNION ALL SELECT seed, CAST(3 AS BIGINT), node FROM w3
+ORDER BY seed, step
+"""
+
+
+@graded("graph_walk_corpus", oracle=_WALK_ORACLE)
+def graph_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step deterministic random walks from the seed parts over
+    the fuzzy-match graph: per step, ONE broadcast join of all walkers
+    against the shared edge list and one per-walker argmin
+    (min-of-struct ≡ the oracle's (hash, neighbor) ROW_NUMBER). At
+    100 TB the walker frontier is |seeds| rows — the edge list streams
+    and nothing per-walker ever serializes."""
+    from ..operators.fuzzy_graph import fuzzy_sym
+
+    sym = fuzzy_sym(spark, sf_dir).select(
+        F.col("node").alias("src"), F.col("nbr").alias("dst")
+    )
+    w0 = (
+        sym.where(F.col("src") % 500 == 0)
+        .select(F.col("src").alias("seed"), F.col("src").alias("node"))
+        .distinct()
+    )
+    walks = [w0]
+    for t in range(1, _WALK_STEPS + 1):
+        prev = walks[-1]
+        h = F.md5(
+            F.concat(
+                F.lit(f"walk:{t}:"),
+                F.col("node").cast("string"),
+                F.lit(":"),
+                F.col("dst").cast("string"),
+            )
+        )
+        walks.append(
+            sym.join(F.broadcast(prev), sym.src == prev.node)
+            .select(
+                "seed",
+                F.struct(h.alias("h"), F.col("dst").alias("n")).alias("hn"),
+            )
+            .groupBy("seed")
+            .agg(F.min("hn").alias("hn"))
+            .select("seed", F.col("hn.n").alias("node"))
+        )
+    tagged = [
+        w.select("seed", F.lit(i).cast("bigint").alias("step"), "node")
+        for i, w in enumerate(walks)
+    ]
+    un = tagged[0]
+    for t_ in tagged[1:]:
+        un = un.unionByName(t_)
+    return un.orderBy("seed", "step")

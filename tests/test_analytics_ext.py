@@ -284,3 +284,33 @@ def test_dp_counts_plausible_noise(spark, sf_dir):
         assert r.released_count >= 0
         assert abs(r.released_count - true[r.event_type]) < 30
         assert r.epsilon == 0.5
+
+
+def test_welch_matches_pure_python(spark, sf_dir):
+    import duckdb
+    import math
+
+    from canvas_data_2_aws_spark import registry
+
+    registry.load_all()
+    got = registry.QUERIES["analytics_welch_ttest"](spark, sf_dir).collect()[0]
+    rows = duckdb.connect().execute(
+        f"SELECT user_id, CAST(COALESCE(SUM(CASE WHEN event_type='purchase' "
+        f"THEN CAST(round(value*100,0) AS BIGINT) END),0) AS BIGINT) "
+        f"FROM '{sf_dir}/events.parquet' GROUP BY user_id"
+    ).fetchall()
+    a = [c for uid, c in rows if uid % 2 == 1]
+    b = [c for uid, c in rows if uid % 2 == 0]
+
+    def mv(x):
+        n = len(x)
+        m = sum(x) / n
+        v = sum((xi - m) ** 2 for xi in x) / (n - 1)
+        return n, m, v
+
+    na, ma, va = mv(a)
+    nb, mb, vb = mv(b)
+    t = (ma - mb) / math.sqrt(va / na + vb / nb)
+    assert got.na == na and got.nb == nb
+    assert abs(got.t_welch - t) < 1e-3
+    assert got.dof > min(na, nb) - 1  # Welch dof exceeds the smaller arm's

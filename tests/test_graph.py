@@ -239,3 +239,27 @@ def test_closeness_seeds_bounds(spark, sf_dir):
         # and at least 1/3 each
         if r.n_reached:
             assert float(r.h_closeness) >= r.n_reached / 3.0 - 1e-9
+
+
+def test_walk_corpus_valid_walks(spark, sf_dir):
+    """Each walk is a real path: consecutive nodes share an edge, and
+    each (seed, step) appears exactly once."""
+    from canvas_data_2_aws_spark import registry
+    from canvas_data_2_aws_spark.operators.fuzzy_graph import fuzzy_sym
+
+    registry.load_all()
+    rows = registry.QUERIES["graph_walk_corpus"](spark, sf_dir).collect()
+    if not rows:
+        return
+    edges = {
+        (r.node, r.nbr) for r in fuzzy_sym(spark, sf_dir).collect()
+    }
+    walks = {}
+    for r in rows:
+        walks.setdefault(r.seed, {})[r.step] = r.node
+    for seed, path in walks.items():
+        assert path[0] == seed
+        steps = sorted(path)
+        assert steps == list(range(len(steps)))
+        for a, b in zip(steps, steps[1:]):
+            assert (path[a], path[b]) in edges
