@@ -171,6 +171,8 @@ HEADLINE = [
     "analytics_dp_counts",
     "analytics_welch_ttest",
     "graph_walk_corpus",
+    "timeseries_dft_top",
+    "analytics_power_analysis",
 ]
 
 

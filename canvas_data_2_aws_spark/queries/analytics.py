@@ -2276,3 +2276,85 @@ def analytics_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).alias("dof"),
     )
+
+
+# --- experiment power / sample-size analysis ---------------------------------------
+
+# The question asked BEFORE ab_lift's z-test: how many users per arm
+# does detecting a +2pp conversion lift take at α=0.05 / power 0.8,
+# and is the current traffic already enough? Standard two-proportion
+# formula n = (z_{α/2}·√(2p̄q̄) + z_β·√(p₀q₀+p₁q₁))² / δ², everything
+# from exact counts except the two z literals (shared text in both
+# engines). Pure scalar arithmetic after one user collapse.
+_PWR_Z_A = "1.959963984540054"  # z_{0.975}
+_PWR_Z_B = "0.8416212335729143"  # z_{0.80}
+_PWR_DELTA = "0.02"
+
+_POWER_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 200
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS n_conv
+  FROM u
+),
+p AS (
+  SELECT n_users, n_conv,
+         CAST(n_conv AS DOUBLE) / n_users AS p0,
+         CAST(n_conv AS DOUBLE) / n_users + {_PWR_DELTA} AS p1
+  FROM m
+),
+nreq AS (
+  SELECT n_users, n_conv, p0, p1,
+         CAST(ceil(
+           ({_PWR_Z_A} * sqrt(2.0 * ((p0 + p1) / 2.0)
+                              * (1.0 - (p0 + p1) / 2.0))
+            + {_PWR_Z_B} * sqrt(p0 * (1.0 - p0) + p1 * (1.0 - p1)))
+           * ({_PWR_Z_A} * sqrt(2.0 * ((p0 + p1) / 2.0)
+                                * (1.0 - (p0 + p1) / 2.0))
+              + {_PWR_Z_B} * sqrt(p0 * (1.0 - p0) + p1 * (1.0 - p1)))
+           / ({_PWR_DELTA} * {_PWR_DELTA})) AS BIGINT) AS n_required
+  FROM p
+)
+SELECT n_users, ROUND(p0, 6) AS p_baseline, n_required,
+       CASE WHEN n_users // 2 >= n_required THEN 1 ELSE 0 END AS powered
+FROM nreq
+"""
+
+
+@graded("analytics_power_analysis", oracle=_POWER_ORACLE)
+def analytics_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-arm sample size to detect a +2pp conversion lift at
+    α=0.05 / power 0.8, from the observed baseline conversion rate —
+    plus whether current traffic (split in half) already clears it.
+    One user collapse, one 2-moment aggregate, scalar math."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 200), 1
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    m = u.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_conv"),
+    )
+    p0 = F.col("n_conv").cast("double") / F.col("n_users")
+    p1 = p0 + float(_PWR_DELTA)
+    pbar = (p0 + p1) / 2.0
+    za, zb, delta = float(_PWR_Z_A), float(_PWR_Z_B), float(_PWR_DELTA)
+    root = za * F.sqrt(2.0 * pbar * (1.0 - pbar)) + zb * F.sqrt(
+        p0 * (1.0 - p0) + p1 * (1.0 - p1)
+    )
+    n_req = F.ceil(root * root / (delta * delta)).cast("bigint")
+    return m.select(
+        "n_users",
+        F.round(p0, 6).alias("p_baseline"),
+        n_req.alias("n_required"),
+        F.when(F.expr("n_users DIV 2") >= n_req, 1).otherwise(0).alias("powered"),
+    )

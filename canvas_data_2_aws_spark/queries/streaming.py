@@ -1430,3 +1430,107 @@ def stream_simhash_pairs_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         return materialize_outliving(out, tmp)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- EXT: discrete-Fourier spectral peaks over the hourly series ------------------
+
+# The spectral sibling of timeseries_acf/seasonality: |X_k| for the
+# first 8 DFT frequencies of the hourly revenue series. Missing hours
+# are implicit zeros (they add nothing to the sums), so the grid never
+# materializes; magnitude is shift-invariant, but the trig arguments
+# still use grid-relative hour indices for small-angle numerics. Each
+# x·cos / x·sin product is identical-operand IEEE in both engines
+# (shared 2π literal, identical expression shape) and the per-k sums
+# use the DECIMAL(38,12) house recipe. One row-scale agg → ≤ n_hours·8
+# skinny rows → an 8-row spectrum.
+import math as _m
+
+_TWO_PI = repr(2.0 * _m.pi)
+_DFT_K = 8
+
+_DFT_ORACLE = f"""
+WITH hx AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hh,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY hh
+),
+grid AS (
+  SELECT CAST(MIN(hh) AS BIGINT) AS h0,
+         CAST(MAX(hh) - MIN(hh) + 1 AS BIGINT) AS n FROM hx
+),
+terms AS (
+  SELECT k.k,
+         CAST(SUM(CAST(hx.cents * cos(({_TWO_PI} * k.k * (hx.hh - grid.h0))
+                                      / grid.n)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS c,
+         CAST(SUM(CAST(hx.cents * sin(({_TWO_PI} * k.k * (hx.hh - grid.h0))
+                                      / grid.n)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS s,
+         CAST(MIN(grid.n) AS BIGINT) AS n
+  FROM hx, grid, (SELECT unnest(range(1, {_DFT_K} + 1)) AS k) k
+  GROUP BY k.k
+)
+SELECT k,
+       ROUND(sqrt(c * c + s * s) / 100.0, 2) AS magnitude_usd,
+       ROUND(CAST(n AS DOUBLE) / k, 2) AS period_hours
+FROM terms
+ORDER BY k
+"""
+
+
+@graded("timeseries_dft_top", oracle=_DFT_ORACLE)
+def timeseries_dft_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-8-frequency DFT magnitudes of the hourly purchase-revenue
+    series (spectral seasonality detection). Hourly collapse → 1-row
+    grid attach → a literal 8-way frequency explode → one decimal-
+    summed agg per (k); nothing after the first shuffle is
+    corpus-sized and empty hours cost nothing."""
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    hx = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hh")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    grid = hx.agg(
+        F.min("hh").cast("bigint").alias("h0"),
+        (F.max("hh") - F.min("hh") + 1).cast("bigint").alias("n"),
+    )
+    two_pi = float(_TWO_PI)
+    ang = (F.lit(two_pi) * F.col("k") * (F.col("hh") - F.col("h0"))) / F.col("n")
+    terms = (
+        hx.crossJoin(F.broadcast(grid))
+        .select(
+            "cents",
+            "hh",
+            "h0",
+            "n",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.lit(_DFT_K).cast("long"))
+            ).alias("k"),
+        )
+        .groupBy("k")
+        .agg(
+            F.sum((F.col("cents") * F.cos(ang)).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("c"),
+            F.sum((F.col("cents") * F.sin(ang)).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("s"),
+            F.min("n").cast("bigint").alias("n"),
+        )
+    )
+    return terms.select(
+        "k",
+        F.round(
+            F.sqrt(F.col("c") * F.col("c") + F.col("s") * F.col("s")) / 100.0, 2
+        ).alias("magnitude_usd"),
+        F.round(F.col("n").cast("double") / F.col("k"), 2).alias("period_hours"),
+    ).orderBy("k")

@@ -68,9 +68,10 @@ def graded(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]
 # validate_join_cardinality, graph_closeness_seeds,
 # validate_f2_ams_sketch, merge_ivm_join_view,
 # merge_equality_deletes, analytics_dp_counts, analytics_welch_ttest,
-# graph_walk_corpus): 29 first-time
-# slots, the remaining 21 refreshing the oldest r01–r02 verdicts;
-# that closes the driver union at 328/328), plus
+# graph_walk_corpus, timeseries_dft_top, analytics_power_analysis):
+# 31 first-time
+# slots, the remaining 19 refreshing the oldest r01–r02 verdicts;
+# that closes the driver union at 330/330), plus
 # join_interval_overlap, whose only driver record is a stale r02 error
 # from the nanos-fixture era (fixed in r03 by type-adaptive load_table;
 # round-9 judge re-verified a 41-row hash-match — this slot records the

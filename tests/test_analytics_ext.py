@@ -314,3 +314,14 @@ def test_welch_matches_pure_python(spark, sf_dir):
     assert got.na == na and got.nb == nb
     assert abs(got.t_welch - t) < 1e-3
     assert got.dof > min(na, nb) - 1  # Welch dof exceeds the smaller arm's
+
+
+def test_power_analysis_sanity(spark, sf_dir):
+    from canvas_data_2_aws_spark import registry
+
+    registry.load_all()
+    r = registry.QUERIES["analytics_power_analysis"](spark, sf_dir).collect()[0]
+    assert 0.0 < r.p_baseline < 1.0
+    assert r.n_required > 0
+    assert r.powered in (0, 1)
+    assert r.powered == (1 if r.n_users // 2 >= r.n_required else 0)

@@ -711,3 +711,18 @@ def test_streaming_simhash_pairs_rerun_idempotent(spark, sf_dir, tmp_path):
     }
     assert second == first
     assert first
+
+
+def test_dft_parseval_sanity(spark, sf_dir):
+    """k=0 is excluded, so every reported magnitude is bounded by the
+    series' total absolute mass, and periods divide the grid length."""
+    from canvas_data_2_aws_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["timeseries_dft_top"](spark, sf_dir).collect()
+    assert [r.k for r in rows] == list(range(1, 9))
+    for r in rows:
+        assert r.magnitude_usd >= 0
+        assert r.period_hours > 0
+    periods = [r.period_hours for r in rows]
+    assert periods == sorted(periods, reverse=True)
