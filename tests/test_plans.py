@@ -212,6 +212,7 @@ _NESTED_LOOP_OK = {
     "validate_f2_ams_sketch",  # 8-row Range seed axis + 1-row mean attach
     "merge_ivm_join_view",  # max-PK 1-row broadcast (changeset derivation)
     "merge_equality_deletes",  # 1-row delete-key-count attach
+    "timeseries_dft_top",  # 1-row DFT grid (h0, n) attach
 }
 
 # Construction-time side effects or non-DataFrame surfaces — no static
