@@ -130,3 +130,27 @@ def test_grouped_prefix_sum_inclusive_matches_ansi(spark, rows):
     )
     want = df.withColumn("c", F.sum("v").over(w))
     assert sorted(got.collect()) == sorted(want.collect())
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2**20), st.integers(0, 2**20)),
+        min_size=1,
+        max_size=200,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_ks_packing_decodes_exactly(pairs):
+    """The analytics_ks_test packing (na, nb) → na·2³¹ + nb carries two
+    prefix sums through ONE cumsum exactly: decoding the packed running
+    sum must equal the two independent running sums at every prefix,
+    for any counts below the 2³¹ arm bound."""
+    PACK = 1 << 31
+    cum = 0
+    ca = cb = 0
+    for na, nb in pairs:
+        cum += na * PACK + nb
+        ca += na
+        cb += nb
+        assert cum // PACK == ca
+        assert cum % PACK == cb
