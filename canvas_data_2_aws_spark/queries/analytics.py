@@ -1752,7 +1752,9 @@ bar AS (
   FROM rep
 ),
 ranked AS (
-  SELECT mean_b, ROW_NUMBER() OVER (ORDER BY mean_b, b) AS rn FROM rep
+  SELECT mean_b,
+         ROW_NUMBER() OVER (ORDER BY mean_b ASC NULLS LAST, b) AS rn
+  FROM rep
 ),
 ci AS (
   SELECT COUNT(*) AS b_count,
@@ -1835,7 +1837,14 @@ def analytics_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = RK.attach_unit_group(rep).withColumn(
         "rn",
         F.row_number().over(
-            Window.partitionBy(RK.UNIT_GROUP).orderBy("mean_b", "b")
+            # NULLS LAST explicitly: a replicate whose Poisson weights
+            # are all zero yields a NULL mean_b, and Spark's ASC default
+            # (NULLS FIRST) disagrees with DuckDB's (NULLS LAST) —
+            # unreachable at B=200 on real fixtures (~e^-n) but the
+            # ordering contract must be engine-identical regardless.
+            Window.partitionBy(RK.UNIT_GROUP).orderBy(
+                F.asc_nulls_last("mean_b"), "b"
+            )
         ),
     )
     dev = F.col("mean_b") - F.col("bar")
@@ -2183,10 +2192,14 @@ def analytics_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CUPED, rank-sum, KS, permutation): Welch's t on the continuous
 # per-user spend metric with the Satterthwaite degrees of freedom —
 # the default two-sample mean test when arm variances differ. Every
-# moment (n, Σx, Σx²) is an exact BIGINT from integer cents; the
+# moment (n, Σx, Σx²) is exact-integer from integer cents; the
 # t/dof expressions run on identical-operand doubles in both engines
 # (Σx is cast to double BEFORE squaring — the BIGINT square overflows
-# at ~1.5e10 total cents).
+# at ~1.5e10 total cents). The squared moments Σx² accumulate as
+# DECIMAL(38,0), not BIGINT: at ~1e8 users × ~1e7 cents each the sum
+# reaches ~1e22, where Spark's non-ANSI long sum wraps silently while
+# DuckDB widens to HUGEINT — decimal accumulation keeps both engines
+# exact (and identical) to 38 digits, then converts to double once.
 _WELCH_ORACLE = """
 WITH u AS (
   SELECT user_id, CAST(user_id % 2 AS INTEGER) AS arm,
@@ -2200,8 +2213,10 @@ m AS (
          CAST(COUNT(*) - SUM(arm) AS BIGINT) AS nb,
          CAST(SUM(arm * cents) AS BIGINT) AS sa,
          CAST(SUM((1 - arm) * cents) AS BIGINT) AS sb,
-         CAST(SUM(arm * cents * cents) AS BIGINT) AS qa,
-         CAST(SUM((1 - arm) * cents * cents) AS BIGINT) AS qb
+         CAST(SUM(CAST(arm * cents AS DECIMAL(38,0)) * cents)
+              AS DECIMAL(38,0)) AS qa,
+         CAST(SUM(CAST((1 - arm) * cents AS DECIMAL(38,0)) * cents)
+              AS DECIMAL(38,0)) AS qb
   FROM u
 ),
 v AS (
@@ -2250,8 +2265,12 @@ def analytics_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - F.sum(arm)).cast("bigint").alias("nb"),
         F.sum(arm * cents).cast("bigint").alias("sa"),
         F.sum((1 - arm) * cents).cast("bigint").alias("sb"),
-        F.sum(arm * cents * cents).cast("bigint").alias("qa"),
-        F.sum((1 - arm) * cents * cents).cast("bigint").alias("qb"),
+        F.sum((arm * cents).cast("decimal(38,0)") * cents)
+        .cast("decimal(38,0)")
+        .alias("qa"),
+        F.sum(((1 - arm) * cents).cast("decimal(38,0)") * cents)
+        .cast("decimal(38,0)")
+        .alias("qb"),
     )
     ma = F.col("sa").cast("double") / F.col("na")
     mb = F.col("sb").cast("double") / F.col("nb")
@@ -2305,7 +2324,7 @@ m AS (
 p AS (
   SELECT n_users, n_conv,
          CAST(n_conv AS DOUBLE) / n_users AS p0,
-         CAST(n_conv AS DOUBLE) / n_users + {_PWR_DELTA} AS p1
+         LEAST(CAST(n_conv AS DOUBLE) / n_users + {_PWR_DELTA}, 1.0) AS p1
   FROM m
 ),
 nreq AS (
@@ -2345,7 +2364,10 @@ def analytics_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("converted").cast("bigint").alias("n_conv"),
     )
     p0 = F.col("n_conv").cast("double") / F.col("n_users")
-    p1 = p0 + float(_PWR_DELTA)
+    # Clamp the lifted arm at 1.0: a ≥0.98 baseline would otherwise push
+    # p1 past 1 and hand sqrt a negative argument — NaN in Spark but an
+    # out-of-range ERROR in DuckDB, breaking the cross-engine contract.
+    p1 = F.least(p0 + float(_PWR_DELTA), F.lit(1.0))
     pbar = (p0 + p1) / 2.0
     za, zb, delta = float(_PWR_Z_A), float(_PWR_Z_B), float(_PWR_DELTA)
     root = za * F.sqrt(2.0 * pbar * (1.0 - pbar)) + zb * F.sqrt(

@@ -481,7 +481,8 @@ _BLOOM_ORACLE = f"""
 WITH build AS (
   SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
 ),
-mm AS (SELECT CAST({_BLOOM_BITS_PER_KEY} * COUNT(*) AS BIGINT) AS m_bits
+mm AS (SELECT CAST(GREATEST({_BLOOM_BITS_PER_KEY} * COUNT(*), 1) AS BIGINT)
+         AS m_bits
        FROM build),
 seeds AS (SELECT unnest(range(0, {_BLOOM_K})) AS j),
 occ AS (
@@ -533,8 +534,15 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     build = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    # GREATEST(·, 1): an empty build segment would size m_bits = 0 and
+    # every position would compute x % 0 — NULL in Spark, error in
+    # DuckDB. With m_bits = 1 the occupancy set is empty (no build rows
+    # insert positions), so every probe misses and the prefilter
+    # correctly returns zero candidates instead of degenerating.
     mm = build.agg(
-        (F.count("*") * _BLOOM_BITS_PER_KEY).cast("long").alias("m_bits")
+        F.greatest(F.count("*") * _BLOOM_BITS_PER_KEY, F.lit(1))
+        .cast("long")
+        .alias("m_bits")
     )
 
     def pos(j, key: str):

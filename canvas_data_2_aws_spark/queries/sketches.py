@@ -623,9 +623,14 @@ WITH keys AS (
   FROM orders GROUP BY o_custkey
 ),
 exact AS (
+  -- cnt² accumulates as DECIMAL(38,0) ((19,0)×(19,0) product), not
+  -- BIGINT: Spark's non-ANSI long sum wraps silently at ~9.2e18 while
+  -- DuckDB widens to HUGEINT — decimal keeps both engines exact and
+  -- identical; the final BIGINT cast is loud (null/error) on overflow.
   SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
          CAST(COUNT(*) AS BIGINT) AS n_keys,
-         CAST(SUM(cnt * cnt) AS BIGINT) AS f2_exact
+         CAST(SUM(CAST(cnt AS DECIMAL(19,0)) * CAST(cnt AS DECIMAL(19,0)))
+              AS BIGINT) AS f2_exact
   FROM keys
 ),
 seeds AS (SELECT unnest(range(0, {_CMS_D})) AS j),
@@ -640,7 +645,9 @@ cms AS (
 ),
 est AS (
   SELECT MIN(s) AS f2_cms
-  FROM (SELECT j, SUM(c * c) AS s FROM cms GROUP BY j) per_row
+  FROM (SELECT j,
+               SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS s
+        FROM cms GROUP BY j) per_row
 )
 SELECT exact.n_rows, exact.n_keys, exact.f2_exact,
        CAST(est.f2_cms AS BIGINT) AS f2_cms,
@@ -662,10 +669,14 @@ def validate_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = o.groupBy(F.col("o_custkey").alias("k")).agg(
         F.count("*").cast("bigint").alias("cnt")
     )
+    # Squared moments accumulate as DECIMAL(38,0) (the (19,0)×(19,0)
+    # product recipe) — a BIGINT sum of cnt² wraps silently in Spark's
+    # non-ANSI mode at ~9.2e18 while DuckDB widens to HUGEINT.
+    cnt19 = F.col("cnt").cast("decimal(19,0)")
     exact = keys.agg(
         F.sum("cnt").cast("bigint").alias("n_rows"),
         F.count("*").cast("bigint").alias("n_keys"),
-        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("f2_exact"),
+        F.sum(cnt19 * cnt19).cast("bigint").alias("f2_exact"),
     )
     seeds = spark.range(_CMS_D).select(F.col("id").alias("j"))
     bucket = (
@@ -687,9 +698,10 @@ def validate_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("j", bucket.alias("bucket"))
         .agg(F.sum("cnt").cast("bigint").alias("c"))
     )
+    c19 = F.col("c").cast("decimal(19,0)")
     est = (
         cms.groupBy("j")
-        .agg(F.sum(F.col("c") * F.col("c")).alias("s"))
+        .agg(F.sum(c19 * c19).alias("s"))
         .agg(F.min("s").cast("bigint").alias("f2_cms"))
     )
     return exact.crossJoin(F.broadcast(est)).select(
@@ -726,7 +738,10 @@ WITH keys AS (
   FROM orders GROUP BY o_custkey
 ),
 exact AS (
-  SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS f2_exact FROM keys
+  -- DECIMAL(38,0) accumulation ((19,0)×(19,0)): see validate_join_cardinality.
+  SELECT CAST(SUM(CAST(cnt AS DECIMAL(19,0)) * CAST(cnt AS DECIMAL(19,0)))
+              AS BIGINT) AS f2_exact
+  FROM keys
 ),
 seeds AS (SELECT unnest(range(0, {_AMS_D})) AS j),
 signed AS (
@@ -737,11 +752,17 @@ signed AS (
   FROM keys, seeds
 ),
 rows_est AS (
-  SELECT j, CAST(SUM(pull) * SUM(pull) AS BIGINT) AS est
+  -- Σ±cnt accumulates as DECIMAL(38,0) and the square is the
+  -- (19,0)×(19,0) product — a BIGINT Σ wraps silently in Spark while
+  -- DuckDB widens, and the square overflows BIGINT at |Σ| > ~3e9.
+  SELECT j,
+         CAST(SUM(CAST(pull AS DECIMAL(38,0))) AS DECIMAL(19,0))
+           * CAST(SUM(CAST(pull AS DECIMAL(38,0))) AS DECIMAL(19,0)) AS est
   FROM signed GROUP BY j
 ),
 med AS (
-  SELECT CAST(SUM(est) // {_AMS_D} AS BIGINT) AS f2_ams FROM rows_est
+  SELECT CAST(CAST(SUM(est) AS BIGINT) // {_AMS_D} AS BIGINT) AS f2_ams
+  FROM rows_est
 )
 SELECT exact.f2_exact, med.f2_ams,
        ROUND(CAST(med.f2_ams AS DOUBLE) / exact.f2_exact, 4) AS ratio
@@ -762,9 +783,8 @@ def validate_f2_ams_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = o.groupBy(F.col("o_custkey").alias("k")).agg(
         F.count("*").cast("bigint").alias("cnt")
     )
-    exact = keys.agg(
-        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("f2_exact")
-    )
+    cnt19 = F.col("cnt").cast("decimal(19,0)")
+    exact = keys.agg(F.sum(cnt19 * cnt19).cast("bigint").alias("f2_exact"))
     seeds = spark.range(_AMS_D).select(F.col("id").alias("j"))
     signed = keys.crossJoin(F.broadcast(seeds)).select(
         "j",
@@ -784,11 +804,12 @@ def validate_f2_ams_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(-F.col("cnt"))
         .alias("pull"),
     )
-    rows_est = signed.groupBy("j").agg(
-        (F.sum("pull") * F.sum("pull")).cast("bigint").alias("est")
-    )
+    s19 = F.sum(F.col("pull").cast("decimal(38,0)")).cast("decimal(19,0)")
+    rows_est = signed.groupBy("j").agg((s19 * s19).alias("est"))
     med = rows_est.agg(
-        F.expr(f"SUM(est) DIV {_AMS_D}").cast("bigint").alias("f2_ams")
+        F.expr(f"CAST(SUM(est) AS BIGINT) DIV {_AMS_D}")
+        .cast("bigint")
+        .alias("f2_ams")
     )
     return exact.crossJoin(F.broadcast(med)).select(
         "f2_exact",

@@ -137,3 +137,21 @@ def test_f2_ams_band(spark, sf_dir):
     # 4-sigma band (observed fixtures: 0.49-1.41)
     assert 0.2 <= r.ratio <= 3.0
     assert r.f2_ams > 0
+
+
+def test_kmv_small_union_is_exact(spark):
+    """VERDICT r10: when the whole union fits in the sketch
+    (n_union <= k) the KMV "sample" IS the union, so the estimate must
+    EQUAL the exact Jaccard — this is the value the LEAST(k, n_union)
+    denominator fix protects; a fixed /k denominator would bias it low
+    by n_union/k (~0.57x here) and the cross-engine hash-match could
+    never catch it because both engines would agree on the biased
+    value. sf0.001 has n_union = 147 < 256 by construction."""
+    rows = registry.QUERIES["agg_kmv_jaccard"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_union < r.k, "fixture drifted: small-set premise broken"
+    assert r.kmv_hits == r.n_inter
+    assert r.j_kmv == r.j_exact
