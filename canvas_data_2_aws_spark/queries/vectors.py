@@ -428,11 +428,13 @@ def _build_kmeans_assignment(
                 ).alias("dist")
             )
         )
-        w = Window.partitionBy("vec_id").orderBy("dist", "j")
-        return (
-            d.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") == 1)
-            .select("vec_id", F.col("j").alias("c"))
+        # argmin by (dist, j) as MIN(struct): lexicographic struct
+        # ordering IS the row_number(ORDER BY dist, j) = 1 pick, but as
+        # a partial-aggregable groupBy instead of a window — one fewer
+        # exchange+sort per Lloyd step (r10 verdict: ivf_assign_build
+        # drift attribution). Assignments identical bit-for-bit.
+        return d.groupBy("vec_id").agg(
+            F.min(F.struct("dist", "j"))["j"].alias("c")
         )
 
     a1 = assign_step(centroids(None)).localCheckpoint()
@@ -494,11 +496,13 @@ def _sampled_kmeans_assignment(emb: DataFrame, n: int, k: int) -> DataFrame:
                 ).alias("dist")
             )
         )
-        w = Window.partitionBy("vec_id").orderBy("dist", "j")
-        return (
-            d.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") == 1)
-            .select("vec_id", F.col("j").alias("c"))
+        # argmin by (dist, j) as MIN(struct): lexicographic struct
+        # ordering IS the row_number(ORDER BY dist, j) = 1 pick, but as
+        # a partial-aggregable groupBy instead of a window — one fewer
+        # exchange+sort per Lloyd step (r10 verdict: ivf_assign_build
+        # drift attribution). Assignments identical bit-for-bit.
+        return d.groupBy("vec_id").agg(
+            F.min(F.struct("dist", "j"))["j"].alias("c")
         )
 
     cent0 = centroids(None)
