@@ -143,7 +143,8 @@ HEADLINE = [
     # integer-exact Neyman stratified sampler. (The round's third new
     # query, stream_simhash_pairs_replay, follows the streaming-smoke
     # precedent — replay machinery dominates its wall, so it is graded
-    # and swept but not a headline row.)
+    # and swept but not a headline row; the r11 capped twin
+    # stream_simhash_pairs_capped follows the same precedent.)
     "agg_quantile_sketch",
     "sample_stratified_neyman",
     "pipeline_rendezvous_resharding",

@@ -1432,6 +1432,98 @@ def stream_simhash_pairs_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# --- streaming SimHash pairing, PER-BATCH CAPPED (r11) ----------------------------
+
+# The r10 module promised this variant: the uncapped replay above
+# proves batch-equivalence, but a production ingest must bound join
+# fan-out even when a band key goes degenerate (sf0.1 already has a
+# 291-member band group). The capped path truncates every band group's
+# posting list at SIMHASH_GROUP_CAP first arrivals; replayed in
+# ascending doc_id ranges, "first arrival" == "smallest doc_id", so
+# the emitted set is the order-free rank-truncated derivation below —
+# a FULL hash-match (stronger than the rows-only grade the r10 verdict
+# asked for), valid at every SF including the capped regime. Pair
+# (a, b), a < b, is emitted iff a is among the cap smallest doc_ids of
+# a shared band group (the smaller member is always admitted first, so
+# "either admitted" collapses to "smaller admitted").
+def _stream_pairs_capped_oracle() -> str:
+    from .shared_sql import (
+        SIMHASH_GROUP_CAP,
+        SIMHASH_HAM_MAX,
+        SIMHASH_SH_CTES,
+    )
+
+    return (
+        SIMHASH_SH_CTES
+        + f""",
+bands AS MATERIALIZED (
+  SELECT doc_id, simhash, b,
+         CAST((simhash >> (b * 16)) & 65535 AS BIGINT) AS bv
+  FROM sh, range(0, 4) t(b)
+),
+ranked AS (
+  SELECT doc_id, simhash, b, bv,
+         ROW_NUMBER() OVER (PARTITION BY b, bv ORDER BY doc_id) AS rn
+  FROM bands
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM ranked a
+JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+WHERE a.rn <= {SIMHASH_GROUP_CAP}
+  AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAM_MAX}
+"""
+    )
+
+
+def _docs_replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 3) -> str:
+    """Split documents into n ascending-doc_id parquet files for
+    replay (same range + mtime-stamp recipe as ``_replay_dir``; the
+    capped pairing's oracle equality needs batches in ascending id
+    order so first-arrival admission equals smallest-id admission)."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="cda2_shdocs_")
+    (
+        docs.repartitionByRange(n_files, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    files = sorted(
+        f for f in os.listdir(path)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base_t = time.time() - len(files)
+    for i, f in enumerate(files):
+        os.utime(os.path.join(path, f), (base_t + i, base_t + i))
+    return path
+
+
+@graded("stream_simhash_pairs_capped", oracle=_stream_pairs_capped_oracle())
+def stream_simhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-fan-out streaming near-dup pairing: posting lists in
+    the accumulated band index are truncated at SIMHASH_GROUP_CAP
+    first arrivals, so per-batch join work is <= batch x 4 x cap rows
+    at ANY corpus/key skew — the degenerate-corpus guarantee the
+    uncapped replay lacks. Ascending-range replay makes the result the
+    rank-truncated pair set (rationale above), graded as a full
+    hash-match; tests additionally pin the index-boundedness invariant
+    with a tiny cap."""
+    from ..queries.shared_sql import SIMHASH_GROUP_CAP
+    from ..streaming.dedup_pairs import simhash_pairs_replay_capped
+
+    base = _docs_replay_dir(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="cda2_shcapped_")
+    try:
+        with _few_state_partitions(spark, 8):
+            out = simhash_pairs_replay_capped(
+                spark, base, os.path.join(tmp, "work"), SIMHASH_GROUP_CAP
+            )
+        return materialize_outliving(out, tmp)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # --- EXT: discrete-Fourier spectral peaks over the hourly series ------------------
 
 # The spectral sibling of timeseries_acf/seasonality: |X_k| for the

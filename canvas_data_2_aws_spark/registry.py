@@ -66,6 +66,9 @@ def graded(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]
 # last sampled in r05 plus the oldest r06 names, recomputed from the
 # CORRECTNESS union at close.
 _SAMPLE_WINDOW_R11: tuple[str, ...] = (
+    # --- NEW r11 operators (sampled immediately; each one added here
+    # displaces the newest refresh slot so the window stays 50) ---
+    "stream_simhash_pairs_capped",
     # --- 31 never-sampled (r01–r10 union gap, closes at 330/330) ---
     # round-9 operators the r9 judge re-ran directly (5)
     "dedup_simhash_recall_eval",
@@ -120,7 +123,8 @@ _SAMPLE_WINDOW_R11: tuple[str, ...] = (
     "join_null_safe",
     "join_range",
     "join_salted_skew",
-    "join_semi",
+    # (join_semi displaced by stream_simhash_pairs_capped — it keeps
+    # its r02 verdict and heads the r12 refresh list.)
 )
 
 # Round-10 window (historical — superseded by _SAMPLE_WINDOW_R11): the

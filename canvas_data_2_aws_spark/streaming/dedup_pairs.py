@@ -26,6 +26,14 @@ This holds verbatim in the uncapped regime (no band group larger than
 ``group_cap``); under capping the hub-star edges depend on global
 group membership, so the streaming twin asserts the uncapped
 precondition rather than silently diverging.
+
+:func:`simhash_pairs_replay_capped` (r11) is the production-bounded
+companion: instead of the batch builder's global hub-star cap it
+truncates each band group's posting list at ``group_cap`` first
+arrivals, which IS incrementalizable append-only — per-batch join
+fan-out is bounded at any key skew, and under ascending-doc_id-range
+replay the emitted set equals an order-free rank-truncated derivation,
+so that path is graded as a full hash-match at every SF.
 """
 
 from __future__ import annotations
@@ -128,4 +136,107 @@ def simhash_pairs_replay(
     q.awaitTermination()
     # distinct: idempotence guard for a re-run against the same
     # work_dir (each pair is emitted once in a clean replay).
+    return spark.read.parquet(pairs_dir).distinct()
+
+
+def simhash_pairs_replay_capped(
+    spark: SparkSession,
+    docs_dir: str,
+    work_dir: str,
+    group_cap: int,
+) -> DataFrame:
+    """Per-batch capped variant of :func:`simhash_pairs_replay` — the
+    production shape the r10 module docstring promised: every band
+    group's POSTING LIST in the accumulated index is truncated at
+    ``group_cap`` members (first arrival wins, doc_id breaks in-batch
+    ties), so every probe join's fan-out is <= 4 bands x group_cap per
+    new document regardless of how hot a band key gets — the bounded
+    per-batch work a 100 TB ingest needs even on degenerate corpora
+    (the batch builder's hub-star cap keys on GLOBAL group membership
+    and is not incrementalizable append-only; truncation is).
+
+    Semantics traded for boundedness: a pair is emitted iff its
+    SMALLER-doc_id member is among the admitted (first ``group_cap``)
+    rows of some shared band group. When the caller replays batches in
+    ASCENDING doc_id ranges (as the graded query does), "first
+    arrival" == "smallest doc_id", so the emitted set equals the
+    rank-truncated derivation::
+
+        pair (a, b), a < b  <=>  exists band (b#, bv) shared by a, b
+            with row_number() over (partition by b#, bv order by
+            doc_id)(a) <= group_cap   (+ the exact Hamming gate)
+
+    — order-free, hence expressible as the DuckDB oracle that grades
+    this path as a FULL hash-match (not rows-only) even on corpora
+    whose band groups exceed the cap. In the uncapped regime it
+    degenerates to the full clique semantics, identical to the
+    uncapped replay.
+
+    Per-batch boundedness invariant (pinned in tests): the persisted
+    band index never holds more than ``group_cap`` rows per (b, bv).
+    """
+    from pyspark.sql import Window
+
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    index_dir = os.path.join(work_dir, "band_index")
+    pairs_dir = os.path.join(work_dir, "pairs")
+    ckpt_dir = os.path.join(work_dir, "ckpt")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        bands = _band_rows(T.simhash64(batch_df)).localCheckpoint(eager=True)
+        # Admission: existing index population per band key (bounded:
+        # <= group_cap per key by this very invariant) + in-batch rank.
+        rn = F.row_number().over(
+            Window.partitionBy("b", "bv").orderBy("doc_id")
+        )
+        ranked = bands.withColumn("rn", rn)
+        seen = None
+        if os.path.isdir(index_dir):
+            seen = sess.read.parquet(index_dir)
+            seen_n = seen.groupBy("b", "bv").agg(
+                F.count("*").alias("n_seen")
+            )
+            ranked = ranked.join(seen_n, ["b", "bv"], "left").withColumn(
+                "n_seen", F.coalesce("n_seen", F.lit(0))
+            )
+        else:
+            ranked = ranked.withColumn("n_seen", F.lit(0))
+        admitted = ranked.where(
+            F.col("n_seen") + F.col("rn") <= group_cap
+        ).select("doc_id", "simhash", "b", "bv")
+
+        new_all = bands.select(
+            "b", "bv", F.col("doc_id").alias("dx"),
+            F.col("simhash").alias("sim_x"),
+        )
+        adm_y = admitted.select(
+            "b", "bv", F.col("doc_id").alias("dy"),
+            F.col("simhash").alias("sim_y"),
+        )
+        # in-batch: every batch row probes the ADMITTED batch rows —
+        # fan-out <= group_cap per band key by construction.
+        legs = [new_all.join(adm_y, ["b", "bv"]).where(F.col("dx") != F.col("dy"))]
+        if seen is not None:
+            seen_y = seen.select(
+                "b", "bv", F.col("doc_id").alias("dy"),
+                F.col("simhash").alias("sim_y"),
+            )
+            legs.append(new_all.join(seen_y, ["b", "bv"]))
+        cand = legs[0] if len(legs) == 1 else legs[0].unionByName(legs[1])
+        _verified_pairs(cand).write.mode("append").parquet(pairs_dir)
+        admitted.write.mode("append").parquet(index_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return spark.read.parquet(pairs_dir).distinct()

@@ -726,3 +726,96 @@ def test_dft_parseval_sanity(spark, sf_dir):
         assert r.period_hours > 0
     periods = [r.period_hours for r in rows]
     assert periods == sorted(periods, reverse=True)
+
+
+def test_streaming_simhash_pairs_capped_bounded_and_subset(
+    spark, sf_dir, tmp_path
+):
+    """r11 (r10 verdict task 6): the per-batch capped variant's two
+    contracts, pinned with a deliberately TINY cap so the capped
+    regime is exercised even on the small fixture:
+
+    1. boundedness — the persisted band index never holds more than
+       group_cap rows per (b, bv), so every probe join's fan-out is
+       <= 4 x cap per new document at any corpus skew;
+    2. semantics — replayed in ascending doc_id ranges, the emitted
+       pairs are exactly the rank-truncated derivation (smaller member
+       among the cap smallest doc_ids of a shared band group), a
+       strict subset of the uncapped clique set.
+    """
+    from canvas_data_2_aws_spark.operators import text as T
+    from canvas_data_2_aws_spark.queries.shared_sql import SIMHASH_HAM_MAX
+    from canvas_data_2_aws_spark.session import load_table
+    from canvas_data_2_aws_spark.streaming.dedup_pairs import (
+        _band_rows,
+        simhash_pairs_replay,
+        simhash_pairs_replay_capped,
+    )
+
+    cap = 2
+    docs = load_table(spark, sf_dir, "documents")
+    docs_dir = str(tmp_path / "docs")
+    # ascending doc_id ranges with ascending mtimes (the graded query's
+    # _docs_replay_dir recipe, inlined so the test controls the split)
+    (
+        docs.repartitionByRange(3, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.parquet(docs_dir)
+    )
+    import os as _os
+    import time as _time
+
+    files = sorted(
+        f for f in _os.listdir(docs_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    t0 = _time.time() - len(files)
+    for i, f in enumerate(files):
+        _os.utime(_os.path.join(docs_dir, f), (t0 + i, t0 + i))
+
+    capped_df = simhash_pairs_replay_capped(
+        spark, docs_dir, str(tmp_path / "work_c"), cap
+    )
+    capped = {(r.doc_a, r.doc_b) for r in capped_df.collect()}
+
+    # 1. boundedness invariant on the persisted index
+    idx = spark.read.parquet(str(tmp_path / "work_c" / "band_index"))
+    max_group = (
+        idx.groupBy("b", "bv").count().agg(F.max("count").alias("m"))
+    ).collect()[0]["m"]
+    assert max_group <= cap, f"index group {max_group} exceeds cap {cap}"
+
+    # 2a. expected = rank-truncated derivation, computed in batch Spark
+    sh = T.simhash64(docs).localCheckpoint(eager=True)
+    bands = _band_rows(sh)
+    from pyspark.sql import Window
+
+    ranked = bands.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("b", "bv").orderBy("doc_id")),
+    )
+    a = ranked.where(F.col("rn") <= cap).select(
+        "b", "bv", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa")
+    )
+    b = bands.select(
+        "b", "bv", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb")
+    )
+    expected = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, ["b", "bv"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(F.expr(f"bit_count(sa ^ sb) <= {SIMHASH_HAM_MAX}"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .collect()
+    }
+    assert capped == expected
+    assert len(capped) > 0, "vacuous: tiny cap produced no pairs"
+
+    # 2b. strict subset of the uncapped clique set at cap=2 (the
+    # fixture has band groups > 2, so truncation must drop edges)
+    uncapped_df = simhash_pairs_replay(
+        spark, docs_dir, str(tmp_path / "work_u")
+    )
+    uncapped = {(r.doc_a, r.doc_b) for r in uncapped_df.collect()}
+    assert capped < uncapped
