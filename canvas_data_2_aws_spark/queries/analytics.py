@@ -2380,3 +2380,574 @@ def analytics_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_req.alias("n_required"),
         F.when(F.expr("n_users DIV 2") >= n_req, 1).otherwise(0).alias("powered"),
     )
+
+
+# --- EXT: difference-in-differences experiment readout (r11) -----------------------
+
+# The quasi-experimental workhorse the z/CUPED/Welch family still
+# lacked: when treatment isn't randomized per-exposure but switched ON
+# at a point in time, the causal readout is (treat_post − treat_pre) −
+# (ctrl_post − ctrl_pre). Arms come from the stable user-id parity,
+# the switch point is the exact midpoint of the observed time range
+# (integer microseconds — (min+max) DIV 2, exact in both engines), and
+# the outcome is per-user purchase cents per period, zero-filled via a
+# users × {pre, post} grid (explode(sequence(0,1)) — the ≤32-rule
+# fan-out form). The SE pools the four group variances from exact
+# integer moments (Σx as BIGINT, Σx² as DECIMAL(38,0) — the same
+# overflow-proof recipe as Welch). Plan: one user-period collapse, one
+# 8-moment aggregate, scalar arithmetic — a single scan + user-keyed
+# exchange at any corpus size.
+_DID_ORACLE = """
+WITH span AS (
+  SELECT CAST((MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS BIGINT) AS cutoff
+  FROM events
+),
+users AS (SELECT DISTINCT user_id FROM events),
+grid AS (
+  SELECT u.user_id, CAST(u.user_id % 2 AS INTEGER) AS arm, p.period
+  FROM users u, (SELECT unnest(range(0, 2)) AS period) p
+),
+spend AS (
+  SELECT e.user_id,
+         CASE WHEN epoch_us(e.ts) > s.cutoff THEN 1 ELSE 0 END AS period,
+         CAST(SUM(CASE WHEN e.event_type = 'purchase'
+                       THEN CAST(round(e.value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS cents
+  FROM events e, span s
+  GROUP BY 1, 2
+),
+up AS (
+  SELECT g.arm, g.period, COALESCE(sp.cents, 0) AS cents
+  FROM grid g
+  LEFT JOIN spend sp ON sp.user_id = g.user_id AND sp.period = g.period
+),
+grp AS (
+  SELECT arm, period,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s,
+         CAST(SUM(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS q
+  FROM up GROUP BY arm, period
+),
+wide AS (
+  SELECT
+    MAX(CASE WHEN arm = 1 AND period = 0 THEN n END) AS n_t,
+    MAX(CASE WHEN arm = 0 AND period = 0 THEN n END) AS n_c,
+    MAX(CASE WHEN arm = 1 AND period = 0 THEN s END) AS s_t0,
+    MAX(CASE WHEN arm = 1 AND period = 1 THEN s END) AS s_t1,
+    MAX(CASE WHEN arm = 0 AND period = 0 THEN s END) AS s_c0,
+    MAX(CASE WHEN arm = 0 AND period = 1 THEN s END) AS s_c1,
+    MAX(CASE WHEN arm = 1 AND period = 0 THEN q END) AS q_t0,
+    MAX(CASE WHEN arm = 1 AND period = 1 THEN q END) AS q_t1,
+    MAX(CASE WHEN arm = 0 AND period = 0 THEN q END) AS q_c0,
+    MAX(CASE WHEN arm = 0 AND period = 1 THEN q END) AS q_c1
+  FROM grp
+)
+SELECT n_t, n_c,
+       ROUND(((CAST(s_t1 AS DOUBLE) / n_t - CAST(s_t0 AS DOUBLE) / n_t)
+              - (CAST(s_c1 AS DOUBLE) / n_c - CAST(s_c0 AS DOUBLE) / n_c))
+             / 100, 4) AS did_usd,
+       ROUND(sqrt(
+           ((CAST(q_t0 AS DOUBLE) - CAST(s_t0 AS DOUBLE) * s_t0 / n_t)
+              / (n_t - 1)) / n_t
+         + ((CAST(q_t1 AS DOUBLE) - CAST(s_t1 AS DOUBLE) * s_t1 / n_t)
+              / (n_t - 1)) / n_t
+         + ((CAST(q_c0 AS DOUBLE) - CAST(s_c0 AS DOUBLE) * s_c0 / n_c)
+              / (n_c - 1)) / n_c
+         + ((CAST(q_c1 AS DOUBLE) - CAST(s_c1 AS DOUBLE) * s_c1 / n_c)
+              / (n_c - 1)) / n_c) / 100, 4) AS se_usd,
+       ROUND(((CAST(s_t1 AS DOUBLE) / n_t - CAST(s_t0 AS DOUBLE) / n_t)
+              - (CAST(s_c1 AS DOUBLE) / n_c - CAST(s_c0 AS DOUBLE) / n_c))
+             / sqrt(
+           ((CAST(q_t0 AS DOUBLE) - CAST(s_t0 AS DOUBLE) * s_t0 / n_t)
+              / (n_t - 1)) / n_t
+         + ((CAST(q_t1 AS DOUBLE) - CAST(s_t1 AS DOUBLE) * s_t1 / n_t)
+              / (n_t - 1)) / n_t
+         + ((CAST(q_c0 AS DOUBLE) - CAST(s_c0 AS DOUBLE) * s_c0 / n_c)
+              / (n_c - 1)) / n_c
+         + ((CAST(q_c1 AS DOUBLE) - CAST(s_c1 AS DOUBLE) * s_c1 / n_c)
+              / (n_c - 1)) / n_c), 4) AS t_stat
+FROM wide
+"""
+
+
+@graded("analytics_diff_in_diff", oracle=_DID_ORACLE)
+def analytics_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on per-user purchase spend around the
+    exact midpoint of the event horizon, arms by user parity, with the
+    pooled-variance SE and t statistic (rationale above the oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    mic = F.unix_micros(F.col("ts"))
+    span = ev.agg(
+        F.expr("(MIN(unix_micros(ts)) + MAX(unix_micros(ts))) DIV 2")
+        .cast("long")
+        .alias("cutoff")
+    )
+    users = ev.select("user_id").distinct()
+    grid = users.select(
+        "user_id",
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.explode(F.sequence(F.lit(0), F.lit(1))).alias("period"),
+    )
+    spend = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy(
+            "user_id",
+            F.when(mic > F.col("cutoff"), 1).otherwise(0).alias("period"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    up = grid.join(spend, ["user_id", "period"], "left").select(
+        "arm", "period", F.coalesce("cents", F.lit(0)).alias("cents")
+    )
+    c19 = F.col("cents").cast("decimal(19,0)")
+    grp = up.groupBy("arm", "period").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(c19 * c19).cast("decimal(38,0)").alias("q"),
+    )
+
+    def pick(col: str, arm: int, period: int):
+        return F.max(
+            F.when((F.col("arm") == arm) & (F.col("period") == period), F.col(col))
+        )
+
+    wide = grp.agg(
+        pick("n", 1, 0).alias("n_t"),
+        pick("n", 0, 0).alias("n_c"),
+        pick("s", 1, 0).alias("s_t0"),
+        pick("s", 1, 1).alias("s_t1"),
+        pick("s", 0, 0).alias("s_c0"),
+        pick("s", 0, 1).alias("s_c1"),
+        pick("q", 1, 0).alias("q_t0"),
+        pick("q", 1, 1).alias("q_t1"),
+        pick("q", 0, 0).alias("q_c0"),
+        pick("q", 0, 1).alias("q_c1"),
+    )
+
+    def mean(s: str, n: str):
+        return F.col(s).cast("double") / F.col(n)
+
+    def var_over_n(q: str, s: str, n: str):
+        return (
+            (F.col(q).cast("double") - F.col(s).cast("double") * F.col(s) / F.col(n))
+            / (F.col(n) - 1)
+        ) / F.col(n)
+
+    did = (mean("s_t1", "n_t") - mean("s_t0", "n_t")) - (
+        mean("s_c1", "n_c") - mean("s_c0", "n_c")
+    )
+    se = F.sqrt(
+        var_over_n("q_t0", "s_t0", "n_t")
+        + var_over_n("q_t1", "s_t1", "n_t")
+        + var_over_n("q_c0", "s_c0", "n_c")
+        + var_over_n("q_c1", "s_c1", "n_c")
+    )
+    return wide.select(
+        "n_t",
+        "n_c",
+        F.round(did / 100, 4).alias("did_usd"),
+        F.round(se / 100, 4).alias("se_usd"),
+        F.round(did / se, 4).alias("t_stat"),
+    )
+
+
+# --- EXT: ridge regression by distributed normal equations (r11) -------------------
+
+# THE scalable pattern for small-width linear models over huge tables:
+# one pass accumulates the Gramian X'X and X'y as exact integer
+# moments (counts/sums BIGINT, squared/cross moments DECIMAL(38,0) via
+# the (19,0)x(19,0) recipe), then the 3x3 ridge system — intercept
+# unregularized, lambda on the two feature diagonals — solves by
+# Cramer's rule in scalar arithmetic. No iteration, no gradient, one
+# shuffle (the per-user collapse); the solve costs O(1) regardless of
+# corpus size. The Cramer expressions are SHARED STRINGS evaluated by
+# F.expr on the Spark side and spliced into the DuckDB oracle, so both
+# engines run the identical IEEE tree on identical double operands.
+# Features: per-user event count and active-day count; target: user
+# purchase cents.
+_RIDGE_LAM = "100.0"
+
+_RIDGE_D_STAGE = f"""
+  CAST(n AS DOUBLE) AS a11,
+  CAST(s1 AS DOUBLE) AS a12,
+  CAST(s2 AS DOUBLE) AS a13,
+  CAST(s11 AS DOUBLE) + {_RIDGE_LAM} AS a22,
+  CAST(s12 AS DOUBLE) AS a23,
+  CAST(s22 AS DOUBLE) + {_RIDGE_LAM} AS a33,
+  CAST(sy AS DOUBLE) AS b1,
+  CAST(s1y AS DOUBLE) AS b2,
+  CAST(s2y AS DOUBLE) AS b3,
+  n
+"""
+
+_RIDGE_DET = (
+    "a11 * (a22 * a33 - a23 * a23)"
+    " - a12 * (a12 * a33 - a23 * a13)"
+    " + a13 * (a12 * a23 - a22 * a13)"
+)
+_RIDGE_DET0 = (
+    "b1 * (a22 * a33 - a23 * a23)"
+    " - a12 * (b2 * a33 - a23 * b3)"
+    " + a13 * (b2 * a23 - a22 * b3)"
+)
+_RIDGE_DET1 = (
+    "a11 * (b2 * a33 - a23 * b3)"
+    " - b1 * (a12 * a33 - a23 * a13)"
+    " + a13 * (a12 * b3 - b2 * a13)"
+)
+_RIDGE_DET2 = (
+    "a11 * (a22 * b3 - b2 * a23)"
+    " - a12 * (a12 * b3 - b2 * a13)"
+    " + b1 * (a12 * a23 - a22 * a13)"
+)
+
+_RIDGE_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS x1,
+         CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS x2,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100, 0) AS BIGINT) END), 0) AS BIGINT)
+           AS y
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS BIGINT) AS s1,
+         CAST(SUM(x2) AS BIGINT) AS s2,
+         CAST(SUM(CAST(x1 AS DECIMAL(19,0)) * CAST(x1 AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS s11,
+         CAST(SUM(CAST(x1 AS DECIMAL(19,0)) * CAST(x2 AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS s12,
+         CAST(SUM(CAST(x2 AS DECIMAL(19,0)) * CAST(x2 AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS s22,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(CAST(x1 AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS s1y,
+         CAST(SUM(CAST(x2 AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS s2y
+  FROM u
+),
+d AS (SELECT {_RIDGE_D_STAGE} FROM m)
+SELECT n AS n_users,
+       CAST({_RIDGE_LAM} AS DOUBLE) AS lambda,
+       ROUND(({_RIDGE_DET0}) / ({_RIDGE_DET}), 6) AS beta0,
+       ROUND(({_RIDGE_DET1}) / ({_RIDGE_DET}), 6) AS beta1,
+       ROUND(({_RIDGE_DET2}) / ({_RIDGE_DET}), 6) AS beta2
+FROM d
+"""
+
+
+@graded("analytics_ridge_regression", oracle=_RIDGE_ORACLE)
+def analytics_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge (intercept + 2 features) on per-user spend via
+    one-pass exact Gramian moments + Cramer's rule (rationale above)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x1"),
+        F.countDistinct(F.to_date("ts")).cast("bigint").alias("x2"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+
+    def m19(a: str, b: str):
+        return F.sum(
+            F.col(a).cast("decimal(19,0)") * F.col(b).cast("decimal(19,0)")
+        ).cast("decimal(38,0)")
+
+    m = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("s1"),
+        F.sum("x2").cast("bigint").alias("s2"),
+        m19("x1", "x1").alias("s11"),
+        m19("x1", "x2").alias("s12"),
+        m19("x2", "x2").alias("s22"),
+        F.sum("y").cast("bigint").alias("sy"),
+        m19("x1", "y").alias("s1y"),
+        m19("x2", "y").alias("s2y"),
+    )
+    d = m.selectExpr(*[e.strip() for e in _RIDGE_D_STAGE.split(",\n")])
+    return d.selectExpr(
+        "n AS n_users",
+        f"CAST({_RIDGE_LAM} AS DOUBLE) AS lambda",
+        f"ROUND(({_RIDGE_DET0}) / ({_RIDGE_DET}), 6) AS beta0",
+        f"ROUND(({_RIDGE_DET1}) / ({_RIDGE_DET}), 6) AS beta1",
+        f"ROUND(({_RIDGE_DET2}) / ({_RIDGE_DET}), 6) AS beta2",
+    )
+
+
+# --- EXT: Kaplan–Meier product-limit survival with right censoring (r11) -----------
+
+# Time-to-event with right censoring — the estimator naive conversion
+# shares get WRONG when the observation window cuts users short: a
+# user first seen five days before the horizon never had 30 days to
+# convert. Event = first purchase over $300; users who never convert
+# are CENSORED at (horizon - first_seen): they leave the risk set
+# without counting as events, and S(t) = prod_{v<=t} (1 - d_v / n_v)
+# is the unbiased share still unconverted after t days. The
+# product runs as exp(cumsum(ln(1 - d/n))) with per-week ln terms
+# quantized to DECIMAL(38,9) (the PSI recipe) so the cumulative sum is
+# exact decimal addition in both engines; the day table is
+# calendar-sized, so the ordered window is a deliberate manifest-scale
+# single group. One user collapse + one day-keyed agg at any corpus.
+_KM_ORACLE = """
+WITH life AS (
+  SELECT user_id,
+         MIN(CAST(ts AS DATE)) AS d0,
+         MIN(CASE WHEN event_type = 'purchase' AND value > 300
+                  THEN CAST(ts AS DATE) END) AS ev_date
+  FROM events GROUP BY user_id
+),
+hz AS (SELECT MAX(CAST(ts AS DATE)) AS horizon FROM events),
+u AS (
+  SELECT CASE WHEN l.ev_date IS NOT NULL
+              THEN CAST(date_diff('day', l.d0, l.ev_date) AS BIGINT)
+              ELSE CAST(date_diff('day', l.d0, h.horizon) AS BIGINT)
+         END AS wk,
+         CASE WHEN l.ev_date IS NULL THEN 1 ELSE 0 END AS censored
+  FROM life l, hz h
+),
+wkagg AS (
+  SELECT wk,
+         CAST(SUM(1 - censored) AS BIGINT) AS d,
+         CAST(SUM(censored) AS BIGINT) AS c
+  FROM u GROUP BY wk
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM u),
+risk AS (
+  SELECT wk, d, c,
+         CAST(t.n_total
+           - COALESCE(SUM(d + c) OVER (ORDER BY wk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_risk
+  FROM wkagg, tot t
+),
+terms AS (
+  SELECT wk, d, c, n_risk,
+         CASE WHEN d < n_risk
+              THEN CAST(ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                        AS DECIMAL(38,9))
+              ELSE NULL END AS lnterm,
+         MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY wk ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS absorbed
+  FROM risk
+)
+SELECT wk AS day, n_risk, d AS n_deaths, c AS n_censored,
+       CASE WHEN absorbed = 1 THEN 0.0
+            ELSE ROUND(exp(CAST(SUM(lnterm) OVER (ORDER BY wk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE)), 4) END AS s_km
+FROM terms
+ORDER BY wk
+"""
+
+
+@graded("analytics_kaplan_meier", oracle=_KM_ORACLE)
+def analytics_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier daily survival over user lifetimes (30-day fixture
+    horizon) with final-3-day right censoring (rationale above the oracle). The ordered windows
+    run over the week manifest (attach_unit_group — calendar-sized by
+    design, never data-sized)."""
+    from ..operators import ranks as RK
+
+    ev = load_table(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 300),
+                F.to_date("ts"),
+            )
+        ).alias("ev_date"),
+    )
+    hz = ev.agg(F.max(F.to_date("ts")).alias("horizon"))
+    u = life.crossJoin(F.broadcast(hz)).select(
+        F.when(
+            F.col("ev_date").isNotNull(),
+            F.datediff(F.col("ev_date"), F.col("d0")).cast("bigint"),
+        )
+        .otherwise(F.datediff(F.col("horizon"), F.col("d0")).cast("bigint"))
+        .alias("wk"),
+        F.when(F.col("ev_date").isNull(), 1).otherwise(0).alias("censored"),
+    )
+    wkagg = u.groupBy("wk").agg(
+        F.sum(1 - F.col("censored")).cast("bigint").alias("d"),
+        F.sum("censored").cast("bigint").alias("c"),
+    )
+    tot = u.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    w_prev = (
+        Window.partitionBy(RK.UNIT_GROUP)
+        .orderBy("wk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cur = (
+        Window.partitionBy(RK.UNIT_GROUP)
+        .orderBy("wk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = (
+        RK.attach_unit_group(wkagg.crossJoin(F.broadcast(tot)))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
+            ),
+        )
+    )
+    lnterm = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(1.0 - F.col("d").cast("double") / F.col("n_risk")).cast(
+            "decimal(38,9)"
+        ),
+    )
+    absorbed = F.max(
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(w_cur)
+    terms = risk.withColumn("lnterm", lnterm).withColumn("absorbed", absorbed)
+    return terms.select(
+        F.col("wk").alias("day"),
+        "n_risk",
+        F.col("d").alias("n_deaths"),
+        F.col("c").alias("n_censored"),
+        F.when(F.col("absorbed") == 1, F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.sum("lnterm").over(w_cur).cast("double")), 4)
+        )
+        .alias("s_km"),
+    ).orderBy("wk")
+
+
+# --- EXT: sequential probability ratio test (SPRT) early stopping (r11) ------------
+
+# The missing piece of the experiment family: fixed-horizon tests
+# (z / CUPED / Welch / permutation) answer "is there an effect at n";
+# the SPRT answers "how early could we have STOPPED". Observations
+# (per-user conversion, the ab_lift definition) are ordered by the
+# stable user_id; because the per-outcome log-likelihood increments
+# are the two CONSTANTS ln(p1/p0) and ln((1-p1)/(1-p0)), the running
+# LLR is the CLOSED FORM conv_t*C1 + (n_t - conv_t)*C0 over exact
+# cumulative integer counts — no floating cumsum anywhere, so the
+# whole path is engine-exact. The cumulative counts come from the
+# distributed global_rank_and_cumsum builder (range-partitioned, no
+# single-task window), Wald bounds ln((1-beta)/alpha), ln(beta/
+# (1-alpha)) at alpha=0.05 / beta=0.2 are Python-computed literals
+# shared by both engines. Output: the decision, how many observations
+# it took vs the full horizon, and the LLR at the boundary crossing.
+_SPRT_P0 = "0.30"
+_SPRT_P1 = "0.35"
+_SPRT_C1 = repr(_math.log(0.35 / 0.30))  # per-conversion increment
+_SPRT_C0 = repr(_math.log(0.65 / 0.70))  # per-non-conversion increment
+_SPRT_UPPER = repr(_math.log((1.0 - 0.2) / 0.05))  # accept H1
+_SPRT_LOWER = repr(_math.log(0.2 / (1.0 - 0.05)))  # accept H0
+
+_SPRT_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 200
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+seq AS (
+  SELECT user_id, converted,
+         ROW_NUMBER() OVER (ORDER BY user_id) AS rn,
+         CAST(SUM(converted) OVER (ORDER BY user_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS conv_t
+  FROM u
+),
+llrs AS (
+  SELECT rn, conv_t,
+         conv_t * CAST({_SPRT_C1} AS DOUBLE)
+           + (rn - conv_t) * CAST({_SPRT_C0} AS DOUBLE) AS llr
+  FROM seq
+),
+cr AS (
+  SELECT MIN(CASE WHEN llr >= CAST({_SPRT_UPPER} AS DOUBLE)
+                    OR llr <= CAST({_SPRT_LOWER} AS DOUBLE)
+                  THEN rn END) AS rn_dec
+  FROM llrs
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM u)
+SELECT t.n_total,
+       CAST(cr.rn_dec AS BIGINT) AS n_at_decision,
+       ROUND(l.llr, 6) AS llr_at_decision,
+       CASE WHEN l.llr >= CAST({_SPRT_UPPER} AS DOUBLE) THEN 'accept_h1'
+            WHEN l.llr <= CAST({_SPRT_LOWER} AS DOUBLE) THEN 'accept_h0'
+            ELSE 'continue' END AS decision,
+       ROUND(CAST({_SPRT_UPPER} AS DOUBLE), 6) AS upper_bound,
+       ROUND(CAST({_SPRT_LOWER} AS DOUBLE), 6) AS lower_bound
+FROM cr
+LEFT JOIN llrs l ON l.rn = cr.rn_dec, tot t
+"""
+
+
+@graded("analytics_sprt_boundary", oracle=_SPRT_ORACLE)
+def analytics_sprt_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT (H0 p=0.30 vs H1 p=0.35, alpha=0.05, beta=0.2) over
+    user-ordered conversions: decision, stopping index, boundary LLR
+    (rationale above the oracle). The ordered scan is the distributed
+    global_rank_and_cumsum — never a single-task window."""
+    from ..operators.ranks import global_rank_and_cumsum
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 200), 1
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    seq = global_rank_and_cumsum(
+        u, ["user_id"], "converted", rank_out="rn", cum_out="conv_t"
+    )
+    llrs = seq.select(
+        "rn",
+        F.col("conv_t").cast("bigint").alias("conv_t"),
+    ).withColumn(
+        "llr",
+        F.col("conv_t") * float(_SPRT_C1)
+        + (F.col("rn") - F.col("conv_t")) * float(_SPRT_C0),
+    )
+    up, lo = float(_SPRT_UPPER), float(_SPRT_LOWER)
+    cr = llrs.agg(
+        F.min(
+            F.when((F.col("llr") >= up) | (F.col("llr") <= lo), F.col("rn"))
+        ).alias("rn_dec")
+    )
+    tot = u.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return (
+        cr.join(llrs, cr["rn_dec"] == llrs["rn"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_total",
+            F.col("rn_dec").cast("bigint").alias("n_at_decision"),
+            F.round("llr", 6).alias("llr_at_decision"),
+            F.when(F.col("llr") >= up, "accept_h1")
+            .when(F.col("llr") <= lo, "accept_h0")
+            .otherwise("continue")
+            .alias("decision"),
+            F.round(F.lit(up).cast("double"), 6).alias("upper_bound"),
+            F.round(F.lit(lo).cast("double"), 6).alias("lower_bound"),
+        )
+    )

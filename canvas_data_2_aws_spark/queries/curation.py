@@ -2219,3 +2219,92 @@ def sample_coordinated_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# --- EXT: weighted sampling without replacement, exponential keys (r11) ------------
+
+# Efraimidis–Spirakis A-ES: give item i the key u_i^(1/w_i) (here its
+# monotone log form ln(u_i)/w_i) and take the k LARGEST keys — a
+# provably exact weighted sample without replacement, computed as a
+# stateless per-row expression + one top-k. This is the distributed
+# answer to "sample 100 documents proportionally to length": no
+# cumulative-weight prefix scan, no rejection loop, merge-safe (top-k
+# of per-partition top-ks), one TakeOrderedAndProject. u is the house
+# deterministic uniform ((md5 13-hex + 1) / 2^52 — the +1 keeps
+# ln away from 0), weights GREATEST(n_chars, 1). The selection
+# key ordering runs on identical-operand doubles in both engines; the
+# displayed key is rounded, the ORDER BY uses the raw value.
+_WPS_K = 100
+
+_WPS_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, CAST(GREATEST(n_chars, 1) AS BIGINT) AS weight
+  FROM documents
+),
+keys AS (
+  SELECT doc_id, weight,
+         ln((CAST(CAST(concat('0x', substring(md5('wps:' ||
+                 CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE)
+             + 1.0) / 4503599627370496.0) / weight AS es_key
+  FROM w
+),
+topk AS (
+  SELECT doc_id, weight, es_key
+  FROM keys ORDER BY es_key DESC, doc_id LIMIT {_WPS_K}
+)
+SELECT ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS rank,
+       doc_id, weight, ROUND(es_key * 1000000, 4) AS key_ppm
+FROM topk
+ORDER BY rank
+"""
+
+
+@graded("sample_weighted_priority", oracle=_WPS_ORACLE)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted 100-document sample via Efraimidis–Spirakis
+    exponential keys (rationale above the oracle). The rank window
+    runs over the 100-row selection (attach_unit_group — sample-sized
+    by design, never corpus-sized)."""
+    from ..operators import ranks as RK
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wps:"), F.col("doc_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+    )
+    weight = F.greatest(F.col("n_chars"), F.lit(1)).cast("bigint")
+    keys = docs.select(
+        "doc_id",
+        weight.alias("weight"),
+        (F.log((h + 1.0) / 4503599627370496.0) / F.col("weight")).alias(
+            "es_key"
+        ),
+    )
+    topk = keys.orderBy(F.col("es_key").desc(), "doc_id").limit(_WPS_K)
+    return (
+        RK.attach_unit_group(topk)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy(RK.UNIT_GROUP).orderBy(
+                    F.col("es_key").desc(), "doc_id"
+                )
+            ),
+        )
+        .select(
+            F.col("rank").cast("long"),
+            "doc_id",
+            "weight",
+            F.round(F.col("es_key") * 1000000, 4).alias("key_ppm"),
+        )
+        .orderBy("rank")
+    )

@@ -818,3 +818,143 @@ def validate_f2_ams_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("f2_ams").cast("double") / F.col("f2_exact"), 4
         ).alias("ratio"),
     )
+
+
+# --- theta-sketch set-operation cardinalities (r11) --------------------------------
+
+# agg_kmv_jaccard grades the OVERLAP ratio; the remaining sketch
+# algebra a query planner actually consumes is cardinalities of
+# union / intersection / difference from one constant-size summary.
+# This is the KMV/theta construction on a NUMERIC hash: v = first 13
+# md5 hex digits / 2^52 (the house uniform), keep the k smallest v of
+# the union; theta = v_(k) (the k-th smallest), the retained sample is
+# the k-1 below it, and any subset X estimates as |retained ∩ X| /
+# theta (est_union = (k-1)/theta falls out as the X = everything
+# case). Below k the sample IS the union (theta = 1, estimates exact —
+# same degeneracy rule the KMV denominator fix pinned). Deterministic:
+# md5 order with key tiebreak, identical-operand doubles both engines.
+# Plan: two distinct collapses, full-outer flag join,
+# TakeOrderedAndProject top-k (never a global sort), one 256-row
+# manifest aggregate.
+_THETA_K = 256
+
+_THETA_ORACLE = f"""
+WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders
+           WHERE o_orderpriority = '1-URGENT'),
+b AS (SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE o_orderpriority = '5-LOW'),
+u AS (
+  SELECT k,
+         CASE WHEN k IN (SELECT k FROM a) THEN 1 ELSE 0 END AS in_a,
+         CASE WHEN k IN (SELECT k FROM b) THEN 1 ELSE 0 END AS in_b,
+         CAST(CAST(concat('0x', substring(md5(CAST(k AS VARCHAR)), 1, 13))
+                   AS BIGINT) AS DOUBLE) / 4503599627370496.0 AS v
+  FROM (SELECT k FROM a UNION SELECT k FROM b) t
+),
+ranked AS (
+  SELECT in_a, in_b, v, ROW_NUMBER() OVER (ORDER BY v, k) AS rn FROM u
+),
+sk AS (
+  SELECT CAST(SUM(CASE WHEN rn < {_THETA_K} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ret,
+         CAST(SUM(CASE WHEN rn < {_THETA_K} AND in_a = 1 AND in_b = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS h_inter,
+         CAST(SUM(CASE WHEN rn < {_THETA_K} AND in_a = 1 AND in_b = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS h_a_only,
+         CAST(SUM(CASE WHEN rn < {_THETA_K} AND in_a = 0 AND in_b = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS h_b_only,
+         COALESCE(MAX(CASE WHEN rn = {_THETA_K} THEN v END), 1.0) AS theta
+  FROM ranked WHERE rn <= {_THETA_K}
+),
+ex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_union,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS n_inter
+  FROM u
+)
+SELECT CAST({_THETA_K} AS BIGINT) AS k,
+       ex.n_union, ex.n_inter,
+       ROUND(CAST(sk.n_ret AS DOUBLE) / sk.theta, 4) AS est_union,
+       ROUND(CAST(sk.h_inter AS DOUBLE) / sk.theta, 4) AS est_inter,
+       ROUND(CAST(sk.h_a_only AS DOUBLE) / sk.theta, 4) AS est_a_only,
+       ROUND(CAST(sk.h_b_only AS DOUBLE) / sk.theta, 4) AS est_b_only
+FROM ex, sk
+"""
+
+
+@graded("agg_theta_sketch_setops", oracle=_THETA_ORACLE)
+def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union/intersection/difference cardinalities of two customer
+    sets from one k=256 theta sketch, exact values alongside
+    (rationale above the oracle)."""
+    from ..operators import ranks as RK
+
+    o = load_table(spark, sf_dir, "orders")
+
+    def keys(prio: str, flag: str) -> DataFrame:
+        return (
+            o.where(F.col("o_orderpriority") == prio)
+            .select(F.col("o_custkey").alias("k"))
+            .distinct()
+            .withColumn(flag, F.lit(1))
+        )
+
+    v = (
+        F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 13), 16, 10)
+        .cast("long")
+        .cast("double")
+        / 4503599627370496.0
+    )
+    u = (
+        keys("1-URGENT", "fa")
+        .join(keys("5-LOW", "fb"), "k", "full_outer")
+        .select(
+            "k",
+            F.coalesce("fa", F.lit(0)).alias("in_a"),
+            F.coalesce("fb", F.lit(0)).alias("in_b"),
+            v.alias("v"),
+        )
+    )
+    # TakeOrderedAndProject top-k, then a K-row manifest window for the
+    # rank (attach_unit_group: 256 rows by construction, never data).
+    topk = u.orderBy("v", "k").limit(_THETA_K)
+    ranked = RK.attach_unit_group(topk).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(RK.UNIT_GROUP).orderBy("v", "k")
+        ),
+    )
+    ret = F.col("rn") < _THETA_K
+
+    def hits(cond):
+        return F.sum(F.when(ret & cond, 1).otherwise(0)).cast("bigint")
+
+    sk = ranked.agg(
+        F.sum(F.when(ret, 1).otherwise(0)).cast("bigint").alias("n_ret"),
+        hits((F.col("in_a") == 1) & (F.col("in_b") == 1)).alias("h_inter"),
+        hits((F.col("in_a") == 1) & (F.col("in_b") == 0)).alias("h_a_only"),
+        hits((F.col("in_a") == 0) & (F.col("in_b") == 1)).alias("h_b_only"),
+        F.coalesce(
+            F.max(F.when(F.col("rn") == _THETA_K, F.col("v"))), F.lit(1.0)
+        ).alias("theta"),
+    )
+    ex = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("n_inter"),
+    )
+    return ex.crossJoin(F.broadcast(sk)).select(
+        F.lit(_THETA_K).cast("bigint").alias("k"),
+        "n_union",
+        "n_inter",
+        F.round(F.col("n_ret").cast("double") / F.col("theta"), 4).alias(
+            "est_union"
+        ),
+        F.round(F.col("h_inter").cast("double") / F.col("theta"), 4).alias(
+            "est_inter"
+        ),
+        F.round(F.col("h_a_only").cast("double") / F.col("theta"), 4).alias(
+            "est_a_only"
+        ),
+        F.round(F.col("h_b_only").cast("double") / F.col("theta"), 4).alias(
+            "est_b_only"
+        ),
+    )

@@ -507,3 +507,81 @@ def validate_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("psi_total")
     )
     return terms.crossJoin(F.broadcast(tsum))  # 1-row scalar attach
+
+
+# --- EXT: k-anonymity audit over quasi-identifiers (r11) ---------------------------
+
+# The privacy screen a training corpus runs BEFORE the DP release
+# (analytics_dp_counts) decides how much noise to add: how many
+# records sit in quasi-identifier equivalence classes smaller than k —
+# i.e., are re-identifiable by joining (segment, nation, account-bal
+# band) against an external table. One group-size census (map-side
+# combinable) re-aggregated against the 4-row k ladder via a
+# broadcast theta-join on group size — both aggs metadata-sized after
+# the first collapse, so the audit is one scan at any corpus.
+_KANON_KS = (2, 5, 10, 25)
+
+_KANON_ORACLE = f"""
+WITH qi AS (
+  SELECT c_mktsegment, c_nationkey,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer
+  GROUP BY 1, 2, 3
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows FROM qi),
+ks AS (SELECT unnest([{", ".join(str(k) for k in _KANON_KS)}]) AS k)
+SELECT ks.k,
+       CAST(COALESCE(SUM(CASE WHEN qi.n < ks.k THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_violating_groups,
+       CAST(COALESCE(SUM(CASE WHEN qi.n < ks.k THEN qi.n ELSE 0 END), 0)
+            AS BIGINT) AS n_rows_at_risk,
+       ROUND(CAST(COALESCE(SUM(CASE WHEN qi.n < ks.k THEN qi.n ELSE 0 END), 0)
+                  AS DOUBLE) / MIN(t.n_rows), 4) AS risk_share,
+       CAST(MIN(qi.n) AS BIGINT) AS min_group_size
+FROM ks, qi, tot t
+GROUP BY ks.k
+ORDER BY ks.k
+"""
+
+
+@graded("validate_k_anonymity", oracle=_KANON_ORACLE)
+def validate_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity ladder over (segment, nation, $1k-balance-band)
+    quasi-identifiers: per k, the violating-group and at-risk-row
+    counts plus the global minimum class size (rationale above)."""
+    c = load_table(spark, sf_dir, "customer")
+    qi = c.groupBy(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = qi.agg(F.sum("n").cast("bigint").alias("n_rows"))
+    ks = spark.range(len(_KANON_KS)).select(
+        F.element_at(
+            F.array(*[F.lit(k) for k in _KANON_KS]), (F.col("id") + 1).cast("int")
+        ).alias("k")
+    )
+    at_risk = F.when(F.col("n") < F.col("k"), F.col("n")).otherwise(0)
+    return (
+        qi.crossJoin(F.broadcast(ks))  # 4-row k ladder attach
+        .crossJoin(F.broadcast(tot))  # 1-row total attach
+        .groupBy("k")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("n") < F.col("k"), 1).otherwise(0)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_violating_groups"),
+            F.coalesce(F.sum(at_risk), F.lit(0))
+            .cast("bigint")
+            .alias("n_rows_at_risk"),
+            F.round(
+                F.coalesce(F.sum(at_risk), F.lit(0)).cast("double")
+                / F.min("n_rows"),
+                4,
+            ).alias("risk_share"),
+            F.min("n").cast("bigint").alias("min_group_size"),
+        )
+        .orderBy("k")
+    )
