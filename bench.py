@@ -174,6 +174,19 @@ HEADLINE = [
     "graph_walk_corpus",
     "timeseries_dft_top",
     "analytics_power_analysis",
+    # round-11 additions: causal/sequential/survival readouts (DiD,
+    # SPRT early stopping, Kaplan-Meier), closed-form ridge via exact
+    # Gramian, privacy + sketch-algebra audits, weighted sampling, and
+    # seed-sampled Brandes betweenness. (stream_simhash_pairs_capped
+    # follows the replay non-headline precedent noted above.)
+    "analytics_diff_in_diff",
+    "analytics_ridge_regression",
+    "analytics_kaplan_meier",
+    "analytics_sprt_boundary",
+    "validate_k_anonymity",
+    "agg_theta_sketch_setops",
+    "sample_weighted_priority",
+    "graph_betweenness_seeds",
 ]
 
 

@@ -2382,22 +2382,24 @@ def analytics_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- EXT: difference-in-differences experiment readout (r11) -----------------------
+# --- EXT: difference-in-differences INFERENCE (SE + t) (r11) -----------------------
 
-# The quasi-experimental workhorse the z/CUPED/Welch family still
-# lacked: when treatment isn't randomized per-exposure but switched ON
-# at a point in time, the causal readout is (treat_post − treat_pre) −
-# (ctrl_post − ctrl_pre). Arms come from the stable user-id parity,
-# the switch point is the exact midpoint of the observed time range
-# (integer microseconds — (min+max) DIV 2, exact in both engines), and
-# the outcome is per-user purchase cents per period, zero-filled via a
-# users × {pre, post} grid (explode(sequence(0,1)) — the ≤32-rule
-# fan-out form). The SE pools the four group variances from exact
-# integer moments (Σx as BIGINT, Σx² as DECIMAL(38,0) — the same
+# analytics_did_lift (pipelines.py) grades the 2×2 panel cells and the
+# DiD point estimate; what it cannot answer is whether the estimate is
+# distinguishable from noise. This query completes the readout with
+# the pooled-variance standard error and t statistic — the same
+# point-estimate-vs-inference split as ab_lift (proportions) vs
+# analytics_welch_ttest (means). Same design: user-parity arms, the
+# exact midpoint of the observed time range as the switch point
+# (integer microseconds — (min+max) DIV 2, exact in both engines),
+# per-user purchase cents per period zero-filled via a users ×
+# {pre, post} grid (explode(sequence(0,1)) — the ≤32-rule fan-out
+# form). The SE pools the four group variances from exact integer
+# moments (Σx as BIGINT, Σx² as DECIMAL(38,0) — the same
 # overflow-proof recipe as Welch). Plan: one user-period collapse, one
-# 8-moment aggregate, scalar arithmetic — a single scan + user-keyed
+# 10-moment aggregate, scalar arithmetic — a single scan + user-keyed
 # exchange at any corpus size.
-_DID_ORACLE = """
+_DID_SE_ORACLE = """
 WITH span AS (
   SELECT CAST((MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS BIGINT) AS cutoff
   FROM events
@@ -2471,11 +2473,11 @@ FROM wide
 """
 
 
-@graded("analytics_diff_in_diff", oracle=_DID_ORACLE)
+@graded("analytics_diff_in_diff", oracle=_DID_SE_ORACLE)
 def analytics_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Difference-in-differences on per-user purchase spend around the
-    exact midpoint of the event horizon, arms by user parity, with the
-    pooled-variance SE and t statistic (rationale above the oracle)."""
+    """DiD pooled-variance SE and t statistic — the inference
+    companion to analytics_did_lift's panel cells (rationale above
+    the oracle)."""
     ev = load_table(spark, sf_dir, "events")
     mic = F.unix_micros(F.col("ts"))
     span = ev.agg(

@@ -1853,3 +1853,255 @@ def graph_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t_ in tagged[1:]:
         un = un.unionByName(t_)
     return un.orderBy("seed", "step")
+
+
+# --- seed-sampled bounded-radius betweenness (Brandes) (r11) -----------------------
+
+# The one classic centrality the graph family still lacked: which
+# records are the BRIDGES shortest paths squeeze through (cut
+# candidates in an entity-resolution graph; over-merged hubs in a
+# near-dup graph). Exact betweenness is all-pairs; the standard scale
+# form — Brandes' pivot sampling — runs the two-phase pass from a seed
+# sample, here the same %500 seed set and radius 3 as the closeness
+# query. Forward: per-level path counts sigma(v) = sum of sigma over
+# shortest-path-DAG predecessors — exact BIGINTs, one bounded
+# equi-join per level keyed on (seed, node). Backward: dependencies
+# delta(v) = sum over DAG successors of sigma_v/sigma_w * (1+delta_w),
+# accumulated deepest-level-first; every double term is
+# identical-operand across engines and every SUM is quantized to
+# DECIMAL(38,12) (house recipe), so the truncated-Brandes scores
+# hash-match. All frontiers are bounded by |seeds| x ball(3); the
+# O(E) edge list joins against broadcast-sized per-level frames.
+_BETWEENNESS_ORACLE = """
+WITH e AS MATERIALIZED (
+  SELECT a.p_partkey AS a, b.p_partkey AS b
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 4
+),
+sym AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e
+  UNION
+  SELECT b, a FROM e
+),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS seed, src AS node FROM sym WHERE src % 500 = 0
+),
+l1 AS MATERIALIZED (
+  SELECT DISTINCT l.seed, s.dst AS node
+  FROM sym s JOIN l0 l ON s.src = l.node
+),
+l2 AS MATERIALIZED (
+  SELECT DISTINCT l.seed, s.dst AS node
+  FROM sym s JOIN l1 l ON s.src = l.node
+),
+l3 AS MATERIALIZED (
+  SELECT DISTINCT l.seed, s.dst AS node
+  FROM sym s JOIN l2 l ON s.src = l.node
+),
+dist AS MATERIALIZED (
+  SELECT seed, node, MIN(lvl) AS d
+  FROM (
+    SELECT seed, node, CAST(0 AS BIGINT) AS lvl FROM l0
+    UNION ALL SELECT seed, node, CAST(1 AS BIGINT) FROM l1
+    UNION ALL SELECT seed, node, CAST(2 AS BIGINT) FROM l2
+    UNION ALL SELECT seed, node, CAST(3 AS BIGINT) FROM l3
+  ) t
+  GROUP BY seed, node
+),
+sig0 AS (SELECT seed, node, CAST(1 AS BIGINT) AS sig FROM dist WHERE d = 0),
+sig1 AS MATERIALIZED (
+  SELECT dv.seed, dv.node, CAST(SUM(su.sig) AS BIGINT) AS sig
+  FROM dist dv
+  JOIN sym s ON s.dst = dv.node
+  JOIN sig0 su ON su.seed = dv.seed AND su.node = s.src
+  WHERE dv.d = 1
+  GROUP BY dv.seed, dv.node
+),
+sig2 AS MATERIALIZED (
+  SELECT dv.seed, dv.node, CAST(SUM(su.sig) AS BIGINT) AS sig
+  FROM dist dv
+  JOIN sym s ON s.dst = dv.node
+  JOIN sig1 su ON su.seed = dv.seed AND su.node = s.src
+  WHERE dv.d = 2
+  GROUP BY dv.seed, dv.node
+),
+sig3 AS MATERIALIZED (
+  SELECT dv.seed, dv.node, CAST(SUM(su.sig) AS BIGINT) AS sig
+  FROM dist dv
+  JOIN sym s ON s.dst = dv.node
+  JOIN sig2 su ON su.seed = dv.seed AND su.node = s.src
+  WHERE dv.d = 3
+  GROUP BY dv.seed, dv.node
+),
+del2 AS MATERIALIZED (
+  SELECT s2.seed, s2.node,
+         CAST(SUM(CAST(CAST(s2.sig AS DOUBLE) / s3.sig
+                       AS DECIMAL(38,12))) AS DOUBLE) AS delta
+  FROM sig2 s2
+  JOIN sym x ON x.src = s2.node
+  JOIN sig3 s3 ON s3.seed = s2.seed AND s3.node = x.dst
+  GROUP BY s2.seed, s2.node
+),
+del1 AS MATERIALIZED (
+  SELECT s1.seed, s1.node,
+         CAST(SUM(CAST((CAST(s1.sig AS DOUBLE) / s2.sig)
+                       * (1.0 + COALESCE(d2.delta, 0.0))
+                       AS DECIMAL(38,12))) AS DOUBLE) AS delta
+  FROM sig1 s1
+  JOIN sym x ON x.src = s1.node
+  JOIN sig2 s2 ON s2.seed = s1.seed AND s2.node = x.dst
+  LEFT JOIN del2 d2 ON d2.seed = s2.seed AND d2.node = s2.node
+  GROUP BY s1.seed, s1.node
+),
+bc AS (
+  SELECT node,
+         CAST(SUM(CAST(delta AS DECIMAL(38,12))) AS DOUBLE) AS bc,
+         CAST(COUNT(*) AS BIGINT) AS n_seed_terms
+  FROM (
+    SELECT seed, node, delta FROM del1
+    UNION ALL
+    SELECT seed, node, delta FROM del2
+  ) t
+  GROUP BY node
+)
+SELECT node, ROUND(bc, 6) AS betweenness, n_seed_terms
+FROM bc
+ORDER BY bc DESC, node
+LIMIT 20
+"""
+
+
+@graded("graph_betweenness_seeds", oracle=_BETWEENNESS_ORACLE)
+def graph_betweenness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bounded-radius Brandes betweenness scores from the %500
+    seed sample over the fuzzy-match graph (rationale above the
+    oracle). Forward sigma and backward delta are one bounded
+    (seed, node)-keyed equi-join per level against the family-shared
+    symmetrized edge list; per-level frames are broadcast so the O(E)
+    edges never reshuffle."""
+    from ..operators.fuzzy_graph import fuzzy_sym
+
+    sym = fuzzy_sym(spark, sf_dir).select(
+        F.col("node").alias("src"), F.col("nbr").alias("dst")
+    )
+    l0 = (
+        sym.where(F.col("src") % 500 == 0)
+        .select(F.col("src").alias("seed"), F.col("src").alias("node"))
+        .distinct()
+    )
+    levels = [l0]
+    for _ in range(3):
+        prev = levels[-1]
+        levels.append(
+            sym.join(F.broadcast(prev), sym.src == prev.node)
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+        )
+    un = levels[0].select(
+        "seed", "node", F.lit(0).cast("bigint").alias("lvl")
+    )
+    for i, lvl in enumerate(levels[1:], start=1):
+        un = un.unionByName(
+            lvl.select("seed", "node", F.lit(i).cast("bigint").alias("lvl"))
+        )
+    dist = (
+        un.groupBy("seed", "node")
+        .agg(F.min("lvl").alias("d"))
+        .localCheckpoint()
+    )
+
+    def sig_level(prev_sig: DataFrame, d: int) -> DataFrame:
+        dv = dist.where(F.col("d") == d).select(
+            F.col("seed").alias("v_seed"), F.col("node").alias("v_node")
+        )
+        su = prev_sig.select(
+            F.col("seed").alias("s_seed"),
+            F.col("node").alias("s_node"),
+            "sig",
+        )
+        return (
+            sym.join(F.broadcast(su), sym.src == F.col("s_node"))
+            .join(
+                F.broadcast(dv),
+                (F.col("dst") == F.col("v_node"))
+                & (F.col("s_seed") == F.col("v_seed")),
+            )
+            .groupBy(
+                F.col("v_seed").alias("seed"), F.col("v_node").alias("node")
+            )
+            .agg(F.sum("sig").cast("bigint").alias("sig"))
+        )
+
+    sig0 = dist.where(F.col("d") == 0).select(
+        "seed", "node", F.lit(1).cast("bigint").alias("sig")
+    )
+    sig1 = sig_level(sig0, 1).localCheckpoint()
+    sig2 = sig_level(sig1, 2).localCheckpoint()
+    sig3 = sig_level(sig2, 3).localCheckpoint()
+
+    def delta_level(
+        sig_here: DataFrame, sig_deeper: DataFrame, del_deeper: DataFrame | None
+    ) -> DataFrame:
+        here = sig_here.select(
+            F.col("seed").alias("h_seed"),
+            F.col("node").alias("h_node"),
+            F.col("sig").alias("h_sig"),
+        )
+        deeper = sig_deeper.select(
+            F.col("seed").alias("w_seed"),
+            F.col("node").alias("w_node"),
+            F.col("sig").alias("w_sig"),
+        )
+        j = sym.join(F.broadcast(here), sym.src == F.col("h_node")).join(
+            F.broadcast(deeper),
+            (F.col("dst") == F.col("w_node"))
+            & (F.col("h_seed") == F.col("w_seed")),
+        )
+        if del_deeper is not None:
+            dd = del_deeper.select(
+                F.col("seed").alias("d_seed"),
+                F.col("node").alias("d_node"),
+                F.col("delta").alias("d_delta"),
+            )
+            j = j.join(
+                F.broadcast(dd),
+                (F.col("w_seed") == F.col("d_seed"))
+                & (F.col("w_node") == F.col("d_node")),
+                "left",
+            )
+            term = (F.col("h_sig").cast("double") / F.col("w_sig")) * (
+                1.0 + F.coalesce(F.col("d_delta"), F.lit(0.0))
+            )
+        else:
+            term = F.col("h_sig").cast("double") / F.col("w_sig")
+        return (
+            j.groupBy(
+                F.col("h_seed").alias("seed"), F.col("h_node").alias("node")
+            )
+            .agg(
+                F.sum(term.cast("decimal(38,12)"))
+                .cast("double")
+                .alias("delta")
+            )
+        )
+
+    del2 = delta_level(sig2, sig3, None).localCheckpoint()
+    del1 = delta_level(sig1, sig2, del2)
+    bc = (
+        del1.unionByName(del2)
+        .groupBy("node")
+        .agg(
+            F.sum(F.col("delta").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("bc"),
+            F.count(F.lit(1)).cast("bigint").alias("n_seed_terms"),
+        )
+    )
+    return (
+        bc.orderBy(F.col("bc").desc(), "node")
+        .limit(20)
+        .select(
+            "node", F.round("bc", 6).alias("betweenness"), "n_seed_terms"
+        )
+    )

@@ -52,23 +52,30 @@ def graded(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]
 # name list applied after all modules load (names NOT listed keep their
 # import-order position after the window).
 #
-# Round-11 window — the FINAL 31 names never driver-sampled in r01–r10
+# Round-11 window — the 9 NEW r11 operators (never sampled by
+# definition), the FINAL 31 names never driver-sampled in r01–r10
 # (recomputed from the ten CORRECTNESS files: the 5 round-9 operators
 # the round-9 judge re-executed directly, the 8 first-wave r10
-# operators, and the 18 second-wave r10 operators) + the 19 names whose
-# latest driver verdict is r01/r02 (exactly 9 r01 + 10 r02 names — the
-# oldest records in the union). 31 first-time + 19 refresh = 50 slots;
-# after this round the driver union is 330/330 with zero never-sampled
-# names and no verdict older than r05.
+# operators, and the 18 second-wave r10 operators), and 10 refresh
+# slots on the oldest verdicts (the 9 r01 names + join_anti from r02).
+# 9 new + 31 first-time + 10 refresh = 50; after this round the driver
+# union is 339/339 with zero never-sampled names.
 #
-# Round-12 plan: no never-sampled names remain (any NEW r11 operators
-# go first), so the window refreshes the oldest verdicts — the 43 names
-# last sampled in r05 plus the oldest r06 names, recomputed from the
-# CORRECTNESS union at close.
+# Round-12 plan: refresh the oldest verdicts — the 9 displaced r02
+# join_* names first, then the r05 block — recomputed from the
+# CORRECTNESS union at close. Any NEW r12 operators go first.
 _SAMPLE_WINDOW_R11: tuple[str, ...] = (
     # --- NEW r11 operators (sampled immediately; each one added here
     # displaces the newest refresh slot so the window stays 50) ---
     "stream_simhash_pairs_capped",
+    "analytics_diff_in_diff",
+    "analytics_ridge_regression",
+    "analytics_kaplan_meier",
+    "analytics_sprt_boundary",
+    "validate_k_anonymity",
+    "agg_theta_sketch_setops",
+    "sample_weighted_priority",
+    "graph_betweenness_seeds",
     # --- 31 never-sampled (r01–r10 union gap, closes at 330/330) ---
     # round-9 operators the r9 judge re-ran directly (5)
     "dedup_simhash_recall_eval",
@@ -115,16 +122,11 @@ _SAMPLE_WINDOW_R11: tuple[str, ...] = (
     "source_python_datasource",
     "validate_snapshot_diff",
     "join_anti",
-    "join_broadcast_dim",
-    "join_five_way",
-    "join_full_outer",
-    "join_inner_agg",
-    "join_left_outer",
-    "join_null_safe",
-    "join_range",
-    "join_salted_skew",
-    # (join_semi displaced by stream_simhash_pairs_capped — it keeps
-    # its r02 verdict and heads the r12 refresh list.)
+    # (join_broadcast_dim, join_five_way, join_full_outer,
+    # join_inner_agg, join_left_outer, join_null_safe, join_range,
+    # join_salted_skew, join_semi displaced by the nine new r11
+    # operators — they keep their r02 verdicts and head the r12
+    # refresh list.)
 )
 
 # Round-10 window (historical — superseded by _SAMPLE_WINDOW_R11): the

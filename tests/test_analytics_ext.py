@@ -325,3 +325,164 @@ def test_power_analysis_sanity(spark, sf_dir):
     assert r.n_required > 0
     assert r.powered in (0, 1)
     assert r.powered == (1 if r.n_users // 2 >= r.n_required else 0)
+
+
+def test_did_se_consistent_with_cells(spark, sf_dir):
+    """r11: the inference query's point estimate must agree with
+    analytics_did_lift's independently-computed panel (same design),
+    its SE must be positive, and t = did/se."""
+    from canvas_data_2_aws_spark.queries.analytics import analytics_diff_in_diff
+    from canvas_data_2_aws_spark.queries.pipelines import analytics_did_lift
+
+    inf = analytics_diff_in_diff(spark, sf_dir).collect()[0]
+    cells = {
+        (r.arm, r.period): r for r in analytics_did_lift(spark, sf_dir).collect()
+    }
+    did_cells = (
+        cells[(1, "post")].mean_usd - cells[(1, "pre")].mean_usd
+    ) - (cells[(0, "post")].mean_usd - cells[(0, "pre")].mean_usd)
+    # both sides independently rounded to 4dp; the panel splits pre/post
+    # at unix_micros < mid vs this query's > cutoff (boundary events are
+    # measure-zero on the fixture but allow a small slack regardless)
+    assert abs(did_cells - inf.did_usd) < 2e-3
+    assert inf.se_usd > 0
+    assert abs(inf.t_stat - round(inf.did_usd / inf.se_usd, 1)) < 0.1
+    assert inf.n_t + inf.n_c > 0
+
+
+def test_ridge_matches_numpy_solve(spark, sf_dir):
+    """r11: the Cramer betas equal numpy.linalg.solve on the same
+    moments to 1e-6 — the closed form is a real regression solve, not
+    an expression that merely hash-matches itself."""
+    import numpy as np
+
+    from canvas_data_2_aws_spark.queries.analytics import (
+        analytics_ridge_regression,
+    )
+    from canvas_data_2_aws_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    got = analytics_ridge_regression(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("x1"),
+            F.countDistinct(F.to_date("ts")).alias("x2"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.round(F.col("value") * 100, 0).cast("bigint"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("y"),
+        )
+        .toPandas()
+    )
+    X = np.column_stack(
+        [np.ones(len(u)), u.x1.to_numpy(float), u.x2.to_numpy(float)]
+    )
+    y = u.y.to_numpy(float)
+    lam = got["lambda"]
+    A = X.T @ X + lam * np.diag([0.0, 1.0, 1.0])
+    beta = np.linalg.solve(A, X.T @ y)
+    assert got.n_users == len(u)
+    for b_got, b_np in zip((got.beta0, got.beta1, got.beta2), beta):
+        assert abs(b_got - b_np) < 1e-6, (b_got, b_np)
+
+
+def test_kaplan_meier_invariants(spark, sf_dir):
+    """r11: S monotone nonincreasing in [0,1], risk set nonincreasing,
+    event+censor mass accounts for every user, and KM dominates the
+    naive (censoring-blind) survivor share."""
+    from canvas_data_2_aws_spark.queries.analytics import analytics_kaplan_meier
+    from canvas_data_2_aws_spark.session import load_table
+
+    rows = analytics_kaplan_meier(spark, sf_dir).collect()
+    assert rows
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert sum(r.n_deaths + r.n_censored for r in rows) == n_users
+    assert rows[0].n_risk == n_users
+    s_prev, risk_prev = 1.0 + 1e-9, n_users + 1
+    for r in rows:
+        assert 0.0 <= r.s_km <= s_prev + 1e-9, (r.wk if hasattr(r, "wk") else r, s_prev)
+        assert r.n_risk <= risk_prev
+        assert r.n_deaths + r.n_censored <= r.n_risk
+        s_prev, risk_prev = r.s_km, r.n_risk
+    # KM >= naive survival (censored users can't be counted as deaths)
+    total_deaths = sum(r.n_deaths for r in rows)
+    naive_final = 1.0 - total_deaths / n_users
+    assert rows[-1].s_km >= naive_final - 1e-9
+
+
+def test_sprt_first_crossing_matches_replay(spark, sf_dir):
+    """r11: replay the user-ordered LLR path in numpy and confirm the
+    query reports the FIRST boundary crossing (minimality), the right
+    decision, and the right LLR value."""
+    import math
+
+    from canvas_data_2_aws_spark.queries.analytics import (
+        _SPRT_C0,
+        _SPRT_C1,
+        _SPRT_LOWER,
+        _SPRT_UPPER,
+        analytics_sprt_boundary,
+    )
+    from canvas_data_2_aws_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    got = analytics_sprt_boundary(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    conv = [
+        r.c
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 200),
+                    1,
+                ).otherwise(0)
+            ).alias("c")
+        )
+        .orderBy("user_id")
+        .collect()
+    ]
+    c1, c0 = float(_SPRT_C1), float(_SPRT_C0)
+    up, lo = float(_SPRT_UPPER), float(_SPRT_LOWER)
+    conv_t, crossing = 0, None
+    for i, c in enumerate(conv, start=1):
+        conv_t += c
+        llr = conv_t * c1 + (i - conv_t) * c0
+        if llr >= up or llr <= lo:
+            crossing = (i, llr, "accept_h1" if llr >= up else "accept_h0")
+            break
+    assert got.n_total == len(conv)
+    if crossing is None:
+        assert got.decision == "continue" and got.n_at_decision is None
+    else:
+        assert got.n_at_decision == crossing[0]
+        assert math.isclose(got.llr_at_decision, round(crossing[1], 6), abs_tol=1e-6)
+        assert got.decision == crossing[2]
+
+
+def test_k_anonymity_ladder_invariants(spark, sf_dir):
+    """r11: risk is monotone in k (violating groups and rows-at-risk
+    nondecreasing), shares live in [0,1], the min class size is
+    constant across the ladder, and the k just above it is the first
+    to flag violations."""
+    from canvas_data_2_aws_spark.queries.validation import validate_k_anonymity
+
+    rows = validate_k_anonymity(spark, sf_dir).collect()
+    assert [r.k for r in rows] == [2, 5, 10, 25]
+    prev_g, prev_r = -1, -1
+    min_sizes = {r.min_group_size for r in rows}
+    assert len(min_sizes) == 1
+    m = min_sizes.pop()
+    for r in rows:
+        assert r.n_violating_groups >= prev_g
+        assert r.n_rows_at_risk >= prev_r
+        assert 0.0 <= r.risk_share <= 1.0
+        assert (r.n_violating_groups > 0) == (m < r.k)
+        prev_g, prev_r = r.n_violating_groups, r.n_rows_at_risk

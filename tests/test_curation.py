@@ -334,3 +334,39 @@ def test_feature_hashing_load(spark, sf_dir):
         assert r.n_tokens >= r.n_distinct_tokens >= 1
         # net signed weight can never exceed the occurrence count
         assert abs(r.net_weight) <= r.n_tokens
+
+
+def test_weighted_priority_matches_reference(spark, sf_dir):
+    """r11: recompute the Efraimidis–Spirakis selection in pure
+    Python/hashlib and require the exact same 100 ids in the same
+    order — the md5-uniform, the key formula, and the top-k are all
+    engine-independent. Also pin the length bias: the sample's mean
+    weight exceeds the corpus mean."""
+    import hashlib
+    import math
+
+    from canvas_data_2_aws_spark.queries.curation import _WPS_K
+    from canvas_data_2_aws_spark.session import load_table
+
+    got = (
+        registry.QUERIES["sample_weighted_priority"](spark, sf_dir)
+        .orderBy("rank")
+        .collect()
+    )
+    assert len(got) == _WPS_K
+    assert [r.rank for r in got] == list(range(1, _WPS_K + 1))
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    keys = []
+    for d in docs:
+        w = max(d.n_chars, 1)
+        h = int(hashlib.md5(f"wps:{d.doc_id}".encode()).hexdigest()[:13], 16)
+        keys.append((math.log((h + 1.0) / 4503599627370496.0) / w, -d.doc_id))
+    expected = [
+        -neg_id for _, neg_id in sorted(keys, reverse=True)[:_WPS_K]
+    ]
+    assert [r.doc_id for r in got] == expected
+
+    corpus_mean = sum(max(d.n_chars, 1) for d in docs) / len(docs)
+    sample_mean = sum(r.weight for r in got) / len(got)
+    assert sample_mean > corpus_mean

@@ -263,3 +263,70 @@ def test_walk_corpus_valid_walks(spark, sf_dir):
         assert steps == list(range(len(steps)))
         for a, b in zip(steps, steps[1:]):
             assert (path[a], path[b]) in edges
+
+
+def test_betweenness_matches_python_brandes(spark):
+    """r11: pure-Python truncated Brandes (radius 3, %500 seeds) over
+    the same fuzzy edge list must reproduce the query's top-20 scores
+    exactly (to the emitted rounding) — path counts, dependency
+    accumulation, and ordering are all engine-independent."""
+    from collections import defaultdict, deque
+
+    from canvas_data_2_aws_spark import registry
+    from canvas_data_2_aws_spark.operators.fuzzy_graph import fuzzy_sym
+
+    registry.load_all()
+    # sf0.01: the %500 seed set is empty below 500 parts (sf0.001),
+    # same regime as the closeness-seeds fixture notes
+    sf = "/root/testdata/sf0.01"
+    got = registry.QUERIES["graph_betweenness_seeds"](spark, sf).collect()
+
+    adj = defaultdict(set)
+    for r in fuzzy_sym(spark, sf).collect():
+        adj[r.node].add(r.nbr)
+    seeds = sorted(n for n in adj if n % 500 == 0)
+    assert seeds, "fixture drifted: no %500 seeds in the fuzzy graph"
+
+    bc = defaultdict(float)
+    n_terms = defaultdict(int)
+    for s in seeds:
+        dist = {s: 0}
+        sigma = defaultdict(int)
+        sigma[s] = 1
+        order = [s]
+        dq = deque([s])
+        while dq:
+            v = dq.popleft()
+            if dist[v] == 3:
+                continue
+            for w in sorted(adj[v]):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    dq.append(w)
+                    order.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = defaultdict(float)
+        for v in reversed(order):
+            if v == s or dist[v] == 3:
+                # level-3 delta = 0 within the truncated radius; the
+                # seed itself is not a betweenness target
+                if v == s:
+                    continue
+            for w in adj[v]:
+                if dist.get(w) == dist[v] + 1:
+                    delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if v != s and dist[v] < 3:
+                bc[v] += delta[v]
+                n_terms[v] += 1
+
+    expected = sorted(bc.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert len(got) == min(20, len(expected))
+    for row, (node, score) in zip(got, expected):
+        assert row.node == node
+        assert abs(row.betweenness - round(score, 6)) < 1e-5, (
+            node,
+            row.betweenness,
+            score,
+        )
+        assert row.n_seed_terms == n_terms[node]

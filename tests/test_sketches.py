@@ -155,3 +155,29 @@ def test_kmv_small_union_is_exact(spark):
     assert r.n_union < r.k, "fixture drifted: small-set premise broken"
     assert r.kmv_hits == r.n_inter
     assert r.j_kmv == r.j_exact
+
+
+def test_theta_setops_exact_below_k(spark):
+    """r11: with the whole union inside the sketch (sf0.001 union =
+    147 < k = 256) every theta estimate must EQUAL its exact value
+    (theta = 1 degeneracy — same rule as the KMV denominator fix), and
+    the three disjoint estimates must add up to the union estimate."""
+    r = registry.QUERIES["agg_theta_sketch_setops"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert r.n_union < r.k, "fixture drifted: small-set premise broken"
+    assert r.est_union == r.n_union
+    assert r.est_inter == r.n_inter
+    assert abs((r.est_inter + r.est_a_only + r.est_b_only) - r.est_union) < 1e-9
+
+
+def test_theta_setops_additive_and_bounded(spark, sf_dir):
+    """r11: at any SF the disjoint estimates are nonnegative, sum to
+    the union estimate (they share one theta), and the union estimate
+    tracks the exact cardinality within the k=256 KMV error band."""
+    r = registry.QUERIES["agg_theta_sketch_setops"](spark, sf_dir).collect()[0]
+    for v in (r.est_union, r.est_inter, r.est_a_only, r.est_b_only):
+        assert v >= 0
+    assert abs((r.est_inter + r.est_a_only + r.est_b_only) - r.est_union) < 1e-6
+    # sigma/mu ~ 1/sqrt(k-2) ~ 6.3%; allow 5 sigma
+    assert abs(r.est_union - r.n_union) <= max(3, 0.32 * r.n_union)
