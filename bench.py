@@ -187,6 +187,13 @@ HEADLINE = [
     "agg_theta_sketch_setops",
     "sample_weighted_priority",
     "graph_betweenness_seeds",
+    # round-11 second wave: eval/tuning instruments (banding threshold
+    # sweep, nDCG ranking quality, SQ8 compression funnel) and the
+    # corpus-saturation novelty curve.
+    "dedup_threshold_sweep",
+    "search_ndcg_eval",
+    "vector_sq8_recall_eval",
+    "text_novelty_curve",
 ]
 
 

@@ -2308,3 +2308,133 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# --- EXT: banding recall sweep across Hamming thresholds (r11) ---------------------
+
+# dedup_simhash_recall_eval grades the production 4×16 banding at ONE
+# operating point (τ = 8); the tuning question is the CURVE — how
+# recall decays as the near-dup definition tightens or loosens. For
+# every τ ≤ 8 the 9×7-bit pigeonhole banding is exact truth (8 errors
+# can break at most 8 of 9 bands), and every 4×16 candidate within τ
+# is by construction IN that truth, so precision is 1 and the sweep
+# reduces to recall per τ: pairs-that-share-a-16-bit-band / all pairs
+# at distance ≤ τ. τ ≤ 3 is guaranteed 1.0 (pigeonhole over 4 bands);
+# the τ = 8 row reproduces the single-point eval. Uses the UNCAPPED
+# 4×16 candidates — the sweep grades banding geometry, not the
+# hub-star cap (whose effect dedup_simhash_cap_effect grades). Both
+# pair frames are bounded band-key equi-joins; the τ ladder is a 4-row
+# broadcast.
+from .shared_sql import SIMHASH_SH_CTES as _SIMHASH_SH_CTES
+
+_SWEEP_ORACLE = (
+    _SIMHASH_SH_CTES
+    + """,
+b16 AS MATERIALIZED (
+  SELECT doc_id, simhash, b, CAST((simhash >> (b * 16)) & 65535 AS BIGINT) AS bv
+  FROM sh, range(0, 4) t(b)
+),
+f AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+         bit_count(xor(a.simhash, b.simhash)) AS dist
+  FROM b16 a
+  JOIN b16 b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+),
+b7 AS MATERIALIZED (
+  SELECT doc_id, simhash, b7, CAST((simhash >> (b7 * 7)) & 127 AS BIGINT) AS bv7
+  FROM sh, range(0, 9) t(b7)
+),
+t AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+         bit_count(xor(a.simhash, b.simhash)) AS dist
+  FROM b7 a
+  JOIN b7 b ON a.b7 = b.b7 AND a.bv7 = b.bv7 AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+),
+taus AS (SELECT unnest([2, 4, 6, 8]) AS tau),
+tcnt AS (
+  SELECT taus.tau, CAST(SUM(CASE WHEN t.dist <= taus.tau THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_truth
+  FROM taus, t GROUP BY taus.tau
+),
+fcnt AS (
+  SELECT taus.tau, CAST(SUM(CASE WHEN f.dist <= taus.tau THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_found
+  FROM taus, f GROUP BY taus.tau
+)
+SELECT tcnt.tau, tcnt.n_truth, fcnt.n_found,
+       ROUND(CAST(fcnt.n_found AS DOUBLE) / NULLIF(tcnt.n_truth, 0), 4)
+         AS recall
+FROM tcnt JOIN fcnt ON fcnt.tau = tcnt.tau
+ORDER BY tcnt.tau
+"""
+)
+
+
+@graded("dedup_threshold_sweep", oracle=_SWEEP_ORACLE)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the 4×16 banding per Hamming threshold τ ∈ {2,4,6,8}
+    against 9×7 pigeonhole truth (rationale above the oracle)."""
+    sh = T.simhash_sh_cached(spark, sf_dir)
+
+    def pair_dists(n_bands: int, bits: int) -> DataFrame:
+        bands = sh.select(
+            "doc_id",
+            "simhash",
+            F.explode(F.array(*[F.lit(b) for b in range(n_bands)])).alias("b"),
+        ).select(
+            "doc_id",
+            "simhash",
+            "b",
+            F.expr(
+                f"CAST((simhash >> (b * {bits})) & {(1 << bits) - 1} AS BIGINT)"
+            ).alias("bv"),
+        )
+        a = bands.select(
+            "b", "bv", F.col("doc_id").alias("da"), F.col("simhash").alias("sa")
+        )
+        b = bands.select(
+            "b", "bv", F.col("doc_id").alias("db"), F.col("simhash").alias("sb")
+        )
+        return (
+            a.join(b, ["b", "bv"])
+            .where(F.col("da") < F.col("db"))
+            .select(
+                "da", "db", F.expr("bit_count(sa ^ sb)").alias("dist")
+            )
+            .where(F.col("dist") <= 8)
+            .distinct()
+        )
+
+    found = pair_dists(4, 16)
+    truth = pair_dists(9, 7)
+    taus = spark.range(4).select((2 * (F.col("id") + 1)).cast("int").alias("tau"))
+
+    def per_tau(pairs: DataFrame, out: str) -> DataFrame:
+        return (
+            pairs.crossJoin(F.broadcast(taus))  # 4-row tau ladder
+            .groupBy("tau")
+            .agg(
+                F.sum(F.when(F.col("dist") <= F.col("tau"), 1).otherwise(0))
+                .cast("bigint")
+                .alias(out)
+            )
+        )
+
+    tcnt = per_tau(truth, "n_truth")
+    fcnt = per_tau(found, "n_found")
+    return (
+        tcnt.join(fcnt, "tau")
+        .select(
+            "tau",
+            "n_truth",
+            "n_found",
+            F.round(
+                F.col("n_found").cast("double")
+                / F.nullif(F.col("n_truth"), F.lit(0)),
+                4,
+            ).alias("recall"),
+        )
+        .orderBy("tau")
+    )

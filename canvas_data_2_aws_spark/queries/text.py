@@ -1243,3 +1243,224 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_tokens").desc(), "bucket")
         .limit(20)
     )
+
+
+# --- EXT: nDCG@10 ranking-quality evaluation (r11) ---------------------------------
+
+# The search family (BM25, RRF, Rocchio, MMR, hard negatives) produces
+# RANKINGS; nothing graded their QUALITY. nDCG@10 is the standard
+# offline metric: DCG = sum gain(rel)/log2(rank+1) over the ranking's
+# top 10, normalized by the ideal ordering's DCG. Queries are the 5
+# highest-df tokens (a deterministic query log); graded relevance is
+# rel = LEAST(tf, 3) — term frequency capped at "highly relevant", the
+# classic pseudo-label when no click data exists. Gains use the exact
+# integer map {0,1,3,7} (2^rel - 1) and log2 runs as ln(r+1)/ln(2.0)
+# on identical integer-cast operands; the <=10 per-query sums are
+# DECIMAL(38,12)-quantized. BM25 ranks break rounded-score ties by
+# doc_id. Plan: the shared BM25 scoring table, one WindowGroupLimit
+# per ranking, two 50-row manifest sums.
+_NDCG_K = 10
+_NDCG_ORACLE = f"""
+WITH {_BM25_CTES},
+queries AS (
+  SELECT token FROM dfreq ORDER BY df DESC, token LIMIT 5
+),
+rel AS (
+  SELECT q.token, tf.doc_id, LEAST(tf.tf, 3) AS rel
+  FROM tf JOIN queries q ON q.token = tf.token
+),
+gains AS (
+  SELECT token, doc_id, rel,
+         CASE rel WHEN 0 THEN 0.0 WHEN 1 THEN 1.0 WHEN 2 THEN 3.0
+                  ELSE 7.0 END AS gain
+  FROM rel
+),
+ranked AS (
+  SELECT g.token, g.gain,
+         ROW_NUMBER() OVER (PARTITION BY g.token
+                            ORDER BY b.bm25 DESC, g.doc_id) AS r
+  FROM gains g
+  JOIN bm25 b ON b.token = g.token AND b.doc_id = g.doc_id
+),
+ideal AS (
+  SELECT token, gain,
+         ROW_NUMBER() OVER (PARTITION BY token
+                            ORDER BY rel DESC, doc_id) AS r
+  FROM gains
+),
+dcg AS (
+  SELECT token,
+         CAST(SUM(CAST(gain / (ln(CAST(r + 1 AS DOUBLE)) / ln(2.0))
+                       AS DECIMAL(38,12))) AS DOUBLE) AS dcg
+  FROM ranked WHERE r <= {_NDCG_K} GROUP BY token
+),
+idcg AS (
+  SELECT token,
+         CAST(SUM(CAST(gain / (ln(CAST(r + 1 AS DOUBLE)) / ln(2.0))
+                       AS DECIMAL(38,12))) AS DOUBLE) AS idcg
+  FROM ideal WHERE r <= {_NDCG_K} GROUP BY token
+)
+SELECT q.token AS query, d.dcg IS NOT NULL AS has_hits,
+       ROUND(d.dcg, 4) AS dcg,
+       ROUND(i.idcg, 4) AS idcg,
+       ROUND(d.dcg / i.idcg, 4) AS ndcg
+FROM queries q
+JOIN dcg d ON d.token = q.token
+JOIN idcg i ON i.token = q.token
+ORDER BY q.token
+"""
+
+
+@graded("search_ndcg_eval", oracle=_NDCG_ORACLE)
+def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of BM25 rankings for the 5 highest-df query tokens
+    against capped-tf graded relevance (rationale above the oracle)."""
+    scores = bm25_scores(spark, sf_dir).localCheckpoint()
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    queries = dfreq.orderBy(F.col("df").desc(), "token").limit(5).select("token")
+    gains = (
+        tf.join(F.broadcast(queries), "token")
+        .select(
+            "token",
+            "doc_id",
+            F.least(F.col("tf"), F.lit(3)).alias("rel"),
+        )
+        .withColumn(
+            "gain",
+            F.when(F.col("rel") == 0, 0.0)
+            .when(F.col("rel") == 1, 1.0)
+            .when(F.col("rel") == 2, 3.0)
+            .otherwise(7.0),
+        )
+    )
+    ranked = gains.join(
+        scores.select("token", "doc_id", "bm25"), ["token", "doc_id"]
+    ).withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("token").orderBy(F.col("bm25").desc(), "doc_id")
+        ),
+    )
+    ideal = gains.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("token").orderBy(F.col("rel").desc(), "doc_id")
+        ),
+    )
+
+    def dcg_of(df: DataFrame, out: str) -> DataFrame:
+        term = F.col("gain") / (
+            F.log((F.col("r") + 1).cast("double")) / F.log(F.lit(2.0))
+        )
+        return (
+            df.where(F.col("r") <= _NDCG_K)
+            .groupBy("token")
+            .agg(
+                F.sum(term.cast("decimal(38,12)")).cast("double").alias(out)
+            )
+        )
+
+    d = dcg_of(ranked, "dcg")
+    i = dcg_of(ideal, "idcg")
+    return (
+        queries.join(d, "token")
+        .join(i, "token")
+        .select(
+            F.col("token").alias("query"),
+            F.col("dcg").isNotNull().alias("has_hits"),
+            F.round("dcg", 4).alias("dcg"),
+            F.round("idcg", 4).alias("idcg"),
+            F.round(F.col("dcg") / F.col("idcg"), 4).alias("ndcg"),
+        )
+        .orderBy("query")
+    )
+
+
+# --- EXT: corpus saturation / novelty curve (r11) ----------------------------------
+
+# The "is more data still worth ingesting?" diagnostic: as a corpus
+# grows, what share of each new document's distinct 3-grams has never
+# been seen before? A healthy diverse corpus holds a high novelty
+# share; a saturating or template-heavy one decays toward zero — the
+# curve by ingestion decile is the go/no-go signal for further
+# collection and a cheap redundancy audit next to the dedup family.
+# First-seen attribution is MIN(doc_id) per gram (doc_id = ingestion
+# order); all counts are exact integers. Plan: one shingle explode,
+# one gram-keyed MIN collapse (map-side combinable), one doc-keyed
+# re-group, a 10-row decile rollup — two wide exchanges at any corpus.
+_NOVELTY_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, GREATEST(LEN(w) - 1, 1)),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS gram
+  FROM w
+),
+firstseen AS (
+  SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram
+),
+mx AS (SELECT MAX(doc_id) AS mxid FROM documents),
+per AS (
+  SELECT g.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM g JOIN firstseen f ON f.gram = g.gram
+  GROUP BY g.doc_id
+)
+SELECT CAST(p.doc_id * 10 // (m.mxid + 1) AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(p.n_grams) AS BIGINT) AS n_grams,
+       CAST(SUM(p.n_novel) AS BIGINT) AS n_novel,
+       ROUND(CAST(SUM(p.n_novel) AS DOUBLE) / CAST(SUM(p.n_grams) AS DOUBLE), 4)
+         AS novelty_share
+FROM per p, mx m
+GROUP BY 1
+ORDER BY decile
+"""
+
+
+@graded("text_novelty_curve", oracle=_NOVELTY_ORACLE)
+def text_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of never-seen-before distinct 3-grams per ingestion
+    decile — the corpus saturation curve (rationale above the
+    oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", F.explode(F.array_distinct(T.ngrams("text", 3))).alias("gram")
+    )
+    firstseen = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    mx = docs.agg(F.max("doc_id").alias("mxid"))
+    per = (
+        g.join(firstseen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        per.crossJoin(F.broadcast(mx))  # 1-row horizon attach
+        .groupBy(
+            F.expr("CAST(doc_id * 10 DIV (mxid + 1) AS BIGINT)").alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_grams").cast("bigint").alias("n_grams"),
+            F.sum("n_novel").cast("bigint").alias("n_novel"),
+            F.round(
+                F.sum("n_novel").cast("double") / F.sum("n_grams").cast("double"),
+                4,
+            ).alias("novelty_share"),
+        )
+        .orderBy("decile")
+    )

@@ -1395,3 +1395,165 @@ def vector_bq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("bq_neighbor").cast("bigint").alias("n_hit"),
         (F.count("bq_neighbor").cast("double") / 5.0).alias("recall_at_5"),
     )
+
+
+# --- EXT: int8 scalar quantization (SQ8) distortion + recall funnel (r11) ----------
+
+# The third standard ANN compression next to the graded PQ (codebooks)
+# and BQ (sign bits): per-dimension min/max scalar quantization to
+# uint8 — 4x smaller than float32, trivially SIMD-decodable, the
+# default "cheap win" tier in FAISS/Lucene deployments. Codes are
+# exact integers (round((v - min)/step), clamped to [0,255]) from
+# exact per-dim min/max, so the whole funnel is engine-deterministic:
+# approx scores are dot products against DEQUANTIZED values
+# (min + code*step), the gate keeps the approx top-20, the exact
+# rerank keeps 5, and recall@5 + mean absolute score distortion are
+# graded as values. Every dot product is a posexplode equi-join with
+# DECIMAL(38,12) per-term sums; per-dim stats are a 64-row broadcast.
+_SQ8_GATE_K = 20
+_SQ8_FINAL_K = 5
+
+_SQ8_ORACLE = f"""
+WITH pos AS (
+  SELECT vec_id, pos AS dim,
+         CAST(list_extract(embedding, pos) AS DOUBLE) AS v
+  FROM embeddings, range(1, 65) t(pos)
+  WHERE vec_id <> 0
+),
+qpos AS (
+  SELECT pos AS dim, CAST(list_extract(embedding, pos) AS DOUBLE) AS qv
+  FROM embeddings, range(1, 65) t(pos)
+  WHERE vec_id = 0
+),
+stats AS (
+  SELECT dim, MIN(v) AS mn, MAX(v) AS mx,
+         (MAX(v) - MIN(v)) / 255.0 AS step
+  FROM pos GROUP BY dim
+),
+codes AS (
+  SELECT p.vec_id, p.dim, p.v,
+         CASE WHEN s.step > 0
+              THEN LEAST(GREATEST(CAST(round((p.v - s.mn) / s.step, 0)
+                                       AS BIGINT), 0), 255)
+              ELSE 0 END AS code,
+         s.mn, s.step
+  FROM pos p JOIN stats s ON s.dim = p.dim
+),
+scored AS (
+  SELECT c.vec_id,
+         CAST(SUM(CAST(q.qv * (c.mn + c.code * c.step)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS approx,
+         CAST(SUM(CAST(q.qv * c.v AS DECIMAL(38,12))) AS DOUBLE) AS exact
+  FROM codes c JOIN qpos q ON q.dim = c.dim
+  GROUP BY c.vec_id
+),
+gate AS (
+  SELECT vec_id, approx, exact
+  FROM scored ORDER BY approx DESC, vec_id LIMIT {_SQ8_GATE_K}
+),
+rerank AS (
+  SELECT vec_id FROM gate ORDER BY exact DESC, vec_id LIMIT {_SQ8_FINAL_K}
+),
+truth AS (
+  SELECT vec_id FROM scored ORDER BY exact DESC, vec_id LIMIT {_SQ8_FINAL_K}
+),
+hit AS (SELECT r.vec_id FROM rerank r JOIN truth t ON t.vec_id = r.vec_id),
+err AS (
+  SELECT CAST(SUM(CAST(abs(approx - exact) AS DECIMAL(38,12))) AS DOUBLE)
+           / {_SQ8_GATE_K} AS mean_abs_err
+  FROM gate
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM scored) AS n_corpus,
+       CAST({_SQ8_GATE_K} AS BIGINT) AS gate_k,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit,
+       ROUND((SELECT CAST(COUNT(*) AS DOUBLE) FROM hit)
+             / {_SQ8_FINAL_K}, 4) AS recall_at_5,
+       ROUND((SELECT mean_abs_err FROM err), 6) AS mean_abs_err
+"""
+
+
+@graded("vector_sq8_recall_eval", oracle=_SQ8_ORACLE)
+def vector_sq8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 funnel: uint8 per-dim quantization → approx-dot top-20 gate
+    → exact rerank top-5; recall@5 vs exact truth plus mean absolute
+    score distortion over the gate (rationale above the oracle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = (
+        emb.where(F.col("vec_id") != 0)
+        .select("vec_id", F.posexplode("embedding").alias("dim", "v"))
+        .withColumn("v", F.col("v").cast("double"))
+        .localCheckpoint()
+    )
+    qpos = (
+        emb.where(F.col("vec_id") == 0)
+        .select(F.posexplode("embedding").alias("dim", "qv"))
+        .withColumn("qv", F.col("qv").cast("double"))
+    )
+    stats = pos.groupBy("dim").agg(
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        ((F.max("v") - F.min("v")) / 255.0).alias("step"),
+    )
+    codes = pos.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        "dim",
+        "v",
+        "mn",
+        "step",
+        F.when(
+            F.col("step") > 0,
+            F.least(
+                F.greatest(
+                    F.round((F.col("v") - F.col("mn")) / F.col("step"), 0)
+                    .cast("bigint"),
+                    F.lit(0),
+                ),
+                F.lit(255),
+            ),
+        )
+        .otherwise(0)
+        .alias("code"),
+    )
+    scored = (
+        codes.join(F.broadcast(qpos), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                (
+                    F.col("qv") * (F.col("mn") + F.col("code") * F.col("step"))
+                ).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("approx"),
+            F.sum((F.col("qv") * F.col("v")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("exact"),
+        )
+        .localCheckpoint()
+    )
+    gate = scored.orderBy(F.col("approx").desc(), "vec_id").limit(_SQ8_GATE_K)
+    rerank = gate.orderBy(F.col("exact").desc(), "vec_id").limit(_SQ8_FINAL_K)
+    truth = scored.orderBy(F.col("exact").desc(), "vec_id").limit(_SQ8_FINAL_K)
+    hit = rerank.select("vec_id").join(truth.select("vec_id"), "vec_id")
+    n_corpus = scored.agg(F.count(F.lit(1)).cast("bigint").alias("n_corpus"))
+    n_hit = hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    err = gate.agg(
+        (
+            F.sum(F.abs(F.col("approx") - F.col("exact")).cast("decimal(38,12)"))
+            .cast("double")
+            / _SQ8_GATE_K
+        ).alias("mean_abs_err")
+    )
+    return (
+        n_corpus.crossJoin(F.broadcast(n_hit))  # scalar x scalar attaches
+        .crossJoin(F.broadcast(err))
+        .select(
+            "n_corpus",
+            F.lit(_SQ8_GATE_K).cast("bigint").alias("gate_k"),
+            "n_hit",
+            F.round(F.col("n_hit").cast("double") / _SQ8_FINAL_K, 4).alias(
+                "recall_at_5"
+            ),
+            F.round("mean_abs_err", 6).alias("mean_abs_err"),
+        )
+    )

@@ -52,18 +52,20 @@ def graded(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]
 # name list applied after all modules load (names NOT listed keep their
 # import-order position after the window).
 #
-# Round-11 window — the 9 NEW r11 operators (never sampled by
+# Round-11 window — the 13 NEW r11 operators (never sampled by
 # definition), the FINAL 31 names never driver-sampled in r01–r10
 # (recomputed from the ten CORRECTNESS files: the 5 round-9 operators
 # the round-9 judge re-executed directly, the 8 first-wave r10
-# operators, and the 18 second-wave r10 operators), and 10 refresh
-# slots on the oldest verdicts (the 9 r01 names + join_anti from r02).
-# 9 new + 31 first-time + 10 refresh = 50; after this round the driver
-# union is 339/339 with zero never-sampled names.
+# operators, and the 18 second-wave r10 operators), and 6 refresh
+# slots on the oldest (r01) verdicts. 13 new + 31 first-time + 6
+# refresh = 50; after this round the driver union is 343/343 with zero
+# never-sampled names.
 #
-# Round-12 plan: refresh the oldest verdicts — the 9 displaced r02
-# join_* names first, then the r05 block — recomputed from the
-# CORRECTNESS union at close. Any NEW r12 operators go first.
+# Round-12 plan: refresh the oldest verdicts — the 13 displaced
+# r01/r02 names (multimodal_binary_meta, source_python_datasource,
+# validate_snapshot_diff, then the join_* block) first, then the r05
+# block — recomputed from the CORRECTNESS union at close. Any NEW r12
+# operators go first.
 _SAMPLE_WINDOW_R11: tuple[str, ...] = (
     # --- NEW r11 operators (sampled immediately; each one added here
     # displaces the newest refresh slot so the window stays 50) ---
@@ -76,7 +78,12 @@ _SAMPLE_WINDOW_R11: tuple[str, ...] = (
     "agg_theta_sketch_setops",
     "sample_weighted_priority",
     "graph_betweenness_seeds",
-    # --- 31 never-sampled (r01–r10 union gap, closes at 330/330) ---
+    "dedup_threshold_sweep",
+    "search_ndcg_eval",
+    "vector_sq8_recall_eval",
+    "text_novelty_curve",
+    # --- 31 never-sampled (r01–r10 union gap; with the 13 new names
+    # above, the r01–r11 union closes at 343/343) ---
     # round-9 operators the r9 judge re-ran directly (5)
     "dedup_simhash_recall_eval",
     "text_langid_eval",
@@ -111,22 +118,19 @@ _SAMPLE_WINDOW_R11: tuple[str, ...] = (
     "validate_join_cardinality",
     "validate_f2_ams_sketch",
     "timeseries_dft_top",
-    # --- 19 refresh: oldest driver verdicts (9×r01 + 10×r02) ---
+    # --- 6 refresh: oldest (r01) driver verdicts ---
     "dedup_exact",
     "jsonl_envelope_roundtrip",
     "merge_compaction",
     "merge_idempotent_reapply",
     "merge_incremental_agg",
     "merge_upsert_apply",
-    "multimodal_binary_meta",
-    "source_python_datasource",
-    "validate_snapshot_diff",
-    "join_anti",
-    # (join_broadcast_dim, join_five_way, join_full_outer,
-    # join_inner_agg, join_left_outer, join_null_safe, join_range,
-    # join_salted_skew, join_semi displaced by the nine new r11
-    # operators — they keep their r02 verdicts and head the r12
-    # refresh list.)
+    # (multimodal_binary_meta, source_python_datasource,
+    # validate_snapshot_diff, join_anti, join_broadcast_dim,
+    # join_five_way, join_full_outer, join_inner_agg, join_left_outer,
+    # join_null_safe, join_range, join_salted_skew, join_semi displaced
+    # by the thirteen new r11 operators — they keep their r01/r02
+    # verdicts and head the r12 refresh list.)
 )
 
 # Round-10 window (historical — superseded by _SAMPLE_WINDOW_R11): the

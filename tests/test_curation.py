@@ -370,3 +370,68 @@ def test_weighted_priority_matches_reference(spark, sf_dir):
     corpus_mean = sum(max(d.n_chars, 1) for d in docs) / len(docs)
     sample_mean = sum(r.weight for r in got) / len(got)
     assert sample_mean > corpus_mean
+
+
+def test_threshold_sweep_pigeonhole_and_consistency(spark, sf_dir):
+    """r11: tau=2 recall is provably 1.0 (any pair within Hamming 3
+    shares one of 4 16-bit bands), counts are monotone in tau, recall
+    is bounded, and the tau=8 row reproduces the single-point recall
+    eval (uncapped regime at this SF)."""
+    rows = registry.QUERIES["dedup_threshold_sweep"](spark, sf_dir).collect()
+    assert [r.tau for r in rows] == [2, 4, 6, 8]
+    by = {r.tau: r for r in rows}
+    assert by[2].recall == 1.0
+    prev_t = prev_f = -1
+    for r in rows:
+        assert r.n_found <= r.n_truth
+        assert r.recall is None or r.recall <= 1.0
+        assert r.n_truth >= prev_t and r.n_found >= prev_f
+        prev_t, prev_f = r.n_truth, r.n_found
+    single = registry.QUERIES["dedup_simhash_recall_eval"](
+        spark, sf_dir
+    ).collect()[0]
+    assert by[8].n_truth == single.n_truth
+    assert by[8].n_found == single.n_hit
+
+
+def test_ndcg_matches_python_recompute(spark, sf_dir):
+    """r11: recompute nDCG@10 for every query in pure Python from the
+    collected tf and BM25 tables — discount, gain map, top-k cut, and
+    normalization must all agree with the distributed form."""
+    import math
+
+    from canvas_data_2_aws_spark.queries.text import _NDCG_K, bm25_scores
+
+    got = {
+        r.query: r
+        for r in registry.QUERIES["search_ndcg_eval"](spark, sf_dir).collect()
+    }
+    assert len(got) == 5
+    scores = bm25_scores(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    by_tok = defaultdict(list)
+    for s in scores:
+        by_tok[s.token].append(s)
+    df = {t: len(v) for t, v in by_tok.items()}
+    queries = sorted(df, key=lambda t: (-df[t], t))[:5]
+    assert set(queries) == set(got)
+    gain_map = {0: 0.0, 1: 1.0, 2: 3.0, 3: 7.0}
+    for t in queries:
+        rows = by_tok[t]
+        rel = {r.doc_id: min(r.tf, 3) for r in rows}
+        ranking = sorted(rows, key=lambda r: (-r.bm25, r.doc_id))[:_NDCG_K]
+        dcg = sum(
+            gain_map[rel[r.doc_id]] / (math.log(i + 2) / math.log(2.0))
+            for i, r in enumerate(ranking)
+        )
+        ideal = sorted(rel.items(), key=lambda kv: (-kv[1], kv[0]))[:_NDCG_K]
+        idcg = sum(
+            gain_map[rl] / (math.log(i + 2) / math.log(2.0))
+            for i, (_, rl) in enumerate(ideal)
+        )
+        g = got[t]
+        assert abs(g.dcg - round(dcg, 4)) < 1e-3, (t, g.dcg, dcg)
+        assert abs(g.idcg - round(idcg, 4)) < 1e-3
+        assert abs(g.ndcg - round(dcg / idcg, 4)) < 1e-3
+        assert 0 < g.ndcg <= 1.0

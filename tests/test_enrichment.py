@@ -420,3 +420,31 @@ def test_shard_index_offsets_are_contiguous(spark, sf_dir):
         for _, off, n in members:
             assert off == expect
             expect = off + n
+
+
+def test_novelty_curve_accounting(spark, sf_dir):
+    """r11: every distinct gram is novel in exactly one document, so
+    sum(n_novel) equals the corpus's distinct-gram count; shares live
+    in (0,1] and the curve saturates (first decile strictly more novel
+    than the last)."""
+    from canvas_data_2_aws_spark import registry
+    from canvas_data_2_aws_spark.operators import text as T
+    from canvas_data_2_aws_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    registry.load_all()
+    rows = registry.QUERIES["text_novelty_curve"](spark, sf_dir).collect()
+    assert rows
+    docs = load_table(spark, sf_dir, "documents")
+    n_distinct = (
+        docs.select(F.explode(F.array_distinct(T.ngrams("text", 3))).alias("g"))
+        .select("g")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_novel for r in rows) == n_distinct
+    for r in rows:
+        assert 0 < r.novelty_share <= 1.0
+        assert r.n_novel <= r.n_grams
+    if len(rows) > 1:
+        assert rows[0].novelty_share > rows[-1].novelty_share

@@ -492,3 +492,34 @@ def test_kcenter_radius_is_2_approx_property():
         assert int(mind.max()) <= radii[-1]
 
     run()
+
+
+def test_sq8_distortion_bounded_by_step(spark, sf_dir):
+    """r11: SQ8's approx-dot error is bounded by the quantization
+    geometry — |approx - exact| <= sum_d |q_d| * step_d / 2 for every
+    vector (each dim rounds to the nearest level), so the reported
+    gate-mean distortion must respect the same bound. Recall and hit
+    counts live in their ranges."""
+    from canvas_data_2_aws_spark import registry
+    from canvas_data_2_aws_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    registry.load_all()
+    r = registry.QUERIES["vector_sq8_recall_eval"](spark, sf_dir).collect()[0]
+    assert 0 <= r.n_hit <= 5
+    assert r.recall_at_5 == round(r.n_hit / 5, 4)
+    assert r.mean_abs_err >= 0
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.where(F.col("vec_id") != 0).select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    steps = {
+        row.dim: row.step
+        for row in pos.groupBy("dim")
+        .agg(((F.max("v") - F.min("v")) / 255.0).alias("step"))
+        .collect()
+    }
+    q = emb.where(F.col("vec_id") == 0).head().embedding
+    bound = sum(abs(float(qd)) * steps[d] / 2.0 for d, qd in enumerate(q))
+    assert r.mean_abs_err <= bound + 1e-9, (r.mean_abs_err, bound)
