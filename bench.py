@@ -194,6 +194,11 @@ HEADLINE = [
     "search_ndcg_eval",
     "vector_sq8_recall_eval",
     "text_novelty_curve",
+    # round-11 third wave: water-filling budget allocation, SCD2
+    # point-in-time enrichment, gaps-and-islands streaks.
+    "pipeline_water_filling",
+    "join_scd2_pointintime",
+    "analytics_activity_streaks",
 ]
 
 

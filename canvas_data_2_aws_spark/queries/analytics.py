@@ -2953,3 +2953,74 @@ def analytics_sprt_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(lo).cast("double"), 6).alias("lower_bound"),
         )
     )
+
+
+# --- EXT: longest activity streaks (gaps-and-islands) (r11) -------------------------
+
+# Engagement's classic shape: how many CONSECUTIVE days has each user
+# been active, and how are longest streaks distributed? The
+# gaps-and-islands trick makes it two hash aggregations instead of any
+# self-join: within a user, consecutive dates and consecutive row
+# numbers advance in lockstep, so date - row_number is CONSTANT inside
+# a streak and the constant (the anchor date) is the island key.
+# All integer/date arithmetic, exact in both engines. Plan: distinct
+# (user, day) collapse -> per-user day window -> island-keyed count ->
+# per-user max -> 1-pass histogram; every exchange is user-keyed.
+_STREAKS_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+isl AS (
+  SELECT user_id,
+         d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INTEGER) AS anchor
+  FROM days
+),
+streaks AS (
+  SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS len
+  FROM isl GROUP BY user_id, anchor
+),
+longest AS (
+  SELECT user_id, MAX(len) AS max_streak,
+         CAST(COUNT(*) AS BIGINT) AS n_streaks
+  FROM streaks GROUP BY user_id
+)
+SELECT max_streak AS streak_days,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(CAST(SUM(CAST(n_streaks AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 4) AS avg_streaks_per_user
+FROM longest
+GROUP BY max_streak
+ORDER BY streak_days
+"""
+
+
+@graded("analytics_activity_streaks", oracle=_STREAKS_ORACLE)
+def analytics_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of users' longest consecutive-day activity streaks
+    via the gaps-and-islands constant (rationale above the oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("d"))
+    isl = days.withColumn("rn", rn).select(
+        "user_id", F.expr("date_sub(d, rn)").alias("anchor")
+    )
+    streaks = isl.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    longest = streaks.groupBy("user_id").agg(
+        F.max("len").alias("max_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+    )
+    return (
+        longest.groupBy(F.col("max_streak").alias("streak_days"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(
+                F.sum(F.col("n_streaks").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_streaks_per_user"),
+        )
+        .orderBy("streak_days")
+    )

@@ -11,7 +11,7 @@ Join-strategy notes for the 100 TB plan:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.numeric import dsum, oracle_dsum
 from ..registry import graded
@@ -611,4 +611,110 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("m_bits").alias("m_bits"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+# --- EXT J11: point-in-time (SCD2) dimension lookup (r11) ---------------------------
+
+# The warehouse composition the SCD2 history (merge_scd2_history)
+# exists FOR: enrich each fact with the dimension version valid at the
+# fact's own timestamp — "which signup/session context was this purchase
+# made under?". Expressed the scale-correct way: NOT a per-fact range probe
+# into the version table, but one interleaved scan — union signups and
+# purchases on the shared (user, time) order and carry the last seen
+# version forward with last(..., ignorenulls) — the same
+# last-observation window as the as-of family, zero joins, one
+# user-keyed exchange. Purchases before any signup surface as version
+# age -1 (unmatched), everything else buckets by version age in days
+# (capped at 7). Counts exact; revenue uses the DECIMAL(18,6) recipe.
+_PIT_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, ts,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE user_id % 7 = 0
+),
+tagged AS (
+  SELECT user_id, event_id, event_type, ts, cents,
+         CASE WHEN event_type = 'signup' THEN event_id END AS v_id,
+         CASE WHEN event_type = 'signup' THEN ts END AS v_ts
+  FROM ev
+),
+carried AS (
+  SELECT user_id, event_id, event_type, ts, cents,
+         LAST_VALUE(v_id IGNORE NULLS) OVER w AS version_id,
+         LAST_VALUE(v_ts IGNORE NULLS) OVER w AS version_ts
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+p AS (
+  SELECT CASE WHEN version_id IS NULL THEN -1
+              ELSE LEAST(CAST(date_diff('day', CAST(version_ts AS DATE),
+                                        CAST(ts AS DATE)) AS BIGINT), 7)
+         END AS version_age_days,
+         cents
+  FROM carried WHERE event_type = 'purchase'
+)
+SELECT version_age_days,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       ROUND(CAST(SUM(CAST(cents AS DECIMAL(18,6))) AS DOUBLE) / 100, 4)
+         AS revenue_usd
+FROM p
+GROUP BY version_age_days
+ORDER BY version_age_days
+"""
+
+
+@graded("join_scd2_pointintime", oracle=_PIT_ORACLE)
+def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases enriched with the signup version valid at purchase
+    time via one interleaved last-observation window (rationale
+    above), rolled up by version age."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") % 7 == 0)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+    )
+    tagged = ev.select(
+        "*",
+        F.when(F.col("event_type") == "signup", F.col("event_id")).alias("v_id"),
+        F.when(F.col("event_type") == "signup", F.col("ts")).alias("v_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tagged.select(
+        "event_type",
+        "ts",
+        "cents",
+        F.last("v_id", ignorenulls=True).over(w).alias("version_id"),
+        F.last("v_ts", ignorenulls=True).over(w).alias("version_ts"),
+    )
+    age = F.when(F.col("version_id").isNull(), F.lit(-1)).otherwise(
+        F.least(
+            F.datediff(F.to_date("ts"), F.to_date("version_ts")).cast("bigint"),
+            F.lit(7),
+        )
+    )
+    return (
+        carried.where(F.col("event_type") == "purchase")
+        .select(age.alias("version_age_days"), "cents")
+        .groupBy("version_age_days")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.round(
+                F.sum(F.col("cents").cast("decimal(18,6)")).cast("double")
+                / 100,
+                4,
+            ).alias("revenue_usd"),
+        )
+        .orderBy("version_age_days")
     )

@@ -2422,3 +2422,118 @@ def analytics_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("ks_stat"),
     )
+
+
+# --- EXT: water-filling token-budget allocation (r11) -------------------------------
+
+# The third mixing primitive next to temperature reweighting
+# (pipeline_mix_temperature) and DSIR importance weights: given a
+# total token budget B, give every source as much as it has UP TO a
+# common cap L chosen so the allocations exactly exhaust B — the
+# classic water-filling solution to "spend the budget as uniformly as
+# possible without over-asking small sources". L has a closed form
+# per sorted prefix: sources ascending by supply, the level sits in
+# the first position k where supply_k >= (B - prefix_{k-1}) / (n-k+1),
+# i.e. remaining budget spread over remaining sources stops exceeding
+# the next supply. Everything is exact integer arithmetic (prefix sums
+# BIGINT, the level an integer division) over the SOURCE MANIFEST —
+# rows = number of sources, so the single-group window is deliberate
+# manifest scale; the only data-sized work is the per-source token
+# count.
+_WATERFILL_BUDGET = 120_000
+
+_WATERFILL_ORACLE = f"""
+WITH supply AS (
+  SELECT source,
+         CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+ranked AS (
+  SELECT source, tokens,
+         ROW_NUMBER() OVER (ORDER BY tokens, source) AS rn,
+         CAST(SUM(tokens) OVER (ORDER BY tokens, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT) AS prefix_below,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_sources
+  FROM supply
+),
+lvl AS (
+  SELECT MIN(CASE WHEN tokens * (n_sources - rn + 1)
+                       >= {_WATERFILL_BUDGET} - COALESCE(prefix_below, 0)
+             THEN ({_WATERFILL_BUDGET} - COALESCE(prefix_below, 0))
+                  // (n_sources - rn + 1) END) AS level
+  FROM ranked
+)
+SELECT r.source, r.tokens AS tokens_available,
+       CAST(LEAST(r.tokens, COALESCE(l.level, r.tokens)) AS BIGINT)
+         AS tokens_allocated,
+       CAST(COALESCE(l.level, -1) AS BIGINT) AS fill_level,
+       ROUND(CAST(LEAST(r.tokens, COALESCE(l.level, r.tokens)) AS DOUBLE)
+             / r.tokens, 4) AS take_share
+FROM ranked r, lvl l
+ORDER BY r.source
+"""
+
+
+@graded("pipeline_water_filling", oracle=_WATERFILL_ORACLE)
+def pipeline_water_filling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling allocation of a 120k-token budget across sources:
+    every source contributes min(supply, L) with the level L chosen by
+    the sorted-prefix closed form so small sources are never
+    over-asked (rationale above the oracle)."""
+    from ..operators import ranks as RK
+
+    docs = load_table(spark, sf_dir, "documents")
+    supply = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("tokens")
+    )
+    w = Window.partitionBy(RK.UNIT_GROUP).orderBy("tokens", "source")
+    ranked = (
+        RK.attach_unit_group(supply)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "prefix_below",
+            F.sum("tokens")
+            .over(w.rowsBetween(Window.unboundedPreceding, -1))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "n_sources",
+            F.count(F.lit(1))
+            .over(Window.partitionBy(RK.UNIT_GROUP))
+            .cast("bigint"),
+        )
+    )
+    remaining = F.lit(_WATERFILL_BUDGET) - F.coalesce(
+        F.col("prefix_below"), F.lit(0)
+    )
+    slots = F.col("n_sources") - F.col("rn") + 1
+    lvl = ranked.agg(
+        F.min(
+            F.when(
+                F.col("tokens") * slots >= remaining,
+                F.expr(
+                    f"({_WATERFILL_BUDGET} - COALESCE(prefix_below, 0))"
+                    " DIV (n_sources - rn + 1)"
+                ),
+            )
+        ).alias("level")
+    )
+    alloc = F.least(
+        F.col("tokens"), F.coalesce(F.col("level"), F.col("tokens"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(lvl))  # 1-row level attach
+        .select(
+            "source",
+            F.col("tokens").alias("tokens_available"),
+            alloc.cast("bigint").alias("tokens_allocated"),
+            F.coalesce(F.col("level"), F.lit(-1))
+            .cast("bigint")
+            .alias("fill_level"),
+            F.round(alloc.cast("double") / F.col("tokens"), 4).alias(
+                "take_share"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -486,3 +486,42 @@ def test_k_anonymity_ladder_invariants(spark, sf_dir):
         assert 0.0 <= r.risk_share <= 1.0
         assert (r.n_violating_groups > 0) == (m < r.k)
         prev_g, prev_r = r.n_violating_groups, r.n_rows_at_risk
+
+
+def test_streaks_account_for_all_users_and_days(spark, sf_dir):
+    """r11: every user lands in exactly one longest-streak bucket, no
+    streak exceeds the horizon, and a user active on D consecutive
+    dates everywhere (the fixture's dense users) shows up with
+    max_streak equal to their distinct-day count."""
+    from canvas_data_2_aws_spark.queries.analytics import (
+        analytics_activity_streaks,
+    )
+    from canvas_data_2_aws_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    rows = analytics_activity_streaks(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    horizon = ev.select(
+        (F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) + 1).alias("d")
+    ).collect()[0].d
+    assert sum(r.n_users for r in rows) == n_users
+    for r in rows:
+        assert 1 <= r.streak_days <= horizon
+        assert r.avg_streaks_per_user >= 1.0
+
+
+def test_scd2_pointintime_accounts_for_all_purchases(spark, sf_dir):
+    """r11: every purchase of the keyed users lands in exactly one
+    version-age bucket; ages are -1 (pre-signup) or within [0, 7]."""
+    from canvas_data_2_aws_spark.queries.joins import join_scd2_pointintime
+    from canvas_data_2_aws_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    rows = join_scd2_pointintime(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    n_purch = ev.where(
+        (F.col("user_id") % 7 == 0) & (F.col("event_type") == "purchase")
+    ).count()
+    assert sum(r.n_purchases for r in rows) == n_purch
+    assert all(-1 <= r.version_age_days <= 7 for r in rows)

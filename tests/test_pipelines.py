@@ -333,3 +333,34 @@ def test_rocchio_expansion_contract(spark, sf_dir):
     ordered = sorted(rows, key=lambda r: (-r.score, r.doc_id))
     assert [r.rnk for r in ordered] == list(range(1, 21))
     assert all(r.score > 0 for r in rows)
+
+
+def test_water_filling_exhausts_budget(spark, sf_dir):
+    """r11: the allocation never over-asks a source, exhausts the
+    budget exactly when supply suffices (up to the integer-division
+    remainder, < number of uncapped sources), and the level is the
+    true water line — every source below it fully taken, every source
+    above it capped at the level."""
+    from canvas_data_2_aws_spark.queries.pipelines import (
+        _WATERFILL_BUDGET,
+        pipeline_water_filling,
+    )
+
+    rows = pipeline_water_filling(spark, sf_dir).collect()
+    assert rows
+    total_alloc = sum(r.tokens_allocated for r in rows)
+    total_supply = sum(r.tokens_available for r in rows)
+    level = rows[0].fill_level
+    assert len({r.fill_level for r in rows}) == 1
+    for r in rows:
+        assert 0 <= r.tokens_allocated <= r.tokens_available
+        if level >= 0:
+            if r.tokens_available <= level:
+                assert r.tokens_allocated == r.tokens_available
+            else:
+                assert r.tokens_allocated == level
+    if total_supply >= _WATERFILL_BUDGET:
+        n_capped = sum(1 for r in rows if r.tokens_available > level)
+        assert 0 <= _WATERFILL_BUDGET - total_alloc < max(n_capped, 1)
+    else:
+        assert total_alloc == total_supply
