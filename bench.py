@@ -199,6 +199,11 @@ HEADLINE = [
     "pipeline_water_filling",
     "join_scd2_pointintime",
     "analytics_activity_streaks",
+    # round-11 fourth wave: IVF nprobe tuning curve, source-level
+    # overlap forensics, curation stage-order sensitivity.
+    "vector_ivf_nprobe_curve",
+    "text_source_overlap_matrix",
+    "pipeline_stage_order_eval",
 ]
 
 

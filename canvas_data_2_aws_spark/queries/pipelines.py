@@ -2537,3 +2537,123 @@ def pipeline_water_filling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- EXT: curation stage-order sensitivity eval (r11) --------------------------------
+
+# A real curation-design question the funnel alone can't answer: does
+# it matter whether the quality gate runs BEFORE dedup (canonical doc
+# = min gated member of each SimHash group) or AFTER it (canonical =
+# min member of the FULL group, then gated)? The orders diverge
+# exactly on groups whose minimum doc fails quality while another
+# member passes: quality-first keeps the best-effort survivor,
+# dedup-first silently drops the whole group. This query runs both
+# orders off the one session-shared hash frame and grades the
+# divergence (docs unique to each order, token deltas) as exact
+# integers — the measurement that justifies the funnel's
+# quality-first ordering. No extra shuffle beyond the two
+# simhash-keyed aggregates.
+_ORDER_EVAL_ORACLE = _SIMHASH_SH_CTES + """,
+quality AS (
+  SELECT d.doc_id,
+         LEN(string_split(d.text, ' ')) AS n_tokens,
+         CASE WHEN LEN(string_split(d.text, ' ')) >= 8
+               AND CAST(LEN(list_distinct(string_split(d.text, ' ')))
+                        AS DOUBLE) / LEN(string_split(d.text, ' ')) >= 0.3
+              THEN 1 ELSE 0 END AS passes
+  FROM documents d
+),
+qf AS (
+  SELECT MIN(q.doc_id) AS doc_id
+  FROM sh s JOIN quality q ON q.doc_id = s.doc_id
+  WHERE q.passes = 1
+  GROUP BY s.simhash
+),
+df_surv AS (
+  SELECT MIN(doc_id) AS doc_id FROM sh GROUP BY simhash
+),
+df AS (
+  SELECT d.doc_id
+  FROM df_surv d JOIN quality q ON q.doc_id = d.doc_id
+  WHERE q.passes = 1
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM qf) AS n_quality_first,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM df) AS n_dedup_first,
+  (SELECT CAST(SUM(q.n_tokens) AS BIGINT) FROM qf
+     JOIN quality q ON q.doc_id = qf.doc_id) AS tokens_quality_first,
+  (SELECT CAST(SUM(q.n_tokens) AS BIGINT) FROM df
+     JOIN quality q ON q.doc_id = df.doc_id) AS tokens_dedup_first,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM qf
+     WHERE doc_id NOT IN (SELECT doc_id FROM df)) AS only_quality_first,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM df
+     WHERE doc_id NOT IN (SELECT doc_id FROM qf)) AS only_dedup_first
+"""
+
+
+@graded("pipeline_stage_order_eval", oracle=_ORDER_EVAL_ORACLE)
+def pipeline_stage_order_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-first vs dedup-first funnel orders compared on one
+    shared SimHash frame: surviving doc/token budgets per order and
+    the docs unique to each (rationale above the oracle)."""
+    from ..operators import text as T
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = T.simhash_sh_cached(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    quality = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.when(
+            (F.size(toks) >= 8)
+            & (
+                F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+                >= 0.3
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("passes"),
+    ).localCheckpoint()
+    qf = (
+        sh.join(quality, "doc_id")
+        .where(F.col("passes") == 1)
+        .groupBy("simhash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    df_surv = sh.groupBy("simhash").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id"
+    )
+    dfq = df_surv.join(quality, "doc_id").where(F.col("passes") == 1).select(
+        "doc_id"
+    )
+
+    def count_of(d: DataFrame, name: str) -> DataFrame:
+        return d.agg(F.count(F.lit(1)).cast("bigint").alias(name))
+
+    def tokens_of(d: DataFrame, name: str) -> DataFrame:
+        return (
+            d.join(quality, "doc_id")
+            .agg(F.sum("n_tokens").cast("bigint").alias(name))
+        )
+
+    only_qf = count_of(qf.join(dfq, "doc_id", "left_anti"), "only_quality_first")
+    only_df = count_of(dfq.join(qf, "doc_id", "left_anti"), "only_dedup_first")
+    out = (
+        count_of(qf, "n_quality_first")
+        .crossJoin(F.broadcast(count_of(dfq, "n_dedup_first")))
+        .crossJoin(F.broadcast(tokens_of(qf, "tokens_quality_first")))
+        .crossJoin(F.broadcast(tokens_of(dfq, "tokens_dedup_first")))
+        .crossJoin(F.broadcast(only_qf))
+        .crossJoin(F.broadcast(only_df))
+    )
+    return out.select(
+        "n_quality_first",
+        "n_dedup_first",
+        "tokens_quality_first",
+        "tokens_dedup_first",
+        "only_quality_first",
+        "only_dedup_first",
+    )

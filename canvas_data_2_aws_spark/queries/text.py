@@ -1464,3 +1464,87 @@ def text_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --- EXT: source-level n-gram overlap matrix (r11) ----------------------------------
+
+# Corpus forensics ABOVE the document level: which SOURCES share
+# verbatim 5-gram content (mirrored scrapes, syndication, cross-source
+# template reuse)? Doc-level dedup can't see this aggregate pattern;
+# the decontamination probe answers it only against one benchmark
+# list. Per source the distinct 5-gram set is a bag-of-shingles
+# profile; pair overlap comes from ONE gram-keyed self-join of the
+# (source, gram) census — fan-out per gram is bounded by the source
+# count (a catalog, never the corpus), the same bounded-equi-join
+# discipline as the dedup family. Jaccard from three exact integers.
+_OVERLAP_N = 5
+
+_OVERLAP_ORACLE = f"""
+WITH w AS (
+  SELECT source, string_split(text, ' ') AS w FROM documents
+),
+g AS (
+  SELECT DISTINCT source, unnest(list_transform(
+           range(1, GREATEST(LEN(w) - {_OVERLAP_N - 2}, 1)),
+           i -> concat_ws(' ', {", ".join(f"w[i+{k}]" for k in range(_OVERLAP_N))})))
+           AS gram
+  FROM w
+),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.src_a, i.src_b, sa.n_grams AS grams_a, sb.n_grams AS grams_b,
+       i.n_inter,
+       ROUND(CAST(i.n_inter AS DOUBLE)
+             / (sa.n_grams + sb.n_grams - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.src_a
+JOIN sizes sb ON sb.source = i.src_b
+ORDER BY jaccard DESC, i.src_a, i.src_b
+LIMIT 20
+"""
+
+
+@graded("text_source_overlap_matrix", oracle=_OVERLAP_ORACLE)
+def text_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 source pairs by distinct-5-gram Jaccard overlap
+    (rationale above the oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "source",
+        F.explode(F.array_distinct(T.ngrams("text", _OVERLAP_N))).alias("gram"),
+    ).distinct()
+    sizes = g.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    a = g.select(F.col("source").alias("src_a"), "gram")
+    b = g.select(F.col("source").alias("src_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n_grams").alias("grams_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n_grams").alias("grams_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "grams_a",
+            "grams_b",
+            "n_inter",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("grams_a") + F.col("grams_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "src_a", "src_b")
+        .limit(20)
+    )

@@ -1557,3 +1557,240 @@ def vector_sq8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mean_abs_err", 6).alias("mean_abs_err"),
         )
     )
+
+
+# --- EXT: IVF recall-vs-nprobe tuning curve (r11) -----------------------------------
+
+# The IVF sibling of dedup_threshold_sweep: ann_ivf_deterministic
+# grades ONE operating point (nprobe = k//4); the deployment question
+# is the CURVE — how recall@10 grows with probed cells, against the
+# exact top-10 truth, and what candidate volume each step costs. The
+# whole sweep reuses the session-cached k-means index and the cached
+# cent1 centroid table; per nprobe the candidate set is the SAME
+# ranked (query, cell) frame filtered at rk <= nprobe, so the sweep
+# costs one extra 3-row broadcast over the single-point query. Truth
+# is the exact 32-query scan (the knn_cosine_exact shape). All scores
+# ROUND(,4) cosines with id tie-breaks — deterministic end to end.
+_NPROBE_LADDER = (1, 2, 4)
+_IVF_CURVE_K = 10
+
+_IVF_CURVE_ORACLE = f"""
+WITH {_KMEANS_CTES},
+ranks AS (
+  SELECT vec_id AS query_id, j AS cell, rk FROM (
+    SELECT vec_id, j,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rk
+    FROM d2 WHERE vec_id < 32) t
+),
+cand AS (
+  SELECT r.query_id, r.rk, a.vec_id AS neighbor_id
+  FROM ranks r JOIN a2 a ON a.c2 = r.cell
+  WHERE a.vec_id <> r.query_id
+),
+scored AS (
+  SELECT c.query_id, c.rk, c.neighbor_id,
+         ROUND(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                      CAST(ne.embedding AS DOUBLE[])), 4)
+           + 0.0 AS score
+  FROM cand c
+  JOIN embeddings qe ON qe.vec_id = c.query_id
+  JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+),
+ps AS (SELECT unnest([{", ".join(str(p) for p in _NPROBE_LADDER)}]) AS nprobe),
+topk AS (
+  SELECT nprobe, query_id, neighbor_id FROM (
+    SELECT p.nprobe, s.query_id, s.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.nprobe, s.query_id
+                              ORDER BY s.score DESC, s.neighbor_id) AS rn
+    FROM ps p JOIN scored s ON s.rk <= p.nprobe) t
+  WHERE rn <= {_IVF_CURVE_K}
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(n.embedding AS DOUBLE[])), 4)
+               DESC, n.vec_id) AS rn
+    FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+    WHERE q.vec_id < 32) t
+  WHERE rn <= {_IVF_CURVE_K}
+),
+nq AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries FROM ranks),
+hits AS (
+  SELECT k.nprobe, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM topk k JOIN truth t
+    ON t.query_id = k.query_id AND t.neighbor_id = k.neighbor_id
+  GROUP BY k.nprobe
+),
+vol AS (
+  SELECT p.nprobe,
+         CAST(SUM(CASE WHEN c.rk <= p.nprobe THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_candidates
+  FROM ps p, cand c GROUP BY p.nprobe
+)
+SELECT v.nprobe, q.n_queries, v.n_candidates,
+       COALESCE(h.n_hit, 0) AS n_hit,
+       ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+             / ({_IVF_CURVE_K} * q.n_queries), 4) AS mean_recall
+FROM vol v
+LEFT JOIN hits h ON h.nprobe = v.nprobe, nq q
+ORDER BY v.nprobe
+"""
+
+
+@graded("vector_ivf_nprobe_curve", oracle=_IVF_CURVE_ORACLE)
+def vector_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 and candidate volume of the deterministic IVF index
+    at nprobe = 1, 2, 4 against exact top-10 truth (rationale above
+    the oracle). Reuses the session-cached assignment + centroid
+    index; one ranked probe frame serves every ladder step."""
+    from ..functions.vectors import cosine_similarity
+    from ..operators.fuzzy_graph import memoized_checkpoint
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = _kmeans_assignment(spark, sf_dir)
+    pos = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "vf")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("vf").cast("double").alias("v"),
+    )
+
+    def _build_cent1() -> DataFrame:
+        return (
+            pos.join(assign.select("vec_id", F.col("c1").alias("j")), "vec_id")
+            .groupBy("j", "dim")
+            .agg(
+                (
+                    F.sum(F.col("v").cast("decimal(38,10)")).cast("double")
+                    / F.count("*")
+                ).alias("c")
+            )
+        )
+
+    cent1 = memoized_checkpoint(spark, sf_dir, "ivf_cent1", _build_cent1)
+    qd = (
+        pos.where(F.col("vec_id") < 32)
+        .join(F.broadcast(cent1), "dim")
+        .groupBy("vec_id", "j")
+        .agg(
+            F.sum(F.expr("CAST((v - c) * (v - c) AS DECIMAL(38,12))")).alias(
+                "dist"
+            )
+        )
+    )
+    ranks = (
+        qd.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("dist", "j")
+            ),
+        )
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("j").alias("cell"), "rk"
+        )
+    )
+    members = assign.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("c2").alias("cell")
+    )
+    cand = ranks.join(members, "cell").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    # .limit(32) is a no-op on the data (the filter admits exactly the
+    # 32 query ids) but gives the truth leg's crossJoin a STATICALLY
+    # provable build bound (GlobalLimit) for the plan audit's
+    # bounded-nested-loop rule.
+    qe = (
+        emb.where(F.col("vec_id") < 32)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        .limit(32)
+    )
+    ne = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
+    )
+    scored = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ne, "neighbor_id")
+        .select(
+            "query_id",
+            "rk",
+            "neighbor_id",
+            F.round(cosine_similarity("q_emb", "n_emb"), 4).alias("score"),
+        )
+        .localCheckpoint()
+    )
+    ps = spark.range(len(_NPROBE_LADDER)).select(
+        F.element_at(
+            F.array(*[F.lit(p) for p in _NPROBE_LADDER]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("nprobe")
+    )
+    topk = (
+        scored.crossJoin(F.broadcast(ps))  # 3-row ladder
+        .where(F.col("rk") <= F.col("nprobe"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("nprobe", "query_id").orderBy(
+                    F.col("score").desc(), "neighbor_id"
+                )
+            ),
+        )
+        .where(F.col("rn") <= _IVF_CURVE_K)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    truth = (
+        qe.crossJoin(ne)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity("q_emb", "n_emb"), 4).alias("score"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("score").desc(), "neighbor_id"
+                )
+            ),
+        )
+        .where(F.col("rn") <= _IVF_CURVE_K)
+        .select("query_id", "neighbor_id")
+    )
+    nq = ranks.agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries")
+    )
+    hits = topk.join(truth, ["query_id", "neighbor_id"]).groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    vol = (
+        cand.crossJoin(F.broadcast(ps))
+        .groupBy("nprobe")
+        .agg(
+            F.sum(F.when(F.col("rk") <= F.col("nprobe"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_candidates")
+        )
+    )
+    return (
+        vol.join(hits, "nprobe", "left")
+        .crossJoin(F.broadcast(nq))  # 1-row denominator attach
+        .select(
+            "nprobe",
+            "n_queries",
+            "n_candidates",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / (_IVF_CURVE_K * F.col("n_queries")),
+                4,
+            ).alias("mean_recall"),
+        )
+        .orderBy("nprobe")
+    )

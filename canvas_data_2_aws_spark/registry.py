@@ -52,17 +52,17 @@ def graded(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]
 # name list applied after all modules load (names NOT listed keep their
 # import-order position after the window).
 #
-# Round-11 window — the 16 NEW r11 operators (never sampled by
-# definition), the FINAL 31 names never driver-sampled in r01–r10
+# Round-11 window — the 19 NEW r11 operators (never sampled by
+# definition) and the FINAL 31 names never driver-sampled in r01–r10
 # (recomputed from the ten CORRECTNESS files: the 5 round-9 operators
 # the round-9 judge re-executed directly, the 8 first-wave r10
-# operators, and the 18 second-wave r10 operators), and 3 refresh
-# slots on the oldest (r01) verdicts. 16 new + 31 first-time + 3
-# refresh = 50; after this round the driver union is 346/346 with zero
-# never-sampled names.
+# operators, and the 18 second-wave r10 operators). 19 new + 31
+# first-time = 50 exactly; after this round the driver union is
+# 349/349 with zero never-sampled names.
 #
-# Round-12 plan: refresh the oldest verdicts — the 16 displaced
-# r01/r02 names (merge_idempotent_reapply, merge_incremental_agg,
+# Round-12 plan: refresh the oldest verdicts — the 19 displaced
+# r01/r02 names (dedup_exact, jsonl_envelope_roundtrip,
+# merge_compaction, merge_idempotent_reapply, merge_incremental_agg,
 # merge_upsert_apply, multimodal_binary_meta, source_python_datasource,
 # validate_snapshot_diff, then the join_* block) first, then the r05
 # block — recomputed from the CORRECTNESS union at close. Any NEW r12
@@ -86,6 +86,9 @@ _SAMPLE_WINDOW_R11: tuple[str, ...] = (
     "pipeline_water_filling",
     "join_scd2_pointintime",
     "analytics_activity_streaks",
+    "vector_ivf_nprobe_curve",
+    "text_source_overlap_matrix",
+    "pipeline_stage_order_eval",
     # --- 31 never-sampled (r01–r10 union gap; with the 13 new names
     # above, the r01–r11 union closes at 343/343) ---
     # round-9 operators the r9 judge re-ran directly (5)
@@ -122,16 +125,13 @@ _SAMPLE_WINDOW_R11: tuple[str, ...] = (
     "validate_join_cardinality",
     "validate_f2_ams_sketch",
     "timeseries_dft_top",
-    # --- 6 refresh: oldest (r01) driver verdicts ---
-    "dedup_exact",
-    "jsonl_envelope_roundtrip",
-    "merge_compaction",
-    # (merge_idempotent_reapply, merge_incremental_agg,
+    # (dedup_exact, jsonl_envelope_roundtrip, merge_compaction,
+    # merge_idempotent_reapply, merge_incremental_agg,
     # merge_upsert_apply, multimodal_binary_meta, source_python_datasource,
     # validate_snapshot_diff, join_anti, join_broadcast_dim,
     # join_five_way, join_full_outer, join_inner_agg, join_left_outer,
     # join_null_safe, join_range, join_salted_skew, join_semi displaced
-    # by the sixteen new r11 operators — they keep their r01/r02
+    # by the nineteen new r11 operators — they keep their r01/r02
     # verdicts and head the r12 refresh list.)
 )
 

@@ -448,3 +448,18 @@ def test_novelty_curve_accounting(spark, sf_dir):
         assert r.n_novel <= r.n_grams
     if len(rows) > 1:
         assert rows[0].novelty_share > rows[-1].novelty_share
+
+
+def test_source_overlap_symmetric_bounds(spark, sf_dir):
+    """r11: every pair is canonical (src_a < src_b), intersection never
+    exceeds either profile, and Jaccard matches the three integers."""
+    from canvas_data_2_aws_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["text_source_overlap_matrix"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert r.n_inter <= min(r.grams_a, r.grams_b)
+        expect = r.n_inter / (r.grams_a + r.grams_b - r.n_inter)
+        assert abs(r.jaccard - round(expect, 6)) < 1e-9

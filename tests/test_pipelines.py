@@ -364,3 +364,19 @@ def test_water_filling_exhausts_budget(spark, sf_dir):
         assert 0 <= _WATERFILL_BUDGET - total_alloc < max(n_capped, 1)
     else:
         assert total_alloc == total_supply
+
+
+def test_stage_order_quality_first_dominates(spark, sf_dir):
+    """r11: quality-first can only RETAIN more than dedup-first (a
+    group whose min member fails quality still keeps its best gated
+    member), and the unique-doc counts reconcile with the totals."""
+    from canvas_data_2_aws_spark.queries.pipelines import (
+        pipeline_stage_order_eval,
+    )
+
+    r = pipeline_stage_order_eval(spark, sf_dir).collect()[0]
+    assert r.n_quality_first >= r.n_dedup_first
+    assert r.tokens_quality_first >= r.tokens_dedup_first
+    shared_qf = r.n_quality_first - r.only_quality_first
+    shared_df = r.n_dedup_first - r.only_dedup_first
+    assert shared_qf == shared_df

@@ -103,6 +103,20 @@ def test_aggregation_is_hash_with_partial_combine(plans):
 # distribution, not a real product (the broadcast side is one row by
 # construction: global agg or LIMIT-free bounds).
 _NESTED_LOOP_OK = {
+    # r11 wave — every entry is a <=32-row scalar/ladder/manifest
+    # attach proven bounded by tools/plan_audit.py (see PLAN_AUDIT_r11):
+    "agg_theta_sketch_setops",  # 1-row sketch census + exact census
+    "analytics_diff_in_diff",  # 1-row horizon-midpoint broadcast
+    "analytics_kaplan_meier",  # 1-row horizon + total; day-manifest window
+    "analytics_sprt_boundary",  # 1-row crossing index + total
+    "sample_weighted_priority",  # 100-row sample-manifest rank window
+    "validate_k_anonymity",  # 4-row k ladder + 1-row total
+    "dedup_threshold_sweep",  # 4-row tau ladder
+    "vector_sq8_recall_eval",  # 64-row dim-stats + 1-row scalars
+    "text_novelty_curve",  # 1-row max-doc-id broadcast
+    "pipeline_water_filling",  # source-manifest window + 1-row level
+    "pipeline_stage_order_eval",  # six 1-row census attaches
+    "vector_ivf_nprobe_curve",  # 3-row nprobe ladder + 1-row denominator
     "knn_cosine_exact",
     "knn_topk_per_query",
     "dedup_embedding_cosine",

@@ -523,3 +523,21 @@ def test_sq8_distortion_bounded_by_step(spark, sf_dir):
     q = emb.where(F.col("vec_id") == 0).head().embedding
     bound = sum(abs(float(qd)) * steps[d] / 2.0 for d, qd in enumerate(q))
     assert r.mean_abs_err <= bound + 1e-9, (r.mean_abs_err, bound)
+
+
+def test_ivf_nprobe_curve_monotone(spark, sf_dir):
+    """r11: recall and candidate volume are nondecreasing in nprobe,
+    recall lives in [0,1], and probing every listed cell can only add
+    candidates — never lose them."""
+    from canvas_data_2_aws_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["vector_ivf_nprobe_curve"](spark, sf_dir).collect()
+    assert [r.nprobe for r in rows] == [1, 2, 4]
+    prev_r, prev_c = -1.0, -1
+    for r in rows:
+        assert 0.0 <= r.mean_recall <= 1.0
+        assert r.mean_recall >= prev_r
+        assert r.n_candidates >= prev_c
+        assert r.n_hit <= 10 * r.n_queries
+        prev_r, prev_c = r.mean_recall, r.n_candidates
