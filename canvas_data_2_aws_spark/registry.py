@@ -89,8 +89,8 @@ _SAMPLE_WINDOW_R11: tuple[str, ...] = (
     "vector_ivf_nprobe_curve",
     "text_source_overlap_matrix",
     "pipeline_stage_order_eval",
-    # --- 31 never-sampled (r01–r10 union gap; with the 13 new names
-    # above, the r01–r11 union closes at 343/343) ---
+    # --- 31 never-sampled (r01–r10 union gap; with the 19 new names
+    # above, the r01–r11 union closes at 349/349) ---
     # round-9 operators the r9 judge re-ran directly (5)
     "dedup_simhash_recall_eval",
     "text_langid_eval",
