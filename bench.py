@@ -201,6 +201,8 @@ HEADLINE = [
     "analytics_activity_streaks",
     # round-11 fourth wave: IVF nprobe tuning curve, source-level
     # overlap forensics, curation stage-order sensitivity.
+    # (stream_rollup_replay follows the replay non-headline precedent:
+    # graded + swept, replay machinery dominates its wall.)
     "vector_ivf_nprobe_curve",
     "text_source_overlap_matrix",
     "pipeline_stage_order_eval",

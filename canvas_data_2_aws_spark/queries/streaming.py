@@ -1626,3 +1626,55 @@ def timeseries_dft_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("magnitude_usd"),
         F.round(F.col("n").cast("double") / F.col("k"), 2).alias("period_hours"),
     ).orderBy("k")
+
+
+# --- streaming incremental rollup, hash-matched replay (r11) -----------------------
+
+# The second streaming-RUNTIME query graded by FULL SQL hash-match
+# (after the SimHash pair replays): a materialized per-user rollup
+# maintained by appending per-micro-batch PARTIAL aggregates and
+# re-aggregating at read — the classic "streaming ingest + additive
+# rollup" lakehouse shape (counts and sums merge by addition, so
+# partials never need the base re-scanned; the same algebra the IVM
+# family exploits batch-side). Trigger.AvailableNow over three
+# time-ordered replay files, foreachBatch writes each batch's
+# (user_id, n, cents) partial, the checkpoint makes re-runs append
+# nothing, and the final read-side re-aggregation must equal the batch
+# GROUP BY exactly — order-free, hence a full oracle hash-match. Per
+# batch the work is one map-side-combinable aggregate of the batch;
+# the partial store grows by <= |keys| per batch regardless of batch
+# rows.
+_ROLLUP_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS cents
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events, cents
+FROM u
+ORDER BY n_events DESC, user_id
+LIMIT 20
+"""
+
+
+@graded("stream_rollup_replay", oracle=_ROLLUP_ORACLE)
+def stream_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by event count from a streaming-maintained partial
+    rollup (rationale above): 3-batch AvailableNow replay appends
+    per-batch partial (n, cents) rows; the read-side re-aggregation
+    hash-matches the batch GROUP BY."""
+    from ..streaming.rollup import rollup_replay
+
+    base = _replay_dir(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="cda2_rollup_")
+    try:
+        with _few_state_partitions(spark, 8):
+            rolled = rollup_replay(spark, f"{base}/part*", tmp)
+        out = rolled.orderBy(F.col("n_events").desc(), "user_id").limit(20)
+        return materialize_outliving(out, tmp)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)

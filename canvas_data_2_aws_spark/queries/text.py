@@ -1518,27 +1518,79 @@ LIMIT 20
 def text_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 source pairs by distinct-5-gram Jaccard overlap
     (rationale above the oracle)."""
+    from ..operators import ranks as RK
+
     docs = load_table(spark, sf_dir, "documents")
-    g = docs.select(
+    # Source-bitmask plan (r11 perf): instead of a gram-keyed SELF-JOIN
+    # of the (source, gram) census (two wide exchanges + a join), fold
+    # each gram's source set into ONE BIGINT via bit_or (bit_or over
+    # duplicate rows is idempotent, so no pre-distinct either), census
+    # the masks, and decompose set-bit pairs from the census rows —
+    # everything after the single gram-keyed groupBy is mask-census
+    # sized. Requires a <= 63-source catalog (asserted; the general
+    # join form remains the oracle's independent derivation and the
+    # fallback shape for wider catalogs).
+    cat = docs.select("source").distinct()
+    n_src = cat.count()  # catalog-sized action (bounded by design)
+    if n_src > 63:
+        raise ValueError(
+            f"source catalog {n_src} > 63: widen to the join-based plan"
+        )
+    srcs = RK.attach_unit_group(cat).select(
         "source",
-        F.explode(F.array_distinct(T.ngrams("text", _OVERLAP_N))).alias("gram"),
-    ).distinct()
-    sizes = g.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+        (
+            F.row_number().over(
+                Window.partitionBy(RK.UNIT_GROUP).orderBy("source")
+            )
+            - 1
+        ).alias("sid"),
     )
-    a = g.select(F.col("source").alias("src_a"), "gram")
-    b = g.select(F.col("source").alias("src_b"), "gram")
+    g = docs.select(
+        "source", F.explode(T.ngrams("text", _OVERLAP_N)).alias("gram")
+    )
+    masks = (
+        g.join(F.broadcast(srcs), "source")
+        .groupBy("gram")
+        .agg(F.expr("bit_or(CAST(1 AS BIGINT) << sid)").alias("mask"))
+    )
+    census = masks.groupBy("mask").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ids = F.expr(
+        f"filter(sequence(0, {n_src - 1}), b -> ((mask >> b) & 1) = 1)"
+    )
+    with_ids = census.withColumn("ids", ids).localCheckpoint()
+    pair_arr = F.expr(
+        "flatten(transform(ids, x -> transform(filter(ids, y -> y > x),"
+        " y -> named_struct('a', x, 'b', y))))"
+    )
+    inter_ids = (
+        with_ids.select("n", F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.a").alias("sid_a"), F.col("p.b").alias("sid_b"))
+        .agg(F.sum("n").cast("bigint").alias("n_inter"))
+    )
+    sizes_ids = (
+        with_ids.select("n", F.explode("ids").alias("sid"))
+        .groupBy("sid")
+        .agg(F.sum("n").cast("bigint").alias("n_grams"))
+    )
+    sa = srcs.join(sizes_ids, srcs.sid == sizes_ids.sid).select(
+        F.col("source").alias("src_a"),
+        srcs.sid.alias("sid_a"),
+        F.col("n_grams").alias("grams_a"),
+    )
+    sb = srcs.join(sizes_ids, srcs.sid == sizes_ids.sid).select(
+        F.col("source").alias("src_b"),
+        srcs.sid.alias("sid_b"),
+        F.col("n_grams").alias("grams_b"),
+    )
     inter = (
-        a.join(b, "gram")
-        .where(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+        inter_ids.join(F.broadcast(sa), "sid_a")
+        .join(F.broadcast(sb), "sid_b")
+        .select("src_a", "src_b", "grams_a", "grams_b", "n_inter")
     )
-    sa = sizes.select(F.col("source").alias("src_a"), F.col("n_grams").alias("grams_a"))
-    sb = sizes.select(F.col("source").alias("src_b"), F.col("n_grams").alias("grams_b"))
     return (
-        inter.join(F.broadcast(sa), "src_a")
-        .join(F.broadcast(sb), "src_b")
+        inter
         .select(
             "src_a",
             "src_b",

@@ -60,7 +60,10 @@ def graded(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]
 # first-time = 50 exactly; after this round the driver union is
 # 349/349 with zero never-sampled names.
 #
-# Round-12 plan: refresh the oldest verdicts — the 19 displaced
+# Round-12 plan: FIRST the round's never-sampled names
+# (stream_rollup_replay — added after the r11 window filled to exactly
+# 19 new + 31 union-closure slots), then refresh the oldest verdicts —
+# the 19 displaced
 # r01/r02 names (dedup_exact, jsonl_envelope_roundtrip,
 # merge_compaction, merge_idempotent_reapply, merge_incremental_agg,
 # merge_upsert_apply, multimodal_binary_meta, source_python_datasource,

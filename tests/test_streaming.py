@@ -819,3 +819,47 @@ def test_streaming_simhash_pairs_capped_bounded_and_subset(
     )
     uncapped = {(r.doc_a, r.doc_b) for r in uncapped_df.collect()}
     assert capped < uncapped
+
+
+def test_streaming_rollup_rerun_idempotent(spark, sf_dir, tmp_path):
+    """r11 exactly-once: a SECOND AvailableNow run of the rollup
+    against the same work dir appends nothing — the partial store and
+    the re-aggregated totals are byte-identical, and they equal the
+    batch GROUP BY."""
+    from canvas_data_2_aws_spark.queries.streaming import _replay_dir
+    from canvas_data_2_aws_spark.session import load_table
+    from canvas_data_2_aws_spark.streaming.rollup import rollup_replay
+
+    base = _replay_dir(spark, sf_dir)
+    work = str(tmp_path / "work")
+    first = {
+        (r.user_id, r.n_events, r.cents)
+        for r in rollup_replay(spark, f"{base}/part*", work).collect()
+    }
+    n_partials_first = spark.read.parquet(f"{work}/partials").count()
+    second = {
+        (r.user_id, r.n_events, r.cents)
+        for r in rollup_replay(spark, f"{base}/part*", work).collect()
+    }
+    n_partials_second = spark.read.parquet(f"{work}/partials").count()
+    assert first == second
+    assert n_partials_first == n_partials_second, "re-run appended partials"
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        (r.user_id, r.n_events, r.cents)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("bigint"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .collect()
+    }
+    assert first == batch
