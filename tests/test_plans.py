@@ -117,6 +117,7 @@ _NESTED_LOOP_OK = {
     "pipeline_water_filling",  # source-manifest window + 1-row level
     "pipeline_stage_order_eval",  # six 1-row census attaches
     "vector_ivf_nprobe_curve",  # 3-row nprobe ladder + 1-row denominator
+    "text_source_overlap_matrix",  # catalog-manifest rank (1-row unit group)
     "knn_cosine_exact",
     "knn_topk_per_query",
     "dedup_embedding_cosine",
