@@ -2458,7 +2458,13 @@ ranked AS (
   FROM supply
 ),
 lvl AS (
-  SELECT MIN(CASE WHEN tokens * (n_sources - rn + 1)
+  -- The level is the candidate at the FIRST qualifying rank. Once the
+  -- qualifying condition holds it holds for every later rank, and the
+  -- candidate values are non-increasing across the qualifying suffix
+  -- (removing a >=-average element can only lower the average), so
+  -- MAX selects the first-rank candidate; MIN would pick the LAST
+  -- (and goes negative once prefix_below exceeds the budget).
+  SELECT MAX(CASE WHEN tokens * (n_sources - rn + 1)
                        >= {_WATERFILL_BUDGET} - COALESCE(prefix_below, 0)
              THEN ({_WATERFILL_BUDGET} - COALESCE(prefix_below, 0))
                   // (n_sources - rn + 1) END) AS level
@@ -2508,8 +2514,10 @@ def pipeline_water_filling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prefix_below"), F.lit(0)
     )
     slots = F.col("n_sources") - F.col("rn") + 1
+    # MAX = first qualifying rank's candidate (non-increasing across
+    # the qualifying suffix) — see the oracle's lvl CTE comment.
     lvl = ranked.agg(
-        F.min(
+        F.max(
             F.when(
                 F.col("tokens") * slots >= remaining,
                 F.expr(

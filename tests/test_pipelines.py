@@ -366,6 +366,45 @@ def test_water_filling_exhausts_budget(spark, sf_dir):
         assert total_alloc == total_supply
 
 
+def test_water_filling_level_branch(spark, tmp_path):
+    """r12 (ADVICE high): supply EXCEEDS the budget and the level sits
+    mid-ladder with TWO qualifying ranks whose candidates differ
+    (59_900 at the first, 49_800 at the last) — the exact shape where
+    the old MIN aggregate picked the last qualifying candidate and
+    under-allocated. The true level is the FIRST qualifying rank's
+    candidate and the budget is exhausted exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from canvas_data_2_aws_spark.queries.pipelines import (
+        _WATERFILL_BUDGET,
+        pipeline_water_filling,
+    )
+
+    supplies = {"a": 50, "b": 50, "c": 50, "d": 50, "e": 70_000, "f": 80_000}
+    texts = [("w " * n).strip() for n in supplies.values()]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(supplies)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(supplies)),
+            "source": pa.array(list(supplies)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    rows = pipeline_water_filling(spark, str(tmp_path)).collect()
+    by_src = {r.source: r for r in rows}
+    # level = (120000 - 200) // 2 at the first qualifying rank (src e)
+    assert all(r.fill_level == 59_900 for r in rows)
+    for s in "abcd":
+        assert by_src[s].tokens_allocated == 50  # below the water line
+    assert by_src["e"].tokens_allocated == 59_900
+    assert by_src["f"].tokens_allocated == 59_900
+    assert sum(r.tokens_allocated for r in rows) == _WATERFILL_BUDGET
+
+
 def test_stage_order_quality_first_dominates(spark, sf_dir):
     """r11: quality-first can only RETAIN more than dedup-first (a
     group whose min member fails quality still keeps its best gated
