@@ -234,29 +234,43 @@ def _builds() -> list[tuple[str, object]]:
     ]
 
 
-def _trailing_floor() -> dict[str, float]:
-    """Per-query low-noise floor from the latest committed
+def _trailing_floor(here: str | None = None) -> dict[str, float]:
+    """Per-query low-noise floor from the PRIOR round's committed
     ``BENCH_LOCAL_r{N}.json`` (its ``queries_min``), used to decide
     which suite medians are load artifacts worth an automatic solo
     re-pin (r10 verdict What's-wrong #4: knn_cosine_exact needed a
     manual fresh-session re-pin three rounds running — suite medians
     are a weak signal for sub-second queries under 100+-row suite
-    pressure). Missing file / missing query → no re-pin trigger."""
+    pressure). Missing file / missing query → no re-pin trigger.
+
+    PRIOR round, not latest (r11 verdict What's-wrong #1): the current
+    round is the MAX round number present across all candidate files —
+    ``python bench.py > BENCH_LOCAL_r{N}.json`` shell-truncates the
+    round's own file before the process starts, so it is always
+    visible — and the floor is the highest-round PARSEABLE file
+    strictly below it. A same-round re-run therefore compares against
+    the previous round's committed floor instead of re-basing onto the
+    same day's numbers (which silently disarmed the re-pin)."""
     import glob
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    cands = glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json"))
-    if not cands:
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+    by_round: dict[int, str] = {}
+    for p in glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json")):
+        by_round[int(re.search(r"_r(\d+)", p).group(1))] = p
+    if not by_round:
         return {}
-    latest = max(
-        cands, key=lambda p: int(re.search(r"_r(\d+)", p).group(1))
-    )
-    try:
-        with open(latest) as f:
-            data = json.load(f)
-    except (OSError, ValueError):
-        return {}
-    return dict(data.get("queries_min") or data.get("queries") or {})
+    current = max(by_round)
+    for rnd in sorted(by_round, reverse=True):
+        if rnd >= current:
+            continue
+        try:
+            with open(by_round[rnd]) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        return dict(data.get("queries_min") or data.get("queries") or {})
+    return {}
 
 
 #: Suite median > RE_PIN_RATIO x trailing floor AND above the absolute

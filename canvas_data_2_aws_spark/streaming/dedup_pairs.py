@@ -122,10 +122,16 @@ def simhash_pairs_replay(
             # in the later member's batch.
             legs.append(new_x.join(seen, ["b", "bv"]))
         cand = legs[0] if len(legs) == 1 else legs[0].unionByName(legs[1])
+        # Pairs append tolerates a foreachBatch retry (duplicates are
+        # removed by the .distinct() at read); the INDEX write must be
+        # idempotent per batch — a re-append would double-count rows —
+        # so each batch overwrites its own batch_id-keyed subdirectory
+        # (partition-discovery adds a `batch` column; all readers
+        # select explicit columns).
         _verified_pairs(cand).write.mode("append").parquet(pairs_dir)
         bands.select("doc_id", "simhash", "b", "bv").write.mode(
-            "append"
-        ).parquet(index_dir)
+            "overwrite"
+        ).parquet(os.path.join(index_dir, f"batch={batch_id}"))
 
     q = (
         stream.writeStream.foreachBatch(process)
@@ -230,7 +236,15 @@ def simhash_pairs_replay_capped(
             legs.append(new_all.join(seen_y, ["b", "bv"]))
         cand = legs[0] if len(legs) == 1 else legs[0].unionByName(legs[1])
         _verified_pairs(cand).write.mode("append").parquet(pairs_dir)
-        admitted.write.mode("append").parquet(index_dir)
+        # Idempotent per-batch index write (ADVICE r11): the admission
+        # counts (n_seen) and the <= group_cap index invariant assume
+        # each batch's rows land exactly once; a foreachBatch retry
+        # with a plain append would inflate n_seen and break the cap.
+        # Overwriting a batch_id-keyed subdirectory makes the retry
+        # replace instead of re-append.
+        admitted.write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch={batch_id}")
+        )
 
     q = (
         stream.writeStream.foreachBatch(process)

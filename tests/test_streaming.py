@@ -820,6 +820,23 @@ def test_streaming_simhash_pairs_capped_bounded_and_subset(
     uncapped = {(r.doc_a, r.doc_b) for r in uncapped_df.collect()}
     assert capped < uncapped
 
+    # 3. r12 (ADVICE r11): the per-batch index write is IDEMPOTENT —
+    # a foreachBatch retry overwrites its batch_id-keyed subdirectory
+    # instead of re-appending, so a simulated retry of batch 0 leaves
+    # the index row count (and hence every n_seen admission count)
+    # unchanged. A plain append here would double batch 0's rows and
+    # silently break the cap invariant on the NEXT batch.
+    index_dir = str(tmp_path / "work_c" / "band_index")
+    total_before = idx.count()
+    batch0 = (
+        spark.read.parquet(index_dir)
+        .where(F.col("batch") == 0)
+        .drop("batch")
+        .localCheckpoint(eager=True)
+    )
+    batch0.write.mode("overwrite").parquet(f"{index_dir}/batch=0")
+    assert spark.read.parquet(index_dir).count() == total_before
+
 
 def test_streaming_rollup_rerun_idempotent(spark, sf_dir, tmp_path):
     """r11 exactly-once: a SECOND AvailableNow run of the rollup
