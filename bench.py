@@ -206,6 +206,9 @@ HEADLINE = [
     "vector_ivf_nprobe_curve",
     "text_source_overlap_matrix",
     "pipeline_stage_order_eval",
+    # round-12 additions: MinHash banding-geometry grid (the tuning
+    # table that picks band geometry before a corpus-wide dedup run).
+    "dedup_banding_grid_eval",
 ]
 
 
@@ -231,6 +234,10 @@ def _builds() -> list[tuple[str, object]]:
         ("simhash_pairs_build", dedup.simhash_pairs_cached),
         ("fuzzy_pairs_build", fuzzy_graph.fuzzy_sym),
         ("ivf_assign_build", vectors._kmeans_assignment),
+        # r12: MinHash eval-family shared frames — sig builds the
+        # shingle frame too (first payer), truth is the postings join.
+        ("minhash_sig_build", dedup.minhash_sig_cached),
+        ("minhash_truth_build", dedup.minhash_truth_cached),
     ]
 
 

@@ -271,45 +271,18 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     J ≥ 0.5 ground truth (postings-join enumeration). One row:
     n_truth / n_cand / n_hit / recall — the metric that decides
     band×row geometry before a corpus-wide dedup run."""
-    from .dedup import minhash_candidates
+    # r12: the shingle frame and the J >= 0.5 postings-join truth are
+    # session-memoized (queries/dedup.py) — dedup_banding_grid_eval
+    # grades the same truth, so the eval family's most expensive stage
+    # builds once per session instead of once per instrument.
+    from .dedup import (
+        minhash_candidates,
+        minhash_shingles_cached,
+        minhash_truth_cached,
+    )
 
-    docs = load_table(spark, sf_dir, "documents")
-    words = docs.select("doc_id", F.split("text", " ").alias("w"))
-    sh = words.repartition("doc_id").select(
-        "doc_id", F.array_distinct(T.ngrams_from_words("w", n=3)).alias("shingles")
-    ).localCheckpoint()  # consumed by truth (3 legs) + sketch
-    px = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    inter = (
-        px.alias("a")
-        .join(
-            px.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    truth = (
-        inter.join(
-            F.broadcast(sizes).withColumnRenamed("doc_id", "doc_a")
-            .withColumnRenamed("n_sh", "n_a"),
-            "doc_a",
-        )
-        .join(
-            F.broadcast(sizes).withColumnRenamed("doc_id", "doc_b")
-            .withColumnRenamed("n_sh", "n_b"),
-            "doc_b",
-        )
-        .where(
-            F.col("n_inter").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-            >= 0.5
-        )
-        .select("doc_a", "doc_b")
-    )
+    sh = minhash_shingles_cached(spark, sf_dir)
+    truth = minhash_truth_cached(spark, sf_dir)
     cand = minhash_candidates(sh)
     hit = truth.join(cand, ["doc_a", "doc_b"])
     n_truth = truth.agg(F.count("*").alias("n_truth"))

@@ -2105,3 +2105,316 @@ def graph_betweenness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node", F.round("bc", 6).alias("betweenness"), "n_seed_terms"
         )
     )
+
+
+# --- EXT: MinHash banding-geometry grid eval (r12) ----------------------------------
+
+# dedup_lsh_recall_eval grades the production 4-band x 2-row MinHash
+# banding at ONE operating point; the SimHash side got its operating
+# CURVE in r11 (dedup_threshold_sweep / dedup_simhash_cap_effect).
+# This is the MinHash analog: the same 8 signature rows regrouped into
+# every power-of-two (bands x rows-per-band) geometry — 8x1, 4x2,
+# 2x4, 1x8 — each graded for candidate volume, recall against exact
+# J >= 0.5 truth, and precision: the table that picks band geometry
+# before a corpus-wide dedup run. The whole grid costs ONE banded
+# equi-join: a band of r rows agreeing implies each row agreeing, so
+# every geometry's candidate set is a subset of the 8x1 singles
+# superset. That superset is enumerated once with both signatures
+# carried through the join, each pair's 8-bit agreement mask is
+# computed in place, and a 4-row broadcast ladder decides candidacy
+# per geometry from mask bits alone — no per-geometry joins. Truth is
+# the postings-join enumeration (bounded by shared-shingle fan-out,
+# never O(n^2)); on a real corpus this eval runs over a document
+# sample, and every stage here is sample-size-bounded.
+
+_GRID_SINGLES_SQL = "\n  UNION ALL ".join(
+    f"SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7, {s} AS s, h{s} AS hv"
+    " FROM sig"
+    for s in range(8)
+)
+_GRID_MASK_SQL = " + ".join(
+    f"(CASE WHEN a.h{s} = b.h{s} THEN {1 << s} ELSE 0 END)" for s in range(8)
+)
+
+_BANDING_GRID_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, GREATEST(LEN(w) - 1, 1)),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+  FROM w
+),
+px AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM px a JOIN px b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+),
+truth AS MATERIALIZED (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sh x ON x.doc_id = i.doc_a
+  JOIN sh y ON y.doc_id = i.doc_b
+  WHERE CAST(i.n_inter AS DOUBLE)
+          / (LEN(x.shingles) + LEN(y.shingles) - i.n_inter) >= 0.5
+),
+shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sig AS (
+  SELECT doc_id,
+          {_MINHASH_SIG}
+  FROM shx GROUP BY doc_id
+),
+singles AS (
+  {_GRID_SINGLES_SQL}
+),
+masked AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST({_GRID_MASK_SQL} AS BIGINT) AS mask
+  FROM singles a
+  JOIN singles b ON a.s = b.s AND a.hv = b.hv AND a.doc_id < b.doc_id
+),
+flagged AS (
+  SELECT m.mask, t.doc_a IS NOT NULL AS is_truth
+  FROM masked m LEFT JOIN truth t
+    ON t.doc_a = m.doc_a AND t.doc_b = m.doc_b
+),
+grid AS (
+  SELECT * FROM (VALUES ('8x1', 8, 1), ('4x2', 4, 2),
+                        ('2x4', 2, 4), ('1x8', 1, 8))
+           g(geometry, n_bands, rows_per_band)
+),
+ladder AS (
+  SELECT g.geometry, g.n_bands, g.rows_per_band, f.is_truth,
+         LEN(list_filter(range(0, g.n_bands),
+             i -> ((f.mask >> (i * g.rows_per_band))
+                   & ((1 << g.rows_per_band) - 1))
+                  = ((1 << g.rows_per_band) - 1))) > 0 AS cand
+  FROM grid g, flagged f
+),
+counts AS (
+  SELECT geometry,
+         CAST(n_bands AS BIGINT) AS n_bands,
+         CAST(rows_per_band AS BIGINT) AS rows_per_band,
+         CAST(SUM(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+         CAST(SUM(CASE WHEN cand AND is_truth THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit
+  FROM ladder GROUP BY 1, 2, 3
+)
+SELECT c.geometry, c.n_bands, c.rows_per_band, c.n_cand, c.n_hit,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+       ROUND(CAST(c.n_hit AS DOUBLE)
+             / NULLIF((SELECT COUNT(*) FROM truth), 0), 4) AS recall,
+       ROUND(CAST(c.n_hit AS DOUBLE) / NULLIF(c.n_cand, 0), 4)
+         AS cand_precision
+FROM counts c
+ORDER BY c.n_bands DESC
+"""
+
+
+def minhash_shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized (doc_id, shingles) frame — the distinct-3-gram
+    profile every MinHash consumer starts from (same stages as
+    dedup_minhash_banded's inline build, shared via the house
+    memoized-checkpoint cache so eval instruments don't re-shingle)."""
+    from ..operators.fuzzy_graph import memoized_checkpoint
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        words = docs.select("doc_id", F.split("text", " ").alias("w"))
+        return words.repartition("doc_id").select(
+            "doc_id",
+            F.array_distinct(T.ngrams_from_words("w", n=3)).alias("shingles"),
+        )
+
+    return memoized_checkpoint(spark, sf_dir, "minhash_shingles", build)
+
+
+def minhash_sig_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized (doc_id, h0..h7) MinHash signature frame —
+    the row-wise HOF form of minhash_candidates' signature stage (two
+    md5 digest arrays, 8 substring minima; no explode, no groupBy)."""
+    from ..operators.fuzzy_graph import memoized_checkpoint
+
+    def build() -> DataFrame:
+        sh = minhash_shingles_cached(spark, sf_dir)
+        digests = sh.select(
+            "doc_id",
+            F.expr("transform(shingles, s -> md5(concat('0:', s)))").alias("d0"),
+            F.expr("transform(shingles, s -> md5(concat('1:', s)))").alias("d1"),
+        )
+        return digests.select(
+            "doc_id",
+            *[
+                F.array_min(
+                    F.expr(
+                        f"transform(d{s // 4},"
+                        f" x -> substring(x, {1 + 8 * (s % 4)}, 8))"
+                    )
+                ).alias(f"h{s}")
+                for s in range(8)
+            ],
+        )
+
+    return memoized_checkpoint(spark, sf_dir, "minhash_sig", build)
+
+
+def minhash_truth_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized exact J >= 0.5 ground-truth pair frame
+    (postings-join enumeration over the shared shingle frame — any
+    nonzero-Jaccard pair shares >= 1 shingle, so the self-join
+    enumerates exactly the candidates worth scoring; no O(n^2) scan).
+    Shared by dedup_lsh_recall_eval and dedup_banding_grid_eval, which
+    would otherwise each rebuild the eval family's most expensive
+    stage."""
+    from ..operators.fuzzy_graph import memoized_checkpoint
+
+    def build() -> DataFrame:
+        sh = minhash_shingles_cached(spark, sf_dir)
+        px = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+        inter = (
+            px.alias("a")
+            .join(
+                px.alias("b"),
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count("*").alias("n_inter"))
+        )
+        sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+        return (
+            inter.join(
+                F.broadcast(sizes)
+                .withColumnRenamed("doc_id", "doc_a")
+                .withColumnRenamed("n_sh", "n_a"),
+                "doc_a",
+            )
+            .join(
+                F.broadcast(sizes)
+                .withColumnRenamed("doc_id", "doc_b")
+                .withColumnRenamed("n_sh", "n_b"),
+                "doc_b",
+            )
+            .where(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+                >= 0.5
+            )
+            .select("doc_a", "doc_b")
+        )
+
+    return memoized_checkpoint(spark, sf_dir, "minhash_truth", build)
+
+
+@graded("dedup_banding_grid_eval", oracle=_BANDING_GRID_ORACLE)
+def dedup_banding_grid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bands x rows-per-band) MinHash banding grid — candidate count,
+    recall vs exact J >= 0.5 truth, and precision per geometry, all
+    from one singles-superset join + a 4-row broadcast ladder
+    (rationale above the oracle)."""
+    sig = minhash_sig_cached(spark, sf_dir)
+    truth = minhash_truth_cached(spark, sf_dir)
+
+    # 8x1 singles superset, both signatures carried through the join
+    singles = sig.select(
+        "doc_id",
+        *[f"h{s}" for s in range(8)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"), F.col(f"h{s}").alias("hv")
+                    )
+                    for s in range(8)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", *[f"h{s}" for s in range(8)], "e.s", "e.hv")
+    a = singles.select(
+        F.col("doc_id").alias("doc_a"),
+        "s",
+        "hv",
+        *[F.col(f"h{s}").alias(f"ha{s}") for s in range(8)],
+    )
+    b = singles.select(
+        F.col("doc_id").alias("doc_b"),
+        "s",
+        "hv",
+        *[F.col(f"h{s}").alias(f"hb{s}") for s in range(8)],
+    )
+    mask_sql = " + ".join(
+        f"(CASE WHEN ha{s} = hb{s} THEN {1 << s} ELSE 0 END)"
+        for s in range(8)
+    )
+    masked = (
+        a.join(b, ["s", "hv"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(f"CAST({mask_sql} AS BIGINT)").alias("mask"),
+        )
+        .distinct()  # mask is pair-deterministic, so distinct is exact
+    )
+    flagged = masked.join(
+        truth.withColumn("is_t", F.lit(True)), ["doc_a", "doc_b"], "left"
+    ).select("mask", F.coalesce("is_t", F.lit(False)).alias("is_truth"))
+
+    grid = spark.range(4).select(
+        F.expr("CAST(shiftright(8, CAST(id AS INT)) AS INT)").alias("n_bands"),
+        F.expr("CAST(shiftleft(1, CAST(id AS INT)) AS INT)").alias(
+            "rows_per_band"
+        ),
+    ).select(
+        F.concat(
+            F.col("n_bands").cast("string"),
+            F.lit("x"),
+            F.col("rows_per_band").cast("string"),
+        ).alias("geometry"),
+        "n_bands",
+        "rows_per_band",
+    )
+    cand = F.expr(
+        "exists(sequence(0, n_bands - 1), i ->"
+        " (shiftright(mask, CAST(i * rows_per_band AS INT))"
+        "  & (shiftleft(CAST(1 AS BIGINT), rows_per_band) - 1))"
+        " = (shiftleft(CAST(1 AS BIGINT), rows_per_band) - 1))"
+    )
+    counts = (
+        flagged.crossJoin(F.broadcast(grid))  # 4-row geometry ladder
+        .groupBy("geometry", "n_bands", "rows_per_band")
+        .agg(
+            F.sum(F.when(cand, 1).otherwise(0)).cast("bigint").alias("n_cand"),
+            F.sum(F.when(cand & F.col("is_truth"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hit"),
+        )
+    )
+    nt = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+    return (
+        counts.crossJoin(F.broadcast(nt))  # 1-row scalar attach
+        .select(
+            "geometry",
+            F.col("n_bands").cast("bigint").alias("n_bands"),
+            F.col("rows_per_band").cast("bigint").alias("rows_per_band"),
+            "n_cand",
+            "n_hit",
+            "n_truth",
+            F.round(
+                F.col("n_hit").cast("double")
+                / F.nullif(F.col("n_truth"), F.lit(0)),
+                4,
+            ).alias("recall"),
+            F.round(
+                F.col("n_hit").cast("double")
+                / F.nullif(F.col("n_cand"), F.lit(0)),
+                4,
+            ).alias("cand_precision"),
+        )
+        .orderBy(F.col("n_bands").desc())
+    )

@@ -241,3 +241,45 @@ a2 AS (
   WHERE rk = 1
 )
 """
+
+# --- corpus novelty / saturation curve ----------------------------------------------
+#
+# Shared by the batch derivation (queries/text.py text_novelty_curve)
+# and its streaming replay twin (queries/streaming.py
+# stream_novelty_replay): first-seen attribution is MIN(doc_id) per
+# distinct 3-gram (doc_id = ingestion order), rolled up by ingestion
+# decile. Under ascending-doc_id replay, per-batch first-arrival
+# admission equals smallest-doc_id attribution, so the incremental
+# gram-index maintenance reproduces this order-free derivation exactly.
+NOVELTY_CURVE_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, GREATEST(LEN(w) - 1, 1)),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS gram
+  FROM w
+),
+firstseen AS (
+  SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram
+),
+mx AS (SELECT MAX(doc_id) AS mxid FROM documents),
+per AS (
+  SELECT g.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM g JOIN firstseen f ON f.gram = g.gram
+  GROUP BY g.doc_id
+)
+SELECT CAST(p.doc_id * 10 // (m.mxid + 1) AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(p.n_grams) AS BIGINT) AS n_grams,
+       CAST(SUM(p.n_novel) AS BIGINT) AS n_novel,
+       ROUND(CAST(SUM(p.n_novel) AS DOUBLE) / CAST(SUM(p.n_grams) AS DOUBLE), 4)
+         AS novelty_share
+FROM per p, mx m
+GROUP BY 1
+ORDER BY decile
+"""

@@ -1678,3 +1678,61 @@ def stream_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- streaming incremental novelty curve, hash-matched replay (r12) -----------------
+
+# The third streaming-RUNTIME query graded by FULL SQL hash-match, and
+# the first whose maintained state is CORPUS-sized (the seen-gram
+# index) rather than key-bounded partials: the novelty statistic's
+# first-seen attribution (MIN(doc_id) per gram) is monotone under
+# append, so per-batch anti-join admission against the accumulated
+# index reproduces the batch derivation exactly when batches replay in
+# ascending doc_id ranges (first arrival == smallest id — the same
+# collapse that grades the capped SimHash replay). Incremental
+# maintenance is the production answer to "recompute the saturation
+# curve after every ingest": per batch the work is batch-grams + one
+# gram-keyed anti-join, and the curve refresh reads only doc-sized
+# partials — the corpus-wide gram exchange the batch derivation pays
+# per run is paid ONCE per gram ever.
+from .shared_sql import NOVELTY_CURVE_ORACLE as _NOVELTY_CURVE_ORACLE
+
+
+@graded("stream_novelty_replay", oracle=_NOVELTY_CURVE_ORACLE)
+def stream_novelty_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-saturation novelty curve maintained by streaming ingest:
+    3-batch ascending-id AvailableNow replay keeps a seen-gram index +
+    per-doc partials (streaming/novelty.py); the read-side decile
+    rollup hash-matches the batch text_novelty_curve derivation."""
+    from ..streaming.novelty import novelty_replay
+
+    base = _docs_replay_dir(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="cda2_novelty_")
+    try:
+        with _few_state_partitions(spark, 8):
+            per = novelty_replay(spark, base, os.path.join(tmp, "work"))
+        docs = load_table(spark, sf_dir, "documents")
+        mx = docs.agg(F.max("doc_id").alias("mxid"))
+        out = (
+            per.crossJoin(F.broadcast(mx))  # 1-row horizon attach
+            .groupBy(
+                F.expr("CAST(doc_id * 10 DIV (mxid + 1) AS BIGINT)").alias(
+                    "decile"
+                )
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_grams").cast("bigint").alias("n_grams"),
+                F.sum("n_novel").cast("bigint").alias("n_novel"),
+                F.round(
+                    F.sum("n_novel").cast("double")
+                    / F.sum("n_grams").cast("double"),
+                    4,
+                ).alias("novelty_share"),
+            )
+            .orderBy("decile")
+        )
+        return materialize_outliving(out, tmp)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)

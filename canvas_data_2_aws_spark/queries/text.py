@@ -1396,38 +1396,9 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order); all counts are exact integers. Plan: one shingle explode,
 # one gram-keyed MIN collapse (map-side combinable), one doc-keyed
 # re-group, a 10-row decile rollup — two wide exchanges at any corpus.
-_NOVELTY_ORACLE = """
-WITH w AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-),
-g AS (
-  SELECT doc_id, unnest(list_distinct(list_transform(
-           range(1, GREATEST(LEN(w) - 1, 1)),
-           i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS gram
-  FROM w
-),
-firstseen AS (
-  SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram
-),
-mx AS (SELECT MAX(doc_id) AS mxid FROM documents),
-per AS (
-  SELECT g.doc_id,
-         CAST(COUNT(*) AS BIGINT) AS n_grams,
-         CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
-              AS BIGINT) AS n_novel
-  FROM g JOIN firstseen f ON f.gram = g.gram
-  GROUP BY g.doc_id
-)
-SELECT CAST(p.doc_id * 10 // (m.mxid + 1) AS BIGINT) AS decile,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(p.n_grams) AS BIGINT) AS n_grams,
-       CAST(SUM(p.n_novel) AS BIGINT) AS n_novel,
-       ROUND(CAST(SUM(p.n_novel) AS DOUBLE) / CAST(SUM(p.n_grams) AS DOUBLE), 4)
-         AS novelty_share
-FROM per p, mx m
-GROUP BY 1
-ORDER BY decile
-"""
+# The oracle text lives in shared_sql (r12): the streaming replay twin
+# stream_novelty_replay grades against the SAME derivation.
+from .shared_sql import NOVELTY_CURVE_ORACLE as _NOVELTY_ORACLE
 
 
 @graded("text_novelty_curve", oracle=_NOVELTY_ORACLE)
@@ -1526,21 +1497,21 @@ def text_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import ranks as RK
 
     docs = load_table(spark, sf_dir, "documents")
-    # Source-bitmask plan (r11 perf): instead of a gram-keyed SELF-JOIN
-    # of the (source, gram) census (two wide exchanges + a join), fold
-    # each gram's source set into ONE BIGINT via bit_or (bit_or over
-    # duplicate rows is idempotent, so no pre-distinct either), census
-    # the masks, and decompose set-bit pairs from the census rows —
+    # Source-bitmask plan (r11 perf, generalized r12): instead of a
+    # gram-keyed SELF-JOIN of the (source, gram) census (two wide
+    # exchanges + a join), fold each gram's source set into a FIXED
+    # number of BIGINT mask words via bit_or (bit_or over duplicate
+    # rows is idempotent, so no pre-distinct either), census the mask
+    # tuples, and decompose set-bit pairs from the census rows —
     # everything after the single gram-keyed groupBy is mask-census
-    # sized. Requires a <= 63-source catalog (asserted; the general
-    # join form remains the oracle's independent derivation and the
-    # fallback shape for wider catalogs).
+    # sized. Word w holds sids [w*63, w*63+63) in bits 0..62 (63 bits
+    # per word keeps every shift in non-negative BIGINT range), so a
+    # 200-source catalog costs 4 mask words per gram — the r11
+    # 63-source ValueError is gone; the gram-keyed join form remains
+    # the oracle's independent derivation.
     cat = docs.select("source").distinct()
     n_src = cat.count()  # catalog-sized action (bounded by design)
-    if n_src > 63:
-        raise ValueError(
-            f"source catalog {n_src} > 63: widen to the join-based plan"
-        )
+    n_words = (n_src + 62) // 63
     srcs = RK.attach_unit_group(cat).select(
         "source",
         (
@@ -1556,13 +1527,28 @@ def text_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     masks = (
         g.join(F.broadcast(srcs), "source")
         .groupBy("gram")
-        .agg(F.expr("bit_or(CAST(1 AS BIGINT) << sid)").alias("mask"))
+        .agg(
+            *[
+                F.expr(
+                    f"bit_or(CASE WHEN sid DIV 63 = {w}"
+                    " THEN CAST(1 AS BIGINT) << (sid % 63)"
+                    " ELSE CAST(0 AS BIGINT) END)"
+                ).alias(f"m{w}")
+                for w in range(n_words)
+            ]
+        )
     )
-    census = masks.groupBy("mask").agg(
+    census = masks.groupBy(*[f"m{w}" for w in range(n_words)]).agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
     ids = F.expr(
-        f"filter(sequence(0, {n_src - 1}), b -> ((mask >> b) & 1) = 1)"
+        "concat("
+        + ", ".join(
+            f"transform(filter(sequence(0, 62),"
+            f" b -> ((m{w} >> b) & 1) = 1), b -> b + {w * 63})"
+            for w in range(n_words)
+        )
+        + ")"
     )
     with_ids = census.withColumn("ids", ids).localCheckpoint()
     pair_arr = F.expr(

@@ -72,6 +72,8 @@ def graded(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]
 # CORRECTNESS union at close — the remaining r05 names, then r06).
 _SAMPLE_WINDOW_R12: tuple[str, ...] = (
     # --- NEW r12 operators (prepended as they land) ---
+    "dedup_banding_grid_eval",
+    "stream_novelty_replay",
     # --- union closure (1) ---
     "stream_rollup_replay",
     # --- oldest verdicts: the 19 displaced r01/r02 names ---
@@ -124,8 +126,6 @@ _SAMPLE_WINDOW_R12: tuple[str, ...] = (
     "agg_regression_moments",
     "sql_recursive_cte",
     "analytics_market_basket",
-    "analytics_attribution",
-    "analytics_ab_lift",
 )
 
 # Round-11 window (historical — superseded by _SAMPLE_WINDOW_R12).

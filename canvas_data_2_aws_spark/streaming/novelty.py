@@ -1,0 +1,108 @@
+"""Incremental corpus-novelty maintenance under Structured Streaming.
+
+The batch novelty curve (queries/text.py text_novelty_curve) asks "what
+share of each document's distinct 3-grams has never been seen before?"
+with first-seen attribution = MIN(doc_id) per gram. That statistic is
+MONOTONE under append — once a gram's first document is known, no later
+batch can change it — so it is exactly-once maintainable by streaming
+ingest: each micro-batch anti-joins its batch-local first occurrences
+against the accumulated SEEN-GRAM index, credits the batch's novel
+grams to their batch-local minimum doc_id, appends one per-doc partial
+row per document, and adds only the NOVEL grams to the index (the index
+is therefore precisely the distinct-gram census, never larger).
+
+Replayed in ascending-doc_id ranges (the graded query's recipe),
+"first arrival" == "smallest doc_id", so the accumulated partials equal
+the batch derivation row-for-row and the replay grades as a FULL SQL
+hash-match — the third streaming-runtime query after the SimHash pair
+replays and the additive rollup, and the first that maintains a
+CORPUS-SIZED state table (the gram index) rather than key-bounded
+partials.
+
+Per-batch cost: one shingle explode over the batch, one batch-local
+MIN, one gram-keyed anti-join against the index (equi-join, fan-out 1
+per gram), two bounded writes. Both writes are idempotent per batch
+(overwrite of a batch_id-keyed subdirectory — the dedup_pairs r12
+retry contract), which matters here twice over: a re-appended index
+batch would not corrupt novelty (anti-join ignores duplicates) but
+would double partial rows, and partials feed exact counts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import text as T
+
+
+def novelty_replay(
+    spark: SparkSession, docs_dir: str, work_dir: str
+) -> DataFrame:
+    """Replay ``docs_dir`` (one micro-batch per file) through the
+    incremental first-seen gram accounting; return the accumulated
+    per-document (doc_id, n_grams, n_novel) frame.
+
+    Documents with no 3-gram (fewer than three tokens) emit no partial
+    row — the same shape as the batch derivation, whose per-doc frame
+    comes from grouping the exploded gram stream.
+    """
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    parts_dir = os.path.join(work_dir, "partials")
+    index_dir = os.path.join(work_dir, "gram_index")
+    ckpt_dir = os.path.join(work_dir, "ckpt")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        g = batch_df.select(
+            "doc_id",
+            F.explode(F.array_distinct(T.ngrams("text", 3))).alias("gram"),
+        ).localCheckpoint(eager=True)  # consumed 2x: first-occ + per-doc
+        first_in_batch = g.groupBy("gram").agg(
+            F.min("doc_id").alias("first_doc")
+        )
+        if os.path.isdir(index_dir):
+            seen = sess.read.parquet(index_dir).select("gram")
+            novel = first_in_batch.join(seen, "gram", "left_anti")
+        else:
+            novel = first_in_batch
+        # consumed 2x below (per-doc credit + index append) — without
+        # the checkpoint the anti-join would re-run per consumer.
+        novel = novel.localCheckpoint(eager=True)
+        nov = novel.groupBy(F.col("first_doc").alias("doc_id")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_novel")
+        )
+        per = (
+            g.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"))
+            .join(nov, "doc_id", "left")
+            .select(
+                "doc_id",
+                "n_grams",
+                F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+            )
+        )
+        # Idempotent per-batch writes (batch_id-keyed overwrite): a
+        # foreachBatch retry replaces instead of re-appending.
+        per.write.mode("overwrite").parquet(
+            os.path.join(parts_dir, f"batch={batch_id}")
+        )
+        novel.select("gram").write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch={batch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(parts_dir).select("doc_id", "n_grams", "n_novel")

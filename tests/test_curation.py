@@ -435,3 +435,30 @@ def test_ndcg_matches_python_recompute(spark, sf_dir):
         assert abs(g.idcg - round(idcg, 4)) < 1e-3
         assert abs(g.ndcg - round(dcg / idcg, 4)) < 1e-3
         assert 0 < g.ndcg <= 1.0
+
+
+def test_banding_grid_nesting(spark, sf_dir):
+    """r12: banding geometries nest (a band of r rows agreeing implies
+    every sub-band agreeing), so candidate and hit counts are
+    non-increasing as rows-per-band grows; hits are bounded by both
+    truth and candidates; and n_truth agrees with the single-point
+    dedup_lsh_recall_eval (same J >= 0.5 postings-join derivation)."""
+    from canvas_data_2_aws_spark import registry
+
+    registry.load_all()
+    rows = {
+        r.geometry: r
+        for r in registry.QUERIES["dedup_banding_grid_eval"](
+            spark, sf_dir
+        ).collect()
+    }
+    order = ["8x1", "4x2", "2x4", "1x8"]
+    assert set(rows) == set(order)
+    for g1, g2 in zip(order, order[1:]):
+        assert rows[g1].n_cand >= rows[g2].n_cand
+        assert rows[g1].n_hit >= rows[g2].n_hit
+    for r in rows.values():
+        assert r.n_hit <= min(r.n_cand, r.n_truth)
+    assert len({r.n_truth for r in rows.values()}) == 1
+    single = registry.QUERIES["dedup_lsh_recall_eval"](spark, sf_dir).collect()[0]
+    assert single.n_truth == rows["8x1"].n_truth

@@ -103,6 +103,8 @@ def test_aggregation_is_hash_with_partial_combine(plans):
 # distribution, not a real product (the broadcast side is one row by
 # construction: global agg or LIMIT-free bounds).
 _NESTED_LOOP_OK = {
+    # r12 wave:
+    "dedup_banding_grid_eval",  # 4-row geometry ladder + 1-row n_truth
     # r11 wave — every entry is a <=32-row scalar/ladder/manifest
     # attach proven bounded by tools/plan_audit.py (see PLAN_AUDIT_r11):
     "agg_theta_sketch_setops",  # 1-row sketch census + exact census

@@ -880,3 +880,65 @@ def test_streaming_rollup_rerun_idempotent(spark, sf_dir, tmp_path):
         .collect()
     }
     assert first == batch
+
+
+def test_streaming_novelty_batch_equivalence_and_rerun(spark, sf_dir, tmp_path):
+    """r12: the incremental first-seen gram accounting replayed in
+    ascending doc_id ranges equals the batch MIN(doc_id) derivation
+    row-for-row; a second AvailableNow run against the same work dir
+    (checkpoint at end-of-log) appends nothing; and the gram index is
+    exactly the distinct-gram census (novel grams only, no blow-up)."""
+    from canvas_data_2_aws_spark.operators import text as T
+    from canvas_data_2_aws_spark.queries.streaming import _docs_replay_dir
+    from canvas_data_2_aws_spark.session import load_table
+    from canvas_data_2_aws_spark.streaming.novelty import novelty_replay
+
+    docs_dir = _docs_replay_dir(spark, sf_dir)
+    work = str(tmp_path / "work")
+    try:
+        first = {
+            (r.doc_id, r.n_grams, r.n_novel)
+            for r in novelty_replay(spark, docs_dir, work).collect()
+        }
+
+        docs = load_table(spark, sf_dir, "documents")
+        g = docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(T.ngrams("text", 3))).alias("gram"),
+        ).localCheckpoint(eager=True)
+        firstseen = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+        nov = firstseen.groupBy(F.col("first_doc").alias("doc_id")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_novel")
+        )
+        expected = {
+            (r.doc_id, r.n_grams, r.n_novel)
+            for r in g.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"))
+            .join(nov, "doc_id", "left")
+            .select(
+                "doc_id",
+                "n_grams",
+                F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+            )
+            .collect()
+        }
+        assert first == expected
+        assert first, "vacuous: no per-doc partials"
+
+        # index = distinct-gram census, exactly once per gram
+        idx = spark.read.parquet(f"{work}/gram_index")
+        assert idx.count() == idx.select("gram").distinct().count()
+        assert idx.count() == g.select("gram").distinct().count()
+
+        # exactly-once restart: second run appends nothing
+        n_parts = spark.read.parquet(f"{work}/partials").count()
+        second = {
+            (r.doc_id, r.n_grams, r.n_novel)
+            for r in novelty_replay(spark, docs_dir, work).collect()
+        }
+        assert second == first
+        assert spark.read.parquet(f"{work}/partials").count() == n_parts
+    finally:
+        import shutil
+
+        shutil.rmtree(docs_dir, ignore_errors=True)
