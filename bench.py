@@ -207,8 +207,14 @@ HEADLINE = [
     "text_source_overlap_matrix",
     "pipeline_stage_order_eval",
     # round-12 additions: MinHash banding-geometry grid (the tuning
-    # table that picks band geometry before a corpus-wide dedup run).
+    # table that picks band geometry before a corpus-wide dedup run),
+    # BM25 (k1,b) grid eval, Theil–Sen/Mann–Kendall robust trend.
+    # (stream_novelty_replay and stream_priority_sample_replay follow
+    # the replay non-headline precedent: graded + swept, replay
+    # machinery dominates their walls.)
     "dedup_banding_grid_eval",
+    "search_bm25_param_grid",
+    "timeseries_theil_sen",
 ]
 
 

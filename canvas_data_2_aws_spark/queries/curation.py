@@ -2206,30 +2206,11 @@ def sample_coordinated_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic uniform ((md5 13-hex + 1) / 2^52 — the +1 keeps
 # ln away from 0), weights GREATEST(n_chars, 1). The selection
 # key ordering runs on identical-operand doubles in both engines; the
-# displayed key is rounded, the ORDER BY uses the raw value.
-_WPS_K = 100
-
-_WPS_ORACLE = f"""
-WITH w AS (
-  SELECT doc_id, CAST(GREATEST(n_chars, 1) AS BIGINT) AS weight
-  FROM documents
-),
-keys AS (
-  SELECT doc_id, weight,
-         ln((CAST(CAST(concat('0x', substring(md5('wps:' ||
-                 CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE)
-             + 1.0) / 4503599627370496.0) / weight AS es_key
-  FROM w
-),
-topk AS (
-  SELECT doc_id, weight, es_key
-  FROM keys ORDER BY es_key DESC, doc_id LIMIT {_WPS_K}
-)
-SELECT ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS rank,
-       doc_id, weight, ROUND(es_key * 1000000, 4) AS key_ppm
-FROM topk
-ORDER BY rank
-"""
+# displayed key is rounded, the ORDER BY uses the raw value. The key
+# expression and the oracle live in operators/sampling.py and
+# shared_sql (r12): the streaming replay twin
+# stream_priority_sample_replay grades against the SAME derivation.
+from .shared_sql import WPS_K as _WPS_K, WPS_ORACLE as _WPS_ORACLE
 
 
 @graded("sample_weighted_priority", oracle=_WPS_ORACLE)
@@ -2239,29 +2220,10 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs over the 100-row selection (attach_unit_group — sample-sized
     by design, never corpus-sized)."""
     from ..operators import ranks as RK
+    from ..operators.sampling import priority_keys
 
     docs = load_table(spark, sf_dir, "documents")
-    h = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("wps:"), F.col("doc_id").cast("string"))),
-                1,
-                13,
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .cast("double")
-    )
-    weight = F.greatest(F.col("n_chars"), F.lit(1)).cast("bigint")
-    keys = docs.select(
-        "doc_id",
-        weight.alias("weight"),
-        (F.log((h + 1.0) / 4503599627370496.0) / F.col("weight")).alias(
-            "es_key"
-        ),
-    )
+    keys = priority_keys(docs)
     topk = keys.orderBy(F.col("es_key").desc(), "doc_id").limit(_WPS_K)
     return (
         RK.attach_unit_group(topk)

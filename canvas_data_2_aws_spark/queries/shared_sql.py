@@ -283,3 +283,35 @@ FROM per p, mx m
 GROUP BY 1
 ORDER BY decile
 """
+
+# --- Efraimidis–Spirakis weighted sample --------------------------------------------
+#
+# Shared by the batch sampler (queries/curation.py
+# sample_weighted_priority) and its streaming replay twin
+# (queries/streaming.py stream_priority_sample_replay): the A-ES key
+# is stateless per row, so top-k of per-batch top-ks equals the global
+# top-k and the replay grades against this same derivation. The Spark
+# key expression lives in operators/sampling.py.
+WPS_K = 100
+
+WPS_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, CAST(GREATEST(n_chars, 1) AS BIGINT) AS weight
+  FROM documents
+),
+keys AS (
+  SELECT doc_id, weight,
+         ln((CAST(CAST(concat('0x', substring(md5('wps:' ||
+                 CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE)
+             + 1.0) / 4503599627370496.0) / weight AS es_key
+  FROM w
+),
+topk AS (
+  SELECT doc_id, weight, es_key
+  FROM keys ORDER BY es_key DESC, doc_id LIMIT {WPS_K}
+)
+SELECT ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS rank,
+       doc_id, weight, ROUND(es_key * 1000000, 4) AS key_ppm
+FROM topk
+ORDER BY rank
+"""

@@ -1736,3 +1736,178 @@ def stream_novelty_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- streaming weighted sample, hash-matched replay (r12) ---------------------------
+
+# The fourth streaming-RUNTIME query graded by FULL SQL hash-match,
+# and the third distinct maintained-state class: the SimHash pair
+# replays keep an append-only posting index, the rollup keeps
+# key-bounded additive partials, the novelty replay keeps a
+# corpus-sized monotone gram index — this one keeps a CONSTANT-bounded
+# summary (<= k candidate rows appended per batch), because the A-ES
+# key is a stateless per-row expression and top-k is mergeable:
+# top-k(union of per-batch top-ks) == top-k(corpus). No
+# arrival-order collapse is even needed — ANY replay split yields the
+# same sample — so the replay hash-matches the batch
+# sample_weighted_priority oracle verbatim. This is "maintain a
+# running weighted sample of everything ingested" at 100 TB: each
+# document is paid once, the refresh reads k x batches rows.
+from .shared_sql import WPS_K as _WPS_K, WPS_ORACLE as _WPS_ORACLE
+
+
+@graded("stream_priority_sample_replay", oracle=_WPS_ORACLE)
+def stream_priority_sample_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted 100-document A-ES sample maintained by streaming
+    ingest (3-batch AvailableNow replay, <= k candidates appended per
+    batch); the read-side top-k hash-matches the batch sampler."""
+    from ..operators import ranks as RK
+    from ..streaming.sampling import priority_sample_replay
+
+    base = _docs_replay_dir(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="cda2_wps_")
+    try:
+        with _few_state_partitions(spark, 8):
+            cands = priority_sample_replay(
+                spark, base, os.path.join(tmp, "work"), _WPS_K
+            )
+        topk = cands.orderBy(F.col("es_key").desc(), "doc_id").limit(_WPS_K)
+        out = (
+            RK.attach_unit_group(topk)
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy(RK.UNIT_GROUP).orderBy(
+                        F.col("es_key").desc(), "doc_id"
+                    )
+                ),
+            )
+            .select(
+                F.col("rank").cast("long"),
+                "doc_id",
+                "weight",
+                F.round(F.col("es_key") * 1000000, 4).alias("key_ppm"),
+            )
+            .orderBy("rank")
+        )
+        return materialize_outliving(out, tmp)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- EXT: Theil–Sen robust trend + Mann–Kendall test (r12) --------------------------
+
+# The robust complement to the OLS-style trend readouts (holt/stl/
+# snaive): the Sen slope is the MEDIAN of all pairwise slopes of the
+# daily revenue series — a 29%-breakdown estimator a single corrupted
+# day cannot move — and the Mann–Kendall S statistic (sum of pairwise
+# sign concordances) is the matching distribution-free trend test,
+# with Kendall's tau = S / n_pairs its effect size. Everything is
+# exact: daily cents are BIGINT sums, S is a BIGINT sign sum, each
+# pairwise slope is ONE double division over identical integer
+# operands, and the median is positional selection over the sorted
+# slope multiset ((a+b)/2 for even counts — the same IEEE ops in both
+# engines). Plan: one day-keyed aggregate (the only corpus-sized
+# exchange), then the day MANIFEST (30 rows here; thousands at any
+# horizon) collapses to a single array row and the O(n_days^2) pair
+# fan-out explodes from array HOFs — manifest-quadratic by design,
+# never a data-sized join; a multi-year horizon windows the manifest
+# first.
+_THEIL_SEN_ORACLE = """
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+daily AS (
+  SELECT CAST(DATE_DIFF('day', DATE '1970-01-01', d) AS BIGINT) AS x,
+         CAST(SUM(cents) AS BIGINT) AS y
+  FROM e GROUP BY d
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+p AS (
+  SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope,
+         CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+  FROM daily a JOIN daily b ON b.x > a.x
+),
+sl AS (
+  SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS r,
+         COUNT(*) OVER () AS m
+  FROM p
+),
+med AS (
+  SELECT AVG(slope) AS med_slope FROM sl
+  WHERE r IN ((m + 1) // 2, (m + 2) // 2)
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(sgn) AS BIGINT) AS s_stat
+  FROM p
+)
+SELECT n.n_days, agg.n_pairs, agg.s_stat,
+       ROUND(CAST(agg.s_stat AS DOUBLE) / agg.n_pairs, 6) AS kendall_tau,
+       ROUND(med.med_slope / 100.0, 6) AS sen_slope_usd_per_day
+FROM n, agg, med
+"""
+
+
+@graded("timeseries_theil_sen", oracle=_THEIL_SEN_ORACLE)
+def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sen's median pairwise slope + Mann–Kendall S / Kendall tau over
+    the daily purchase-revenue series (rationale above the oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.sum(cents).cast("bigint").alias("y"))
+        .select(
+            F.datediff(F.col("d"), F.lit("1970-01-01")).cast("bigint").alias("x"),
+            "y",
+        )
+    )
+    pts_row = daily.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("x").alias("x"), F.col("y").alias("y")))
+        ).alias("pts")
+    )
+    pairs = pts_row.select(
+        F.size("pts").cast("bigint").alias("n_days"),
+        F.explode(
+            F.expr(
+                "flatten(transform(pts, (p, i) ->"
+                " transform(slice(pts, i + 2, size(pts)),"
+                " q -> struct(p.x AS x1, p.y AS y1, q.x AS x2, q.y AS y2))))"
+            )
+        ).alias("pr"),
+    ).select(
+        "n_days",
+        (
+            (F.col("pr.y2") - F.col("pr.y1")).cast("double")
+            / (F.col("pr.x2") - F.col("pr.x1")).cast("double")
+        ).alias("slope"),
+        F.when(F.col("pr.y2") > F.col("pr.y1"), 1)
+        .when(F.col("pr.y2") < F.col("pr.y1"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    agg = pairs.agg(
+        F.max("n_days").alias("n_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("sgn").cast("bigint").alias("s_stat"),
+        F.array_sort(F.collect_list("slope")).alias("s"),
+    )
+    med = F.expr(
+        "(element_at(s, CAST((size(s) + 1) DIV 2 AS INT))"
+        " + element_at(s, CAST((size(s) + 2) DIV 2 AS INT))) / 2"
+    )
+    return agg.select(
+        "n_days",
+        "n_pairs",
+        "s_stat",
+        F.round(
+            F.col("s_stat").cast("double") / F.col("n_pairs"), 6
+        ).alias("kendall_tau"),
+        F.round(med / 100.0, 6).alias("sen_slope_usd_per_day"),
+    )

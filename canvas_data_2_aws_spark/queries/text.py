@@ -1597,3 +1597,210 @@ def text_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "src_a", "src_b")
         .limit(20)
     )
+
+
+# --- EXT: BM25 (k1, b) parameter-grid ranking eval (r12) -----------------------------
+
+# search_ndcg_eval grades the PRODUCTION scoring point (k1=1.2,
+# b=0.75); the tuning question is the GRID — does more aggressive tf
+# saturation or weaker length normalization rank better on this
+# corpus? Four classic operating points (Robertson default 1.2/0.75,
+# the 0.9/0.4 alternative many engines ship, high-saturation 2.0/0.75,
+# and no-length-norm 1.2/0.0) are scored against the SAME capped-tf
+# graded relevance and query log as the single-point eval, each
+# reported as mean nDCG@10 over the 5 queries. The ideal ranking is
+# parameter-FREE (it orders by relevance), so idcg computes once; the
+# grid costs one 4-row broadcast ladder over the 5-token posting
+# frame + one window per ladder — never a corpus re-scan per point.
+_BM25_GRID_POINTS = [(1.2, 0.75), (0.9, 0.4), (2.0, 0.75), (1.2, 0.0)]
+_BM25_GRID_K = 20
+
+_BM25_GRID_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+stats AS (
+  SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
+),
+queries AS (
+  SELECT token FROM dfreq ORDER BY df DESC, token LIMIT 5
+),
+grid AS (
+  SELECT CAST(k1 AS DOUBLE) AS k1, CAST(b AS DOUBLE) AS b
+  FROM (VALUES {", ".join(f"({k1}, {b})" for k1, b in _BM25_GRID_POINTS)})
+       g(k1, b)
+),
+post AS (
+  SELECT g.k1, g.b, tf.token, tf.doc_id,
+         LEAST(tf.tf, 10) AS rel,
+         ROUND(
+           LN(1.0 + (CAST(stats.n - dfreq.df AS DOUBLE) + 0.5)
+                    / (CAST(dfreq.df AS DOUBLE) + 0.5))
+           * (CAST(tf.tf AS DOUBLE) * (g.k1 + 1.0))
+           / (CAST(tf.tf AS DOUBLE)
+              + g.k1 * (1.0 - g.b + g.b * (CAST(dl.dl AS DOUBLE)
+                                           / stats.avgdl))),
+           4) AS score
+  FROM tf
+  JOIN queries q ON q.token = tf.token
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.token = tf.token, stats, grid g
+),
+gains AS (
+  SELECT k1, b, token, doc_id, rel, score,
+         CAST((1 << rel) - 1 AS DOUBLE) AS gain
+  FROM post
+),
+ranked AS (
+  SELECT k1, b, token, gain,
+         ROW_NUMBER() OVER (PARTITION BY k1, b, token
+                            ORDER BY score DESC, doc_id) AS r
+  FROM gains
+),
+dcg AS (
+  SELECT k1, b, token,
+         CAST(SUM(CAST(gain / (ln(CAST(r + 1 AS DOUBLE)) / ln(2.0))
+                       AS DECIMAL(38,12))) AS DOUBLE) AS dcg
+  FROM ranked WHERE r <= {_BM25_GRID_K} GROUP BY k1, b, token
+),
+ideal AS (
+  SELECT token, gain,
+         ROW_NUMBER() OVER (PARTITION BY token
+                            ORDER BY rel DESC, doc_id) AS r
+  FROM (SELECT DISTINCT token, doc_id, rel,
+               CAST((1 << rel) - 1 AS DOUBLE) AS gain
+        FROM post WHERE k1 = 1.2 AND b = 0.75) t
+),
+idcg AS (
+  SELECT token,
+         CAST(SUM(CAST(gain / (ln(CAST(r + 1 AS DOUBLE)) / ln(2.0))
+                       AS DECIMAL(38,12))) AS DOUBLE) AS idcg
+  FROM ideal WHERE r <= {_BM25_GRID_K} GROUP BY token
+),
+nd AS (
+  SELECT d.k1, d.b, ROUND(d.dcg / i.idcg, 4) AS ndcg
+  FROM dcg d JOIN idcg i USING (token)
+)
+SELECT k1, b, CAST(COUNT(*) AS BIGINT) AS n_queries,
+       ROUND(CAST(SUM(CAST(ndcg AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 4)
+         AS mean_ndcg
+FROM nd GROUP BY k1, b
+ORDER BY k1, b
+"""
+
+
+@graded("search_bm25_param_grid", oracle=_BM25_GRID_ORACLE)
+def search_bm25_param_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean nDCG@10 per BM25 (k1, b) operating point — four classic
+    parameter choices ranked against the same capped-tf relevance as
+    search_ndcg_eval (rationale above the oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    queries = dfreq.orderBy(F.col("df").desc(), "token").limit(5).select("token")
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k1).alias("k1"), F.lit(b).alias("b"))
+                    for k1, b in _BM25_GRID_POINTS
+                ]
+            )
+        ).alias("g")
+    ).select("g.k1", "g.b")
+    idf = F.log(
+        1.0
+        + ((F.col("n") - F.col("df")).cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    score = F.round(
+        idf
+        * (F.col("tf").cast("double") * (F.col("k1") + 1.0))
+        / (
+            F.col("tf").cast("double")
+            + F.col("k1")
+            * (
+                1.0
+                - F.col("b")
+                + F.col("b") * (F.col("dl").cast("double") / F.col("avgdl"))
+            )
+        ),
+        4,
+    )
+    post = (
+        tf.join(F.broadcast(queries), "token")
+        .join(dl, "doc_id")
+        .join(dfreq, "token")
+        .crossJoin(F.broadcast(stats))  # 1-row corpus stats
+        .crossJoin(F.broadcast(grid))  # 4-row (k1, b) ladder
+        .select(
+            "k1",
+            "b",
+            "token",
+            "doc_id",
+            F.least(F.col("tf"), F.lit(10)).alias("rel"),
+            score.alias("score"),
+        )
+    )
+    gain = F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(rel AS INT)) - 1 AS DOUBLE)"
+    )
+    gains = post.withColumn("gain", gain).localCheckpoint()  # 2 consumers
+    ranked = gains.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("k1", "b", "token").orderBy(
+                F.col("score").desc(), "doc_id"
+            )
+        ),
+    )
+    dterm = F.col("gain") / (
+        F.log((F.col("r") + 1).cast("double")) / F.log(F.lit(2.0))
+    )
+    dcg = (
+        ranked.where(F.col("r") <= _BM25_GRID_K)
+        .groupBy("k1", "b", "token")
+        .agg(F.sum(dterm.cast("decimal(38,12)")).cast("double").alias("dcg"))
+    )
+    ideal = (
+        gains.where((F.col("k1") == 1.2) & (F.col("b") == 0.75))
+        .select("token", "doc_id", "rel", "gain")
+        .distinct()
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("token").orderBy(
+                    F.col("rel").desc(), "doc_id"
+                )
+            ),
+        )
+    )
+    idcg = (
+        ideal.where(F.col("r") <= _BM25_GRID_K)
+        .groupBy("token")
+        .agg(F.sum(dterm.cast("decimal(38,12)")).cast("double").alias("idcg"))
+    )
+    nd = dcg.join(idcg, "token").select(
+        "k1", "b", F.round(F.col("dcg") / F.col("idcg"), 4).alias("ndcg")
+    )
+    return (
+        nd.groupBy("k1", "b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.round(
+                F.sum(F.col("ndcg").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_ndcg"),
+        )
+        .orderBy("k1", "b")
+    )

@@ -74,6 +74,9 @@ _SAMPLE_WINDOW_R12: tuple[str, ...] = (
     # --- NEW r12 operators (prepended as they land) ---
     "dedup_banding_grid_eval",
     "stream_novelty_replay",
+    "stream_priority_sample_replay",
+    "search_bm25_param_grid",
+    "timeseries_theil_sen",
     # --- union closure (1) ---
     "stream_rollup_replay",
     # --- oldest verdicts: the 19 displaced r01/r02 names ---
@@ -123,9 +126,6 @@ _SAMPLE_WINDOW_R12: tuple[str, ...] = (
     "agg_histogram",
     "scalar_date_extended",
     "sql_lateral_topk",
-    "agg_regression_moments",
-    "sql_recursive_cte",
-    "analytics_market_basket",
 )
 
 # Round-11 window (historical — superseded by _SAMPLE_WINDOW_R12).

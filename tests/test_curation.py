@@ -462,3 +462,27 @@ def test_banding_grid_nesting(spark, sf_dir):
     assert len({r.n_truth for r in rows.values()}) == 1
     single = registry.QUERIES["dedup_lsh_recall_eval"](spark, sf_dir).collect()[0]
     assert single.n_truth == rows["8x1"].n_truth
+
+
+def test_bm25_param_grid_contract(spark, sf_dir):
+    """r12: 4 grid rows, every query scored at every point, nDCG in
+    [0,1], and the b=0 point is EXACTLY 1.0 — with no length
+    normalization BM25 is strictly monotone in tf for a fixed token,
+    equal-gain ties contribute identical DCG, so the no-norm ranking
+    recovers the tf-graded ideal by construction. The b>0 points can
+    only do worse or equal (length norm fights raw-tf relevance)."""
+    from canvas_data_2_aws_spark import registry
+
+    registry.load_all()
+    rows = {
+        (r.k1, r.b): r
+        for r in registry.QUERIES["search_bm25_param_grid"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {(1.2, 0.75), (0.9, 0.4), (2.0, 0.75), (1.2, 0.0)}
+    for r in rows.values():
+        assert r.n_queries == 5
+        assert 0.0 <= r.mean_ndcg <= 1.0
+    assert rows[(1.2, 0.0)].mean_ndcg == 1.0
+    assert rows[(1.2, 0.75)].mean_ndcg <= rows[(0.9, 0.4)].mean_ndcg

@@ -105,6 +105,7 @@ def test_aggregation_is_hash_with_partial_combine(plans):
 _NESTED_LOOP_OK = {
     # r12 wave:
     "dedup_banding_grid_eval",  # 4-row geometry ladder + 1-row n_truth
+    "search_bm25_param_grid",  # 4-row (k1,b) ladder + 1-row corpus stats
     # r11 wave — every entry is a <=32-row scalar/ladder/manifest
     # attach proven bounded by tools/plan_audit.py (see PLAN_AUDIT_r11):
     "agg_theta_sketch_setops",  # 1-row sketch census + exact census

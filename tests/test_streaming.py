@@ -942,3 +942,91 @@ def test_streaming_novelty_batch_equivalence_and_rerun(spark, sf_dir, tmp_path):
         import shutil
 
         shutil.rmtree(docs_dir, ignore_errors=True)
+
+
+def test_streaming_priority_sample_split_invariance(spark, sf_dir, tmp_path):
+    """r12: the A-ES key is stateless per row and top-k is mergeable,
+    so the maintained sample is invariant to HOW the corpus is split
+    into micro-batches (no ascending-order precondition, unlike the
+    novelty/capped-pairs replays) — a 5-file RANDOM-ish split must
+    yield the same top-k as the batch sampler; per-batch state is
+    <= k rows; a second run appends nothing."""
+    import shutil
+
+    from canvas_data_2_aws_spark.queries.shared_sql import WPS_K
+    from canvas_data_2_aws_spark.session import load_table
+    from canvas_data_2_aws_spark.streaming.sampling import (
+        priority_sample_replay,
+    )
+
+    registry.load_all()
+    docs = load_table(spark, sf_dir, "documents")
+    docs_dir = str(tmp_path / "docs")
+    # deliberately NOT ascending: hash-partitioned 5-way split
+    docs.repartition(5, "doc_id").write.parquet(docs_dir)
+    work = str(tmp_path / "work")
+
+    cands = priority_sample_replay(spark, docs_dir, work, WPS_K)
+    got = [
+        (r.doc_id, r.weight)
+        for r in cands.orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(WPS_K)
+        .collect()
+    ]
+    expected = [
+        (r.doc_id, r.weight)
+        for r in registry.QUERIES["sample_weighted_priority"](
+            spark, sf_dir
+        ).collect()
+    ]
+    assert got == expected
+
+    # bounded state: <= k candidate rows per batch subdirectory
+    store = spark.read.parquet(f"{work}/candidates")
+    per_batch = store.groupBy("batch").count().collect()
+    assert len(per_batch) == 5
+    assert all(r["count"] <= WPS_K for r in per_batch)
+
+    # exactly-once restart
+    n_before = store.count()
+    priority_sample_replay(spark, docs_dir, work, WPS_K)
+    assert spark.read.parquet(f"{work}/candidates").count() == n_before
+    shutil.rmtree(docs_dir, ignore_errors=True)
+
+
+def test_theil_sen_python_reference(spark, sf_dir):
+    """r12: Sen slope / Mann–Kendall S recomputed in pure Python from
+    the same daily series — the engine's array-HOF pair fan-out and
+    positional median must agree exactly."""
+    import datetime as dt
+    import statistics
+
+    from canvas_data_2_aws_spark.session import load_table
+
+    registry.load_all()
+    ev = load_table(spark, sf_dir, "events")
+    rows = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("y"))
+        .collect()
+    )
+    pts = sorted(
+        ((r.d - dt.date(1970, 1, 1)).days, r.y) for r in rows
+    )
+    slopes, s_stat = [], 0
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            dy = pts[j][1] - pts[i][1]
+            slopes.append(dy / (pts[j][0] - pts[i][0]))
+            s_stat += (dy > 0) - (dy < 0)
+
+    got = registry.QUERIES["timeseries_theil_sen"](spark, sf_dir).collect()[0]
+    assert got.n_days == len(pts)
+    assert got.n_pairs == len(slopes)
+    assert got.s_stat == s_stat
+    assert got.kendall_tau == round(s_stat / len(slopes), 6)
+    assert got.sen_slope_usd_per_day == round(
+        statistics.median(slopes) / 100.0, 6
+    )
+    assert -1.0 <= got.kendall_tau <= 1.0

@@ -340,6 +340,7 @@ def main() -> int:
         "stream_simhash_pairs_capped",
         "stream_rollup_replay",
         "stream_novelty_replay",
+        "stream_priority_sample_replay",
     }
     failures = 0
     spark_legs = duck_legs = replay_legs = 0.0
