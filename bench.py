@@ -215,6 +215,8 @@ HEADLINE = [
     "dedup_banding_grid_eval",
     "search_bm25_param_grid",
     "timeseries_theil_sen",
+    "pipeline_decontam_sweep",
+    "multimodal_phash_threshold_curve",
 ]
 
 

@@ -282,10 +282,13 @@ def multimodal_storage_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so a >64-member group emits a min-doc_id star of TRUE (hamming-0)
 # pairs that always survive the verify, and a big-group cross pair
 # emits one rep–rep edge (a true pair at the value pair's hamming).
-# Emitted components therefore coincide exactly with the true
-# hamming≤3 graph's components — unlike the round-5 band-bucket star,
-# whose hub edges could fail the verify and split components (the
-# round-5 advisory finding this rewrite closes).
+# Emitted components therefore coincide exactly with the BANDED
+# CANDIDATE graph's components — the caps lose nothing, unlike the
+# round-5 band-bucket star, whose hub edges could fail the verify and
+# split components (the round-5 advisory finding this rewrite closes).
+# The banding itself is approximate above hamming 1 (2x8 pigeonhole
+# only guarantees tau <= 1); multimodal_phash_threshold_curve (r12)
+# measures that recall per threshold against 4x4 pigeonhole truth.
 _PHASH_ORACLE = """
 WITH sig AS (
   SELECT doc_id,
@@ -348,6 +351,41 @@ WHERE va.n > 64 OR vb.n > 64
 """
 
 
+def phash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, phash) — the 16-bit block-mean perceptual hash of every
+    payload, repartitioned on phash behind a lazy checkpoint barrier.
+    Shared by multimodal_phash_dedup and the r12 threshold curve; the
+    inline comments in the dedup query explain every expression and
+    barrier choice (they were each measured)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length("text") >= 16)
+        .repartition("doc_id")
+    )
+    codes = docs.select(
+        "doc_id",
+        F.expr("transform(split(text, ''), c -> ascii(c))").alias("cs"),
+    )
+    sig = codes.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 15), i ->"
+            " aggregate(slice(cs, i * (size(cs) DIV 16) + 1, size(cs) DIV 16),"
+            "   0, (a, x) -> a + x))"
+        ).alias("bs"),
+    )
+    ph = sig.select(
+        "doc_id",
+        F.expr(
+            "coalesce(CAST(aggregate(transform(sequence(0, 15), i ->"
+            " CASE WHEN 16 * bs[i] > aggregate(bs, 0, (a, x) -> a + x)"
+            " THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END),"
+            " CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT), CAST(-1 AS BIGINT))"
+        ).alias("phash"),
+    )
+    return ph.repartition("phash").localCheckpoint(eager=False)
+
+
 @graded("multimodal_phash_dedup", oracle=_PHASH_ORACLE)
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate payloads by 16-bit block-mean perceptual hash.
@@ -360,8 +398,10 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     → doc expansion with connectivity-EXACT caps: >64-member
     same-value groups emit a min-doc_id star of hamming-0 (always
     true) pairs; cross pairs touching a big group emit one rep–rep
-    edge. Every output pair is a true hamming≤3 pair and the emitted
-    graph's connected components equal the true graph's exactly."""
+    edge. Every output pair is a true hamming≤3 pair and the caps
+    preserve the banded candidate graph's components exactly (the
+    banding itself is approximate above hamming 1 — its per-threshold
+    recall is graded by multimodal_phash_threshold_curve)."""
     # Rebalance before the hashing map (same rationale as
     # dedup_minhash_banded): the corpus parquet is one row group, and
     # inheriting that single partition serializes the whole signature
@@ -521,4 +561,175 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         within_small.unionByName(within_star)
         .unionByName(cross_small)
         .unionByName(cross_star)
+    )
+
+
+# --- EXT: pHash Hamming-threshold recall curve, value domain (r12) -------------------
+
+# multimodal_phash_dedup runs the production 2x8-bit banding at ONE
+# operating point (hamming <= 3); this is its operating curve — the
+# multimodal sibling of dedup_threshold_sweep. For every tau <= 3 the
+# 4x4-bit pigeonhole banding is exact truth (3 bit errors can dirty at
+# most 3 of 4 bands), while the production 2x8 banding is only
+# GUARANTEED complete for tau <= 1 — at tau in {2, 3} both bands can
+# take a hit, so recall may drop, and this query measures by how much
+# before anyone widens the verify threshold. Everything runs in the
+# VALUE domain: doc-pair masses come from value multiplicities
+# (n_a * n_b per value pair, C(n,2) within a value — within-value
+# pairs are hamming-0 and found by construction), so the whole curve
+# is census-sized at ANY corpus: <= 65 536 values, band buckets
+# bounded by the 16-bit domain, a 4-row tau ladder.
+_PHASH_CURVE_ORACLE = """
+WITH sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 16), i ->
+           list_sum(list_transform(range(1, length(text) // 16 + 1),
+             j -> ascii(substring(text, i * (length(text) // 16) + j, 1))))
+         ) AS bs
+  FROM documents
+  WHERE length(text) >= 16
+),
+ph AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 16), i ->
+           CASE WHEN 16 * bs[i + 1] > list_sum(bs)
+                THEN CAST(1 AS BIGINT) << i ELSE 0 END)) AS BIGINT) AS phash
+  FROM sig
+),
+vals AS (
+  SELECT phash, CAST(COUNT(*) AS BIGINT) AS n FROM ph GROUP BY phash
+),
+within0 AS (
+  SELECT CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT) AS m FROM vals
+),
+tband AS (
+  SELECT phash, n, b, CAST((phash >> (b * 4)) & 15 AS BIGINT) AS bv
+  FROM vals, range(0, 4) t(b)
+),
+tpairs AS (
+  SELECT DISTINCT a.phash AS ph_a, b.phash AS ph_b,
+         CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS ham,
+         a.n * b.n AS m
+  FROM tband a
+  JOIN tband b ON a.b = b.b AND a.bv = b.bv AND a.phash < b.phash
+  WHERE bit_count(xor(a.phash, b.phash)) BETWEEN 1 AND 3
+),
+fband AS (
+  SELECT phash, n, b,
+         CASE WHEN b = 0 THEN phash // 256 ELSE phash % 256 END AS bkey
+  FROM vals, range(0, 2) t(b)
+),
+fpairs AS (
+  SELECT a.phash AS ph_a, b.phash AS ph_b,
+         CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS ham,
+         a.n * b.n AS m
+  FROM fband a
+  JOIN fband b ON a.b = b.b AND a.bkey = b.bkey AND a.phash < b.phash
+  WHERE bit_count(xor(a.phash, b.phash)) BETWEEN 1 AND 3
+),
+taus AS (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS tau)
+SELECT t.tau,
+       CAST(w.m + (SELECT COALESCE(SUM(m), 0) FROM tpairs
+                   WHERE ham <= t.tau) AS BIGINT) AS n_truth_pairs,
+       CAST(w.m + (SELECT COALESCE(SUM(m), 0) FROM fpairs
+                   WHERE ham <= t.tau) AS BIGINT) AS n_found_pairs,
+       ROUND(CAST(w.m + (SELECT COALESCE(SUM(m), 0) FROM fpairs
+                         WHERE ham <= t.tau) AS DOUBLE)
+             / NULLIF(w.m + (SELECT COALESCE(SUM(m), 0) FROM tpairs
+                             WHERE ham <= t.tau), 0), 4) AS recall
+FROM taus t, within0 w
+ORDER BY t.tau
+"""
+
+
+@graded("multimodal_phash_threshold_curve", oracle=_PHASH_CURVE_ORACLE)
+def multimodal_phash_threshold_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall of the production 2x8 pHash banding per Hamming
+    threshold tau in {0..3} against 4x4 pigeonhole truth, computed
+    entirely in the 16-bit value domain (rationale above)."""
+    ph = phash_frame(spark, sf_dir)
+    vals = ph.groupBy("phash").agg(F.count("*").cast("bigint").alias("n"))
+    within0 = vals.agg(
+        F.coalesce(F.sum(F.expr("n * (n - 1) DIV 2")), F.lit(0))
+        .cast("bigint")
+        .alias("m")
+    )
+
+    def band_pairs(bands_df: DataFrame, distinct: bool) -> DataFrame:
+        a = bands_df.select(
+            "b", "bv", F.col("phash").alias("ph_a"), F.col("n").alias("n_a")
+        )
+        b = bands_df.select(
+            "b", "bv", F.col("phash").alias("ph_b"), F.col("n").alias("n_b")
+        )
+        p = (
+            a.join(b, ["b", "bv"])
+            .where(F.col("ph_a") < F.col("ph_b"))
+            .select(
+                "ph_a",
+                "ph_b",
+                F.expr("bit_count(ph_a ^ ph_b)").cast("long").alias("ham"),
+                (F.col("n_a") * F.col("n_b")).alias("m"),
+            )
+            .where(F.col("ham").between(1, 3))
+        )
+        return p.distinct() if distinct else p
+
+    tband = vals.select(
+        "phash",
+        "n",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("b"),
+    ).withColumn("bv", F.expr("CAST((phash >> (b * 4)) & 15 AS BIGINT)"))
+    fband = vals.select(
+        "phash",
+        "n",
+        F.explode(F.array(*[F.lit(b) for b in range(2)])).alias("b"),
+    ).withColumn(
+        "bv",
+        F.expr("CASE WHEN b = 0 THEN phash DIV 256 ELSE phash % 256 END"),
+    )
+    # truth pairs can share several 4-bit bands -> DISTINCT; the 2x8
+    # production pairs are unique by construction (both bands matching
+    # forces equality).
+    tpairs = band_pairs(tband, distinct=True)
+    fpairs = band_pairs(fband, distinct=False)
+
+    taus = spark.range(4).select(F.col("id").cast("bigint").alias("tau"))
+
+    def per_tau(pairs: DataFrame, out: str) -> DataFrame:
+        sums = (
+            pairs.crossJoin(F.broadcast(taus))  # 4-row tau ladder
+            .groupBy("tau")
+            .agg(
+                F.sum(F.when(F.col("ham") <= F.col("tau"), F.col("m")))
+                .cast("bigint")
+                .alias(out)
+            )
+        )
+        return taus.join(sums, "tau", "left").select(
+            "tau", F.coalesce(out, F.lit(0)).cast("bigint").alias(out)
+        )
+
+    tcnt = per_tau(tpairs, "cross_truth")
+    fcnt = per_tau(fpairs, "cross_found")
+    return (
+        tcnt.join(fcnt, "tau")
+        .crossJoin(F.broadcast(within0))  # 1-row within-value mass
+        .select(
+            "tau",
+            (F.col("m") + F.col("cross_truth"))
+            .cast("bigint")
+            .alias("n_truth_pairs"),
+            (F.col("m") + F.col("cross_found"))
+            .cast("bigint")
+            .alias("n_found_pairs"),
+            F.round(
+                (F.col("m") + F.col("cross_found")).cast("double")
+                / F.nullif(F.col("m") + F.col("cross_truth"), F.lit(0)),
+                4,
+            ).alias("recall"),
+        )
+        .orderBy("tau")
     )

@@ -2665,3 +2665,151 @@ def pipeline_stage_order_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "only_quality_first",
         "only_dedup_first",
     )
+
+
+# --- EXT: decontamination n-gram-size sensitivity sweep (r12) ------------------------
+
+# pipeline_decontaminate applies ONE rule (any shared 4-gram); the
+# policy question every pretraining pipeline answers before committing
+# is the SWEEP — how much training data does each n-gram size cost?
+# Small n is aggressive (common phrases collide; heavy false-positive
+# removal), large n is surgical (verbatim leakage only); the published
+# pipelines picked 13 by exactly this curve. Four rule sizes
+# n in {3, 4, 6, 8} are each graded with the production plan shape
+# (benchmark gram set broadcast, train-side explode never shuffles)
+# and reported as flagged-doc / flagged-token mass against the shared
+# train totals. The sweep deliberately re-scans the cached words frame
+# once per n — gram sets of different n share nothing — which is the
+# honest cost statement for the real corpus too (production sweeps run
+# this on a sample; every leg is sample-bounded).
+_DECON_SWEEP_NS = [3, 4, 6, 8]
+
+
+def _decon_sweep_leg_sql(n: int) -> str:
+    gram = ", ".join(f"list_extract(w, i + {k})" for k in range(n))
+    return f"""
+sh{n} AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, GREATEST(LEN(w) - {n - 2}, 1)),
+           i -> concat_ws(' ', {gram}))) AS shingles
+  FROM wbase
+),
+bench{n} AS (
+  SELECT DISTINCT unnest(shingles) AS s FROM sh{n} WHERE doc_id % 10 = 0
+),
+flag{n} AS (
+  SELECT t.doc_id, COUNT(*) AS n_matched
+  FROM (SELECT doc_id, unnest(shingles) AS s
+        FROM sh{n} WHERE doc_id % 10 <> 0) t
+  JOIN bench{n} b ON t.s = b.s
+  GROUP BY t.doc_id
+),
+leg{n} AS (
+  SELECT CAST({n} AS BIGINT) AS n_gram,
+         CAST(COUNT(*) AS BIGINT) AS n_flagged_docs,
+         CAST(COALESCE(SUM(f.n_matched), 0) AS BIGINT) AS n_matched_total,
+         CAST(COALESCE(SUM(tc.n_tokens), 0) AS BIGINT) AS flagged_tokens
+  FROM flag{n} f JOIN tokc tc ON tc.doc_id = f.doc_id
+)"""
+
+
+_DECON_SWEEP_ORACLE = (
+    """
+WITH wbase AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+tokc AS (
+  SELECT doc_id, CAST(LEN(w) AS BIGINT) AS n_tokens FROM wbase
+),
+train_tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS train_tokens
+  FROM tokc WHERE doc_id % 10 <> 0
+),"""
+    + ",".join(_decon_sweep_leg_sql(n) for n in _DECON_SWEEP_NS)
+    + f""",
+legs AS ({" UNION ALL ".join(f"SELECT * FROM leg{n}" for n in _DECON_SWEEP_NS)})
+SELECT l.n_gram, l.n_flagged_docs, l.n_matched_total, l.flagged_tokens,
+       t.n_train_docs, t.train_tokens,
+       ROUND(CAST(l.n_flagged_docs AS DOUBLE) / t.n_train_docs, 4)
+         AS flagged_doc_share,
+       ROUND(CAST(l.flagged_tokens AS DOUBLE) / t.train_tokens, 4)
+         AS flagged_token_share
+FROM legs l, train_tot t
+ORDER BY l.n_gram
+"""
+)
+
+
+@graded("pipeline_decontam_sweep", oracle=_DECON_SWEEP_ORACLE)
+def pipeline_decontam_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data cost of the n-gram decontamination rule per gram
+    size n in {3,4,6,8}: flagged docs / matched grams / token mass vs
+    the shared train totals (rationale above the oracle)."""
+    from ..operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.repartition("doc_id").select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).localCheckpoint()  # consumed by every leg + the token counts
+    tokc = words.select(
+        "doc_id", F.size("w").cast("bigint").alias("n_tokens")
+    ).localCheckpoint()
+    train_tot = tokc.where(F.col("doc_id") % 10 != 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train_docs"),
+        F.sum("n_tokens").cast("bigint").alias("train_tokens"),
+    )
+
+    def leg(n: int) -> DataFrame:
+        sh = words.select(
+            "doc_id",
+            F.array_distinct(T.ngrams_from_words("w", n)).alias("shingles"),
+        ).localCheckpoint()  # bench + train branches share the HOF
+        bench = (
+            sh.where(F.col("doc_id") % 10 == 0)
+            .select(F.explode("shingles").alias("s"))
+            .distinct()
+        )
+        train = sh.where(F.col("doc_id") % 10 != 0).select(
+            "doc_id", F.explode("shingles").alias("s")
+        )
+        flagged = (
+            train.join(F.broadcast(bench), "s")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_matched"))
+        )
+        return flagged.join(tokc, "doc_id").agg(
+            F.lit(n).cast("bigint").alias("n_gram"),
+            F.count(F.lit(1)).cast("bigint").alias("n_flagged_docs"),
+            F.coalesce(F.sum("n_matched"), F.lit(0))
+            .cast("bigint")
+            .alias("n_matched_total"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("flagged_tokens"),
+        )
+
+    legs = leg(_DECON_SWEEP_NS[0])
+    for n in _DECON_SWEEP_NS[1:]:
+        legs = legs.unionByName(leg(n))
+    return (
+        legs.crossJoin(F.broadcast(train_tot))  # 1-row totals attach
+        .select(
+            "n_gram",
+            "n_flagged_docs",
+            "n_matched_total",
+            "flagged_tokens",
+            "n_train_docs",
+            "train_tokens",
+            F.round(
+                F.col("n_flagged_docs").cast("double") / F.col("n_train_docs"),
+                4,
+            ).alias("flagged_doc_share"),
+            F.round(
+                F.col("flagged_tokens").cast("double") / F.col("train_tokens"),
+                4,
+            ).alias("flagged_token_share"),
+        )
+        .orderBy("n_gram")
+    )

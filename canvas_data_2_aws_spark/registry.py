@@ -77,6 +77,8 @@ _SAMPLE_WINDOW_R12: tuple[str, ...] = (
     "stream_priority_sample_replay",
     "search_bm25_param_grid",
     "timeseries_theil_sen",
+    "pipeline_decontam_sweep",
+    "multimodal_phash_threshold_curve",
     # --- union closure (1) ---
     "stream_rollup_replay",
     # --- oldest verdicts: the 19 displaced r01/r02 names ---
@@ -124,8 +126,6 @@ _SAMPLE_WINDOW_R12: tuple[str, ...] = (
     "window_rank_family",
     "unpivot_metrics",
     "agg_histogram",
-    "scalar_date_extended",
-    "sql_lateral_topk",
 )
 
 # Round-11 window (historical — superseded by _SAMPLE_WINDOW_R12).

@@ -126,3 +126,23 @@ def test_resize_without_resizer_raises(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(1)
     with _pytest.raises(NotImplementedError):
         resize_media(attach_payload(docs))
+
+
+def test_phash_threshold_curve_pigeonhole(spark, sf_dir):
+    """r12: 2 bands with <=1 bit error leave one band clean, so recall
+    at tau in {0,1} is EXACTLY 1.0; truth mass is non-decreasing in tau
+    and always bounds the found mass; recall is non-increasing."""
+    from canvas_data_2_aws_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["multimodal_phash_threshold_curve"](
+        spark, sf_dir
+    ).collect()
+    assert [r.tau for r in rows] == [0, 1, 2, 3]
+    assert rows[0].recall == 1.0 and rows[1].recall == 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_truth_pairs >= a.n_truth_pairs
+        assert b.n_found_pairs >= a.n_found_pairs
+        assert b.recall <= a.recall
+    for r in rows:
+        assert r.n_found_pairs <= r.n_truth_pairs

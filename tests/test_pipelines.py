@@ -419,3 +419,26 @@ def test_stage_order_quality_first_dominates(spark, sf_dir):
     shared_qf = r.n_quality_first - r.only_quality_first
     shared_df = r.n_dedup_first - r.only_dedup_first
     assert shared_qf == shared_df
+
+
+def test_decontam_sweep_monotone_and_consistent(spark, sf_dir):
+    """r12: a longer n-gram rule can only flag a SUBSET of a shorter
+    one's docs (every (n+1)-gram contains an n-gram... shared with the
+    same benchmark doc), so flagged doc/token masses are non-increasing
+    in n; shares are in [0,1]; and the n=4 leg agrees with the
+    single-rule pipeline_decontaminate's flagged-doc count."""
+    from canvas_data_2_aws_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["pipeline_decontam_sweep"](spark, sf_dir).collect()
+    assert [r.n_gram for r in rows] == [3, 4, 6, 8]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_flagged_docs >= b.n_flagged_docs
+        assert a.flagged_tokens >= b.flagged_tokens
+    for r in rows:
+        assert 0.0 <= r.flagged_doc_share <= 1.0
+        assert 0.0 <= r.flagged_token_share <= 1.0
+        assert r.n_flagged_docs <= r.n_train_docs
+    single = registry.QUERIES["pipeline_decontaminate"](spark, sf_dir)
+    n4 = next(r for r in rows if r.n_gram == 4)
+    assert single.count() == n4.n_flagged_docs
