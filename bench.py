@@ -217,6 +217,9 @@ HEADLINE = [
     "timeseries_theil_sen",
     "pipeline_decontam_sweep",
     "multimodal_phash_threshold_curve",
+    "stream_session_gap_sweep",
+    "validate_key_skew",
+    "graph_degree_powerlaw",
 ]
 
 

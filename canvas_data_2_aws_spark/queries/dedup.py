@@ -2418,3 +2418,78 @@ def dedup_banding_grid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_bands").desc())
     )
+
+
+# --- EXT: degree power-law tail estimate over the fuzzy graph (r12) ------------------
+
+# graph_degree_stats publishes the raw histogram; the planning number
+# a 100 TB pairwise expansion actually needs is the TAIL EXPONENT —
+# how fast does the hub mass decay? Hill's MLE over the degree census
+# (alpha = 1 + n_tail / sum ln(d / dmin), tail = degrees >= dmin = 2)
+# is the standard estimate: alpha near 2 means heavy hubs (cap or salt
+# before any bucket self-join), alpha >> 3 means the cap machinery is
+# dead weight. Everything derives from the census already computed for
+# the histogram — one node-keyed agg, one constant-width fold; the
+# ln(d/dmin) terms are decimal-quantized identical-operand IEEE.
+_DEGREE_POWERLAW_ORACLE = """
+WITH e AS MATERIALIZED (
+  SELECT a.p_partkey AS a, b.p_partkey AS b
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 4
+),
+sym AS (
+  SELECT a AS node, b AS nbr FROM e
+  UNION
+  SELECT b, a FROM e
+),
+deg AS (
+  SELECT node, COUNT(*) AS degree FROM sym GROUP BY node
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(degree) // 2 AS BIGINT) AS n_edges,
+       CAST(MAX(degree) AS BIGINT) AS max_degree,
+       CAST(SUM(CASE WHEN degree >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tail,
+       ROUND(CAST(SUM(CASE WHEN degree >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS tail_share,
+       ROUND(1.0 + CAST(SUM(CASE WHEN degree >= 2 THEN 1 ELSE 0 END)
+                        AS DOUBLE)
+             / NULLIF(CAST(SUM(CASE WHEN degree >= 2
+                  THEN CAST(LN(CAST(degree AS DOUBLE) / 2.0)
+                            AS DECIMAL(38,12))
+                  ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE), 0), 6)
+         AS alpha_hill
+FROM deg
+"""
+
+
+@graded("graph_degree_powerlaw", oracle=_DEGREE_POWERLAW_ORACLE)
+def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-exponent estimate (dmin = 2) + hub summary of the
+    fuzzy-match graph's degree distribution (rationale above the
+    oracle)."""
+    from ..operators.fuzzy_graph import fuzzy_sym
+
+    sym = fuzzy_sym(spark, sf_dir)
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    tail = F.when(F.col("degree") >= 2, 1).otherwise(0)
+    lnterm = F.when(
+        F.col("degree") >= 2,
+        F.log(F.col("degree").cast("double") / 2.0).cast("decimal(38,12)"),
+    ).otherwise(F.lit(0).cast("decimal(38,12)"))
+    return deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.expr("CAST(SUM(degree) DIV 2 AS BIGINT)").alias("n_edges"),
+        F.max("degree").cast("bigint").alias("max_degree"),
+        F.sum(tail).cast("bigint").alias("n_tail"),
+        F.round(
+            F.sum(tail).cast("double") / F.count(F.lit(1)), 6
+        ).alias("tail_share"),
+        F.round(
+            1.0
+            + F.sum(tail).cast("double")
+            / F.nullif(F.sum(lnterm).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("alpha_hill"),
+    )

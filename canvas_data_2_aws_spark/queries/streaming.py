@@ -1911,3 +1911,117 @@ def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("kendall_tau"),
         F.round(med / 100.0, 6).alias("sen_slope_usd_per_day"),
     )
+
+
+# --- EXT: sessionization gap-parameter sweep (r12) -----------------------------------
+
+# stream_session_stats sessionizes at ONE gap (30 min); the operating
+# question is the SWEEP — how sensitive are session counts and shapes
+# to the gap choice? The trick that makes the whole curve cost ONE
+# window pass: every per-gap statistic is a function of the per-event
+# NEIGHBOR GAPS alone. A session starts exactly where the gap to the
+# previous event is >= g (or there is none), so n_sessions(g) is one
+# conditional count; total session duration is the sum of intra-session
+# gaps (< g), so mean duration needs no session assignment; and a
+# session is a singleton exactly when BOTH neighbor gaps break. One
+# lag+lead exchange on user_id, then a 4-row broadcast gap ladder over
+# the per-event gap frame — the per-gap cumsum/re-sessionization the
+# naive sweep pays 4x never happens. All counts exact integers;
+# ratios are single divisions over identical operands (unrounded —
+# the cusum rationale: ROUND adds half-tie hazards on exact ratios).
+_GAP_SWEEP_MINUTES = [5, 15, 30, 60]
+
+_GAP_SWEEP_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         epoch_us(ts) - epoch_us(LAG(ts) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id)) AS gp,
+         epoch_us(LEAD(ts) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id)) - epoch_us(ts) AS gn
+  FROM events
+),
+gaps AS (SELECT CAST(unnest([{", ".join(map(str, _GAP_SWEEP_MINUTES))}])
+                     AS BIGINT) AS gap_min),
+ladder AS (
+  SELECT g.gap_min, g.gap_min * 60000000 AS g_us, s.gp, s.gn
+  FROM gaps g, seq s
+)
+SELECT gap_min,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN gp IS NULL OR gp >= g_us THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN (gp IS NULL OR gp >= g_us)
+                      AND (gn IS NULL OR gn >= g_us) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_singletons,
+       CAST(SUM(CASE WHEN (gp IS NULL OR gp >= g_us)
+                      AND (gn IS NULL OR gn >= g_us) THEN 1 ELSE 0 END)
+            AS DOUBLE)
+         / SUM(CASE WHEN gp IS NULL OR gp >= g_us THEN 1 ELSE 0 END)
+         AS singleton_share,
+       CAST(COUNT(*) AS DOUBLE)
+         / SUM(CASE WHEN gp IS NULL OR gp >= g_us THEN 1 ELSE 0 END)
+         AS mean_events_per_session,
+       CAST(SUM(CASE WHEN gp < g_us THEN gp ELSE 0 END) AS DOUBLE)
+         / SUM(CASE WHEN gp IS NULL OR gp >= g_us THEN 1 ELSE 0 END)
+         / 1000000.0 AS mean_duration_s
+FROM ladder
+GROUP BY gap_min
+ORDER BY gap_min
+"""
+
+
+@graded("stream_session_gap_sweep", oracle=_GAP_SWEEP_ORACLE)
+def stream_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session count / singleton share / mean shape per gap parameter
+    g in {5,15,30,60} min, from one neighbor-gap window pass + a 4-row
+    broadcast ladder (rationale above the oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gp"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("gn"),
+    )
+    gaps = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(g).cast("bigint") for g in _GAP_SWEEP_MINUTES])
+        ).alias("gap_min")
+    )
+    ladder = seq.crossJoin(F.broadcast(gaps)).withColumn(  # 4-row gap ladder
+        "g_us", F.col("gap_min") * 60000000
+    )
+    starts = F.when(
+        F.col("gp").isNull() | (F.col("gp") >= F.col("g_us")), 1
+    ).otherwise(0)
+    single = F.when(
+        (F.col("gp").isNull() | (F.col("gp") >= F.col("g_us")))
+        & (F.col("gn").isNull() | (F.col("gn") >= F.col("g_us"))),
+        1,
+    ).otherwise(0)
+    intra = F.when(F.col("gp") < F.col("g_us"), F.col("gp")).otherwise(0)
+    return (
+        ladder.groupBy("gap_min")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(starts).cast("bigint").alias("n_sessions"),
+            F.sum(single).cast("bigint").alias("n_singletons"),
+            F.sum(intra).alias("intra_us"),
+        )
+        .select(
+            "gap_min",
+            "n_events",
+            "n_sessions",
+            "n_singletons",
+            (
+                F.col("n_singletons").cast("double") / F.col("n_sessions")
+            ).alias("singleton_share"),
+            (F.col("n_events").cast("double") / F.col("n_sessions")).alias(
+                "mean_events_per_session"
+            ),
+            (
+                F.col("intra_us").cast("double")
+                / F.col("n_sessions")
+                / 1000000.0
+            ).alias("mean_duration_s"),
+        )
+        .orderBy("gap_min")
+    )

@@ -585,3 +585,112 @@ def validate_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# --- EXT: shuffle-key skew audit (r12) ------------------------------------------------
+
+# The pre-flight check before every big shuffle: how skewed is the
+# join/aggregation key? A hot key serializes its whole group through
+# one task, and the mitigation (salting, AQE skew splits, broadcast)
+# is chosen from exactly these numbers — max key mass, top-k share,
+# and the entropy balance ratio (H / ln(n_keys): 1.0 = perfectly
+# uniform, -> 0 = one key owns the table). Three production keys are
+# audited (lineitem.l_orderkey — the fan-out FK; orders.o_custkey —
+# the dimension FK the salted-join demo shuffles on; events.user_id —
+# the sessionization key). Per leg: one key census (map-side
+# combinable), constant-width aggregates, a 10-row TakeOrdered for the
+# top-k mass; entropy = ln(n) - (sum c*ln(c))/n with the c*ln(c) terms
+# decimal-quantized (identical-operand IEEE in both engines).
+def _skew_leg_sql(key_name: str, table: str, col: str) -> str:
+    return f"""
+SELECT '{key_name}' AS key_name,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(c) AS BIGINT) AS max_key_rows,
+       ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top1_share,
+       ROUND(CAST((SELECT SUM(c) FROM (
+                SELECT COUNT(*) AS c FROM {table} GROUP BY {col}
+                ORDER BY c DESC, {col} LIMIT 10)) AS DOUBLE) / SUM(c), 6)
+         AS top10_share,
+       ROUND(LN(CAST(SUM(c) AS DOUBLE))
+             - CAST(SUM(CAST(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))
+                             AS DECIMAL(38,12))) AS DOUBLE) / SUM(c), 6)
+         AS entropy,
+       ROUND((LN(CAST(SUM(c) AS DOUBLE))
+              - CAST(SUM(CAST(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))
+                              AS DECIMAL(38,12))) AS DOUBLE) / SUM(c))
+             / LN(CAST(COUNT(*) AS DOUBLE)), 6) AS balance_ratio
+FROM (SELECT COUNT(*) AS c FROM {table} GROUP BY {col})"""
+
+
+_SKEW_KEYS = [
+    ("events.user_id", "events", "user_id"),
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+]
+
+_KEY_SKEW_ORACLE = (
+    " UNION ALL ".join(_skew_leg_sql(*leg) for leg in _SKEW_KEYS)
+    + "\nORDER BY key_name"
+)
+
+
+@graded("validate_key_skew", oracle=_KEY_SKEW_ORACLE)
+def validate_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution skew audit for the three production shuffle
+    keys: row/key counts, hottest-key and top-10 mass shares, and the
+    entropy balance ratio (rationale above the oracle)."""
+
+    def leg(key_name: str, table: str, col: str) -> DataFrame:
+        census = (
+            load_table(spark, sf_dir, table)
+            .groupBy(F.col(col).alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint()  # consumed twice: aggregates + top-10
+        )
+        top10 = (
+            census.orderBy(F.col("c").desc(), "k")
+            .limit(10)
+            .agg(F.sum("c").alias("top10_rows"))
+        )
+        slnc = (
+            F.sum(
+                (F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+                .cast("decimal(38,12)")
+            )
+            .cast("double")
+        )
+        agg = census.agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.max("c").cast("bigint").alias("max_key_rows"),
+            slnc.alias("slnc"),
+        )
+        ent = F.log(F.col("n_rows").cast("double")) - F.col("slnc") / F.col(
+            "n_rows"
+        )
+        return (
+            agg.crossJoin(F.broadcast(top10))  # 1-row top-k mass attach
+            .select(
+                F.lit(key_name).alias("key_name"),
+                "n_rows",
+                "n_keys",
+                "max_key_rows",
+                F.round(
+                    F.col("max_key_rows").cast("double") / F.col("n_rows"), 6
+                ).alias("top1_share"),
+                F.round(
+                    F.col("top10_rows").cast("double") / F.col("n_rows"), 6
+                ).alias("top10_share"),
+                F.round(ent, 6).alias("entropy"),
+                F.round(
+                    ent / F.log(F.col("n_keys").cast("double")), 6
+                ).alias("balance_ratio"),
+            )
+        )
+
+    legs = [leg(*spec) for spec in _SKEW_KEYS]
+    out = legs[0]
+    for one in legs[1:]:
+        out = out.unionByName(one)
+    return out.orderBy("key_name")

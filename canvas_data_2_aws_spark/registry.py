@@ -79,6 +79,9 @@ _SAMPLE_WINDOW_R12: tuple[str, ...] = (
     "timeseries_theil_sen",
     "pipeline_decontam_sweep",
     "multimodal_phash_threshold_curve",
+    "stream_session_gap_sweep",
+    "validate_key_skew",
+    "graph_degree_powerlaw",
     # --- union closure (1) ---
     "stream_rollup_replay",
     # --- oldest verdicts: the 19 displaced r01/r02 names ---
@@ -123,9 +126,6 @@ _SAMPLE_WINDOW_R12: tuple[str, ...] = (
     "agg_arg_extremes",
     "agg_pivot",
     "sql_subqueries",
-    "window_rank_family",
-    "unpivot_metrics",
-    "agg_histogram",
 )
 
 # Round-11 window (historical — superseded by _SAMPLE_WINDOW_R12).

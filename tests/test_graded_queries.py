@@ -236,3 +236,21 @@ def test_deletion_vectors_accounting(spark, sf_dir):
         assert r.dv_bytes <= (1024 + 7) // 8
         assert (r.dv_bytes == 0) == (r.n_deleted == 0)
         assert (r.cow_rewrite_bytes == 0) == (r.n_deleted == 0)
+
+
+def test_key_skew_audit_bounds(spark, sf_dir):
+    """r12: shares nest (top1 <= top10 <= 1), entropy is bounded by
+    ln(n_keys) so the balance ratio lives in [0, 1], and the exact
+    integer masses reconcile."""
+    rows = registry.QUERIES["validate_key_skew"](spark, sf_dir).collect()
+    assert [r.key_name for r in rows] == [
+        "events.user_id",
+        "lineitem.l_orderkey",
+        "orders.o_custkey",
+    ]
+    for r in rows:
+        assert 0 < r.max_key_rows <= r.n_rows
+        assert 0 < r.top1_share <= r.top10_share <= 1.0
+        assert r.max_key_rows * r.n_keys >= r.n_rows  # max >= mean
+        assert 0.0 <= r.balance_ratio <= 1.0
+        assert r.entropy >= 0.0

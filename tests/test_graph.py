@@ -330,3 +330,24 @@ def test_betweenness_matches_python_brandes(spark):
             score,
         )
         assert row.n_seed_terms == n_terms[node]
+
+
+def test_degree_powerlaw_consistent_with_histogram(spark, sf_dir):
+    """r12: the Hill summary must reconcile exactly with the raw
+    degree histogram (same census), and alpha > 1 whenever any tail
+    degree exceeds dmin."""
+    from canvas_data_2_aws_spark import registry
+
+    registry.load_all()
+    hist = registry.QUERIES["graph_degree_stats"](spark, sf_dir).collect()
+    got = registry.QUERIES["graph_degree_powerlaw"](spark, sf_dir).collect()[0]
+    n_nodes = sum(r.n_nodes for r in hist)
+    n_edges = sum(r.degree * r.n_nodes for r in hist) // 2
+    max_deg = max(r.degree for r in hist)
+    n_tail = sum(r.n_nodes for r in hist if r.degree >= 2)
+    assert got.n_nodes == n_nodes
+    assert got.n_edges == n_edges
+    assert got.max_degree == max_deg
+    assert got.n_tail == n_tail
+    if any(r.degree > 2 for r in hist):
+        assert got.alpha_hill is not None and got.alpha_hill > 1.0

@@ -108,6 +108,8 @@ _NESTED_LOOP_OK = {
     "search_bm25_param_grid",  # 4-row (k1,b) ladder + 1-row corpus stats
     "pipeline_decontam_sweep",  # 1-row train-totals attach on 4 legs
     "multimodal_phash_threshold_curve",  # 4-row tau ladder + 1-row mass
+    "stream_session_gap_sweep",  # 4-row gap ladder
+    "validate_key_skew",  # 1-row top-10-mass attach per leg
     # r11 wave — every entry is a <=32-row scalar/ladder/manifest
     # attach proven bounded by tools/plan_audit.py (see PLAN_AUDIT_r11):
     "agg_theta_sketch_setops",  # 1-row sketch census + exact census

@@ -1030,3 +1030,24 @@ def test_theil_sen_python_reference(spark, sf_dir):
         statistics.median(slopes) / 100.0, 6
     )
     assert -1.0 <= got.kendall_tau <= 1.0
+
+
+def test_session_gap_sweep_consistent_with_sessionizer(spark, sf_dir):
+    """r12: the gap-free derivation must agree with the actual
+    sessionizer at the production gap — n_sessions(30) equals the
+    session_window session count — and be monotone: a larger gap can
+    only merge sessions (fewer, longer), never split them."""
+    registry.load_all()
+    rows = registry.QUERIES["stream_session_gap_sweep"](spark, sf_dir).collect()
+    assert [r.gap_min for r in rows] == [5, 15, 30, 60]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_sessions >= b.n_sessions
+        assert a.mean_duration_s <= b.mean_duration_s
+        assert a.n_events == b.n_events
+    for r in rows:
+        assert r.n_singletons <= r.n_sessions
+        assert r.mean_events_per_session >= 1.0
+    base = registry.QUERIES["stream_session_stats"](spark, sf_dir).collect()
+    n30 = next(r for r in rows if r.gap_min == 30)
+    assert n30.n_sessions == sum(r.n_sessions for r in base)
+    assert n30.n_events == sum(r.n_events for r in base)
