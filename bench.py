@@ -220,6 +220,7 @@ HEADLINE = [
     "stream_session_gap_sweep",
     "validate_key_skew",
     "graph_degree_powerlaw",
+    "analytics_fdr_bh",
 ]
 
 

@@ -3024,3 +3024,155 @@ def analytics_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("streak_days")
     )
+
+
+# --- EXT: Benjamini-Hochberg FDR over the per-source test family (r12) ---------------
+
+# The multiple-comparisons closer for the classical readout family:
+# with one Welch test PER SOURCE ("does this source's doc length
+# differ from the rest of the corpus?"), 20 tests at alpha = 0.05
+# expect a false positive; BH step-up controls the false-discovery
+# rate instead. p-values use the Abramowitz-Stegun 7.1.26 erfc
+# polynomial (|err| <= 1.5e-7) written with IDENTICAL expression text
+# in both engines — every operand (Horner polynomial, exp(-x^2),
+# shared literals) is the same IEEE op sequence, so the step-up
+# comparisons agree bit-for-bit and no normal-quantile table or
+# catalog-size hardcode is needed (m comes from the data). Plan: one
+# doc-sized census (3 exact moments per source, squared moments
+# DECIMAL(38,0) per the Welch recipe), then everything is
+# source-manifest-sized: a 1-row corpus-totals attach, a manifest
+# rank window, the step-up cutoff as a manifest MAX window.
+_FDR_ALPHA = "0.05"
+
+_FDR_ERFC = (
+    "((((1.061405429 * {t} + -1.453152027) * {t} + 1.421413741) * {t}"
+    " + -0.284496736) * {t} + 0.254829592) * {t} * EXP(-({x}) * ({x}))"
+)
+
+_FDR_BH_ORACLE = f"""
+WITH tokc AS (
+  SELECT source, CAST(LEN(string_split(text, ' ')) AS BIGINT) AS tok
+  FROM documents
+),
+src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(tok) AS BIGINT) AS s,
+         CAST(SUM(CAST(tok AS DECIMAL(38,0)) * tok) AS DECIMAL(38,0)) AS q
+  FROM tokc GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+         CAST(SUM(s) AS BIGINT) AS s_tot,
+         CAST(SUM(q) AS DECIMAL(38,0)) AS q_tot
+  FROM src
+),
+z AS (
+  SELECT source, n,
+         (CAST(s AS DOUBLE) / n - CAST(s_tot - s AS DOUBLE) / (n_tot - n))
+         / sqrt(
+             ((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)) / n
+             + ((CAST(q_tot - q AS DOUBLE)
+                 - CAST(s_tot - s AS DOUBLE) * (s_tot - s) / (n_tot - n))
+                / (n_tot - n - 1)) / (n_tot - n)
+           ) AS zval
+  FROM src, tot
+),
+p AS (
+  SELECT source, n, zval,
+         {_FDR_ERFC.format(t="(1.0 / (1.0 + 0.3275911 * (abs(zval) / sqrt(2.0))))", x="abs(zval) / sqrt(2.0)")} AS pval
+  FROM z
+),
+ranked AS (
+  SELECT source, n, zval, pval,
+         ROW_NUMBER() OVER (ORDER BY pval, source) AS rnk,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM p
+),
+cut AS (
+  SELECT *,
+         CAST(rnk AS DOUBLE) * CAST({_FDR_ALPHA} AS DOUBLE) / m AS bh_crit,
+         MAX(CASE WHEN pval <= CAST(rnk AS DOUBLE)
+                               * CAST({_FDR_ALPHA} AS DOUBLE) / m
+                  THEN rnk END) OVER () AS kstar
+  FROM ranked
+)
+SELECT source, n AS n_docs, CAST(rnk AS BIGINT) AS rnk,
+       ROUND(zval, 4) AS z_welch,
+       ROUND(pval, 6) AS p_value,
+       ROUND(bh_crit, 6) AS bh_crit,
+       rnk <= COALESCE(kstar, 0) AS rejected
+FROM cut
+ORDER BY rnk
+"""
+
+
+@graded("analytics_fdr_bh", oracle=_FDR_BH_ORACLE)
+def analytics_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BH step-up FDR control over per-source Welch z-tests of doc
+    length vs the rest of the corpus (rationale above the oracle)."""
+    from ..operators import ranks as RK
+    from ..session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokc = docs.select(
+        "source", F.size(F.split("text", " ")).cast("bigint").alias("tok")
+    )
+    src = tokc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("tok").cast("bigint").alias("s"),
+        F.sum(F.col("tok").cast("decimal(38,0)") * F.col("tok"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    tot = src.agg(
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.sum("s").cast("bigint").alias("s_tot"),
+        F.sum("q").cast("decimal(38,0)").alias("q_tot"),
+    )
+    zdf = src.crossJoin(F.broadcast(tot)).select(  # 1-row totals attach
+        "source",
+        "n",
+        F.expr(
+            "(CAST(s AS DOUBLE) / n - CAST(s_tot - s AS DOUBLE) / (n_tot - n))"
+            " / sqrt("
+            "   ((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)) / n"
+            "   + ((CAST(q_tot - q AS DOUBLE)"
+            "       - CAST(s_tot - s AS DOUBLE) * (s_tot - s) / (n_tot - n))"
+            "      / (n_tot - n - 1)) / (n_tot - n)"
+            " )"
+        ).alias("zval"),
+    )
+    pdf = zdf.withColumn(
+        "pval",
+        F.expr(
+            _FDR_ERFC.format(
+                t="(1.0 / (1.0 + 0.3275911 * (abs(zval) / sqrt(2.0))))",
+                x="abs(zval) / sqrt(2.0)",
+            )
+        ),
+    )
+    w = Window.partitionBy(RK.UNIT_GROUP)
+    ranked = (
+        RK.attach_unit_group(pdf)
+        .withColumn(
+            "rnk", F.row_number().over(w.orderBy("pval", "source"))
+        )
+        .withColumn("m", F.count(F.lit(1)).over(w).cast("bigint"))
+    )
+    crit = F.expr(f"CAST(rnk AS DOUBLE) * CAST({_FDR_ALPHA} AS DOUBLE) / m")
+    cut = ranked.withColumn("bh_crit", crit).withColumn(
+        "kstar",
+        F.max(F.when(F.col("pval") <= crit, F.col("rnk"))).over(w),
+    )
+    return cut.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+        F.round("zval", 4).alias("z_welch"),
+        F.round("pval", 6).alias("p_value"),
+        F.round("bh_crit", 6).alias("bh_crit"),
+        (F.col("rnk") <= F.coalesce(F.col("kstar"), F.lit(0))).alias(
+            "rejected"
+        ),
+    ).orderBy("rnk")

@@ -82,6 +82,7 @@ _SAMPLE_WINDOW_R12: tuple[str, ...] = (
     "stream_session_gap_sweep",
     "validate_key_skew",
     "graph_degree_powerlaw",
+    "analytics_fdr_bh",
     # --- union closure (1) ---
     "stream_rollup_replay",
     # --- oldest verdicts: the 19 displaced r01/r02 names ---
@@ -124,7 +125,6 @@ _SAMPLE_WINDOW_R12: tuple[str, ...] = (
     "agg_stats",
     "agg_percentile",
     "agg_arg_extremes",
-    "agg_pivot",
     "sql_subqueries",
 )
 

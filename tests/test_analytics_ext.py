@@ -525,3 +525,29 @@ def test_scd2_pointintime_accounts_for_all_purchases(spark, sf_dir):
     ).count()
     assert sum(r.n_purchases for r in rows) == n_purch
     assert all(-1 <= r.version_age_days <= 7 for r in rows)
+
+
+def test_fdr_bh_stepup_contract(spark, sf_dir):
+    """r12: BH properties — the rejected set is exactly the rank
+    prefix up to the largest k with p_(k) <= k*alpha/m (step-up:
+    earlier ranks are rejected even if individually above their
+    crit); p-values match math.erfc to the A-S approximation error;
+    crit is linear in rank."""
+    import math
+
+    from canvas_data_2_aws_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["analytics_fdr_bh"](spark, sf_dir).collect()
+    m = len(rows)
+    assert [r.rnk for r in rows] == list(range(1, m + 1))
+    kstar = max((r.rnk for r in rows if r.p_value <= r.bh_crit), default=0)
+    for r in rows:
+        assert 0.0 <= r.p_value <= 1.0
+        assert abs(r.bh_crit - round(r.rnk * 0.05 / m, 6)) < 1e-9
+        assert r.rejected == (r.rnk <= kstar)
+        # A-S 7.1.26 |err| <= 1.5e-7; both sides rounded to 6dp
+        exact = math.erfc(abs(r.z_welch) / math.sqrt(2.0))
+        assert abs(r.p_value - exact) < 5e-4  # z rounded to 4dp in output
+    ps = [r.p_value for r in rows]
+    assert ps == sorted(ps)
