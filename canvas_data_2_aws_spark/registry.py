@@ -67,9 +67,13 @@ def graded(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]
 # (the r01/r02 names the r11 window displaced), then the head of the
 # r05 block — trimmed from the tail so the window stays exactly 50.
 #
-# Round-13 plan: any NEW r13 operators first, then continue the r05
-# refresh where this window's tail stops (recompute from the
-# CORRECTNESS union at close — the remaining r05 names, then r06).
+# Round-13 plan: any NEW r13 operators first, then continue the
+# oldest-verdict refresh where this window's tail stops — the 24
+# remaining r05 names (agg_pivot, window_rank_family, unpivot_metrics,
+# agg_histogram, scalar_date_extended, sql_lateral_topk,
+# agg_regression_moments, sql_recursive_cte, ... — recompute the exact
+# list from the CORRECTNESS union at close), then the r06 block
+# (stream_tumbling_counts first).
 _SAMPLE_WINDOW_R12: tuple[str, ...] = (
     # --- NEW r12 operators (prepended as they land) ---
     "dedup_banding_grid_eval",
