@@ -221,6 +221,8 @@ HEADLINE = [
     "validate_key_skew",
     "graph_degree_powerlaw",
     "analytics_fdr_bh",
+    "join_asof_tolerance_sweep",
+    "agg_quantile_sketch_sweep",
 ]
 
 

@@ -205,3 +205,113 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_alias="next_purchase_ts",
         direction="forward",
     )
+
+
+# --- EXT: as-of tolerance sweep (r12) -------------------------------------------------
+
+# join_asof_tolerance applies ONE bound (14 days); the attribution
+# policy question is the CURVE — how many purchases still find a
+# signup, and how stale is the match, as the tolerance tightens? The
+# whole curve derives from the UNBOUNDED backward as-of computed once:
+# a match within tolerance t is exactly "staleness <= t" on the
+# per-purchase staleness (purchase_ts - last prior signup_ts, exact
+# integer microseconds), so the sweep is one as-of join (one key
+# shuffle) + a 4-row broadcast tolerance ladder — never a re-join per
+# tolerance. Counts exact; mean staleness among matches is one
+# division over identical integer operands (unrounded — exact-ratio
+# discipline).
+_ASOF_SWEEP_HOURS = [1, 24, 168, 720]
+
+_ASOF_SWEEP_ORACLE = f"""
+WITH base AS (
+  SELECT e.event_id,
+         epoch_us(e.ts) - epoch_us(
+           (SELECT MAX(s.ts) FROM events s
+             WHERE s.user_id = e.user_id
+               AND s.event_type = 'signup'
+               AND s.ts <= e.ts)) AS stale_us
+  FROM events e
+  WHERE e.event_type = 'purchase'
+),
+tols AS (
+  SELECT CAST(unnest([{", ".join(map(str, _ASOF_SWEEP_HOURS))}]) AS BIGINT)
+    AS tol_hours
+)
+SELECT t.tol_hours,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CASE WHEN b.stale_us <= t.tol_hours * 3600000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       ROUND(CAST(SUM(CASE WHEN b.stale_us <= t.tol_hours * 3600000000
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS match_rate,
+       CAST(SUM(CASE WHEN b.stale_us <= t.tol_hours * 3600000000
+                     THEN b.stale_us ELSE 0 END) AS DOUBLE)
+         / NULLIF(SUM(CASE WHEN b.stale_us <= t.tol_hours * 3600000000
+                           THEN 1 ELSE 0 END), 0) / 60000000.0
+         AS mean_staleness_min
+FROM tols t, base b
+GROUP BY t.tol_hours
+ORDER BY t.tol_hours
+"""
+
+
+@graded("join_asof_tolerance_sweep", oracle=_ASOF_SWEEP_ORACLE)
+def join_asof_tolerance_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution match-rate / staleness curve per tolerance bound
+    t in {1h, 1d, 7d, 30d}, from ONE unbounded backward as-of join +
+    a 4-row broadcast ladder (rationale above the oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    signups = ev.where(F.col("event_type") == "signup").select("user_id", "ts")
+    base = asof_join(
+        purchases,
+        signups,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="ts",
+        right_value="ts",
+        value_alias="last_signup_ts",
+    ).select(
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("last_signup_ts")
+        ).alias("stale_us")
+    )
+    tols = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[F.lit(h).cast("bigint") for h in _ASOF_SWEEP_HOURS]
+            )
+        ).alias("tol_hours")
+    )
+    matched = F.when(
+        F.col("stale_us") <= F.col("tol_hours") * 3600000000, 1
+    ).otherwise(0)
+    stale_in = F.when(
+        F.col("stale_us") <= F.col("tol_hours") * 3600000000,
+        F.col("stale_us"),
+    ).otherwise(0)
+    return (
+        base.crossJoin(F.broadcast(tols))  # 4-row tolerance ladder
+        .groupBy("tol_hours")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum(matched).cast("bigint").alias("n_matched"),
+            F.sum(stale_in).alias("stale_sum"),
+        )
+        .select(
+            "tol_hours",
+            "n_purchases",
+            "n_matched",
+            F.round(
+                F.col("n_matched").cast("double") / F.col("n_purchases"), 6
+            ).alias("match_rate"),
+            (
+                F.col("stale_sum").cast("double")
+                / F.nullif(F.col("n_matched"), F.lit(0))
+                / 60000000.0
+            ).alias("mean_staleness_min"),
+        )
+        .orderBy("tol_hours")
+    )

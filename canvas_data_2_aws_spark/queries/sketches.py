@@ -958,3 +958,147 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_b_only"
         ),
     )
+
+
+# --- EXT: quantile-sketch size/accuracy sweep (r12) -----------------------------------
+
+# agg_quantile_sketch grades ONE sketch size (k = 256); the sizing
+# question is the CURVE — how much accuracy does each doubling buy?
+# Every smaller KMV sample is a PREFIX of the larger one (the k
+# smallest md5 keys contain the k/2 smallest), so the whole sweep
+# derives from the k = 512 sample computed once: a 4-row size ladder
+# re-ranks the <= 512-row sketch manifest per size (bounded windows on
+# a manifest, never the table) and each size's discrete percentile
+# estimates are compared against the ONE exact distributed-rank side.
+# Per-(k, q) relative errors are ROUND(,4) like the single-point eval;
+# the per-k mean is decimal-quantized before its single division.
+_QSK_SWEEP_KS = (64, 128, 256, 512)
+
+_QSK_SWEEP_ORACLE = f"""
+WITH base AS (
+  SELECT o_totalprice AS v, o_orderkey AS sk FROM orders
+),
+nn AS (SELECT COUNT(*) AS n FROM base),
+qs(q) AS (VALUES (25), (50), (75), (90), (99)),
+ranked AS MATERIALIZED (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v, sk) AS rn FROM base
+),
+exact AS (
+  SELECT qs.q, r.v AS exact_v
+  FROM qs, nn
+  JOIN ranked r ON r.rn = ((nn.n - 1) * qs.q) // 100 + 1
+),
+samp AS MATERIALIZED (
+  SELECT v, sk, sr
+  FROM (SELECT v, sk,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(sk AS VARCHAR)), sk) AS sr
+        FROM base) t
+  WHERE sr <= {max(_QSK_SWEEP_KS)}
+),
+ks AS (SELECT CAST(unnest([{", ".join(map(str, _QSK_SWEEP_KS))}]) AS BIGINT)
+         AS kk),
+lad AS (
+  SELECT ks.kk, s.v, s.sk,
+         ROW_NUMBER() OVER (PARTITION BY ks.kk ORDER BY s.v, s.sk) AS srn,
+         COUNT(*) OVER (PARTITION BY ks.kk) AS m
+  FROM ks JOIN samp s ON s.sr <= ks.kk
+),
+est AS (
+  SELECT l.kk, qs.q, l.v AS est_v
+  FROM lad l, qs
+  WHERE l.srn = ((l.m - 1) * qs.q) // 100 + 1
+),
+err AS (
+  SELECT e.kk, e.q,
+         ROUND(ABS(e.est_v - x.exact_v) / x.exact_v, 4) AS rel_err
+  FROM est e JOIN exact x ON x.q = e.q
+)
+SELECT kk AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_quantiles,
+       MAX(rel_err) AS max_rel_err,
+       ROUND(CAST(SUM(CAST(rel_err AS DECIMAL(38,12))) AS DOUBLE)
+             / COUNT(*), 4) AS mean_rel_err
+FROM err
+GROUP BY kk
+ORDER BY kk
+"""
+
+
+@graded("agg_quantile_sketch_sweep", oracle=_QSK_SWEEP_ORACLE)
+def agg_quantile_sketch_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-size accuracy curve: max/mean relative error of the KMV
+    quantile sketch's 5 discrete percentiles per size k in
+    {64,128,256,512}, all from one 512-row sample and one exact rank
+    side (rationale above the oracle)."""
+    from pyspark.sql import Window
+
+    from ..operators.ranks import UNIT_GROUP, attach_unit_group, global_row_number
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"), F.col("o_orderkey").alias("sk")
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in _QSK_QS])).alias("q")
+    )
+    nn = o.agg(F.count("*").alias("n"))
+    targets = F.broadcast(
+        qs.crossJoin(F.broadcast(nn)).select(
+            "q", F.expr("((n - 1) * q) DIV 100 + 1").alias("rn_t")
+        )
+    )
+    ranked = global_row_number(o, ["v", "sk"], out="rn")
+    exact = ranked.join(targets, F.col("rn") == F.col("rn_t")).select(
+        "q", F.col("v").alias("exact_v")
+    )
+    kmax = max(_QSK_SWEEP_KS)
+    samp = (
+        o.select("v", "sk", F.md5(F.col("sk").cast("string")).alias("h"))
+        .orderBy("h", "sk")
+        .limit(kmax)
+    )
+    sr_ranked = attach_unit_group(samp).withColumn(
+        "sr",
+        F.row_number().over(Window.partitionBy(UNIT_GROUP).orderBy("h", "sk")),
+    )
+    ks = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(k).cast("bigint") for k in _QSK_SWEEP_KS])
+        ).alias("kk")
+    )
+    # <=4x512-row ladder over the sketch manifest: per-size value rank
+    # + size via bounded windows (the sketch IS manifest-sized).
+    lad = (
+        sr_ranked.crossJoin(F.broadcast(ks))
+        .where(F.col("sr") <= F.col("kk"))
+        .withColumn(
+            "srn",
+            F.row_number().over(
+                Window.partitionBy("kk").orderBy("v", "sk")
+            ),
+        )
+        .withColumn("m", F.count(F.lit(1)).over(Window.partitionBy("kk")))
+    )
+    est = lad.crossJoin(F.broadcast(qs)).where(
+        F.expr("srn = ((m - 1) * q) DIV 100 + 1")
+    ).select("kk", "q", F.col("v").alias("est_v"))
+    err = est.join(F.broadcast(exact), "q").select(
+        "kk",
+        "q",
+        F.round(
+            F.abs(F.col("est_v") - F.col("exact_v")) / F.col("exact_v"), 4
+        ).alias("rel_err"),
+    )
+    return (
+        err.groupBy("kk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_quantiles"),
+            F.max("rel_err").alias("max_rel_err"),
+            F.round(
+                F.sum(F.col("rel_err").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_rel_err"),
+        )
+        .select(F.col("kk").alias("k"), "n_quantiles", "max_rel_err", "mean_rel_err")
+        .orderBy("k")
+    )

@@ -87,6 +87,8 @@ _SAMPLE_WINDOW_R12: tuple[str, ...] = (
     "validate_key_skew",
     "graph_degree_powerlaw",
     "analytics_fdr_bh",
+    "join_asof_tolerance_sweep",
+    "agg_quantile_sketch_sweep",
     # --- union closure (1) ---
     "stream_rollup_replay",
     # --- oldest verdicts: the 19 displaced r01/r02 names ---
@@ -127,8 +129,6 @@ _SAMPLE_WINDOW_R12: tuple[str, ...] = (
     "agg_median_distributed",
     "agg_rollup_parent_share",
     "agg_stats",
-    "agg_percentile",
-    "agg_arg_extremes",
     "sql_subqueries",
 )
 

@@ -254,3 +254,22 @@ def test_key_skew_audit_bounds(spark, sf_dir):
         assert r.max_key_rows * r.n_keys >= r.n_rows  # max >= mean
         assert 0.0 <= r.balance_ratio <= 1.0
         assert r.entropy >= 0.0
+
+
+def test_asof_tolerance_sweep_monotone(spark, sf_dir):
+    """r12: widening the tolerance can only ADD matches (and the added
+    matches are staler, so mean staleness is non-decreasing); the
+    widest bound never exceeds the unbounded as-of's match count."""
+    rows = registry.QUERIES["join_asof_tolerance_sweep"](spark, sf_dir).collect()
+    assert [r.tol_hours for r in rows] == [1, 24, 168, 720]
+    assert len({r.n_purchases for r in rows}) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_matched <= b.n_matched
+        assert a.mean_staleness_min <= b.mean_staleness_min
+    unbounded = (
+        registry.QUERIES["join_asof"](spark, sf_dir)
+        .where("last_signup_ts IS NOT NULL")
+        .count()
+    )
+    assert rows[-1].n_matched <= unbounded
+    assert rows[-1].n_purchases == rows[0].n_purchases

@@ -111,6 +111,8 @@ _NESTED_LOOP_OK = {
     "stream_session_gap_sweep",  # 4-row gap ladder
     "validate_key_skew",  # 1-row top-10-mass attach per leg
     "analytics_fdr_bh",  # 1-row corpus-totals attach; manifest windows
+    "join_asof_tolerance_sweep",  # 4-row tolerance ladder
+    "agg_quantile_sketch_sweep",  # 4-row size ladder on the 512-row sketch
     # r11 wave — every entry is a <=32-row scalar/ladder/manifest
     # attach proven bounded by tools/plan_audit.py (see PLAN_AUDIT_r11):
     "agg_theta_sketch_setops",  # 1-row sketch census + exact census

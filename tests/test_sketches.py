@@ -181,3 +181,24 @@ def test_theta_setops_additive_and_bounded(spark, sf_dir):
     assert abs((r.est_inter + r.est_a_only + r.est_b_only) - r.est_union) < 1e-6
     # sigma/mu ~ 1/sqrt(k-2) ~ 6.3%; allow 5 sigma
     assert abs(r.est_union - r.n_union) <= max(3, 0.32 * r.n_union)
+
+
+def test_quantile_sketch_sweep_consistent(spark, sf_dir):
+    """r12: the k=256 ladder row must reproduce the single-point
+    eval's errors exactly (its sample is the 256-prefix of the same
+    md5 order); mean <= max; every size reports all 5 quantiles."""
+    from canvas_data_2_aws_spark import registry
+
+    registry.load_all()
+    rows = {
+        r.k: r
+        for r in registry.QUERIES["agg_quantile_sketch_sweep"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {64, 128, 256, 512}
+    for r in rows.values():
+        assert r.n_quantiles == 5
+        assert 0.0 <= r.mean_rel_err <= r.max_rel_err
+    single = registry.QUERIES["agg_quantile_sketch"](spark, sf_dir).collect()
+    assert rows[256].max_rel_err == max(r.rel_err for r in single)
