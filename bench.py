@@ -223,6 +223,8 @@ HEADLINE = [
     "analytics_fdr_bh",
     "join_asof_tolerance_sweep",
     "agg_quantile_sketch_sweep",
+    "layout_compaction_target_sweep",
+    "text_gopher_threshold_sweep",
 ]
 
 

@@ -241,3 +241,125 @@ def layout_skipping_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("skip_ratio"),
         )
     )
+
+
+# --- EXT: compaction target-size sweep (r12) ------------------------------------------
+
+# layout_compaction_bins plans at ONE target size; the operational
+# question is the SWEEP — how do bin count, fill ratio, and worst-case
+# files-per-bin move as the target doubles? (Small targets leave many
+# well-filled bins but more rewrite tasks and more residual files;
+# large targets concentrate files per rewrite and strand a
+# half-empty tail bin.) The whole curve derives from the ONE planned
+# manifest (per-file cumulative start offsets): bin assignment under
+# target T is start_off DIV T, so a 4-row broadcast target ladder +
+# one (target, bin) re-group — all manifest-sized, exactly like the
+# base planner. Fill ratios are single divisions over exact integers.
+_COMPACT_SWEEP_TARGETS = [60_000, 120_000, 240_000, 480_000]
+
+_COMPACT_SWEEP_ORACLE = f"""
+WITH files AS (
+  SELECT o_orderkey // 512 AS file_id,
+         COUNT(*) AS n_rows,
+         CAST(SUM(32 + LENGTH(o_orderstatus) + LENGTH(o_orderpriority))
+              AS BIGINT) AS bytes
+  FROM orders GROUP BY file_id
+),
+planned AS (
+  SELECT file_id, n_rows, bytes,
+         CAST(SUM(bytes) OVER (ORDER BY file_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - bytes AS start_off
+  FROM files
+),
+ts AS (SELECT CAST(unnest([{", ".join(map(str, _COMPACT_SWEEP_TARGETS))}])
+              AS BIGINT) AS t),
+bins AS (
+  SELECT ts.t, p.start_off // ts.t AS bin_id,
+         COUNT(*) AS n_files, CAST(SUM(p.bytes) AS BIGINT) AS bin_bytes
+  FROM ts, planned p
+  GROUP BY 1, 2
+)
+SELECT t AS target_bytes,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(SUM(n_files) AS BIGINT) AS n_files,
+       CAST(MAX(n_files) AS BIGINT) AS max_files_per_bin,
+       ROUND(CAST(SUM(bin_bytes) AS DOUBLE) / (COUNT(*) * t), 4)
+         AS mean_fill,
+       ROUND(CAST(SUM(CASE WHEN bin_bytes * 2 < t THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 4) AS underfull_share
+FROM bins
+GROUP BY t
+ORDER BY t
+"""
+
+
+@graded("layout_compaction_target_sweep", oracle=_COMPACT_SWEEP_ORACLE)
+def layout_compaction_target_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Compaction operating curve per target size T in {60k..480k}
+    bytes: bin count, fill ratio, underfull share, and worst-case
+    files-per-bin, all from the one planned file manifest + a 4-row
+    broadcast target ladder (rationale above the oracle)."""
+    o = load_table(spark, sf_dir, "orders")
+    files = o.groupBy(F.expr("o_orderkey DIV 512").alias("file_id")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.lit(32)
+            + F.length("o_orderstatus")
+            + F.length("o_orderpriority")
+        ).alias("bytes"),
+    )
+    w = (
+        Window.partitionBy(R.UNIT_GROUP)  # file manifest: tiny by design
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    planned = R.attach_unit_group(files).withColumn(
+        "start_off", F.sum("bytes").over(w) - F.col("bytes")
+    )
+    ts = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[F.lit(t).cast("bigint") for t in _COMPACT_SWEEP_TARGETS]
+            )
+        ).alias("t")
+    )
+    bins = (
+        planned.crossJoin(F.broadcast(ts))  # 4-row target ladder
+        .groupBy("t", F.expr("start_off DIV t").alias("bin_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").cast("bigint").alias("bin_bytes"),
+        )
+    )
+    return (
+        bins.groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            F.sum("n_files").cast("bigint").alias("n_files"),
+            F.max("n_files").cast("bigint").alias("max_files_per_bin"),
+            F.round(
+                F.sum("bin_bytes").cast("double")
+                / (F.count(F.lit(1)) * F.col("t")),
+                4,
+            ).alias("mean_fill"),
+            F.round(
+                F.sum(
+                    F.when(F.col("bin_bytes") * 2 < F.col("t"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("underfull_share"),
+        )
+        .select(
+            F.col("t").alias("target_bytes"),
+            "n_bins",
+            "n_files",
+            "max_files_per_bin",
+            "mean_fill",
+            "underfull_share",
+        )
+        .orderBy("target_bytes")
+    )

@@ -1804,3 +1804,126 @@ def search_bm25_param_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k1", "b")
     )
+
+
+# --- EXT: quality-gate threshold sweep (lexical-diversity floor, r12) ----------------
+
+# text_gopher_rules applies the rule ensemble at ONE operating point;
+# the tuning question for the most-contested rule — the
+# lexical-diversity floor (uniq_ratio >= u) — is the CURVE: how much
+# corpus does each tightening cost, holding the other four rules
+# fixed? Each document's (uniq_ratio, other-rules verdict, token
+# count) is computed ONCE in the same single-scan projection as the
+# base gate; the sweep is a 4-row broadcast floor ladder + one
+# grouped count — no per-threshold re-scan. Kept masses are exact
+# integers; shares are single divisions.
+_GOPHER_SWEEP_FLOORS = ["0.3", "0.4", "0.5", "0.6"]
+
+_GOPHER_SWEEP_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / LEN(string_split(text, ' ')) AS uniq_ratio,
+         (LEN(string_split(text, ' ')) BETWEEN 16 AND 80)
+           AND (CAST(n_chars AS DOUBLE) / LEN(string_split(text, ' '))
+                BETWEEN 5.0 AND 6.0)
+           AND (CAST(LENGTH(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                     AS DOUBLE) / n_chars < 0.1)
+           AND (LEN(list_intersect(list_distinct(string_split(text, ' ')),
+                {{stop}})) >= 2) AS others_pass
+  FROM documents
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total
+  FROM base
+),
+floors AS (
+  SELECT CAST(unnest([{", ".join(_GOPHER_SWEEP_FLOORS)}]) AS DOUBLE)
+    AS uniq_floor
+)
+SELECT f.uniq_floor,
+       CAST(SUM(CASE WHEN b.others_pass AND b.uniq_ratio >= f.uniq_floor
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(CAST(SUM(CASE WHEN b.others_pass
+                            AND b.uniq_ratio >= f.uniq_floor
+                           THEN 1 ELSE 0 END) AS DOUBLE) / t.n_docs, 4)
+         AS kept_doc_share,
+       CAST(SUM(CASE WHEN b.others_pass AND b.uniq_ratio >= f.uniq_floor
+                     THEN b.n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+       ROUND(CAST(SUM(CASE WHEN b.others_pass
+                            AND b.uniq_ratio >= f.uniq_floor
+                           THEN b.n_tokens ELSE 0 END) AS DOUBLE)
+             / t.n_tokens_total, 4) AS kept_token_share
+FROM floors f, base b, tot t
+GROUP BY f.uniq_floor, t.n_docs, t.n_tokens_total
+ORDER BY f.uniq_floor
+""".format(stop="{stop}").replace("{stop}", _STOP_SQL)
+
+
+@graded("text_gopher_threshold_sweep", oracle=_GOPHER_SWEEP_ORACLE)
+def text_gopher_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kept doc/token mass per lexical-diversity floor u in
+    {0.3..0.6}, other Gopher rules held fixed — one scan + a 4-row
+    broadcast ladder (rationale above the oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = T.tokens()
+    n_tok = F.size(w).cast("bigint")
+    avg_len = F.col("n_chars").cast("double") / F.size(w)
+    uniq = F.size(F.array_distinct(w)).cast("double") / F.size(w)
+    sym = (
+        F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).cast("double")
+        / F.col("n_chars")
+    )
+    others = (
+        (F.size(w) >= 16)
+        & (F.size(w) <= 80)
+        & (avg_len >= 5.0)
+        & (avg_len <= 6.0)
+        & (sym < 0.1)
+        & (T.stopword_hits() >= 2)
+    )
+    base = docs.select(
+        n_tok.alias("n_tokens"),
+        uniq.alias("uniq_ratio"),
+        others.alias("others_pass"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens_total"),
+    )
+    floors = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(float(u)) for u in _GOPHER_SWEEP_FLOORS])
+        ).alias("uniq_floor")
+    )
+    kept = F.when(
+        F.col("others_pass") & (F.col("uniq_ratio") >= F.col("uniq_floor")), 1
+    ).otherwise(0)
+    kept_tok = F.when(
+        F.col("others_pass") & (F.col("uniq_ratio") >= F.col("uniq_floor")),
+        F.col("n_tokens"),
+    ).otherwise(0)
+    return (
+        base.crossJoin(F.broadcast(floors))  # 4-row floor ladder
+        .groupBy("uniq_floor")
+        .agg(
+            F.sum(kept).cast("bigint").alias("n_kept"),
+            F.sum(kept_tok).cast("bigint").alias("kept_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))  # 1-row totals attach
+        .select(
+            "uniq_floor",
+            "n_kept",
+            F.round(
+                F.col("n_kept").cast("double") / F.col("n_docs"), 4
+            ).alias("kept_doc_share"),
+            "kept_tokens",
+            F.round(
+                F.col("kept_tokens").cast("double") / F.col("n_tokens_total"),
+                4,
+            ).alias("kept_token_share"),
+        )
+        .orderBy("uniq_floor")
+    )

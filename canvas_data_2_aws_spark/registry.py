@@ -89,6 +89,8 @@ _SAMPLE_WINDOW_R12: tuple[str, ...] = (
     "analytics_fdr_bh",
     "join_asof_tolerance_sweep",
     "agg_quantile_sketch_sweep",
+    "layout_compaction_target_sweep",
+    "text_gopher_threshold_sweep",
     # --- union closure (1) ---
     "stream_rollup_replay",
     # --- oldest verdicts: the 19 displaced r01/r02 names ---
@@ -128,8 +130,6 @@ _SAMPLE_WINDOW_R12: tuple[str, ...] = (
     "agg_weighted_percentile",
     "agg_median_distributed",
     "agg_rollup_parent_share",
-    "agg_stats",
-    "sql_subqueries",
 )
 
 # Round-11 window (historical — superseded by _SAMPLE_WINDOW_R12).

@@ -486,3 +486,23 @@ def test_bm25_param_grid_contract(spark, sf_dir):
         assert 0.0 <= r.mean_ndcg <= 1.0
     assert rows[(1.2, 0.0)].mean_ndcg == 1.0
     assert rows[(1.2, 0.75)].mean_ndcg <= rows[(0.9, 0.4)].mean_ndcg
+
+
+def test_gopher_threshold_sweep_consistent(spark, sf_dir):
+    """r12: tightening the diversity floor can only drop docs (kept
+    masses monotone non-increasing), and the u=0.5 row equals the base
+    gate's keep count (same rules at the production point)."""
+    from canvas_data_2_aws_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["text_gopher_threshold_sweep"](
+        spark, sf_dir
+    ).collect()
+    assert [r.uniq_floor for r in rows] == [0.3, 0.4, 0.5, 0.6]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_kept >= b.n_kept
+        assert a.kept_tokens >= b.kept_tokens
+    base = registry.QUERIES["text_gopher_rules"](spark, sf_dir).collect()
+    kept = sum(1 for r in base if r.keep)
+    u50 = next(r for r in rows if r.uniq_floor == 0.5)
+    assert u50.n_kept == kept

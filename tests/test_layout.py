@@ -100,3 +100,27 @@ def test_compaction_bins_contiguous_and_sized(spark, sf_dir):
     for r in rows[:-1]:
         assert r.bin_bytes + _COMPACT_TARGET > _COMPACT_TARGET  # sanity
         assert r.n_files >= 1
+
+
+def test_compaction_target_sweep_consistent(spark, sf_dir):
+    """r12: file mass is conserved at every target, bin counts shrink
+    as the target grows, worst-case files-per-bin grows, and the
+    T=120k row agrees with the single-target planner."""
+    from canvas_data_2_aws_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["layout_compaction_target_sweep"](
+        spark, sf_dir
+    ).collect()
+    assert [r.target_bytes for r in rows] == [60000, 120000, 240000, 480000]
+    assert len({r.n_files for r in rows}) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_bins >= b.n_bins
+        assert a.max_files_per_bin <= b.max_files_per_bin
+    for r in rows:
+        assert 0.0 < r.mean_fill <= 1.5  # start-offset bins may overflow
+        assert 0.0 <= r.underfull_share <= 1.0
+    base = registry.QUERIES["layout_compaction_bins"](spark, sf_dir).collect()
+    t120 = next(r for r in rows if r.target_bytes == 120000)
+    assert t120.n_bins == len(base)
+    assert t120.n_files == sum(r.n_files for r in base)

@@ -113,6 +113,8 @@ _NESTED_LOOP_OK = {
     "analytics_fdr_bh",  # 1-row corpus-totals attach; manifest windows
     "join_asof_tolerance_sweep",  # 4-row tolerance ladder
     "agg_quantile_sketch_sweep",  # 4-row size ladder on the 512-row sketch
+    "layout_compaction_target_sweep",  # 4-row target ladder on the manifest
+    "text_gopher_threshold_sweep",  # 4-row floor ladder + 1-row totals
     # r11 wave — every entry is a <=32-row scalar/ladder/manifest
     # attach proven bounded by tools/plan_audit.py (see PLAN_AUDIT_r11):
     "agg_theta_sketch_setops",  # 1-row sketch census + exact census
