@@ -11,7 +11,6 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
-import time
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
@@ -172,34 +171,13 @@ def _few_state_partitions(spark: SparkSession, n: int = 8):
 
 
 def _replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 3) -> str:
-    """Split events into n time-ordered parquet files for replay.
+    """Split events into n time-ordered parquet files for replay —
+    the shared range-split + mtime-stamp recipe (streaming/replay.py);
+    replay order = time order, so watermarks never drop early slices."""
+    from ..streaming.replay import split_ordered
 
-    Fully distributed: one range exchange on ``ts`` gives each output
-    file a contiguous time slice (part-00000 = earliest), written
-    straight from the executors — no driver-side collect, so the same
-    replay synthesis works at any event volume.
-    """
     ev = load_table(spark, sf_dir, "events")
-    path = tempfile.mkdtemp(prefix="cda2_stream_")
-    (
-        ev.repartitionByRange(n_files, "ts")
-        .sortWithinPartitions("ts")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
-    # FileStreamSource orders micro-batches by modification time, but
-    # the parallel write finishes tasks in arbitrary order — stamp
-    # ascending mtimes matching the range-partition (= time) order so
-    # replay is chronological and watermarks never drop early slices.
-    # Metadata-only touch; the data never visits the driver.
-    files = sorted(
-        f for f in os.listdir(path)
-        if f.startswith("part-") and f.endswith(".parquet")
-    )
-    base_t = time.time() - len(files)
-    for i, f in enumerate(files):
-        os.utime(os.path.join(path, f), (base_t + i, base_t + i))
-    return path
+    return split_ordered(ev, "ts", n_files, prefix="cda2_stream_")
 
 
 @graded("stream_watermark_smoke", oracle=None)
@@ -1477,25 +1455,13 @@ WHERE a.rn <= {SIMHASH_GROUP_CAP}
 
 def _docs_replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 3) -> str:
     """Split documents into n ascending-doc_id parquet files for
-    replay (same range + mtime-stamp recipe as ``_replay_dir``; the
-    capped pairing's oracle equality needs batches in ascending id
+    replay (the shared range + mtime-stamp recipe, streaming/replay.py;
+    the capped pairing's oracle equality needs batches in ascending id
     order so first-arrival admission equals smallest-id admission)."""
+    from ..streaming.replay import split_ordered
+
     docs = load_table(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="cda2_shdocs_")
-    (
-        docs.repartitionByRange(n_files, "doc_id")
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
-    files = sorted(
-        f for f in os.listdir(path)
-        if f.startswith("part-") and f.endswith(".parquet")
-    )
-    base_t = time.time() - len(files)
-    for i, f in enumerate(files):
-        os.utime(os.path.join(path, f), (base_t + i, base_t + i))
-    return path
+    return split_ordered(docs, "doc_id", n_files, prefix="cda2_shdocs_")
 
 
 @graded("stream_simhash_pairs_capped", oracle=_stream_pairs_capped_oracle())

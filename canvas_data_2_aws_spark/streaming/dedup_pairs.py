@@ -39,6 +39,7 @@ so that path is graded as a full hash-match at every SF.
 from __future__ import annotations
 
 import os
+from functools import partial
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,6 +50,7 @@ from ..operators import text as T
 # one source of truth so the equivalence contract can't drift
 # (queries/shared_sql.py is non-registering, safe to import here).
 from ..queries.shared_sql import SIMHASH_HAM_MAX
+from .replay import file_stream, read_prior_state, run_replay, write_state_batch
 
 
 def _band_rows(sh: DataFrame) -> DataFrame:
@@ -77,6 +79,51 @@ def _verified_pairs(cand: DataFrame) -> DataFrame:
     )
 
 
+def process_pairs_batch(
+    batch_df: DataFrame, batch_id: int, index_dir: str, pairs_dir: str
+) -> None:
+    """One micro-batch of uncapped band-index pairing (module-level so
+    tests can re-invoke it to simulate a foreachBatch RETRY).
+
+    The index read is filtered to PRIOR batches (streaming/replay.py
+    retry contract): a retry that joined against its failed attempt's
+    own index partition would pair every batch doc with itself —
+    hamming 0 passes the exact gate, so doc_a == doc_b self-pairs
+    would survive the read-side distinct (the ADVICE r12 finding).
+    """
+    sess = batch_df.sparkSession
+    # Hash once per batch; the micro-batch is the natural cache
+    # unit (the batch analog memoizes per session instead).
+    bands = _band_rows(T.simhash64(batch_df)).localCheckpoint(eager=True)
+    new_x = bands.select(
+        "b", "bv", F.col("doc_id").alias("dx"), F.col("simhash").alias("sim_x")
+    )
+    new_y = bands.select(
+        "b", "bv", F.col("doc_id").alias("dy"), F.col("simhash").alias("sim_y")
+    )
+    # new-vs-new: strict < so each in-batch pair appears once.
+    legs = [new_x.join(new_y, ["b", "bv"]).where(F.col("dx") < F.col("dy"))]
+    prior = read_prior_state(sess, index_dir, batch_id)
+    if prior is not None:
+        seen = prior.select(
+            "b",
+            "bv",
+            F.col("doc_id").alias("dy"),
+            F.col("simhash").alias("sim_y"),
+        )
+        # new-vs-seen: every cross-batch pair meets exactly here,
+        # in the later member's batch.
+        legs.append(new_x.join(seen, ["b", "bv"]))
+    cand = legs[0] if len(legs) == 1 else legs[0].unionByName(legs[1])
+    # Both writes overwrite their batch_id-keyed subdirectory
+    # (partition discovery adds a `batch` column; all readers select
+    # explicit columns) — a retry replaces instead of re-appending.
+    write_state_batch(_verified_pairs(cand), pairs_dir, batch_id)
+    write_state_batch(
+        bands.select("doc_id", "simhash", "b", "bv"), index_dir, batch_id
+    )
+
+
 def simhash_pairs_replay(
     spark: SparkSession, docs_dir: str, work_dir: str
 ) -> DataFrame:
@@ -88,61 +135,16 @@ def simhash_pairs_replay(
     streaming checkpoint — all executor-written parquet; nothing
     corpus-sized visits the driver.
     """
-    schema = spark.read.parquet(docs_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(docs_dir)
-    )
     index_dir = os.path.join(work_dir, "band_index")
     pairs_dir = os.path.join(work_dir, "pairs")
-    ckpt_dir = os.path.join(work_dir, "ckpt")
-
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        sess = batch_df.sparkSession
-        # Hash once per batch; the micro-batch is the natural cache
-        # unit (the batch analog memoizes per session instead).
-        bands = _band_rows(T.simhash64(batch_df)).localCheckpoint(eager=True)
-        new_x = bands.select(
-            "b", "bv", F.col("doc_id").alias("dx"), F.col("simhash").alias("sim_x")
-        )
-        new_y = bands.select(
-            "b", "bv", F.col("doc_id").alias("dy"), F.col("simhash").alias("sim_y")
-        )
-        # new-vs-new: strict < so each in-batch pair appears once.
-        legs = [new_x.join(new_y, ["b", "bv"]).where(F.col("dx") < F.col("dy"))]
-        if os.path.isdir(index_dir):
-            seen = sess.read.parquet(index_dir).select(
-                "b",
-                "bv",
-                F.col("doc_id").alias("dy"),
-                F.col("simhash").alias("sim_y"),
-            )
-            # new-vs-seen: every cross-batch pair meets exactly here,
-            # in the later member's batch.
-            legs.append(new_x.join(seen, ["b", "bv"]))
-        cand = legs[0] if len(legs) == 1 else legs[0].unionByName(legs[1])
-        # Pairs append tolerates a foreachBatch retry (duplicates are
-        # removed by the .distinct() at read); the INDEX write must be
-        # idempotent per batch — a re-append would double-count rows —
-        # so each batch overwrites its own batch_id-keyed subdirectory
-        # (partition-discovery adds a `batch` column; all readers
-        # select explicit columns).
-        _verified_pairs(cand).write.mode("append").parquet(pairs_dir)
-        bands.select("doc_id", "simhash", "b", "bv").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(index_dir, f"batch={batch_id}"))
-
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
+    run_replay(
+        file_stream(spark, docs_dir),
+        os.path.join(work_dir, "ckpt"),
+        partial(process_pairs_batch, index_dir=index_dir, pairs_dir=pairs_dir),
     )
-    q.awaitTermination()
-    # distinct: idempotence guard for a re-run against the same
-    # work_dir (each pair is emitted once in a clean replay).
-    return spark.read.parquet(pairs_dir).distinct()
+    # distinct: each pair is emitted once in a clean replay; the guard
+    # keeps a re-run against the same work_dir idempotent.
+    return spark.read.parquet(pairs_dir).select("doc_a", "doc_b").distinct()
 
 
 def simhash_pairs_replay_capped(
@@ -181,76 +183,85 @@ def simhash_pairs_replay_capped(
     Per-batch boundedness invariant (pinned in tests): the persisted
     band index never holds more than ``group_cap`` rows per (b, bv).
     """
-    from pyspark.sql import Window
-
-    schema = spark.read.parquet(docs_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(docs_dir)
-    )
     index_dir = os.path.join(work_dir, "band_index")
     pairs_dir = os.path.join(work_dir, "pairs")
-    ckpt_dir = os.path.join(work_dir, "ckpt")
+    run_replay(
+        file_stream(spark, docs_dir),
+        os.path.join(work_dir, "ckpt"),
+        partial(
+            process_pairs_batch_capped,
+            index_dir=index_dir,
+            pairs_dir=pairs_dir,
+            group_cap=group_cap,
+        ),
+    )
+    return spark.read.parquet(pairs_dir).select("doc_a", "doc_b").distinct()
 
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        sess = batch_df.sparkSession
-        bands = _band_rows(T.simhash64(batch_df)).localCheckpoint(eager=True)
-        # Admission: existing index population per band key (bounded:
-        # <= group_cap per key by this very invariant) + in-batch rank.
-        rn = F.row_number().over(
-            Window.partitionBy("b", "bv").orderBy("doc_id")
-        )
-        ranked = bands.withColumn("rn", rn)
-        seen = None
-        if os.path.isdir(index_dir):
-            seen = sess.read.parquet(index_dir)
-            seen_n = seen.groupBy("b", "bv").agg(
-                F.count("*").alias("n_seen")
-            )
-            ranked = ranked.join(seen_n, ["b", "bv"], "left").withColumn(
-                "n_seen", F.coalesce("n_seen", F.lit(0))
-            )
-        else:
-            ranked = ranked.withColumn("n_seen", F.lit(0))
-        admitted = ranked.where(
-            F.col("n_seen") + F.col("rn") <= group_cap
-        ).select("doc_id", "simhash", "b", "bv")
 
-        new_all = bands.select(
-            "b", "bv", F.col("doc_id").alias("dx"),
-            F.col("simhash").alias("sim_x"),
+def process_pairs_batch_capped(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    pairs_dir: str,
+    group_cap: int,
+) -> None:
+    """One micro-batch of cap-admitted band-index pairing (module-level
+    so tests can re-invoke it to simulate a foreachBatch RETRY).
+
+    The index reads are filtered to PRIOR batches (streaming/replay.py
+    retry contract): a retry that counted its failed attempt's own
+    index partition would inflate every n_seen admission count by the
+    batch's own rows, wrongly truncate the admitted set, and then
+    REPLACE its partition with that truncated set — silently shrinking
+    the index below the rank-truncated derivation (the ADVICE r12
+    finding, pinned by a re-invoke test).
+    """
+    from pyspark.sql import Window
+
+    sess = batch_df.sparkSession
+    bands = _band_rows(T.simhash64(batch_df)).localCheckpoint(eager=True)
+    # Admission: existing index population per band key (bounded:
+    # <= group_cap per key by this very invariant) + in-batch rank.
+    rn = F.row_number().over(
+        Window.partitionBy("b", "bv").orderBy("doc_id")
+    )
+    ranked = bands.withColumn("rn", rn)
+    seen = read_prior_state(sess, index_dir, batch_id)
+    if seen is not None:
+        seen = seen.select("doc_id", "simhash", "b", "bv")
+        seen_n = seen.groupBy("b", "bv").agg(
+            F.count("*").alias("n_seen")
         )
-        adm_y = admitted.select(
+        ranked = ranked.join(seen_n, ["b", "bv"], "left").withColumn(
+            "n_seen", F.coalesce("n_seen", F.lit(0))
+        )
+    else:
+        ranked = ranked.withColumn("n_seen", F.lit(0))
+    admitted = ranked.where(
+        F.col("n_seen") + F.col("rn") <= group_cap
+    ).select("doc_id", "simhash", "b", "bv")
+
+    new_all = bands.select(
+        "b", "bv", F.col("doc_id").alias("dx"),
+        F.col("simhash").alias("sim_x"),
+    )
+    adm_y = admitted.select(
+        "b", "bv", F.col("doc_id").alias("dy"),
+        F.col("simhash").alias("sim_y"),
+    )
+    # in-batch: every batch row probes the ADMITTED batch rows —
+    # fan-out <= group_cap per band key by construction.
+    legs = [new_all.join(adm_y, ["b", "bv"]).where(F.col("dx") != F.col("dy"))]
+    if seen is not None:
+        seen_y = seen.select(
             "b", "bv", F.col("doc_id").alias("dy"),
             F.col("simhash").alias("sim_y"),
         )
-        # in-batch: every batch row probes the ADMITTED batch rows —
-        # fan-out <= group_cap per band key by construction.
-        legs = [new_all.join(adm_y, ["b", "bv"]).where(F.col("dx") != F.col("dy"))]
-        if seen is not None:
-            seen_y = seen.select(
-                "b", "bv", F.col("doc_id").alias("dy"),
-                F.col("simhash").alias("sim_y"),
-            )
-            legs.append(new_all.join(seen_y, ["b", "bv"]))
-        cand = legs[0] if len(legs) == 1 else legs[0].unionByName(legs[1])
-        _verified_pairs(cand).write.mode("append").parquet(pairs_dir)
-        # Idempotent per-batch index write (ADVICE r11): the admission
-        # counts (n_seen) and the <= group_cap index invariant assume
-        # each batch's rows land exactly once; a foreachBatch retry
-        # with a plain append would inflate n_seen and break the cap.
-        # Overwriting a batch_id-keyed subdirectory makes the retry
-        # replace instead of re-append.
-        admitted.write.mode("overwrite").parquet(
-            os.path.join(index_dir, f"batch={batch_id}")
-        )
-
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.read.parquet(pairs_dir).distinct()
+        legs.append(new_all.join(seen_y, ["b", "bv"]))
+    cand = legs[0] if len(legs) == 1 else legs[0].unionByName(legs[1])
+    # Idempotent per-batch writes (ADVICE r11 + r12): the admission
+    # counts (n_seen) and the <= group_cap index invariant assume each
+    # batch's rows land exactly once; batch_id-keyed overwrite makes a
+    # retry replace instead of re-append.
+    write_state_batch(_verified_pairs(cand), pairs_dir, batch_id)
+    write_state_batch(admitted, index_dir, batch_id)

@@ -21,21 +21,63 @@ partials.
 
 Per-batch cost: one shingle explode over the batch, one batch-local
 MIN, one gram-keyed anti-join against the index (equi-join, fan-out 1
-per gram), two bounded writes. Both writes are idempotent per batch
-(overwrite of a batch_id-keyed subdirectory — the dedup_pairs r12
-retry contract), which matters here twice over: a re-appended index
-batch would not corrupt novelty (anti-join ignores duplicates) but
-would double partial rows, and partials feed exact counts.
+per gram), two bounded writes. The full retry contract lives in
+streaming/replay.py: both writes overwrite their batch_id-keyed
+subdirectory, and the index read is filtered to PRIOR batches — a
+retry that could see its failed attempt's own index partition would
+find every batch gram already "seen", write n_novel = 0 partials, and
+overwrite its index partition empty, re-crediting those grams to later
+batches (the ADVICE r12 finding, pinned by a re-invoke test).
 """
 
 from __future__ import annotations
 
 import os
+from functools import partial
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import text as T
+from .replay import file_stream, read_prior_state, run_replay, write_state_batch
+
+
+def process_novelty_batch(
+    batch_df: DataFrame, batch_id: int, parts_dir: str, index_dir: str
+) -> None:
+    """One micro-batch of first-seen gram accounting (module-level so
+    tests can re-invoke it to simulate a foreachBatch RETRY)."""
+    sess = batch_df.sparkSession
+    g = batch_df.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.ngrams("text", 3))).alias("gram"),
+    ).localCheckpoint(eager=True)  # consumed 2x: first-occ + per-doc
+    first_in_batch = g.groupBy("gram").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    seen = read_prior_state(sess, index_dir, batch_id)
+    if seen is not None:
+        novel = first_in_batch.join(seen.select("gram"), "gram", "left_anti")
+    else:
+        novel = first_in_batch
+    # consumed 2x below (per-doc credit + index append) — without
+    # the checkpoint the anti-join would re-run per consumer.
+    novel = novel.localCheckpoint(eager=True)
+    nov = novel.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_novel")
+    )
+    per = (
+        g.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"))
+        .join(nov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+        )
+    )
+    write_state_batch(per, parts_dir, batch_id)
+    write_state_batch(novel.select("gram"), index_dir, batch_id)
 
 
 def novelty_replay(
@@ -49,60 +91,11 @@ def novelty_replay(
     row — the same shape as the batch derivation, whose per-doc frame
     comes from grouping the exploded gram stream.
     """
-    schema = spark.read.parquet(docs_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(docs_dir)
-    )
     parts_dir = os.path.join(work_dir, "partials")
     index_dir = os.path.join(work_dir, "gram_index")
-    ckpt_dir = os.path.join(work_dir, "ckpt")
-
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        sess = batch_df.sparkSession
-        g = batch_df.select(
-            "doc_id",
-            F.explode(F.array_distinct(T.ngrams("text", 3))).alias("gram"),
-        ).localCheckpoint(eager=True)  # consumed 2x: first-occ + per-doc
-        first_in_batch = g.groupBy("gram").agg(
-            F.min("doc_id").alias("first_doc")
-        )
-        if os.path.isdir(index_dir):
-            seen = sess.read.parquet(index_dir).select("gram")
-            novel = first_in_batch.join(seen, "gram", "left_anti")
-        else:
-            novel = first_in_batch
-        # consumed 2x below (per-doc credit + index append) — without
-        # the checkpoint the anti-join would re-run per consumer.
-        novel = novel.localCheckpoint(eager=True)
-        nov = novel.groupBy(F.col("first_doc").alias("doc_id")).agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_novel")
-        )
-        per = (
-            g.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"))
-            .join(nov, "doc_id", "left")
-            .select(
-                "doc_id",
-                "n_grams",
-                F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
-            )
-        )
-        # Idempotent per-batch writes (batch_id-keyed overwrite): a
-        # foreachBatch retry replaces instead of re-appending.
-        per.write.mode("overwrite").parquet(
-            os.path.join(parts_dir, f"batch={batch_id}")
-        )
-        novel.select("gram").write.mode("overwrite").parquet(
-            os.path.join(index_dir, f"batch={batch_id}")
-        )
-
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
+    run_replay(
+        file_stream(spark, docs_dir),
+        os.path.join(work_dir, "ckpt"),
+        partial(process_novelty_batch, parts_dir=parts_dir, index_dir=index_dir),
     )
-    q.awaitTermination()
     return spark.read.parquet(parts_dir).select("doc_id", "n_grams", "n_novel")

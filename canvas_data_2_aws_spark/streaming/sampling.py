@@ -22,44 +22,41 @@ split yields the same sample).
 from __future__ import annotations
 
 import os
+from functools import partial
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.sampling import priority_keys
+from .replay import file_stream, run_replay, write_state_batch
+
+
+def process_sample_batch(
+    batch_df: DataFrame, batch_id: int, cand_dir: str, k: int
+) -> None:
+    """One micro-batch of A-ES top-k candidates (module-level so tests
+    can re-invoke it to simulate a foreachBatch RETRY). No accumulated
+    state is read — the sampler is stateless per batch — so the
+    batch_id-keyed overwrite alone makes a retry a no-op."""
+    write_state_batch(
+        priority_keys(batch_df)
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(k),
+        cand_dir,
+        batch_id,
+    )
 
 
 def priority_sample_replay(
     spark: SparkSession, docs_dir: str, work_dir: str, k: int
 ) -> DataFrame:
-    """Replay ``docs_dir`` (one micro-batch per file), appending each
+    """Replay ``docs_dir`` (one micro-batch per file), writing each
     batch's k largest A-ES keys; return the merged top-k candidate
     store (callers rank it — the store holds <= k rows per batch)."""
-    schema = spark.read.parquet(docs_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(docs_dir)
-    )
     cand_dir = os.path.join(work_dir, "candidates")
-    ckpt_dir = os.path.join(work_dir, "ckpt")
-
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            priority_keys(batch_df)
-            .orderBy(F.col("es_key").desc(), "doc_id")
-            .limit(k)
-            # idempotent per-batch write (batch_id-keyed overwrite):
-            # a foreachBatch retry replaces instead of re-appending
-            .write.mode("overwrite")
-            .parquet(os.path.join(cand_dir, f"batch={batch_id}"))
-        )
-
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
+    run_replay(
+        file_stream(spark, docs_dir),
+        os.path.join(work_dir, "ckpt"),
+        partial(process_sample_batch, cand_dir=cand_dir, k=k),
     )
-    q.awaitTermination()
     return spark.read.parquet(cand_dir).select("doc_id", "weight", "es_key")

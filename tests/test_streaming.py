@@ -1051,3 +1051,210 @@ def test_session_gap_sweep_consistent_with_sessionizer(spark, sf_dir):
     n30 = next(r for r in rows if r.gap_min == 30)
     assert n30.n_sessions == sum(r.n_sessions for r in base)
     assert n30.n_events == sum(r.n_events for r in base)
+
+
+# --- r13 (ADVICE r12): foreachBatch RETRY re-invokes process() -------------------
+
+# The r12 tests only simulated rewriting a finished batch's OUTPUT;
+# the ADVICE r12 medium finding is about re-executing process() itself
+# while the failed attempt's state partition is already on disk. Each
+# test below replays the corpus once, then re-invokes the module-level
+# process function for a mid-stream batch — exactly the state a
+# Structured Streaming retry sees — and asserts every store is
+# byte-equivalent. Before the read_prior_state fix (streaming/
+# replay.py), the novelty retry wrote n_novel = 0 partials and an
+# empty index partition, the uncapped pair retry emitted doc_a ==
+# doc_b self-pairs, and the capped retry truncated its own index
+# partition.
+
+
+def _replay_batch_file(docs_dir: str, i: int) -> str:
+    """Path of micro-batch ``i``'s file in a split_ordered dir (the
+    range writer names files in range order and the mtime stamp makes
+    FileStreamSource consume them in that same order)."""
+    import os
+
+    files = sorted(
+        f for f in os.listdir(docs_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    return os.path.join(docs_dir, files[i])
+
+
+def test_novelty_retry_reinvokes_process_idempotent(spark, sf_dir, tmp_path):
+    """Re-invoking process_novelty_batch for an already-written batch
+    must leave the partials AND the gram index unchanged — in
+    particular the batch's own index partition must stay the batch's
+    novel grams, not be overwritten empty."""
+    import shutil
+
+    from canvas_data_2_aws_spark.session import load_table
+    from canvas_data_2_aws_spark.streaming.novelty import (
+        novelty_replay,
+        process_novelty_batch,
+    )
+    from canvas_data_2_aws_spark.streaming.replay import split_ordered
+
+    docs_dir = split_ordered(
+        load_table(spark, sf_dir, "documents"), "doc_id", 3
+    )
+    try:
+        work = str(tmp_path / "work")
+        first = _as_set(
+            novelty_replay(spark, docs_dir, work).collect(),
+            ("doc_id", "n_grams", "n_novel"),
+        )
+        idx_before = spark.read.parquet(f"{work}/gram_index")
+        n_idx = idx_before.count()
+        n_idx_b1 = idx_before.where(F.col("batch") == 1).count()
+        assert n_idx_b1 > 0, "vacuous: batch 1 contributed no novel grams"
+
+        batch1 = spark.read.parquet(_replay_batch_file(docs_dir, 1))
+        process_novelty_batch(
+            batch1, 1, f"{work}/partials", f"{work}/gram_index"
+        )
+
+        after = _as_set(
+            spark.read.parquet(f"{work}/partials")
+            .select("doc_id", "n_grams", "n_novel")
+            .collect(),
+            ("doc_id", "n_grams", "n_novel"),
+        )
+        assert after == first
+        idx_after = spark.read.parquet(f"{work}/gram_index")
+        assert idx_after.count() == n_idx
+        assert idx_after.where(F.col("batch") == 1).count() == n_idx_b1
+    finally:
+        shutil.rmtree(docs_dir, ignore_errors=True)
+
+
+def test_uncapped_pairs_retry_no_self_pairs(spark, sf_dir, tmp_path):
+    """Re-invoking process_pairs_batch for an already-written batch
+    must leave the pair set unchanged — and never emit doc_a == doc_b
+    self-pairs (hamming 0 always passes the exact gate, so joining a
+    batch against its own failed-attempt index rows would)."""
+    import shutil
+
+    from canvas_data_2_aws_spark.session import load_table
+    from canvas_data_2_aws_spark.streaming.dedup_pairs import (
+        process_pairs_batch,
+        simhash_pairs_replay,
+    )
+    from canvas_data_2_aws_spark.streaming.replay import split_ordered
+
+    docs_dir = split_ordered(
+        load_table(spark, sf_dir, "documents"), "doc_id", 3
+    )
+    try:
+        work = str(tmp_path / "work")
+        first = _as_set(
+            simhash_pairs_replay(spark, docs_dir, work).collect(),
+            ("doc_a", "doc_b"),
+        )
+        assert first, "vacuous: no pairs emitted"
+
+        batch1 = spark.read.parquet(_replay_batch_file(docs_dir, 1))
+        process_pairs_batch(batch1, 1, f"{work}/band_index", f"{work}/pairs")
+
+        pairs = spark.read.parquet(f"{work}/pairs")
+        assert pairs.where(F.col("doc_a") == F.col("doc_b")).count() == 0
+        after = _as_set(
+            pairs.select("doc_a", "doc_b").distinct().collect(),
+            ("doc_a", "doc_b"),
+        )
+        assert after == first
+    finally:
+        shutil.rmtree(docs_dir, ignore_errors=True)
+
+
+def test_capped_pairs_retry_preserves_admission(spark, sf_dir, tmp_path):
+    """Re-invoking process_pairs_batch_capped for an already-written
+    batch must leave the index (admission state) and the pair set
+    unchanged — counting the batch's own failed-attempt rows into
+    n_seen would wrongly truncate the admitted set and shrink the
+    index below the rank-truncated derivation."""
+    import shutil
+
+    from canvas_data_2_aws_spark.session import load_table
+    from canvas_data_2_aws_spark.streaming.dedup_pairs import (
+        process_pairs_batch_capped,
+        simhash_pairs_replay_capped,
+    )
+    from canvas_data_2_aws_spark.streaming.replay import split_ordered
+
+    cap = 2  # tiny cap: exercises the capped regime on the fixture
+    docs_dir = split_ordered(
+        load_table(spark, sf_dir, "documents"), "doc_id", 3
+    )
+    try:
+        work = str(tmp_path / "work")
+        first = _as_set(
+            simhash_pairs_replay_capped(spark, docs_dir, work, cap).collect(),
+            ("doc_a", "doc_b"),
+        )
+        idx_before = _as_set(
+            spark.read.parquet(f"{work}/band_index")
+            .select("doc_id", "b", "bv", "batch")
+            .collect(),
+            ("doc_id", "b", "bv", "batch"),
+        )
+        assert any(b == 1 for *_, b in idx_before), "vacuous: empty batch 1"
+
+        batch1 = spark.read.parquet(_replay_batch_file(docs_dir, 1))
+        process_pairs_batch_capped(
+            batch1, 1, f"{work}/band_index", f"{work}/pairs", cap
+        )
+
+        idx_after = _as_set(
+            spark.read.parquet(f"{work}/band_index")
+            .select("doc_id", "b", "bv", "batch")
+            .collect(),
+            ("doc_id", "b", "bv", "batch"),
+        )
+        assert idx_after == idx_before
+        after = _as_set(
+            spark.read.parquet(f"{work}/pairs")
+            .select("doc_a", "doc_b")
+            .distinct()
+            .collect(),
+            ("doc_a", "doc_b"),
+        )
+        assert after == first
+    finally:
+        shutil.rmtree(docs_dir, ignore_errors=True)
+
+
+def test_rollup_retry_does_not_double_count(spark, sf_dir, tmp_path):
+    """Re-invoking process_rollup_batch for an already-written batch
+    must leave the read-side totals unchanged (the r12 partial store
+    was mode-append — a process() retry would have double-counted)."""
+    import shutil
+
+    from canvas_data_2_aws_spark.queries.streaming import _replay_dir
+    from canvas_data_2_aws_spark.streaming.rollup import (
+        process_rollup_batch,
+        rollup_replay,
+    )
+
+    base = _replay_dir(spark, sf_dir)
+    try:
+        work = str(tmp_path / "work")
+        first = _as_set(
+            rollup_replay(spark, f"{base}/part*", work).collect(),
+            ("user_id", "n_events", "cents"),
+        )
+        batch0 = spark.read.parquet(_replay_batch_file(base, 0))
+        process_rollup_batch(batch0, 0, f"{work}/partials")
+        after = _as_set(
+            spark.read.parquet(f"{work}/partials")
+            .groupBy("user_id")
+            .agg(
+                F.sum("n_events").cast("bigint").alias("n_events"),
+                F.sum("cents").cast("bigint").alias("cents"),
+            )
+            .collect(),
+            ("user_id", "n_events", "cents"),
+        )
+        assert after == first
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
