@@ -354,9 +354,40 @@ WHERE va.n > 64 OR vb.n > 64
 def phash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, phash) — the 16-bit block-mean perceptual hash of every
     payload, repartitioned on phash behind a lazy checkpoint barrier.
-    Shared by multimodal_phash_dedup and the r12 threshold curve; the
-    inline comments in the dedup query explain every expression and
-    barrier choice (they were each measured)."""
+    The ONE copy of the phash pipeline (ADVICE r12: the dedup query
+    used to inline a duplicate that could silently drift), called by
+    both multimodal_phash_dedup and the r12 threshold curve. Every
+    expression and barrier choice below was measured:
+
+    - The leading repartition("doc_id") rebalances before the hashing
+      map (same rationale as dedup_minhash_banded): the corpus parquet
+      is one row group, and inheriting that single partition
+      serializes the whole signature stage onto one core.
+    - Char codes are extracted ONCE per doc (split + one transform),
+      then each block sums a slice — O(len) per doc. The original form
+      re-ran substring(text, pos, 1) per (block, j): substring on UTF8
+      strings is an O(pos) scan and HOF lambdas evaluate interpreted,
+      so that was O(len²) per doc and took minutes at sf0.1 on the
+      inherited single partition. Same values: slice (i*seg+1, seg)
+      covers exactly the chars the oracle's substring(i*seg+j) walk
+      does.
+    - The coalesce(., -1) wrapper makes phash provably NON-NULLABLE.
+      Without it, the downstream hamming predicate makes Catalyst
+      infer an isnotnull(phash) constraint and push it below both
+      Exchanges into the scan Filter — with the whole nested-HOF
+      expression inlined, re-evaluated interpreted per doc at the scan
+      (measured 243 s at sf0.1 vs ~6 s). coalesce with a non-null
+      literal folds that inferred IsNotNull to true at plan time; -1
+      is unreachable (the aggregate of non-null ints is never NULL).
+    - The trailing repartition("phash") + lazy checkpoint is a
+      materialization barrier, NOT just co-partitioning: without the
+      Exchange, CollapseProject inlines the whole nested-HOF phash
+      expression into every downstream join output, re-evaluating it
+      per CANDIDATE PAIR (measured 243 s at sf0.1 vs ~5 s with the
+      barrier). After the shuffle every consumer — the value census,
+      the expansion self-joins — reads an 8-byte phash value, already
+      partitioned on the join key (one Exchange total per doc side).
+    """
     docs = (
         load_table(spark, sf_dir, "documents")
         .where(F.length("text") >= 16)
@@ -402,60 +433,11 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     preserve the banded candidate graph's components exactly (the
     banding itself is approximate above hamming 1 — its per-threshold
     recall is graded by multimodal_phash_threshold_curve)."""
-    # Rebalance before the hashing map (same rationale as
-    # dedup_minhash_banded): the corpus parquet is one row group, and
-    # inheriting that single partition serializes the whole signature
-    # stage onto one core.
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .where(F.length("text") >= 16)
-        .repartition("doc_id")
-    )
-    # Char codes are extracted ONCE per doc (split + one transform),
-    # then each block sums a slice — O(len) per doc. The original
-    # form re-ran substring(text, pos, 1) per (block, j): substring
-    # on UTF8 strings is an O(pos) scan and HOF lambdas evaluate
-    # interpreted, so that was O(len²) per doc and took minutes at
-    # sf0.1 on the inherited single partition. Same values: slice
-    # (i*seg+1, seg) covers exactly the chars the oracle's
-    # substring(i*seg+j) walk does.
-    codes = docs.select(
-        "doc_id",
-        F.expr("transform(split(text, ''), c -> ascii(c))").alias("cs"),
-    )
-    sig = codes.select(
-        "doc_id",
-        F.expr(
-            "transform(sequence(0, 15), i ->"
-            " aggregate(slice(cs, i * (size(cs) DIV 16) + 1, size(cs) DIV 16),"
-            "   0, (a, x) -> a + x))"
-        ).alias("bs"),
-    )
-    # The coalesce(. , -1) wrapper makes phash provably NON-NULLABLE.
-    # Without it, the downstream hamming predicate makes Catalyst infer
-    # an isnotnull(phash) constraint and push it below both Exchanges
-    # into the scan Filter — with the whole nested-HOF expression
-    # inlined, re-evaluated interpreted per doc at the scan (measured
-    # 243 s at sf0.1 vs ~6 s). coalesce with a non-null literal folds
-    # that inferred IsNotNull to true at plan time; -1 is unreachable
-    # (the aggregate of non-null ints is never NULL).
-    ph = sig.select(
-        "doc_id",
-        F.expr(
-            "coalesce(CAST(aggregate(transform(sequence(0, 15), i ->"
-            " CASE WHEN 16 * bs[i] > aggregate(bs, 0, (a, x) -> a + x)"
-            " THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END),"
-            " CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT), CAST(-1 AS BIGINT))"
-        ).alias("phash"),
-    )
-    # Materialization barrier, NOT just co-partitioning: without this
-    # Exchange, CollapseProject inlines the whole nested-HOF phash
-    # expression into every downstream join output, re-evaluating it
-    # per CANDIDATE PAIR (measured 243 s at sf0.1 vs ~5 s with the
-    # barrier). After the shuffle every consumer — the value census,
-    # both expansion self-joins — reads an 8-byte phash value, already
-    # partitioned on the join key (one Exchange total for the doc side).
-    ph = ph.repartition("phash").localCheckpoint(eager=False)
+    # The signature pipeline (rebalance → char codes → block sums →
+    # bit-pack → phash-keyed barrier) is phash_frame — one copy shared
+    # with the threshold curve; its docstring records the measured
+    # rationale for every expression and barrier choice.
+    ph = phash_frame(spark, sf_dir)
     # Value census: ≤65 536 rows at ANY corpus size (16-bit domain) —
     # groupBy reuses ph's partitioning (no second exchange) and the
     # result is always broadcast-sized.

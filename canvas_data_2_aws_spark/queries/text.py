@@ -1613,7 +1613,10 @@ def text_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # grid costs one 4-row broadcast ladder over the 5-token posting
 # frame + one window per ladder — never a corpus re-scan per point.
 _BM25_GRID_POINTS = [(1.2, 0.75), (0.9, 0.4), (2.0, 0.75), (1.2, 0.0)]
-_BM25_GRID_K = 20
+# Same cutoff as the single-point eval (ADVICE r12: the grid shipped
+# with K=20 while claiming nDCG@10 comparability — the metrics now
+# genuinely share the cutoff instead of just the name).
+_BM25_GRID_K = _NDCG_K
 
 _BM25_GRID_ORACLE = f"""
 WITH tok AS (
