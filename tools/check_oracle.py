@@ -202,6 +202,33 @@ def run_one(spark, con, name: str, sf_dir: str) -> tuple[bool, str, float]:
     )
 
 
+# Host-throughput normalizer (r12 verdict What's-wrong #2 / task 4):
+# the committed sf0.1 sweep once breached the per-leg bar purely on
+# host drift — four same-code sweeps measured 1.00/1.32/1.29/1.21 s/q
+# while a CPython spin probe drifted ~40% on the idle guest. The bar
+# should measure PLANS, not the machine, so the sweep times a fixed
+# single-core CPython workload and reports per-leg figures divided by
+# the host factor (measured spin / reference spin). _REF_SPIN_S is the
+# min-of-5 spin time pinned on the r13 build host in a calm state; a
+# slower host yields factor > 1 and the normalized figure discounts
+# the drift. Absolute figures stay in the summary for trend.
+_SPIN_N = 3_000_000
+_REF_SPIN_S = 0.18
+
+
+def spin_probe() -> float:
+    """Min-of-5 wall time of a fixed CPython loop — min, not mean,
+    because scheduling noise only ever ADDS time."""
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(_SPIN_N):
+            acc += i * i
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def changed_query_names() -> tuple[list[str], list[str]]:
     """(graded names whose registering module is dirty vs HEAD,
     dirty package files that are NOT registering modules).
@@ -309,6 +336,7 @@ def main() -> int:
     # cost): ENGINE bar <= 1.25 s/query average Spark leg; end-to-end
     # sweep <= 2.5 s/query average at sf0.1. r11 measured: 1.07 s/query
     # Spark (349 queries, 373 s legs), 2.22 s/query end-to-end.
+    spin_start = spin_probe()
     t_start = time.perf_counter()
     warm_secs = 0.0
     if len(names) == len(registry.QUERIES):
@@ -372,6 +400,13 @@ def main() -> int:
     timed = time.perf_counter() - t_start - warm_secs
     n = max(len(names), 1)
     n_nr = max(n - n_replay, 1)
+    # Host factor = mean of a start+end spin probe over the pinned
+    # reference — drift DURING the sweep is bracketed by the two
+    # measurements. The normalized per-leg figure is what the <= 1.25
+    # s/q bar binds against; absolutes stay printed for trend.
+    spin_end = spin_probe()
+    spin_mean = (spin_start + spin_end) / 2.0
+    factor = spin_mean / _REF_SPIN_S
     print(
         f"\n{len(names) - failures}/{len(names)} passed  "
         f"(timed sweep {timed:.1f}s + warm builds {warm_secs:.1f}s; "
@@ -379,6 +414,14 @@ def main() -> int:
         f"replay {replay_legs:.1f}s/{n_replay}q, "
         f"non-replay {(spark_legs - replay_legs) / n_nr:.2f}/q], "
         f"duck {duck_legs:.1f}s, compare {timed - spark_legs - duck_legs:.1f}s)"
+    )
+    print(
+        f"host normalizer: spin {spin_start:.3f}/{spin_end:.3f}s "
+        f"(ref {_REF_SPIN_S:.3f}s, factor {factor:.2f}) -> normalized "
+        f"spark legs {spark_legs / n / factor:.2f}/q "
+        f"[non-replay {(spark_legs - replay_legs) / n_nr / factor:.2f}/q], "
+        f"end-to-end {timed / n / factor:.2f}/q "
+        f"(bars: <=1.25 normalized spark/q, <=2.5 normalized e2e/q at sf0.1)"
     )
     spark.stop()
     return 1 if failures else 0
