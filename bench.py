@@ -225,6 +225,14 @@ HEADLINE = [
     "agg_quantile_sketch_sweep",
     "layout_compaction_target_sweep",
     "text_gopher_threshold_sweep",
+    # round-13 additions: Fellegi–Sunter decision-threshold grid,
+    # Heaps'-law vocabulary-growth fit, degree assortativity, MinHash
+    # permutation-budget sweep, context-length trade-off sweep.
+    "match_fs_threshold_grid",
+    "text_heaps_law",
+    "graph_assortativity",
+    "dedup_minhash_perm_sweep",
+    "pipeline_seqlen_tradeoff_sweep",
 ]
 
 
@@ -259,6 +267,9 @@ def _builds() -> list[tuple[str, object]]:
         # twice (and the Heaps-law fit re-reads) — the attribution the
         # r12 verdict asked for on that row's driver-bench drift.
         ("novelty_gram_build", qtext.novelty_gram_cached),
+        # r13: the 8x1 singles-superset agreement-mask frame both
+        # mask-ladder evals (banding grid, permutation sweep) read.
+        ("minhash_masked_build", dedup.minhash_masked_cached),
     ]
 
 

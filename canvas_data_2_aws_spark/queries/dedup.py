@@ -2136,7 +2136,11 @@ _GRID_MASK_SQL = " + ".join(
     f"(CASE WHEN a.h{s} = b.h{s} THEN {1 << s} ELSE 0 END)" for s in range(8)
 )
 
-_BANDING_GRID_ORACLE = f"""
+# Shared CTE prefix (shingles -> exact-J truth -> signatures -> the
+# 8x1 singles superset with per-pair agreement masks -> truth flags):
+# the oracle twin of minhash_masked_cached/_minhash_flagged, reused by
+# the r12 banding grid and the r13 permutation-budget sweep.
+_MINHASH_FLAGGED_CTES = f"""
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ),
@@ -2179,7 +2183,9 @@ flagged AS (
   SELECT m.mask, t.doc_a IS NOT NULL AS is_truth
   FROM masked m LEFT JOIN truth t
     ON t.doc_a = m.doc_a AND t.doc_b = m.doc_b
-),
+)"""
+
+_BANDING_GRID_ORACLE = f"""{_MINHASH_FLAGGED_CTES},
 grid AS (
   SELECT * FROM (VALUES ('8x1', 8, 1), ('4x2', 4, 2),
                         ('2x4', 2, 4), ('1x8', 1, 8))
@@ -2311,59 +2317,81 @@ def minhash_truth_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memoized_checkpoint(spark, sf_dir, "minhash_truth", build)
 
 
+def minhash_masked_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized (doc_a, doc_b, mask) — the 8x1 singles-superset
+    candidate pairs with each pair's 8-bit per-hash agreement mask,
+    computed in place during the ONE banded equi-join. Every banding
+    geometry's and every signature-budget prefix's candidate set is a
+    mask predicate over this frame (a band agreeing => each row
+    agreeing), so the r12 banding grid and the r13 permutation-budget
+    sweep share it instead of each paying the superset join. Named
+    bench build row ``minhash_masked_build``."""
+    from ..operators.fuzzy_graph import memoized_checkpoint
+
+    def build() -> DataFrame:
+        sig = minhash_sig_cached(spark, sf_dir)
+        singles = sig.select(
+            "doc_id",
+            *[f"h{s}" for s in range(8)],
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"), F.col(f"h{s}").alias("hv")
+                        )
+                        for s in range(8)
+                    ]
+                )
+            ).alias("e"),
+        ).select("doc_id", *[f"h{s}" for s in range(8)], "e.s", "e.hv")
+        a = singles.select(
+            F.col("doc_id").alias("doc_a"),
+            "s",
+            "hv",
+            *[F.col(f"h{s}").alias(f"ha{s}") for s in range(8)],
+        )
+        b = singles.select(
+            F.col("doc_id").alias("doc_b"),
+            "s",
+            "hv",
+            *[F.col(f"h{s}").alias(f"hb{s}") for s in range(8)],
+        )
+        mask_sql = " + ".join(
+            f"(CASE WHEN ha{s} = hb{s} THEN {1 << s} ELSE 0 END)"
+            for s in range(8)
+        )
+        return (
+            a.join(b, ["s", "hv"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.expr(f"CAST({mask_sql} AS BIGINT)").alias("mask"),
+            )
+            .distinct()  # mask is pair-deterministic, so distinct is exact
+        )
+
+    return memoized_checkpoint(spark, sf_dir, "minhash_masked", build)
+
+
+def _minhash_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(mask, is_truth) per superset candidate pair — the shared input
+    of both mask-ladder evals (one bounded pair-keyed LEFT join of the
+    memoized masked superset against the memoized exact-J truth)."""
+    truth = minhash_truth_cached(spark, sf_dir)
+    return minhash_masked_cached(spark, sf_dir).join(
+        truth.withColumn("is_t", F.lit(True)), ["doc_a", "doc_b"], "left"
+    ).select("mask", F.coalesce("is_t", F.lit(False)).alias("is_truth"))
+
+
 @graded("dedup_banding_grid_eval", oracle=_BANDING_GRID_ORACLE)
 def dedup_banding_grid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(bands x rows-per-band) MinHash banding grid — candidate count,
     recall vs exact J >= 0.5 truth, and precision per geometry, all
-    from one singles-superset join + a 4-row broadcast ladder
+    from the shared masked superset + a 4-row broadcast ladder
     (rationale above the oracle)."""
-    sig = minhash_sig_cached(spark, sf_dir)
     truth = minhash_truth_cached(spark, sf_dir)
-
-    # 8x1 singles superset, both signatures carried through the join
-    singles = sig.select(
-        "doc_id",
-        *[f"h{s}" for s in range(8)],
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"), F.col(f"h{s}").alias("hv")
-                    )
-                    for s in range(8)
-                ]
-            )
-        ).alias("e"),
-    ).select("doc_id", *[f"h{s}" for s in range(8)], "e.s", "e.hv")
-    a = singles.select(
-        F.col("doc_id").alias("doc_a"),
-        "s",
-        "hv",
-        *[F.col(f"h{s}").alias(f"ha{s}") for s in range(8)],
-    )
-    b = singles.select(
-        F.col("doc_id").alias("doc_b"),
-        "s",
-        "hv",
-        *[F.col(f"h{s}").alias(f"hb{s}") for s in range(8)],
-    )
-    mask_sql = " + ".join(
-        f"(CASE WHEN ha{s} = hb{s} THEN {1 << s} ELSE 0 END)"
-        for s in range(8)
-    )
-    masked = (
-        a.join(b, ["s", "hv"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.expr(f"CAST({mask_sql} AS BIGINT)").alias("mask"),
-        )
-        .distinct()  # mask is pair-deterministic, so distinct is exact
-    )
-    flagged = masked.join(
-        truth.withColumn("is_t", F.lit(True)), ["doc_a", "doc_b"], "left"
-    ).select("mask", F.coalesce("is_t", F.lit(False)).alias("is_truth"))
+    flagged = _minhash_flagged(spark, sf_dir)
 
     grid = spark.range(4).select(
         F.expr("CAST(shiftright(8, CAST(id AS INT)) AS INT)").alias("n_bands"),
@@ -2492,4 +2520,187 @@ def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.sum(lnterm).cast("double"), F.lit(0.0)),
             6,
         ).alias("alpha_hill"),
+    )
+
+
+# --- EXT: degree assortativity of the fuzzy-match graph (r13) ------------------------
+
+# The power-law row says HOW heavy the hubs are; assortativity says
+# how they WIRE: r > 0 means hubs link hubs (dense near-dup cores —
+# cluster-collapse strategies win), r < 0 means hub-and-spoke stars
+# (the false-positive template pattern the clustering-coefficient row
+# flags per node, here summarized corpus-wide). Newman's r over the
+# symmetrized edge list is plain Pearson of (deg(node), deg(nbr)); by
+# symmetry the two marginals are identical, so r reduces to ONE exact
+# rational — (M*Sxy - Sx²) / (M*Sxx - Sx²) — and needs no sqrt: all
+# moments are exact BIGINTs off the shared degree frame, the products
+# run in DECIMAL(19,0)² -> DECIMAL(38,0) (bind-time safe in both
+# engines), and the single final division is identical-operand IEEE.
+# Plan: the memoized fuzzy graph + one degree census + two bounded
+# node-keyed joins + one constant-width aggregate; nothing exceeds the
+# edge list's size at any corpus.
+_ASSORT_FINAL = """
+SELECT n_nodes,
+       CAST(m / 2 AS BIGINT) AS n_edges,
+       ROUND(CAST(CAST(m AS DECIMAL(19,0)) * CAST(sxy AS DECIMAL(19,0))
+                - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))
+              AS DOUBLE)
+           / NULLIF(CAST(CAST(m AS DECIMAL(19,0)) * CAST(sxx AS DECIMAL(19,0))
+                - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))
+              AS DOUBLE), 0.0), 6) AS assortativity
+FROM assort_mom
+"""
+
+_ASSORT_ORACLE = f"""
+WITH e AS MATERIALIZED (
+  SELECT a.p_partkey AS a, b.p_partkey AS b
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 4
+),
+sym AS (
+  SELECT a AS node, b AS nbr FROM e
+  UNION
+  SELECT b, a FROM e
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY node
+),
+ends AS (
+  SELECT da.degree AS dx, db.degree AS dy
+  FROM sym s
+  JOIN deg da ON da.node = s.node
+  JOIN deg db ON db.node = s.nbr
+),
+assort_mom AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+         CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(dx) AS BIGINT) AS sx,
+         CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+         CAST(SUM(dx * dx) AS BIGINT) AS sxx
+  FROM ends
+)
+{_ASSORT_FINAL}
+"""
+
+
+@graded("graph_assortativity", oracle=_ASSORT_ORACLE)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the fuzzy-match graph — exact
+    integer moments, one sqrt-free rational (rationale above the
+    oracle)."""
+    from ..operators.fuzzy_graph import fuzzy_sym
+
+    sym = fuzzy_sym(spark, sf_dir)
+    deg = sym.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    ends = (
+        sym.join(deg.select(F.col("node"), F.col("degree").alias("dx")), "node")
+        .join(
+            deg.select(F.col("node").alias("nbr"), F.col("degree").alias("dy")),
+            "nbr",
+        )
+        .select("dx", "dy")
+    )
+    mom = ends.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+    ).crossJoin(F.broadcast(n_nodes))  # 1-row node-count attach
+    mom.createOrReplaceTempView("assort_mom")
+    return spark.sql(_ASSORT_FINAL)
+
+
+# --- EXT: MinHash permutation-budget sweep (r13) -------------------------------------
+
+# The banding grid (r12) fixes the signature at 8 hashes and varies
+# the GEOMETRY; the other MinHash cost knob is the signature BUDGET
+# itself — every permutation is one more md5 substring-min per
+# document and one more posting row per banded join, so "how few
+# hashes still clear the recall bar" prices the whole dedup pass.
+# This sweep grades the s-singles-bands operating point for s in
+# {1, 2, 4, 8}: candidacy = any of the FIRST s hashes agreeing — a
+# PREFIX predicate over the same 8-bit agreement mask the banding grid
+# reads (mask & (2^s - 1) != 0), so every budget's candidate set is
+# nested in the next and the whole curve costs a 4-row broadcast
+# ladder over the session-shared masked superset: no per-budget joins,
+# no re-hashing, and sample-size-bounded on a real corpus like every
+# stage of the eval family.
+_PERM_SWEEP_ORACLE = f"""{_MINHASH_FLAGGED_CTES},
+budgets AS (
+  SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS n_hashes
+),
+lad AS (
+  SELECT b.n_hashes, f.is_truth,
+         (f.mask & ((1 << b.n_hashes) - 1)) <> 0 AS cand
+  FROM budgets b, flagged f
+),
+counts AS (
+  SELECT n_hashes,
+         CAST(SUM(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+         CAST(SUM(CASE WHEN cand AND is_truth THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit
+  FROM lad GROUP BY n_hashes
+)
+SELECT c.n_hashes, c.n_cand, c.n_hit,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+       ROUND(CAST(c.n_hit AS DOUBLE)
+             / NULLIF((SELECT COUNT(*) FROM truth), 0), 4) AS recall,
+       ROUND(CAST(c.n_hit AS DOUBLE) / NULLIF(c.n_cand, 0), 4)
+         AS cand_precision
+FROM counts c
+ORDER BY c.n_hashes
+"""
+
+
+@graded("dedup_minhash_perm_sweep", oracle=_PERM_SWEEP_ORACLE)
+def dedup_minhash_perm_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate volume, recall vs exact J >= 0.5 truth, and precision
+    per MinHash signature budget (1/2/4/8 hashes, singles banding) —
+    prefix predicates over the shared masked superset, one 4-row
+    ladder (rationale above the oracle)."""
+    truth = minhash_truth_cached(spark, sf_dir)
+    flagged = _minhash_flagged(spark, sf_dir)
+    budgets = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(s).cast("bigint") for s in (1, 2, 4, 8)])
+        ).alias("n_hashes")
+    )
+    cand = F.expr(
+        "(mask & (shiftleft(CAST(1 AS BIGINT), CAST(n_hashes AS INT)) - 1))"
+        " <> 0"
+    )
+    counts = (
+        flagged.crossJoin(F.broadcast(budgets))  # 4-row budget ladder
+        .groupBy("n_hashes")
+        .agg(
+            F.sum(F.when(cand, 1).otherwise(0)).cast("bigint").alias("n_cand"),
+            F.sum(F.when(cand & F.col("is_truth"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hit"),
+        )
+    )
+    nt = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+    return (
+        counts.crossJoin(F.broadcast(nt))  # 1-row scalar attach
+        .select(
+            "n_hashes",
+            "n_cand",
+            "n_hit",
+            "n_truth",
+            F.round(
+                F.col("n_hit").cast("double")
+                / F.nullif(F.col("n_truth"), F.lit(0)),
+                4,
+            ).alias("recall"),
+            F.round(
+                F.col("n_hit").cast("double")
+                / F.nullif(F.col("n_cand"), F.lit(0)),
+                4,
+            ).alias("cand_precision"),
+        )
+        .orderBy("n_hashes")
     )

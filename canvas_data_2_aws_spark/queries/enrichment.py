@@ -1752,15 +1752,11 @@ FROM cand c, w
 """
 
 
-@graded("match_fellegi_sunter", oracle=_FS_ORACLE)
-def match_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fellegi–Sunter log-likelihood match scores for every blocked
-    fuzzy candidate pair. Plan: the shared fuzzy pairs pick up their
-    field values via two key joins; the m/u census is two 1-row
-    aggregates over the materialized candidate table; the weight table
-    (6 doubles) broadcasts back onto the candidates as a bounded
-    scalar attach. At 100 TB nothing here exceeds the candidate set's
-    size — the same bound as the dedup verify stage."""
+def _fs_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Fellegi–Sunter scored-pair frame (key_a, key_b, dist,
+    ag_type, ag_size, ag_price, fs_score) — the ONE scoring pass
+    shared by match_fellegi_sunter and the r13 threshold grid (the
+    grid re-thresholds, never re-scores)."""
     from ..operators.fuzzy_graph import fuzzy_pairs
 
     part = load_table(spark, sf_dir, "part")
@@ -1837,4 +1833,141 @@ def match_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
             + field_w("ag_price", "m_p", "u_p"),
             4,
         ).alias("fs_score"),
+    )
+
+
+@graded("match_fellegi_sunter", oracle=_FS_ORACLE)
+def match_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter log-likelihood match scores for every blocked
+    fuzzy candidate pair. Plan: the shared fuzzy pairs pick up their
+    field values via two key joins; the m/u census is two 1-row
+    aggregates over the materialized candidate table; the weight table
+    (6 doubles) broadcasts back onto the candidates as a bounded
+    scalar attach. At 100 TB nothing here exceeds the candidate set's
+    size — the same bound as the dedup verify stage."""
+    return _fs_scored(spark, sf_dir)
+
+
+# --- EXT: Fellegi–Sunter (upper, lower) decision-threshold grid (r13) -------------
+
+# match_fellegi_sunter grades the SCORES; the operating decision is
+# two thresholds — auto-link at fs_score >= upper, clerical review in
+# [lower, upper), non-link below — and choosing them is a tuning
+# question this grid answers without re-scoring (r12 verdict task 6):
+# six (upper, lower) cells spanning the observed weight scale, each
+# reporting auto-link mass, its precision/recall against the same
+# edit-distance <= 1 proxy truth the m-probabilities train on, and the
+# review-queue mass a clerical team would absorb. Plan: the ONE scored
+# frame x a 6-row broadcast ladder -> one map-side-combinable
+# conditional aggregate + a 1-row census attach. Precision is NULL
+# (not 0) for an empty auto band — an eval instrument must distinguish
+# "no links made" from "all links wrong". All counts are exact BIGINTs;
+# the three ratios are single divisions of exact operands, ROUND(,6).
+_FS_GRID_CELLS: list[tuple[float, float]] = [
+    (0.05, 0.0),
+    (0.01, 0.0),
+    (0.005, -0.002),
+    (0.0, -0.005),
+    (0.0, -0.01),
+    (0.0, -0.08),
+]
+
+_FS_GRID_ORACLE = f"""
+WITH scored AS MATERIALIZED ({_FS_ORACLE}),
+cells(upper_t, lower_t) AS (
+  VALUES {", ".join(f"(CAST({u} AS DOUBLE), CAST({lo} AS DOUBLE))" for u, lo in _FS_GRID_CELLS)}
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN dist <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+  FROM scored
+),
+g AS (
+  SELECT c.upper_t, c.lower_t,
+         CAST(SUM(CASE WHEN s.fs_score >= c.upper_t THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_auto,
+         CAST(SUM(CASE WHEN s.fs_score < c.upper_t
+                        AND s.fs_score >= c.lower_t THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_review,
+         CAST(SUM(CASE WHEN s.fs_score >= c.upper_t AND s.dist <= 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_true_auto
+  FROM scored s, cells c
+  GROUP BY c.upper_t, c.lower_t
+)
+SELECT g.upper_t, g.lower_t, g.n_auto, g.n_review, g.n_true_auto,
+       CASE WHEN g.n_auto > 0
+            THEN ROUND(CAST(g.n_true_auto AS DOUBLE) / g.n_auto, 6) END
+         AS precision_auto,
+       ROUND(CAST(g.n_true_auto AS DOUBLE) / t.n_true, 6) AS recall_auto,
+       ROUND(CAST(g.n_review AS DOUBLE) / t.n_pairs, 6) AS review_share
+FROM g, tot t
+ORDER BY g.upper_t, g.lower_t
+"""
+
+
+@graded("match_fs_threshold_grid", oracle=_FS_GRID_ORACLE)
+def match_fs_threshold_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-link mass/precision/recall and review-queue mass per
+    (upper, lower) Fellegi–Sunter decision-threshold cell — one scored
+    frame, a 6-row broadcast ladder, no re-scoring (rationale above
+    the oracle)."""
+    scored = _fs_scored(spark, sf_dir).select(
+        "fs_score", (F.col("dist") <= 1).cast("bigint").alias("is_true")
+    )
+    cells = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(u)).alias("upper_t"),
+                        F.lit(float(lo)).alias("lower_t"),
+                    )
+                    for u, lo in _FS_GRID_CELLS
+                ]
+            )
+        ).alias("c")
+    ).select("c.*")
+    auto = F.col("fs_score") >= F.col("upper_t")
+    review = (F.col("fs_score") < F.col("upper_t")) & (
+        F.col("fs_score") >= F.col("lower_t")
+    )
+    g = (
+        scored.crossJoin(F.broadcast(cells))  # 6-row threshold ladder
+        .groupBy("upper_t", "lower_t")
+        .agg(
+            F.sum(F.when(auto, 1).otherwise(0)).cast("bigint").alias("n_auto"),
+            F.sum(F.when(review, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_review"),
+            F.sum(F.when(auto, F.col("is_true")).otherwise(0))
+            .cast("bigint")
+            .alias("n_true_auto"),
+        )
+    )
+    tot = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("is_true").cast("bigint").alias("n_true"),
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))  # 1-row census attach
+        .select(
+            "upper_t",
+            "lower_t",
+            "n_auto",
+            "n_review",
+            "n_true_auto",
+            F.when(
+                F.col("n_auto") > 0,
+                F.round(
+                    F.col("n_true_auto").cast("double") / F.col("n_auto"), 6
+                ),
+            ).alias("precision_auto"),
+            F.round(
+                F.col("n_true_auto").cast("double") / F.col("n_true"), 6
+            ).alias("recall_auto"),
+            F.round(
+                F.col("n_review").cast("double") / F.col("n_pairs"), 6
+            ).alias("review_share"),
+        )
+        .orderBy("upper_t", "lower_t")
     )

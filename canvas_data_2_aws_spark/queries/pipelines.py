@@ -2813,3 +2813,131 @@ def pipeline_decontam_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_gram")
     )
+
+
+# --- EXT: context-length trade-off sweep (r13) ---------------------------------------
+
+# Choosing max_seq_len for a one-doc-per-sequence training run is a
+# two-sided loss: every token past L is TRUNCATED away (information
+# loss), every slot short of L is PADDING (compute waste). This table
+# prices both sides for L in {32, 64, 96, 128} (the ladder straddles
+# the fixture's token-length quartiles; a production corpus swaps in
+# its own literals): truncated-token mass and share, padding mass and
+# share of the n_docs*L slot budget, and the count of documents that
+# get cut at all. One single-scan token-length projection x a 4-row
+# broadcast ladder -> one map-side-combinable aggregate + a 1-row
+# census attach; exact BIGINT everywhere. The two shares round in the
+# INTEGER domain — (a*2e6 + d) intdiv (2d), i.e. half-up millionths —
+# because the slot budget n_docs*L is 2-smooth, so a/(n_docs*L) can
+# terminate at EXACTLY 7 decimal digits and double-ROUND(,6) then
+# splits the tie differently across engines (measured: 8078/32000 =
+# 0.2524375). Overflow bound a*2e6 < 2^63 holds to ~4.6e12 padding
+# tokens — far past this eval family's documented sample sizes.
+# (pipeline_pack_sequences grades the concat-and-pack alternative
+# that trades these losses for cross-doc attention bleed — together
+# they bound the preprocessing design space.)
+_SEQLEN_LADDER = [32, 64, 96, 128]
+
+_SEQLEN_SWEEP_ORACLE = f"""
+WITH base AS (
+  SELECT CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS tokens_total
+  FROM base
+),
+ladder AS (
+  SELECT CAST(unnest([{", ".join(str(v) for v in _SEQLEN_LADDER)}])
+              AS BIGINT) AS max_seq_len
+),
+cells AS (
+  SELECT l.max_seq_len,
+         CAST(SUM(GREATEST(b.n_tokens - l.max_seq_len, 0)) AS BIGINT)
+           AS tokens_truncated,
+         CAST(SUM(l.max_seq_len - LEAST(b.n_tokens, l.max_seq_len))
+              AS BIGINT) AS tokens_padding,
+         CAST(SUM(CASE WHEN b.n_tokens > l.max_seq_len THEN 1 ELSE 0 END)
+              AS BIGINT) AS docs_truncated
+  FROM base b, ladder l
+  GROUP BY l.max_seq_len
+)
+SELECT c.max_seq_len, c.tokens_truncated, c.tokens_padding,
+       c.docs_truncated, t.n_docs, t.tokens_total,
+       CAST((c.tokens_truncated * 2000000 + t.tokens_total)
+            // (2 * t.tokens_total) AS DOUBLE) / 1000000.0 AS trunc_share,
+       CAST((c.tokens_padding * 2000000 + t.n_docs * c.max_seq_len)
+            // (2 * t.n_docs * c.max_seq_len) AS DOUBLE) / 1000000.0
+         AS pad_share
+FROM cells c, tot t
+ORDER BY c.max_seq_len
+"""
+
+
+@graded("pipeline_seqlen_tradeoff_sweep", oracle=_SEQLEN_SWEEP_ORACLE)
+def pipeline_seqlen_tradeoff_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Truncation loss vs padding waste per candidate max_seq_len —
+    one token-length scan, a 4-row broadcast ladder, exact integer
+    masses (rationale above the oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+    )
+    ladder = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(v).cast("bigint") for v in _SEQLEN_LADDER])
+        ).alias("max_seq_len")
+    )
+    cells = (
+        base.crossJoin(F.broadcast(ladder))  # 4-row length ladder
+        .groupBy("max_seq_len")
+        .agg(
+            F.sum(F.greatest(F.col("n_tokens") - F.col("max_seq_len"), F.lit(0)))
+            .cast("bigint")
+            .alias("tokens_truncated"),
+            F.sum(
+                F.col("max_seq_len")
+                - F.least(F.col("n_tokens"), F.col("max_seq_len"))
+            )
+            .cast("bigint")
+            .alias("tokens_padding"),
+            F.sum(
+                F.when(F.col("n_tokens") > F.col("max_seq_len"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("docs_truncated"),
+        )
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))  # 1-row census attach
+        .select(
+            "max_seq_len",
+            "tokens_truncated",
+            "tokens_padding",
+            "docs_truncated",
+            "n_docs",
+            "tokens_total",
+            (
+                F.expr(
+                    "CAST((tokens_truncated * 2000000 + tokens_total)"
+                    " DIV (2 * tokens_total) AS DOUBLE)"
+                )
+                / 1000000.0
+            ).alias("trunc_share"),
+            (
+                F.expr(
+                    "CAST((tokens_padding * 2000000 + n_docs * max_seq_len)"
+                    " DIV (2 * n_docs * max_seq_len) AS DOUBLE)"
+                )
+                / 1000000.0
+            ).alias("pad_share"),
+        )
+        .orderBy("max_seq_len")
+    )

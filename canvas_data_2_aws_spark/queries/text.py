@@ -1957,3 +1957,85 @@ def text_gopher_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("uniq_floor")
     )
+
+
+# --- EXT: Heaps'-law vocabulary-growth fit (r13) ------------------------------------
+
+# The companion diagnostic to the novelty curve: Heaps' law says the
+# distinct-gram vocabulary grows as V(N) = K * N^beta (beta ~ 0.4-0.6
+# for natural text; beta near 1 means every document brings new
+# vocabulary — dedup won't help; beta near 0 means the corpus is
+# saturated — more ingestion buys nothing). The fit runs over the ten
+# ingestion-decile prefix points the novelty curve already defines:
+# N_d = cumulative gram occurrences through decile d, V_d = cumulative
+# first-seen grams (both from the SAME per-decile census as
+# text_novelty_curve, via the shared memoized gram frame), then a
+# closed-form log-log OLS. Determinism: the 10 ln/cross-product terms
+# are quantized to DECIMAL(38,9) BEFORE summing (the Zipf-slope
+# recipe — ln may differ by 1 ulp across engines and the quantization
+# absorbs it); ln/exp are in the safe shared-libm set (SURVEY §8 r12
+# erratum 1); the closed forms run as SHARED SQL text in both engines.
+# Scale: everything after the gram census is decile-manifest-sized
+# (10 rows); the census is the novelty curve's one corpus-wide pass.
+_HEAPS_PTS = """
+SELECT CAST(ln(cum_tokens) AS DOUBLE) AS x,
+       CAST(ln(cum_vocab) AS DOUBLE) AS y,
+       cum_tokens, cum_vocab
+FROM heaps_cum
+WHERE cum_tokens > 0 AND cum_vocab > 0
+"""
+
+_HEAPS_SUMS = """
+SELECT COUNT(*) AS n,
+       CAST(SUM(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+       CAST(SUM(CAST(y AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+       CAST(SUM(CAST(x * y AS DECIMAL(38,9))) AS DOUBLE) AS sxy,
+       CAST(SUM(CAST(x * x AS DECIMAL(38,9))) AS DOUBLE) AS sxx,
+       CAST(SUM(CAST(y * y AS DECIMAL(38,9))) AS DOUBLE) AS syy,
+       CAST(MAX(cum_tokens) AS BIGINT) AS n_grams_total,
+       CAST(MAX(cum_vocab) AS BIGINT) AS vocab_total
+FROM heaps_pts
+"""
+
+_HEAPS_FINAL = """
+SELECT n AS n_points,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+       ROUND(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n),
+             6) AS k_coeff,
+       ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2,
+       n_grams_total, vocab_total
+FROM heaps_sums
+"""
+
+_HEAPS_ORACLE = f"""
+WITH curve AS ({_NOVELTY_ORACLE}),
+heaps_cum AS (
+  SELECT decile,
+         CAST(SUM(n_grams) OVER (ORDER BY decile) AS BIGINT) AS cum_tokens,
+         CAST(SUM(n_novel) OVER (ORDER BY decile) AS BIGINT) AS cum_vocab
+  FROM curve
+),
+heaps_pts AS ({_HEAPS_PTS}),
+heaps_sums AS ({_HEAPS_SUMS})
+{_HEAPS_FINAL}
+"""
+
+
+@graded("text_heaps_law", oracle=_HEAPS_ORACLE)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V = K * N^beta over the ten ingestion-decile
+    prefix points of the shared gram census — beta, K, R², and the
+    full-corpus totals in one row (rationale above the oracle)."""
+    curve = text_novelty_curve(spark, sf_dir)
+    cum = R.attach_unit_group(curve)
+    w = Window.partitionBy(R.UNIT_GROUP).orderBy("decile")  # 10-row frame
+    heaps_cum = cum.select(
+        "decile",
+        F.sum("n_grams").over(w).cast("bigint").alias("cum_tokens"),
+        F.sum("n_novel").over(w).cast("bigint").alias("cum_vocab"),
+    )
+    heaps_cum.createOrReplaceTempView("heaps_cum")
+    spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW heaps_pts AS {_HEAPS_PTS}")
+    spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW heaps_sums AS {_HEAPS_SUMS}")
+    return spark.sql(_HEAPS_FINAL)

@@ -67,13 +67,77 @@ def graded(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]
 # (the r01/r02 names the r11 window displaced), then the head of the
 # r05 block — trimmed from the tail so the window stays exactly 50.
 #
-# Round-13 plan: any NEW r13 operators first, then continue the
-# oldest-verdict refresh where this window's tail stops — the 24
-# remaining r05 names (agg_pivot, window_rank_family, unpivot_metrics,
-# agg_histogram, scalar_date_extended, sql_lateral_topk,
-# agg_regression_moments, sql_recursive_cte, ... — recompute the exact
-# list from the CORRECTNESS union at close), then the r06 block
-# (stream_tumbling_counts first).
+# Round-13 window — the 5 NEW r13 operators first (never sampled by
+# definition), then ALL 28 remaining r05-latest-verdict names
+# (recomputed from the CORRECTNESS_r01–r12 union — the r12 plan's "24"
+# undercounted), then the r06 block head (stream_tumbling_counts
+# first, then alphabetical) — exactly 50.
+#
+# Round-14 plan: any NEW r14 operators first, then the remaining 33
+# r06-latest-verdict names (alphabetical from scalar_map_hof onward:
+# scalar_map_hof, scalar_math, scalar_regexp_extract_all,
+# scalar_string, scalar_string_extended, scalar_trig, scalar_try_ops,
+# scalar_zip_dot, scan_project_filter, schema_*, sink_*, stream_*
+# smokes, timeseries_anomaly_zscore, window_distinct_running, … —
+# recompute from the union at close), then the r07 block head.
+_SAMPLE_WINDOW_R13: tuple[str, ...] = (
+    # --- NEW r13 operators (prepended as they land) ---
+    "match_fs_threshold_grid",
+    "text_heaps_law",
+    "graph_assortativity",
+    "dedup_minhash_perm_sweep",
+    "pipeline_seqlen_tradeoff_sweep",
+    # --- oldest verdicts: all 28 remaining r05-latest names ---
+    "agg_arg_extremes",
+    "agg_histogram",
+    "agg_percentile",
+    "agg_pivot",
+    "agg_regression_moments",
+    "agg_stats",
+    "agg_winsorized_stats",
+    "analytics_ab_lift",
+    "analytics_abandonment",
+    "analytics_abc_classification",
+    "analytics_attribution",
+    "analytics_attribution_first",
+    "analytics_gini_coefficient",
+    "analytics_group_regression",
+    "analytics_heatmap_2d",
+    "analytics_market_basket",
+    "analytics_pareto_share",
+    "analytics_survival_curve",
+    "analytics_time_to_convert",
+    "scalar_date_extended",
+    "sql_group_by_all",
+    "sql_lateral_topk",
+    "sql_named_parameters",
+    "sql_pipe_syntax",
+    "sql_recursive_cte",
+    "sql_subqueries",
+    "unpivot_metrics",
+    "window_rank_family",
+    # --- r06 refresh head (fills to 50; trimmed from the tail as new
+    # r13 operators are prepended) ---
+    "stream_tumbling_counts",
+    "agg_group_sum",
+    "csv_decode_smoke",
+    "csv_roundtrip_typed",
+    "explode_array",
+    "explode_outer_sparse",
+    "scalar_array",
+    "scalar_array_extended",
+    "scalar_binary_encode",
+    "scalar_bitwise",
+    "scalar_collation",
+    "scalar_date",
+    "scalar_date_format",
+    "scalar_json",
+    "scalar_levenshtein",
+    "scalar_map_entries",
+    "scalar_map_hof",
+)
+
+# Round-12 window (historical — superseded by _SAMPLE_WINDOW_R13).
 _SAMPLE_WINDOW_R12: tuple[str, ...] = (
     # --- NEW r12 operators (prepended as they land) ---
     "dedup_banding_grid_eval",
@@ -289,15 +353,17 @@ def load_all() -> None:
 
     Registration order is then rewritten by :func:`_apply_sample_window`
     so the driver's first-50 correctness sample lands exactly on the
-    round's rotation list (see ``_SAMPLE_WINDOW_R12``). History: r01–r05
+    round's rotation list (see ``_SAMPLE_WINDOW_R13``). History: r01–r05
     sampled the alphabetical head (union 77/270); r06–r09 rotated by
     module import order (union 250/304); r10 switched to the explicit
     list (union 299/330); r11's window was the 19 NEW r11 operators +
     the final 31 never-sampled names (union 349/350 — only
     ``stream_rollup_replay``, added after that window was pinned, was
-    left); r12 leads with it plus the new r12 operators, closing the
-    union, then refreshes the oldest (r01/r02) verdicts. New queries may
-    land anywhere — only the window list pins the sample.
+    left); r12 led with it plus the new r12 operators, closing the
+    union, then refreshed the oldest (r01/r02) verdicts; from r13 the
+    job is verdict FRESHNESS — new operators first, then the oldest-
+    latest-verdict block. New queries may land anywhere — only the
+    window list pins the sample.
     """
     from .queries import (  # noqa: F401
         pipelines,
@@ -324,4 +390,4 @@ def load_all() -> None:
         analytics,
     )
 
-    _apply_sample_window(_SAMPLE_WINDOW_R12)
+    _apply_sample_window(_SAMPLE_WINDOW_R13)

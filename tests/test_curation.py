@@ -506,3 +506,33 @@ def test_gopher_threshold_sweep_consistent(spark, sf_dir):
     kept = sum(1 for r in base if r.keep)
     u50 = next(r for r in rows if r.uniq_floor == 0.5)
     assert u50.n_kept == kept
+
+
+def test_minhash_perm_sweep_prefix_nesting(spark, sf_dir):
+    """r13: signature budgets are PREFIX predicates over the shared
+    agreement mask, so candidates and hits are non-decreasing in the
+    hash budget; the 8-hash singles point must equal the banding
+    grid's 8x1 row exactly (same predicate over the same superset);
+    and n_truth agrees across the whole eval family."""
+    registry.load_all()
+    rows = {
+        r.n_hashes: r
+        for r in registry.QUERIES["dedup_minhash_perm_sweep"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert sorted(rows) == [1, 2, 4, 8]
+    for s1, s2 in zip([1, 2, 4], [2, 4, 8]):
+        assert rows[s1].n_cand <= rows[s2].n_cand
+        assert rows[s1].n_hit <= rows[s2].n_hit
+    for r in rows.values():
+        assert r.n_hit <= min(r.n_cand, r.n_truth)
+    grid = {
+        g.geometry: g
+        for g in registry.QUERIES["dedup_banding_grid_eval"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert rows[8].n_cand == grid["8x1"].n_cand
+    assert rows[8].n_hit == grid["8x1"].n_hit
+    assert rows[8].n_truth == grid["8x1"].n_truth

@@ -512,3 +512,98 @@ def test_source_overlap_wide_catalog(spark, tmp_path):
     ).fetchall()
     assert len(got) == 20
     assert got == expect
+
+
+def test_fs_threshold_grid_consistent(spark, sf_dir):
+    """r13: every grid cell partitions the SAME scored-pair frame —
+    auto + review never exceeds the pair count, raising the upper
+    threshold at fixed lower only shrinks the auto band, hits are
+    bounded by both the band and the truth mass, and precision is NULL
+    exactly when the auto band is empty (an empty band is not a
+    perfect band). Cross-checked against the scored frame directly for
+    the (0.0, -0.005) cell."""
+    registry.load_all()
+    scored = registry.QUERIES["match_fellegi_sunter"](spark, sf_dir)
+    n_pairs = scored.count()
+    n_true = scored.where(F.col("dist") <= 1).count()
+    rows = registry.QUERIES["match_fs_threshold_grid"](spark, sf_dir).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r.n_auto + r.n_review <= n_pairs
+        assert r.n_true_auto <= min(r.n_auto, n_true)
+        assert (r.precision_auto is None) == (r.n_auto == 0)
+        assert abs(r.recall_auto - round(r.n_true_auto / n_true, 6)) < 1e-12
+    by_cell = {(r.upper_t, r.lower_t): r for r in rows}
+    # fixed lower 0.0: upper 0.05 vs 0.01 — auto band shrinks or holds
+    assert by_cell[(0.05, 0.0)].n_auto <= by_cell[(0.01, 0.0)].n_auto
+    cell = by_cell[(0.0, -0.005)]
+    assert cell.n_auto == scored.where(F.col("fs_score") >= 0.0).count()
+    assert cell.n_review == scored.where(
+        (F.col("fs_score") < 0.0) & (F.col("fs_score") >= -0.005)
+    ).count()
+
+
+def test_heaps_law_fit_matches_direct_ols(spark, sf_dir):
+    """r13: the Heaps fit must equal a direct log-log OLS over the
+    novelty curve's cumulative decile points (float recomputation —
+    the graded path quantizes each term to 9 dp before summing, so
+    agreement to 1e-4 after rounding is the expected envelope), and
+    the fit must be a sane vocabulary-growth law: 0 < beta <= 1,
+    0 < r2 <= 1, vocabulary never exceeds gram mass."""
+    import math
+
+    registry.load_all()
+    curve = sorted(
+        registry.QUERIES["text_novelty_curve"](spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    xs, ys = [], []
+    cn = cv = 0
+    for r in curve:
+        cn += r.n_grams
+        cv += r.n_novel
+        if cn > 0 and cv > 0:
+            xs.append(math.log(cn))
+            ys.append(math.log(cv))
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    k = math.exp((sy - beta * sx) / n)
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+
+    got = registry.QUERIES["text_heaps_law"](spark, sf_dir).collect()[0]
+    assert got.n_points == n == 10
+    assert abs(got.beta - beta) < 1e-4
+    assert abs(got.k_coeff - k) < max(1e-4 * k, 1e-4)
+    assert abs(got.r2 - r2) < 1e-4
+    assert 0.0 < got.beta <= 1.0
+    assert 0.0 < got.r2 <= 1.0
+    assert got.vocab_total <= got.n_grams_total
+    assert got.vocab_total == cv and got.n_grams_total == cn
+
+
+def test_assortativity_matches_numpy(spark, sf_dir):
+    """r13: Newman assortativity equals numpy's Pearson correlation of
+    (deg(node), deg(nbr)) over the symmetrized fuzzy edge list, and
+    lies in [-1, 1]."""
+    import numpy as np
+
+    from canvas_data_2_aws_spark.operators.fuzzy_graph import fuzzy_sym
+
+    registry.load_all()
+    sym = fuzzy_sym(spark, sf_dir)
+    deg = {r.node: r.degree for r in
+           sym.groupBy("node").count().withColumnRenamed("count", "degree").collect()}
+    ends = [(deg[r.node], deg[r.nbr]) for r in sym.collect()]
+    dx = np.array([a for a, _ in ends], dtype=np.float64)
+    dy = np.array([b for _, b in ends], dtype=np.float64)
+    expected = float(np.corrcoef(dx, dy)[0, 1])
+
+    got = registry.QUERIES["graph_assortativity"](spark, sf_dir).collect()[0]
+    assert got.n_edges * 2 == len(ends)
+    assert got.n_nodes == len(deg)
+    assert -1.0 <= got.assortativity <= 1.0
+    assert abs(got.assortativity - expected) < 1e-6

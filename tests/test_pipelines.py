@@ -442,3 +442,48 @@ def test_decontam_sweep_monotone_and_consistent(spark, sf_dir):
     single = registry.QUERIES["pipeline_decontaminate"](spark, sf_dir)
     n4 = next(r for r in rows if r.n_gram == 4)
     assert single.count() == n4.n_flagged_docs
+
+
+def test_seqlen_sweep_conservation_and_monotone(spark, sf_dir):
+    """r13: per cell, kept tokens seen from the corpus side equal kept
+    slots seen from the budget side (tokens_total - truncated ==
+    n_docs*L - padding); truncation only falls and padding only rises
+    as L grows; and the L=64 cell matches a direct computation."""
+    registry.load_all()
+    rows = sorted(
+        registry.QUERIES["pipeline_seqlen_tradeoff_sweep"](
+            spark, sf_dir
+        ).collect(),
+        key=lambda r: r.max_seq_len,
+    )
+    assert [r.max_seq_len for r in rows] == [32, 64, 96, 128]
+    for r in rows:
+        assert (
+            r.tokens_total - r.tokens_truncated
+            == r.n_docs * r.max_seq_len - r.tokens_padding
+        )
+        assert 0.0 <= r.trunc_share <= 1.0 and 0.0 <= r.pad_share <= 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert a.tokens_truncated >= b.tokens_truncated
+        assert a.tokens_padding <= b.tokens_padding
+        assert a.docs_truncated >= b.docs_truncated
+        assert a.n_docs == b.n_docs and a.tokens_total == b.tokens_total
+
+    from pyspark.sql import functions as F
+
+    from canvas_data_2_aws_spark.session import load_table
+
+    lens = load_table(spark, sf_dir, "documents").select(
+        F.size(F.split("text", " ")).alias("n")
+    )
+    direct = lens.agg(
+        F.sum(F.greatest(F.col("n") - 64, F.lit(0))).alias("tr"),
+        F.sum(F.lit(64) - F.least(F.col("n"), F.lit(64))).alias("pad"),
+        F.sum(F.when(F.col("n") > 64, 1).otherwise(0)).alias("dt"),
+    ).collect()[0]
+    cell = next(r for r in rows if r.max_seq_len == 64)
+    assert (cell.tokens_truncated, cell.tokens_padding, cell.docs_truncated) == (
+        direct.tr,
+        direct.pad,
+        direct.dt,
+    )

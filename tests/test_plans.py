@@ -103,6 +103,12 @@ def test_aggregation_is_hash_with_partial_combine(plans):
 # distribution, not a real product (the broadcast side is one row by
 # construction: global agg or LIMIT-free bounds).
 _NESTED_LOOP_OK = {
+    # r13 wave:
+    "match_fs_threshold_grid",  # 6-row (upper,lower) ladder + 1-row census
+    "dedup_minhash_perm_sweep",  # 4-row budget ladder + 1-row n_truth
+    "pipeline_seqlen_tradeoff_sweep",  # 4-row length ladder + 1-row totals
+    "graph_assortativity",  # 1-row node-count attach
+    "text_heaps_law",  # inherits text_novelty_curve's 1-row horizon attach
     # r12 wave:
     "dedup_banding_grid_eval",  # 4-row geometry ladder + 1-row n_truth
     "search_bm25_param_grid",  # 4-row (k1,b) ladder + 1-row corpus stats
