@@ -233,6 +233,12 @@ HEADLINE = [
     "graph_assortativity",
     "dedup_minhash_perm_sweep",
     "pipeline_seqlen_tradeoff_sweep",
+    # round-13 second wave: Theil between/within inequality
+    # decomposition, MDE-vs-traffic planning curve, Bloom bits-per-key
+    # sizing table.
+    "analytics_theil_index",
+    "analytics_mde_curve",
+    "join_bloom_fpp_sweep",
 ]
 
 

@@ -3176,3 +3176,239 @@ def analytics_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rejected"
         ),
     ).orderBy("rnk")
+
+
+# --- EXT: minimum-detectable-effect vs traffic curve (r13) ---------------------------
+
+# analytics_power_analysis answers "is current traffic enough for a
+# +2pp lift?" at one point; the planning conversation actually runs
+# the other way — "what CAN we detect at 1x/2x/4x/8x of today's
+# traffic, and is the runway worth it?". The equal-variance MDE
+# approximation delta = (z_a + z_b) * sqrt(2 p0 (1-p0) / n_arm) prices
+# each traffic multiple from the SAME observed baseline census as the
+# power query (identical user collapse), so the two instruments can't
+# drift. One 1-row census x a 4-row broadcast ladder; sqrt is
+# safe shared-libm, the two z constants are shared literal text, and
+# every MDE is transcendental (no ROUND-tie class).
+_MDE_MULTIPLES = [1, 2, 4, 8]
+
+_MDE_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 200
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS n_conv
+  FROM u
+),
+ladder AS (
+  SELECT CAST(unnest([{", ".join(str(v) for v in _MDE_MULTIPLES)}])
+              AS BIGINT) AS traffic_multiple
+)
+SELECT l.traffic_multiple,
+       CAST(m.n_users // 2 * l.traffic_multiple AS BIGINT) AS n_per_arm,
+       ROUND(m.n_conv * 1.0 / m.n_users, 6) AS p_baseline,
+       ROUND(({_PWR_Z_A} + {_PWR_Z_B})
+             * sqrt(2.0 * (m.n_conv * 1.0 / m.n_users)
+                    * (1.0 - m.n_conv * 1.0 / m.n_users)
+                    / (m.n_users // 2 * l.traffic_multiple)), 6) AS mde_abs,
+       ROUND(({_PWR_Z_A} + {_PWR_Z_B})
+             * sqrt(2.0 * (m.n_conv * 1.0 / m.n_users)
+                    * (1.0 - m.n_conv * 1.0 / m.n_users)
+                    / (m.n_users // 2 * l.traffic_multiple))
+             / (m.n_conv * 1.0 / m.n_users), 6) AS mde_rel
+FROM ladder l, m
+ORDER BY l.traffic_multiple
+"""
+
+
+@graded("analytics_mde_curve", oracle=_MDE_ORACLE)
+def analytics_mde_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable absolute/relative conversion lift at
+    alpha=0.05 / power 0.8 per traffic multiple {1,2,4,8} — the
+    experiment-runway planning curve off the same baseline census as
+    analytics_power_analysis (rationale above the oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 200), 1
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    m = u.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_conv"),
+    )
+    ladder = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(v).cast("bigint") for v in _MDE_MULTIPLES])
+        ).alias("traffic_multiple")
+    )
+    za, zb = float(_PWR_Z_A), float(_PWR_Z_B)
+    p0 = F.col("n_conv") * 1.0 / F.col("n_users")
+    n_arm = F.expr("n_users DIV 2") * F.col("traffic_multiple")
+    mde = (za + zb) * F.sqrt(2.0 * p0 * (1.0 - p0) / n_arm)
+    return (
+        ladder.crossJoin(F.broadcast(m))  # 1-row census attach
+        .select(
+            "traffic_multiple",
+            n_arm.cast("bigint").alias("n_per_arm"),
+            F.round(p0, 6).alias("p_baseline"),
+            F.round(mde, 6).alias("mde_abs"),
+            F.round(mde / p0, 6).alias("mde_rel"),
+        )
+        .orderBy("traffic_multiple")
+    )
+
+
+# --- EXT: Theil inequality index with between/within decomposition (r13) ------------
+
+# The Gini row summarizes spend inequality with one number; Theil's T
+# is the inequality measure that DECOMPOSES exactly — T_total =
+# T_between + T_within over any partition — so it answers the next
+# question: is customer-spend concentration a cross-segment story
+# (some market segments simply buy more) or an in-segment one (whales
+# inside each segment)? Weights collapse to exact integer mass ratios
+# (N_g*mu_g / (N*mu) = S_g/S on cent sums), every ln term is
+# decimal(38,9)-quantized before its sum (the Zipf recipe), and the
+# segment stage is catalog-sized (5 rows). Plan: one customer
+# collapse, one segment census, one 1-row totals attach, three
+# quantized sums — a single scan + customer-keyed exchange at any
+# corpus; the exact decomposition identity is pinned in tests.
+_THEIL_ORACLE = """
+WITH spend AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY o.o_custkey, c.c_mktsegment
+),
+pos AS (SELECT segment, cents FROM spend WHERE cents > 0),
+seg AS (
+  SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(cents) AS BIGINT) AS s_g
+  FROM pos GROUP BY segment
+),
+tot AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(SUM(s_g) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n_segments
+  FROM seg
+),
+tterm AS (
+  SELECT CAST(SUM(CAST((p.cents / (t.s * 1.0 / t.n))
+                       * ln(p.cents / (t.s * 1.0 / t.n))
+                       AS DECIMAL(38,9))) AS DOUBLE) AS st
+  FROM pos p, tot t
+),
+wseg AS (
+  SELECT p.segment,
+         CAST(SUM(CAST((p.cents / (g.s_g * 1.0 / g.n_g))
+                       * ln(p.cents / (g.s_g * 1.0 / g.n_g))
+                       AS DECIMAL(38,9))) AS DOUBLE) AS st_g
+  FROM pos p JOIN seg g ON g.segment = p.segment
+  GROUP BY p.segment
+),
+parts AS (
+  SELECT CAST(SUM(CAST((g.s_g * 1.0 / t.s) * (w.st_g / g.n_g)
+                       AS DECIMAL(38,9))) AS DOUBLE) AS t_within,
+         CAST(SUM(CAST((g.s_g * 1.0 / t.s)
+                       * ln((g.s_g * 1.0 / g.n_g) / (t.s * 1.0 / t.n))
+                       AS DECIMAL(38,9))) AS DOUBLE) AS t_between
+  FROM seg g JOIN wseg w ON w.segment = g.segment, tot t
+)
+SELECT t.n AS n_customers, t.n_segments,
+       ROUND(x.st / t.n, 6) AS theil_total,
+       ROUND(p.t_between, 6) AS theil_between,
+       ROUND(p.t_within, 6) AS theil_within
+FROM tot t, tterm x, parts p
+"""
+
+
+@graded("analytics_theil_index", oracle=_THEIL_ORACLE)
+def analytics_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T of per-customer spend with its exact between/within
+    market-segment decomposition (rationale above the oracle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    spend = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("o_custkey", F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .where(F.col("cents") > 0)
+        .select("segment", "cents")
+    )
+    seg = spend.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("cents").cast("bigint").alias("s_g"),
+    )
+    tot = seg.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+    )
+    mu = F.col("s") * 1.0 / F.col("n")
+    tterm = (
+        spend.crossJoin(F.broadcast(tot))  # 1-row totals attach
+        .select(
+            ((F.col("cents") / mu) * F.log(F.col("cents") / mu)).alias("term")
+        )
+        .agg(F.sum(F.col("term").cast("decimal(38,9)")).cast("double").alias("st"))
+    )
+    mu_g = F.col("s_g") * 1.0 / F.col("n_g")
+    wseg = (
+        spend.join(F.broadcast(seg), "segment")
+        .select(
+            "segment",
+            ((F.col("cents") / mu_g) * F.log(F.col("cents") / mu_g)).alias(
+                "term_g"
+            ),
+        )
+        .groupBy("segment")
+        .agg(
+            F.sum(F.col("term_g").cast("decimal(38,9)"))
+            .cast("double")
+            .alias("st_g")
+        )
+    )
+    parts = (
+        seg.join(wseg, "segment")
+        .crossJoin(F.broadcast(tot))  # 1-row totals attach
+        .select(
+            ((F.col("s_g") * 1.0 / F.col("s")) * (F.col("st_g") / F.col("n_g")))
+            .alias("w_term"),
+            (
+                (F.col("s_g") * 1.0 / F.col("s"))
+                * F.log(mu_g / (F.col("s") * 1.0 / F.col("n")))
+            ).alias("b_term"),
+        )
+        .agg(
+            F.sum(F.col("w_term").cast("decimal(38,9)"))
+            .cast("double")
+            .alias("t_within"),
+            F.sum(F.col("b_term").cast("decimal(38,9)"))
+            .cast("double")
+            .alias("t_between"),
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(tterm))
+        .crossJoin(F.broadcast(parts))
+        .select(
+            F.col("n").alias("n_customers"),
+            "n_segments",
+            F.round(F.col("st") / F.col("n"), 6).alias("theil_total"),
+            F.round("t_between", 6).alias("theil_between"),
+            F.round("t_within", 6).alias("theil_within"),
+        )
+    )

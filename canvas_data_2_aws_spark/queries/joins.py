@@ -718,3 +718,76 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("version_age_days")
     )
+
+
+# --- EXT: Bloom-filter bits-per-key sizing sweep (r13) -------------------------------
+
+# join_bloom_prefilter MEASURES the false-positive rate at the one
+# configured geometry (16 bits/key, k=3); the sizing decision wants
+# the whole curve — per bits-per-key budget b in {8, 12, 16, 20}: the
+# optimal hash count k = round(b*ln2), the analytic false-positive
+# probability fpp = exp(k * ln(1 - exp(-k/b))), and the filter's exact
+# byte cost for the ACTUAL build-side key census (same build set as
+# the measured query, so the two instruments can't drift). Everything
+# derives from a 1-row census x a 4-row ladder: exp/ln are safe
+# shared-libm with identical expression text, k/b is an exact small
+# rational, fpp is transcendental (no ROUND-tie class), and the byte
+# cost is pure integer arithmetic — no rounding at all.
+_BLOOM_SWEEP_BITS = [8, 12, 16, 20]
+
+_BLOOM_SWEEP_ORACLE = f"""
+WITH build AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+ladder AS (
+  SELECT CAST(unnest([{", ".join(str(b) for b in _BLOOM_SWEEP_BITS)}])
+              AS BIGINT) AS bits_per_key
+),
+cells AS (
+  SELECT l.bits_per_key, b.n_keys,
+         CAST(round(l.bits_per_key * ln(2.0), 0) AS BIGINT) AS k_hashes
+  FROM ladder l, build b
+)
+SELECT bits_per_key, k_hashes, n_keys,
+       CAST((n_keys * bits_per_key + 7) // 8 AS BIGINT) AS filter_bytes,
+       ROUND(exp(k_hashes * ln(1.0 - exp(-(k_hashes * 1.0 / bits_per_key)))),
+             8) AS fpp
+FROM cells
+ORDER BY bits_per_key
+"""
+
+
+@graded("join_bloom_fpp_sweep", oracle=_BLOOM_SWEEP_ORACLE)
+def join_bloom_fpp_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal hash count, analytic false-positive probability, and
+    exact byte cost per Bloom bits-per-key budget for the production
+    build-side key census (rationale above the oracle)."""
+    customer = load_table(spark, sf_dir, "customer")
+    build = customer.where(F.col("c_mktsegment") == "BUILDING").agg(
+        F.count("*").cast("bigint").alias("n_keys")
+    )
+    ladder = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(b).cast("bigint") for b in _BLOOM_SWEEP_BITS])
+        ).alias("bits_per_key")
+    )
+    k = F.round(F.col("bits_per_key") * F.log(F.lit(2.0)), 0).cast("bigint")
+    cells = ladder.crossJoin(F.broadcast(build)).select(
+        "bits_per_key", "n_keys", k.alias("k_hashes")
+    )
+    fpp = F.exp(
+        F.col("k_hashes")
+        * F.log(
+            1.0 - F.exp(-(F.col("k_hashes") * 1.0 / F.col("bits_per_key")))
+        )
+    )
+    return cells.select(
+        "bits_per_key",
+        "k_hashes",
+        "n_keys",
+        F.expr("CAST((n_keys * bits_per_key + 7) DIV 8 AS BIGINT)").alias(
+            "filter_bytes"
+        ),
+        F.round(fpp, 8).alias("fpp"),
+    ).orderBy("bits_per_key")

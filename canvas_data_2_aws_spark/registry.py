@@ -73,15 +73,19 @@ def graded(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]
 # undercounted), then the r06 block head (stream_tumbling_counts
 # first, then alphabetical) — exactly 50.
 #
-# Round-14 plan: any NEW r14 operators first, then the remaining 33
-# r06-latest-verdict names (alphabetical from scalar_map_hof onward:
-# scalar_map_hof, scalar_math, scalar_regexp_extract_all,
-# scalar_string, scalar_string_extended, scalar_trig, scalar_try_ops,
-# scalar_zip_dot, scan_project_filter, schema_*, sink_*, stream_*
-# smokes, timeseries_anomaly_zscore, window_distinct_running, … —
-# recompute from the union at close), then the r07 block head.
+# Round-14 plan: any NEW r14 operators first, then the remaining 36
+# r06-latest-verdict names (alphabetical from scalar_levenshtein
+# onward: scalar_levenshtein, scalar_map_entries, scalar_map_hof,
+# scalar_math, scalar_regexp_extract_all, scalar_string,
+# scalar_string_extended, scalar_trig, scalar_try_ops, scalar_zip_dot,
+# scan_project_filter, schema_*, sink_*, stream_* smokes,
+# timeseries_anomaly_zscore, window_distinct_running, … — recompute
+# from the union at close), then the r07 block head.
 _SAMPLE_WINDOW_R13: tuple[str, ...] = (
     # --- NEW r13 operators (prepended as they land) ---
+    "analytics_mde_curve",
+    "analytics_theil_index",
+    "join_bloom_fpp_sweep",
     "match_fs_threshold_grid",
     "text_heaps_law",
     "graph_assortativity",
@@ -132,9 +136,6 @@ _SAMPLE_WINDOW_R13: tuple[str, ...] = (
     "scalar_date",
     "scalar_date_format",
     "scalar_json",
-    "scalar_levenshtein",
-    "scalar_map_entries",
-    "scalar_map_hof",
 )
 
 # Round-12 window (historical — superseded by _SAMPLE_WINDOW_R13).

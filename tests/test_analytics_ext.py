@@ -551,3 +551,85 @@ def test_fdr_bh_stepup_contract(spark, sf_dir):
         assert abs(r.p_value - exact) < 5e-4  # z rounded to 4dp in output
     ps = [r.p_value for r in rows]
     assert ps == sorted(ps)
+
+
+def test_mde_curve_inverse_of_power_analysis(spark, sf_dir):
+    """r13: MDE falls as 1/sqrt(traffic) — each doubling of the
+    multiple divides the MDE by sqrt(2) exactly (same baseline) — and
+    the curve is consistent with analytics_power_analysis: at the
+    multiple where n_per_arm >= the power query's n_required, the MDE
+    must be <= the +2pp design lift (up to the equal-variance
+    approximation's tolerance)."""
+    import math
+
+    from canvas_data_2_aws_spark import registry
+
+    registry.load_all()
+    rows = sorted(
+        registry.QUERIES["analytics_mde_curve"](spark, sf_dir).collect(),
+        key=lambda r: r.traffic_multiple,
+    )
+    assert [r.traffic_multiple for r in rows] == [1, 2, 4, 8]
+    assert len({r.p_baseline for r in rows}) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_per_arm == a.n_per_arm * 2
+        assert abs(b.mde_abs - a.mde_abs / math.sqrt(2.0)) < 5e-6
+        assert b.mde_abs < a.mde_abs
+    pwr = registry.QUERIES["analytics_power_analysis"](spark, sf_dir).collect()[0]
+    for r in rows:
+        if r.n_per_arm >= pwr.n_required:
+            # detectable lift at this traffic is within ~15% of the
+            # +2pp design point (equal-variance vs exact-variance gap)
+            assert r.mde_abs <= 0.02 * 1.15
+
+
+def test_theil_decomposition_identity(spark, sf_dir):
+    """r13: Theil's T decomposes exactly — total = between + within
+    (up to the 1e-9 decimal quantization of each ln term) — and all
+    three parts are non-negative, with between bounded by total."""
+    from canvas_data_2_aws_spark import registry
+
+    registry.load_all()
+    got = registry.QUERIES["analytics_theil_index"](spark, sf_dir).collect()[0]
+    assert got.n_customers > 0 and got.n_segments >= 2
+    assert got.theil_total >= 0.0
+    assert got.theil_between >= 0.0
+    assert got.theil_within >= 0.0
+    assert abs(got.theil_total - (got.theil_between + got.theil_within)) < 1e-4
+    assert got.theil_between <= got.theil_total + 1e-9
+
+
+def test_bloom_fpp_sweep_matches_theory_and_measurement(spark, sf_dir):
+    """r13: fpp falls monotonically with the bits budget, k tracks
+    b*ln2, byte costs are exact, and the b=16 analytic cell agrees in
+    order of magnitude with join_bloom_prefilter's MEASURED
+    false-positive rate (the measured filter uses k=3, not the
+    optimal k=11, so the analytic optimum must be <= the measured
+    rate's ballpark, not equal)."""
+    import math
+
+    from canvas_data_2_aws_spark import registry
+
+    registry.load_all()
+    rows = sorted(
+        registry.QUERIES["join_bloom_fpp_sweep"](spark, sf_dir).collect(),
+        key=lambda r: r.bits_per_key,
+    )
+    assert [r.bits_per_key for r in rows] == [8, 12, 16, 20]
+    for r in rows:
+        assert r.k_hashes == round(r.bits_per_key * math.log(2.0))
+        assert r.filter_bytes == (r.n_keys * r.bits_per_key + 7) // 8
+        k, b = r.k_hashes, r.bits_per_key
+        expected = math.exp(k * math.log(1.0 - math.exp(-k / b)))
+        assert abs(r.fpp - expected) < 1e-8
+    for a, b in zip(rows, rows[1:]):
+        assert b.fpp < a.fpp
+        assert b.filter_bytes > a.filter_bytes
+    # measured comparison: optimal-k analytic fpp at 16 bits/key must
+    # not exceed the measured k=3 filter's false-positive rate
+    measured = registry.QUERIES["join_bloom_prefilter"](spark, sf_dir).collect()
+    n_nonmember = sum(r.n_orders - r.n_members for r in measured)
+    n_fp = sum(r.n_false_pos for r in measured)
+    if n_nonmember > 0 and n_fp > 0:
+        cell16 = next(r for r in rows if r.bits_per_key == 16)
+        assert cell16.fpp <= n_fp / n_nonmember

@@ -109,6 +109,9 @@ _NESTED_LOOP_OK = {
     "pipeline_seqlen_tradeoff_sweep",  # 4-row length ladder + 1-row totals
     "graph_assortativity",  # 1-row node-count attach
     "text_heaps_law",  # inherits text_novelty_curve's 1-row horizon attach
+    "analytics_mde_curve",  # 4-row traffic ladder + 1-row baseline census
+    "analytics_theil_index",  # three 1-row totals attaches
+    "join_bloom_fpp_sweep",  # 4-row bits ladder + 1-row key census
     # r12 wave:
     "dedup_banding_grid_eval",  # 4-row geometry ladder + 1-row n_truth
     "search_bm25_param_grid",  # 4-row (k1,b) ladder + 1-row corpus stats
