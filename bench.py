@@ -239,6 +239,7 @@ HEADLINE = [
     "analytics_theil_index",
     "analytics_mde_curve",
     "join_bloom_fpp_sweep",
+    "dedup_stage_funnel",
 ]
 
 
@@ -257,7 +258,7 @@ def _builds() -> list[tuple[str, object]]:
     """
     from canvas_data_2_aws_spark.operators import fuzzy_graph
     from canvas_data_2_aws_spark.operators import text as T
-    from canvas_data_2_aws_spark.queries import dedup, vectors
+    from canvas_data_2_aws_spark.queries import dedup, multimodal, vectors
     from canvas_data_2_aws_spark.queries import text as qtext
 
     return [
@@ -276,6 +277,9 @@ def _builds() -> list[tuple[str, object]]:
         # r13: the 8x1 singles-superset agreement-mask frame both
         # mask-ladder evals (banding grid, permutation sweep) read.
         ("minhash_masked_build", dedup.minhash_masked_cached),
+        # r13: the pHash signature frame three queries read (dedup,
+        # threshold curve, stage funnel).
+        ("phash_frame_build", multimodal.phash_frame),
     ]
 
 

@@ -2704,3 +2704,166 @@ def dedup_minhash_perm_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_hashes")
     )
+
+
+# --- EXT: staged dedup-family coverage funnel (r13) ----------------------------------
+
+# The dedup family now spans four candidate generators (exact text,
+# MinHash J >= 0.5, SimHash hamming <= 8, pHash hamming <= 3); the
+# curation decision is which STAGES to run and in what order, and that
+# needs the overlap accounting this funnel provides: per stage, how
+# many documents it flags as duplicates (doc has a smaller-id match),
+# how many are NEW — not flagged by any earlier (cheaper/stricter)
+# stage — and the cumulative corpus coverage. Every leg reuses its
+# family's session-memoized frame (exact = one text-keyed collapse;
+# the others read the simhash-pairs / minhash-truth / phash-pair
+# caches), so the funnel itself is a union of doc-id manifests + one
+# min-stage attribution — doc-sized at any corpus. Coverage shares use
+# the integer-domain millionths recipe (r13 erratum 1: n_docs is
+# routinely 10-smooth). The fixture's texts are globally unique, so
+# stage 1 flags zero docs — pinned in tests, and exactly what the
+# instrument should report.
+from .multimodal import _PHASH_ORACLE as _PHASH_PAIRS_SQL_REF  # noqa: E402
+
+_STAGE_FUNNEL_ORACLE = f"""
+WITH exact_f AS (
+  SELECT d.doc_id FROM documents d
+  WHERE EXISTS (SELECT 1 FROM documents e
+                WHERE e.text = d.text AND e.doc_id < d.doc_id)
+),
+mh_f AS ({_MINHASH_FLAGGED_CTES}
+  SELECT DISTINCT doc_b AS doc_id FROM truth
+),
+sim_f AS ({{SIMHASH_PAIRS}}
+  z AS (SELECT 1 AS one)
+  SELECT DISTINCT pb AS doc_id FROM pairs
+),
+ph_f AS (
+  WITH ph_pairs AS ({{PHASH_PAIRS}})
+  SELECT DISTINCT doc_b AS doc_id FROM ph_pairs
+),
+dflags AS (
+  SELECT DISTINCT doc_id, stage FROM (
+    SELECT doc_id, 1 AS stage FROM exact_f
+    UNION ALL SELECT doc_id, 2 FROM mh_f
+    UNION ALL SELECT doc_id, 3 FROM sim_f
+    UNION ALL SELECT doc_id, 4 FROM ph_f
+  )
+),
+firstf AS (SELECT doc_id, MIN(stage) AS stage FROM dflags GROUP BY doc_id),
+man AS (SELECT CAST(unnest([1, 2, 3, 4]) AS BIGINT) AS stage),
+per AS (
+  SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_flagged
+  FROM dflags GROUP BY stage
+),
+nw AS (
+  SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM firstf GROUP BY stage
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT m.stage,
+       CASE m.stage WHEN 1 THEN 'exact' WHEN 2 THEN 'minhash_j05'
+                    WHEN 3 THEN 'simhash_ham8' ELSE 'phash_ham3'
+       END AS family,
+       COALESCE(p.n_flagged, 0) AS n_flagged,
+       COALESCE(n.n_new, 0) AS n_new,
+       CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY m.stage) AS BIGINT)
+         AS cum_flagged,
+       t.n_docs,
+       CAST((CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY m.stage)
+                  AS BIGINT) * 2000000 + t.n_docs)
+            // (2 * t.n_docs) AS DOUBLE) / 1000000.0 AS coverage_share
+FROM man m
+LEFT JOIN per p USING (stage)
+LEFT JOIN nw n USING (stage), tot t
+ORDER BY m.stage
+""".replace("{SIMHASH_PAIRS}", _SIMHASH_PAIRS_SQL).replace(
+    "{PHASH_PAIRS}", _PHASH_PAIRS_SQL_REF
+)
+
+
+@graded("dedup_stage_funnel", oracle=_STAGE_FUNNEL_ORACLE)
+def dedup_stage_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per dedup family: flagged-doc count, NEW coverage beyond all
+    earlier stages, and cumulative corpus coverage — one doc-id
+    manifest union + a min-stage attribution over the session-shared
+    family frames (rationale above the oracle)."""
+    from ..operators.ranks import UNIT_GROUP, attach_unit_group
+    from .multimodal import multimodal_phash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    canon = docs.groupBy("text").agg(F.min("doc_id").alias("canon"))
+    exact_f = (
+        docs.join(canon, "text")
+        .where(F.col("doc_id") != F.col("canon"))
+        .select("doc_id")
+    )
+    mh_f = minhash_truth_cached(spark, sf_dir).select(
+        F.col("doc_b").alias("doc_id")
+    )
+    sim_f = simhash_pairs_cached(spark, sf_dir).select(
+        F.col("doc_b").alias("doc_id")
+    )
+    ph_f = multimodal_phash_dedup(spark, sf_dir).select(
+        F.col("doc_b").alias("doc_id")
+    )
+    legs = [
+        df.withColumn("stage", F.lit(i).cast("bigint"))
+        for i, df in enumerate([exact_f, mh_f, sim_f, ph_f], start=1)
+    ]
+    flags = legs[0]
+    for leg in legs[1:]:
+        flags = flags.unionByName(leg)
+    dflags = flags.distinct()
+    per = dflags.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_flagged")
+    )
+    nw = (
+        dflags.groupBy("doc_id")
+        .agg(F.min("stage").alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+    )
+    man = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(s).cast("bigint") for s in (1, 2, 3, 4)])
+        ).alias("stage")
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    base = (
+        man.join(per, "stage", "left")
+        .join(nw, "stage", "left")
+        .crossJoin(F.broadcast(tot))  # 1-row corpus census attach
+        .select(
+            "stage",
+            F.when(F.col("stage") == 1, "exact")
+            .when(F.col("stage") == 2, "minhash_j05")
+            .when(F.col("stage") == 3, "simhash_ham8")
+            .otherwise("phash_ham3")
+            .alias("family"),
+            F.coalesce("n_flagged", F.lit(0)).cast("bigint").alias("n_flagged"),
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+            "n_docs",
+        )
+    )
+    w = Window.partitionBy(UNIT_GROUP).orderBy("stage")  # 4-row manifest
+    return (
+        attach_unit_group(base)
+        .select(
+            "stage",
+            "family",
+            "n_flagged",
+            "n_new",
+            F.sum("n_new").over(w).cast("bigint").alias("cum_flagged"),
+            "n_docs",
+            (
+                F.expr(
+                    "CAST((CAST(SUM(n_new) OVER (PARTITION BY __rank_g"
+                    " ORDER BY stage) AS BIGINT) * 2000000 + n_docs)"
+                    " DIV (2 * n_docs) AS DOUBLE)"
+                )
+                / 1000000.0
+            ).alias("coverage_share"),
+        )
+        .orderBy("stage")
+    )

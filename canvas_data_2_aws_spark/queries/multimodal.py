@@ -379,7 +379,7 @@ def phash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
       (measured 243 s at sf0.1 vs ~6 s). coalesce with a non-null
       literal folds that inferred IsNotNull to true at plan time; -1
       is unreachable (the aggregate of non-null ints is never NULL).
-    - The trailing repartition("phash") + lazy checkpoint is a
+    - The trailing repartition("phash") + checkpoint is a
       materialization barrier, NOT just co-partitioning: without the
       Exchange, CollapseProject inlines the whole nested-HOF phash
       expression into every downstream join output, re-evaluating it
@@ -387,34 +387,44 @@ def phash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
       barrier). After the shuffle every consumer — the value census,
       the expansion self-joins — reads an 8-byte phash value, already
       partitioned on the join key (one Exchange total per doc side).
+
+    Session-memoized (r13): three queries now read this frame (the
+    dedup, the threshold curve, and the stage funnel's pHash leg), so
+    it builds once per session via the house memoized-checkpoint cache
+    — named bench build row ``phash_frame_build``.
     """
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .where(F.length("text") >= 16)
-        .repartition("doc_id")
-    )
-    codes = docs.select(
-        "doc_id",
-        F.expr("transform(split(text, ''), c -> ascii(c))").alias("cs"),
-    )
-    sig = codes.select(
-        "doc_id",
-        F.expr(
-            "transform(sequence(0, 15), i ->"
-            " aggregate(slice(cs, i * (size(cs) DIV 16) + 1, size(cs) DIV 16),"
-            "   0, (a, x) -> a + x))"
-        ).alias("bs"),
-    )
-    ph = sig.select(
-        "doc_id",
-        F.expr(
-            "coalesce(CAST(aggregate(transform(sequence(0, 15), i ->"
-            " CASE WHEN 16 * bs[i] > aggregate(bs, 0, (a, x) -> a + x)"
-            " THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END),"
-            " CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT), CAST(-1 AS BIGINT))"
-        ).alias("phash"),
-    )
-    return ph.repartition("phash").localCheckpoint(eager=False)
+    from ..operators.fuzzy_graph import memoized_checkpoint
+
+    def build() -> DataFrame:
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .where(F.length("text") >= 16)
+            .repartition("doc_id")
+        )
+        codes = docs.select(
+            "doc_id",
+            F.expr("transform(split(text, ''), c -> ascii(c))").alias("cs"),
+        )
+        sig = codes.select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(0, 15), i ->"
+                " aggregate(slice(cs, i * (size(cs) DIV 16) + 1, size(cs) DIV 16),"
+                "   0, (a, x) -> a + x))"
+            ).alias("bs"),
+        )
+        ph = sig.select(
+            "doc_id",
+            F.expr(
+                "coalesce(CAST(aggregate(transform(sequence(0, 15), i ->"
+                " CASE WHEN 16 * bs[i] > aggregate(bs, 0, (a, x) -> a + x)"
+                " THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END),"
+                " CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT), CAST(-1 AS BIGINT))"
+            ).alias("phash"),
+        )
+        return ph.repartition("phash")
+
+    return memoized_checkpoint(spark, sf_dir, "phash_frame", build)
 
 
 @graded("multimodal_phash_dedup", oracle=_PHASH_ORACLE)

@@ -83,6 +83,7 @@ def graded(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]
 # from the union at close), then the r07 block head.
 _SAMPLE_WINDOW_R13: tuple[str, ...] = (
     # --- NEW r13 operators (prepended as they land) ---
+    "dedup_stage_funnel",
     "analytics_mde_curve",
     "analytics_theil_index",
     "join_bloom_fpp_sweep",
@@ -135,7 +136,6 @@ _SAMPLE_WINDOW_R13: tuple[str, ...] = (
     "scalar_collation",
     "scalar_date",
     "scalar_date_format",
-    "scalar_json",
 )
 
 # Round-12 window (historical — superseded by _SAMPLE_WINDOW_R13).

@@ -536,3 +536,38 @@ def test_minhash_perm_sweep_prefix_nesting(spark, sf_dir):
     assert rows[8].n_cand == grid["8x1"].n_cand
     assert rows[8].n_hit == grid["8x1"].n_hit
     assert rows[8].n_truth == grid["8x1"].n_truth
+
+
+def test_stage_funnel_accounting(spark, sf_dir):
+    """r13: the funnel's books must balance — stage 1 (exact) flags
+    zero docs on the globally-unique-text fixture, n_new <= n_flagged
+    per stage, the n_new column sums to the distinct union of all
+    family flags, cumulative coverage is the running n_new sum, and
+    each family's n_flagged equals its source frame's distinct doc_b
+    count."""
+    from canvas_data_2_aws_spark.queries.dedup import (
+        minhash_truth_cached,
+        simhash_pairs_cached,
+    )
+
+    registry.load_all()
+    rows = sorted(
+        registry.QUERIES["dedup_stage_funnel"](spark, sf_dir).collect(),
+        key=lambda r: r.stage,
+    )
+    assert [r.family for r in rows] == [
+        "exact", "minhash_j05", "simhash_ham8", "phash_ham3",
+    ]
+    assert rows[0].n_flagged == 0 and rows[0].n_new == 0
+    cum = 0
+    for r in rows:
+        assert r.n_new <= r.n_flagged or r.stage == 1
+        cum += r.n_new
+        assert r.cum_flagged == cum
+        assert 0.0 <= r.coverage_share <= 1.0
+    mh = minhash_truth_cached(spark, sf_dir).select("doc_b").distinct().count()
+    sim = simhash_pairs_cached(spark, sf_dir).select("doc_b").distinct().count()
+    by = {r.family: r for r in rows}
+    assert by["minhash_j05"].n_flagged == mh
+    assert by["simhash_ham8"].n_flagged == sim
+    assert cum <= by["exact"].n_docs
