@@ -240,6 +240,13 @@ HEADLINE = [
     "analytics_mde_curve",
     "join_bloom_fpp_sweep",
     "dedup_stage_funnel",
+    # round-13 third wave: TTL-evicting streaming rollup (the
+    # shrinking-state replay class), isotonic (PAV) calibration,
+    # event-time disorder census (watermark sizing), mapInArrow (U6).
+    "stream_ttl_rollup_replay",
+    "analytics_isotonic_calibration",
+    "stream_disorder_stats",
+    "udf_map_in_arrow",
 ]
 
 

@@ -1584,6 +1584,169 @@ def analytics_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- isotonic (PAV) calibration of the quality classifier (r13) ------------------
+
+# The reliability diagram (analytics_calibration_ece) DIAGNOSES
+# miscalibration; this query FIXES it: the isotonic-regression fit
+# (the standard post-hoc calibrator next to Platt scaling) maps each
+# confidence bin to the best monotone-nondecreasing approximation of
+# its empirical positive rate. Computed via the minimax identity
+# iso(i) = max_{j<=i} min_{k>=i} avg(j..k) — the closed form of the
+# pool-adjacent-violators solution — over the <=20 present confidence
+# bins, so the whole fit is a bounded fan-out (<= 20*21/2 = 210 (j,k)
+# pairs, <= ~1.5k (i,j,k) triples) off ONE binned census of the shared
+# NB scoring frame: data-scale work is the scoring stages the ECE/
+# confusion queries already pay; everything after the bin census is
+# manifest-sized at ANY corpus. Determinism: bin masses are exact
+# BIGINTs; every segment average is carried as the exact (num, den)
+# pair and compared through identical-operand IEEE division (bounded
+# integer operands: distinct rationals with num,den <= |docs| differ
+# by >= 1/den^2, far above double ulp — no cross-engine tie hazard;
+# ties ARE equal rationals, so argmin/argmax representation choice
+# cannot change the rounded output); final rates use the r13
+# integer-domain half-up millionths recipe, never ROUND(double). At
+# 100 TB the num*2000000 intermediates want DECIMAL(38,0) widening —
+# the bin census itself stays 20 rows regardless of corpus.
+_ISOTONIC_ORACLE = f"""
+WITH {{nb}},
+conf AS (
+  SELECT doc_id, label,
+         ROUND(1.0 / (1.0 + exp(-score)), 6) AS conf
+  FROM scored
+),
+b AS (
+  SELECT CAST(LEAST(CAST(floor(conf * 20) AS BIGINT), 19) AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(label) AS BIGINT) AS pos
+  FROM conf GROUP BY 1
+),
+rk AS (
+  SELECT bin, n, pos,
+         CAST(ROW_NUMBER() OVER (ORDER BY bin) AS BIGINT) AS r,
+         CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+         CAST(SUM(pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+  FROM b
+),
+pairs AS (
+  SELECT j.r AS jr, k.r AS kr,
+         CAST(k.cp - (j.cp - j.pos) AS BIGINT) AS num,
+         CAST(k.cn - (j.cn - j.n) AS BIGINT) AS den
+  FROM rk j JOIN rk k ON k.r >= j.r
+),
+tri AS (
+  SELECT i.r AS ir, p.jr, p.num, p.den,
+         CAST(p.num AS DOUBLE) / p.den AS seg_avg
+  FROM pairs p JOIN rk i ON p.jr <= i.r AND p.kr >= i.r
+),
+inn AS (
+  SELECT ir, jr,
+         arg_min(struct_pack(num := num, den := den), seg_avg) AS s
+  FROM tri GROUP BY ir, jr
+),
+iso AS (
+  SELECT ir, arg_max(s, CAST(s['num'] AS DOUBLE) / s['den']) AS s
+  FROM inn GROUP BY ir
+)
+SELECT rk.bin, rk.n AS n_docs, rk.pos,
+       CAST((rk.pos * 2000000 + rk.n) // (2 * rk.n) AS DOUBLE) / 1000000.0
+         AS raw_rate,
+       CAST((s['num'] * 2000000 + s['den']) // (2 * s['den']) AS DOUBLE)
+         / 1000000.0 AS iso_rate
+FROM iso JOIN rk ON rk.r = iso.ir
+ORDER BY rk.bin
+""".replace("{nb}", _NB_SCORED_CTES)
+
+
+@graded("analytics_isotonic_calibration", oracle=_ISOTONIC_ORACLE)
+def analytics_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration map for the NB quality classifier:
+    per confidence bin, the raw empirical positive rate and the
+    monotone isotonic fit via the minimax identity (rationale above
+    the oracle). Everything past the shared scoring stages is a
+    <=20-row manifest with bounded broadcast fan-outs."""
+    scored = _nb_scored(spark, sf_dir)
+    conf = scored.select(
+        "label",
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score"))), 6
+        ).alias("conf"),
+    )
+    b = (
+        conf.groupBy(
+            F.least(
+                F.floor(F.col("conf") * 20).cast("bigint"),
+                F.lit(19).cast("bigint"),
+            )
+            .cast("bigint")
+            .alias("bin")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("label").cast("bigint").alias("pos"),
+        )
+        .limit(20)  # redundant literal bound: <=20 bins by construction
+        .localCheckpoint(eager=False)  # consumed by j/k/i fan-outs
+    )
+    w = Window.orderBy("bin")
+    rk = b.select(
+        "bin",
+        "n",
+        "pos",
+        F.row_number().over(w).cast("bigint").alias("r"),
+        F.sum("n").over(w).cast("bigint").alias("cn"),
+        F.sum("pos").over(w).cast("bigint").alias("cp"),
+    ).localCheckpoint(eager=False)
+    # redundant literal .limit(20) on each BUILD side: the checkpoint
+    # hides the upstream bin bound, so re-state it where the plan
+    # audit's bound resolver looks (SURVEY §8 r11 erratum 4)
+    j, k = rk.alias("j"), rk.limit(20).alias("k")
+    pairs = j.join(F.broadcast(k), F.col("k.r") >= F.col("j.r")).select(
+        F.col("j.r").alias("jr"),
+        F.col("k.r").alias("kr"),
+        (F.col("k.cp") - (F.col("j.cp") - F.col("j.pos")))
+        .cast("bigint")
+        .alias("num"),
+        (F.col("k.cn") - (F.col("j.cn") - F.col("j.n")))
+        .cast("bigint")
+        .alias("den"),
+    )
+    tri = pairs.join(
+        F.broadcast(rk.select(F.col("r").alias("ir")).limit(20)),
+        (F.col("jr") <= F.col("ir")) & (F.col("kr") >= F.col("ir")),
+    ).select(
+        "ir",
+        "jr",
+        "num",
+        "den",
+        (F.col("num").cast("double") / F.col("den")).alias("seg_avg"),
+    )
+    inn = tri.groupBy("ir", "jr").agg(
+        F.expr("min_by(struct(num, den), seg_avg)").alias("s")
+    )
+    iso = inn.groupBy("ir").agg(
+        F.expr("max_by(s, CAST(s.num AS DOUBLE) / s.den)").alias("s")
+    )
+    return (
+        iso.join(rk, rk["r"] == iso["ir"])
+        .select(
+            "bin",
+            F.col("n").alias("n_docs"),
+            "pos",
+            (
+                F.expr("(pos * 2000000 + n) DIV (2 * n)").cast("double")
+                / F.lit(1000000.0)
+            ).alias("raw_rate"),
+            (
+                F.expr("(s.num * 2000000 + s.den) DIV (2 * s.den)").cast(
+                    "double"
+                )
+                / F.lit(1000000.0)
+            ).alias("iso_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
 # --- boilerplate candidate mining (CCNet-style, source-scoped) ------------------
 
 # Web-corpus boilerplate (navigation strings, footers, templated spans)

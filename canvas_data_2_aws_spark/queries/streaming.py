@@ -1646,6 +1646,68 @@ def stream_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# --- streaming TTL rollup with event-time eviction, hash-matched replay (r13) -------
+
+# The sixth streaming-RUNTIME query graded by FULL SQL hash-match, and
+# the first whose maintained state SHRINKS: a trailing-7-day per-user
+# rollup whose day-partitioned partials are physically EVICTED as the
+# event-time high water advances (streaming/ttl_rollup.py — the
+# "30-day active users" production shape). All five prior replay
+# classes only accumulate (pair indexes, additive partials, gram
+# census, capped sample); horizon-bounded state is the class where
+# replaying a YEAR of history still holds seven days of partials —
+# state is O(horizon × keys-in-horizon), never O(corpus). Grading is
+# order-free because retention is BUCKET-granular event time: the
+# surviving state re-aggregates to exactly the batch GROUP BY over
+# day >= max_day - 6, so no arrival-order collapse is needed. Per
+# batch: one map-side-combinable aggregate of the batch + a
+# directory-manifest-sized partition drop (a lakehouse DROP PARTITION
+# — never a rewrite of surviving state). Retry-safe by construction:
+# writes are batch_id-keyed overwrites, the eviction cutoff is a pure
+# function of the batch's own rows, and no accumulated state is read.
+_TTL_ROLLUP_ORACLE = """
+WITH mx AS (
+  SELECT CAST(max(date_trunc('day', ts)) AS DATE) AS max_day FROM events
+),
+w AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS cents
+  FROM events, mx
+  WHERE CAST(date_trunc('day', ts) AS DATE) >= max_day - INTERVAL 6 DAY
+  GROUP BY user_id
+)
+SELECT user_id, n_events, cents
+FROM w
+ORDER BY n_events DESC, user_id
+LIMIT 20
+"""
+
+
+@graded("stream_ttl_rollup_replay", oracle=_TTL_ROLLUP_ORACLE)
+def stream_ttl_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by trailing-7-day event count from a streaming
+    rollup with event-time TTL eviction (rationale above): a 3-batch
+    AvailableNow replay writes day-partitioned per-batch partials and
+    drops expired day partitions as its high water advances; the
+    surviving state re-aggregates to the batch trailing-window GROUP
+    BY and hash-matches it."""
+    from ..streaming.ttl_rollup import ttl_rollup_replay
+
+    base = _replay_dir(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="cda2_ttl_rollup_")
+    try:
+        with _few_state_partitions(spark, 8):
+            rolled = ttl_rollup_replay(spark, f"{base}/part*", tmp, 7)
+        out = rolled.orderBy(F.col("n_events").desc(), "user_id").limit(20)
+        return materialize_outliving(out, tmp)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # --- streaming incremental novelty curve, hash-matched replay (r12) -----------------
 
 # The third streaming-RUNTIME query graded by FULL SQL hash-match, and
@@ -1990,4 +2052,175 @@ def stream_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_duration_s"),
         )
         .orderBy("gap_min")
+    )
+
+
+# --- event-time disorder census: the watermark-sizing instrument (r13) -------------
+
+# Every withWatermark() in the tree carries a delay the operator
+# author GUESSED. This query measures the right value from the data:
+# given an ARRIVAL order and an EVENT time, a row's LATENESS is how
+# far the event-time high water had already advanced past it on
+# arrival: late = running_max(ts) - ts. The exact lateness
+# distribution (p50/p95/p99/max + late-row share) IS the watermark
+# decision table — "delay >= p99 keeps 99% of rows ahead of the
+# watermark; the tail above it is what T4's late-data path would
+# drop". The fixture's ingest sequence (event_id) is exactly
+# time-sorted, so grading it directly would measure an all-zero
+# vacuity; the instrument therefore grades the canonical
+# bounded-jitter arrival model — each row leapfrogs a deterministic
+# md5-derived 0..127 positions (arr_key = event_id + jitter), the
+# "mostly ordered, bounded skew" shape real ingest has. Production
+# callers feed the real arrival sequence; the math is identical.
+# Distributed exactly like the engine's other global-order
+# statistics: the running max is two-level (within-bucket window over
+# arr_key DIV 1024 buckets — parallel across buckets, correct because
+# the bucketing is monotone in the order key — plus a bucket-census
+# prefix max; the census is rows/1024 and the same trick nests for
+# another 1024x), and the quantile picks are rank selections via the
+# range-partitioned global_row_number, never a single-task global
+# window. All lateness values are exact BIGINT microseconds; the
+# share uses the integer-domain millionths recipe.
+_DISORDER_ORACLE = """
+WITH e0 AS (
+  SELECT event_id, epoch_us(ts) AS t_us,
+         event_id + CAST(concat('0x',
+             substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 128
+           AS arr_key
+  FROM events
+),
+e AS (
+  SELECT event_id, t_us, arr_key, arr_key // 1024 AS bkt FROM e0
+),
+w AS (
+  SELECT event_id, t_us, bkt,
+         CAST(MAX(t_us) OVER (PARTITION BY bkt ORDER BY arr_key, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS wmax
+  FROM e
+),
+bm AS (SELECT bkt, CAST(MAX(t_us) AS BIGINT) AS bmax FROM e GROUP BY bkt),
+bp AS (
+  SELECT bkt,
+         CAST(MAX(bmax) OVER (ORDER BY bkt
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)
+           AS pmax
+  FROM bm
+),
+late AS (
+  SELECT w.event_id,
+         CAST(GREATEST(w.wmax, COALESCE(bp.pmax, w.wmax)) - w.t_us AS BIGINT)
+           AS late_us
+  FROM w JOIN bp USING (bkt)
+),
+r AS (
+  SELECT late_us,
+         CAST(ROW_NUMBER() OVER (ORDER BY late_us, event_id) AS BIGINT) AS rn
+  FROM late
+),
+n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+  FROM late
+)
+SELECT n.n AS n_events, n.n_late,
+       CAST(CAST((n.n_late * 2000000 + n.n) // (2 * n.n) AS BIGINT) AS DOUBLE)
+         / 1000000.0 AS late_share,
+       CAST(SUM(CASE WHEN rn = (n.n + 1) // 2 THEN late_us ELSE 0 END)
+            AS DOUBLE) / 1000000.0 AS p50_s,
+       CAST(SUM(CASE WHEN rn = (n.n * 95 + 99) // 100 THEN late_us ELSE 0 END)
+            AS DOUBLE) / 1000000.0 AS p95_s,
+       CAST(SUM(CASE WHEN rn = (n.n * 99 + 99) // 100 THEN late_us ELSE 0 END)
+            AS DOUBLE) / 1000000.0 AS p99_s,
+       CAST(MAX(late_us) AS DOUBLE) / 1000000.0 AS max_s
+FROM r, n
+GROUP BY n.n, n.n_late
+"""
+
+
+@graded("stream_disorder_stats", oracle=_DISORDER_ORACLE)
+def stream_disorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact event-time disorder census in ingest order — late-row
+    share and p50/p95/p99/max lateness seconds, i.e. the measured
+    watermark-delay table (rationale above the oracle)."""
+    from ..operators.ranks import global_row_number
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.expr(
+            "event_id + conv(substring(md5(CAST(event_id AS STRING)), 1, 8),"
+            " 16, 10) % 128"
+        )
+        .cast("bigint")
+        .alias("arr_key"),
+    ).select(
+        "event_id", "t_us", "arr_key", F.expr("arr_key DIV 1024").alias("bkt")
+    )
+    win = (
+        Window.partitionBy("bkt")
+        .orderBy("arr_key", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w = e.select(
+        "event_id",
+        "t_us",
+        "bkt",
+        F.max("t_us").over(win).cast("bigint").alias("wmax"),
+    )
+    bm = e.groupBy("bkt").agg(F.max("t_us").cast("bigint").alias("bmax"))
+    wbp = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # bucket census: rows/1024, nests for another 1024x at scale
+    bp = bm.select("bkt", F.max("bmax").over(wbp).cast("bigint").alias("pmax"))
+    late = w.join(bp, "bkt").select(
+        "event_id",
+        (
+            F.greatest(F.col("wmax"), F.coalesce(F.col("pmax"), F.col("wmax")))
+            - F.col("t_us")
+        )
+        .cast("bigint")
+        .alias("late_us"),
+    )
+    r = global_row_number(late, ["late_us", "event_id"], out="rn")
+    n = late.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late"),
+    )
+    return (
+        r.crossJoin(F.broadcast(n))  # 1-row census attach
+        .groupBy("n", "n_late")
+        .agg(
+            F.sum(
+                F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("late_us"))
+                .otherwise(0)
+            ).cast("double").alias("p50_us"),
+            F.sum(
+                F.when(
+                    F.col("rn") == F.expr("(n * 95 + 99) DIV 100"),
+                    F.col("late_us"),
+                ).otherwise(0)
+            ).cast("double").alias("p95_us"),
+            F.sum(
+                F.when(
+                    F.col("rn") == F.expr("(n * 99 + 99) DIV 100"),
+                    F.col("late_us"),
+                ).otherwise(0)
+            ).cast("double").alias("p99_us"),
+            F.max("late_us").cast("double").alias("max_us"),
+        )
+        .select(
+            F.col("n").alias("n_events"),
+            "n_late",
+            (
+                F.expr("(n_late * 2000000 + n) DIV (2 * n)").cast("double")
+                / F.lit(1000000.0)
+            ).alias("late_share"),
+            (F.col("p50_us") / F.lit(1000000.0)).alias("p50_s"),
+            (F.col("p95_us") / F.lit(1000000.0)).alias("p95_s"),
+            (F.col("p99_us") / F.lit(1000000.0)).alias("p99_s"),
+            (F.col("max_us") / F.lit(1000000.0)).alias("max_s"),
+        )
     )

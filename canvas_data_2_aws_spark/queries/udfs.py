@@ -262,3 +262,73 @@ def udf_ewma_recurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("user_id", "ts", "event_id", "value").groupBy(
         "user_id"
     ).applyInPandas(ewma, "user_id long, event_id long, ewma double")
+
+
+# --- U6 (r13): mapInArrow — zero-copy RecordBatch iterator ----------------------
+
+# ``mapInArrow`` is the lowest-overhead Python crossing Spark offers:
+# the worker receives pyarrow.RecordBatch objects straight off the
+# Arrow IPC stream — no pandas materialization, no index, no object
+# boxing — the shape for batch-level columnar kernels (tokenizers,
+# codec shims, vector math) where even the pandas conversion tax
+# matters. Determinism: the kernel chain multiply/subtract/add runs
+# the IDENTICAL IEEE-754 op order as the oracle's expression, so the
+# raw doubles are bit-identical; the DECIMAL(18,6) recovery cast
+# happens JVM-side after return (same recipe as U1).
+_MAPINARROW_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                 AS DECIMAL(18,6)) AS DOUBLE) AS charge,
+       CAST(CAST(l_quantity AS BIGINT) % 7 AS BIGINT) AS qty_bucket
+FROM lineitem
+WHERE l_orderkey % 48 = 0
+"""
+
+
+def _arrow_charge(batches):
+    """RecordBatch-level kernel: charge + a quantity bucket, computed
+    with pyarrow.compute (vectorized C++, never touches Python rows)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for b in batches:
+        ep = b.column("l_extendedprice")
+        charge = pc.multiply(
+            pc.multiply(ep, pc.subtract(pa.scalar(1.0), b.column("l_discount"))),
+            pc.add(pa.scalar(1.0), b.column("l_tax")),
+        )
+        # pyarrow.compute has no mod kernel: q % 7 == q - 7*(q // 7)
+        # (integer divide truncates; quantities are non-negative).
+        q = pc.cast(b.column("l_quantity"), pa.int64())
+        qty_bucket = pc.subtract(
+            q, pc.multiply(pa.scalar(7), pc.divide(q, pa.scalar(7)))
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                b.column("l_orderkey"),
+                b.column("l_linenumber"),
+                charge,
+                qty_bucket,
+            ],
+            names=["l_orderkey", "l_linenumber", "charge", "qty_bucket"],
+        )
+
+
+@graded("udf_map_in_arrow", oracle=_MAPINARROW_ORACLE)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6: ``mapInArrow`` — per-partition iterator of raw Arrow
+    RecordBatches (no pandas layer at all). Narrow (no shuffle), the
+    key-range filter still pushes to the Parquet scan, and the batch
+    shape is whatever ``spark.sql.execution.arrow.maxRecordsPerBatch``
+    yields — the kernel never assumes batch boundaries."""
+    li = load_table(spark, sf_dir, "lineitem").where("l_orderkey % 48 = 0")
+    out = li.mapInArrow(
+        _arrow_charge,
+        "l_orderkey long, l_linenumber int, charge double, qty_bucket long",
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("charge").cast("decimal(18,6)").cast("double").alias("charge"),
+        "qty_bucket",
+    )

@@ -104,12 +104,23 @@ def run_replay(
     q.awaitTermination()
 
 
-def write_state_batch(df: DataFrame, base_dir: str, batch_id: int) -> None:
+def write_state_batch(
+    df: DataFrame,
+    base_dir: str,
+    batch_id: int,
+    partition_by: tuple[str, ...] = (),
+) -> None:
     """Retry-idempotent per-batch state write: overwrite the batch's
-    own ``batch=<id>`` subdirectory (retry contract point 1)."""
-    df.write.mode("overwrite").parquet(
-        os.path.join(base_dir, f"batch={batch_id}")
-    )
+    own ``batch=<id>`` subdirectory (retry contract point 1).
+
+    ``partition_by`` sub-partitions the batch's state by the named
+    columns (e.g. an event-time bucket), so horizon-based EVICTION can
+    later delete whole ``<col>=<value>`` subdirectories without
+    rewriting any surviving state (streaming/ttl_rollup.py)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(os.path.join(base_dir, f"batch={batch_id}"))
 
 
 def read_prior_state(

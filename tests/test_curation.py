@@ -571,3 +571,61 @@ def test_stage_funnel_accounting(spark, sf_dir):
     assert by["minhash_j05"].n_flagged == mh
     assert by["simhash_ham8"].n_flagged == sim
     assert cum <= by["exact"].n_docs
+
+
+def test_isotonic_calibration_matches_pav_reference(spark, sf_dir):
+    """r13: the minimax-identity isotonic fit equals a direct Python
+    pool-adjacent-violators run on the same (n, pos) bin census; the
+    fit is monotone nondecreasing; bins cover the corpus; pooled
+    blocks align exactly to bin boundaries; and pooling happened iff
+    the raw rates had an inversion."""
+    from canvas_data_2_aws_spark.queries.curation import (
+        analytics_isotonic_calibration,
+    )
+    from canvas_data_2_aws_spark.session import load_table
+
+    rows = analytics_isotonic_calibration(spark, sf_dir).collect()
+    assert rows == sorted(rows, key=lambda r: r.bin)
+    assert sum(r.n_docs for r in rows) == load_table(
+        spark, sf_dir, "documents"
+    ).count()
+
+    # direct PAV on the exact integer census
+    blocks = [[r.pos, r.n_docs] for r in rows]  # [num, den]
+    i = 0
+    while i + 1 < len(blocks):
+        a, b = blocks[i], blocks[i + 1]
+        if a[0] * b[1] > b[0] * a[1]:  # avg_i > avg_{i+1}: pool
+            blocks[i] = [a[0] + b[0], a[1] + b[1]]
+            del blocks[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    # expand pooled blocks back to per-bin fitted values
+    expected = []
+    for num, den in blocks:
+        mill = (num * 2000000 + den) // (2 * den)
+        expected.append((num, den, mill / 1e6))
+    fitted = []
+    bi = 0
+    for num, den, v in expected:
+        span = 0
+        while span < den:
+            span += rows[bi].n_docs
+            fitted.append(v)
+            bi += 1
+        assert span == den, "pooled block does not align to bin boundaries"
+    assert len(fitted) == len(rows)
+    for r, v in zip(rows, fitted):
+        assert abs(r.iso_rate - v) < 1e-12, (r.bin, r.iso_rate, v)
+
+    # monotone nondecreasing
+    for a, b in zip(rows, rows[1:]):
+        assert a.iso_rate <= b.iso_rate + 1e-12
+
+    # pooling happened iff the raw rates had an inversion
+    raw_monotone = all(
+        a.raw_rate <= b.raw_rate + 1e-12 for a, b in zip(rows, rows[1:])
+    )
+    pooled = any(abs(r.iso_rate - r.raw_rate) > 1e-9 for r in rows)
+    assert pooled == (not raw_monotone)

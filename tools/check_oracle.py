@@ -367,6 +367,7 @@ def main() -> int:
         "stream_simhash_pairs_replay",
         "stream_simhash_pairs_capped",
         "stream_rollup_replay",
+        "stream_ttl_rollup_replay",
         "stream_novelty_replay",
         "stream_priority_sample_replay",
     }
