@@ -247,6 +247,10 @@ HEADLINE = [
     "analytics_isotonic_calibration",
     "stream_disorder_stats",
     "udf_map_in_arrow",
+    # round-13 fourth wave: exact ROC-AUC (classifier discrimination
+    # next to the calibration pair) and the per-column encoding advisor.
+    "analytics_auc_quality",
+    "layout_encoding_stats",
 ]
 
 

@@ -1747,6 +1747,81 @@ def analytics_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# --- exact ROC-AUC of the quality classifier (r13) --------------------------------
+
+# The third leg of the classifier-eval suite: the confusion rollup
+# grades one operating point, ECE + isotonic grade CALIBRATION, and
+# AUC grades DISCRIMINATION — the probability a random clean doc
+# outranks a random non-clean one, threshold-free. Exact via the
+# Mann–Whitney identity AUC = (R1 - n1(n1+1)/2) / (n1*n0) with
+# average-rank ties: ranks come from the range-partitioned
+# global_row_number (distributed, no single-task window), tied scores
+# share (min_rn + max_rn)/2 — carried as the INTEGER min_rn + max_rn
+# so 2*R1 stays an exact BIGINT (the NB scores are decimal-quantized
+# sums, so cross-engine tie GROUPS are identical). The final division
+# uses the integer-domain millionths recipe; 2*R1 <= n^2 wants
+# DECIMAL(38,0) widening past ~3e9 rows — the census and rank stages
+# themselves are the engine's standard distributed primitives.
+_AUC_ORACLE = f"""
+WITH {{nb}},
+r AS (
+  SELECT label, score,
+         CAST(ROW_NUMBER() OVER (ORDER BY score, doc_id) AS BIGINT) AS rn
+  FROM scored
+),
+t AS (
+  SELECT score,
+         CAST(MIN(rn) + MAX(rn) AS BIGINT) AS rr2
+  FROM r GROUP BY score
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN r.label = 1 THEN t.rr2 ELSE 0 END) AS BIGINT)
+           AS r1x2,
+         CAST(SUM(r.label) AS BIGINT) AS n1,
+         CAST(SUM(1 - r.label) AS BIGINT) AS n0
+  FROM r JOIN t USING (score)
+)
+SELECT n1 AS n_pos, n0 AS n_neg,
+       CAST(CAST(((r1x2 - n1 * (n1 + 1)) * 1000000 + n1 * n0)
+                 // (2 * n1 * n0) AS BIGINT) AS DOUBLE) / 1000000.0 AS auc,
+       CAST(CAST(((r1x2 - n1 * (n1 + 1)) * 1000000 + n1 * n0)
+                 // (2 * n1 * n0) AS BIGINT) AS DOUBLE) / 500000.0 - 1.0
+         AS gini
+FROM s
+""".replace("{nb}", _NB_SCORED_CTES)
+
+
+@graded("analytics_auc_quality", oracle=_AUC_ORACLE)
+def analytics_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected ROC-AUC (and Gini) of the NB quality
+    classifier via the Mann–Whitney rank identity (rationale above the
+    oracle) — distributed global ranks, integer rank sums, one
+    millionths division at the end."""
+    from ..operators.ranks import global_row_number
+
+    scored = _nb_scored(spark, sf_dir)
+    r = global_row_number(scored, ["score", "doc_id"], out="rn")
+    t = r.groupBy("score").agg(
+        (F.min("rn") + F.max("rn")).cast("bigint").alias("rr2")
+    )
+    s = r.join(t, "score").agg(
+        F.sum(F.when(F.col("label") == 1, F.col("rr2")).otherwise(0))
+        .cast("bigint")
+        .alias("r1x2"),
+        F.sum("label").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("label")).cast("bigint").alias("n0"),
+    )
+    mill = F.expr(
+        "((r1x2 - n1 * (n1 + 1)) * 1000000 + n1 * n0) DIV (2 * n1 * n0)"
+    ).cast("bigint")
+    return s.select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        (mill.cast("double") / F.lit(1000000.0)).alias("auc"),
+        (mill.cast("double") / F.lit(500000.0) - F.lit(1.0)).alias("gini"),
+    )
+
+
 # --- boilerplate candidate mining (CCNet-style, source-scoped) ------------------
 
 # Web-corpus boilerplate (navigation strings, footers, templated spans)

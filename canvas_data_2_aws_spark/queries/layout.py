@@ -363,3 +363,192 @@ def layout_compaction_target_sweep(
         )
         .orderBy("target_bytes")
     )
+
+
+# --- per-column encoding advisor (r13) --------------------------------------------
+
+# Parquet's biggest storage lever after compaction is choosing the
+# right column encoding, and the choice is a pure function of three
+# exact statistics IN LAYOUT ORDER: run structure (RLE), distinct
+# ratio (dictionary), or neither (plain). This query measures all
+# three for four representative lineitem columns in one unpivoted
+# pass and emits the decision table. Runs are counted EXACTLY but
+# distributed — the same two-level decomposition as the disorder
+# census: within-bucket change flags (windows partitioned by
+# (column, l_orderkey DIV 512) — parallel, and correct because the
+# bucketing is monotone in the layout key) plus a bucket-census
+# seam correction that subtracts one run for every adjacent bucket
+# pair whose last/first values coincide. A bare global lag would be
+# a single task at 100 TB; the bucket census is rows/512 and the
+# seam window nests. Values compare as strings only for EQUALITY
+# (runs/distinct counts depend on equality classes alone, so the
+# cast is cross-engine safe; l_quantity goes through BIGINT first).
+# Ratios use the integer-domain millionths recipe; the encoding CASE
+# compares exact integers (avg run >= 8 -> RLE, distinct ratio <= 1%
+# -> DICT, else PLAIN — the parquet-mr defaults' shape).
+_ENCODING_COLS = (
+    ("l_returnflag", "l_returnflag"),
+    ("l_linestatus", "l_linestatus"),
+    ("l_quantity", "CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)"),
+    ("l_shipdate", "CAST(l_shipdate AS VARCHAR)"),
+)
+
+_ENCODING_ORACLE = f"""
+WITH u AS (
+  {" UNION ALL ".join(
+      f"SELECT '{name}' AS col_name, {expr} AS val, "
+      "l_orderkey * 8 + l_linenumber AS ok2, "
+      "l_partkey AS pk, l_suppkey AS sk, l_extendedprice AS pr, "
+      "l_orderkey // 512 AS bkt FROM lineitem"
+      for name, expr in _ENCODING_COLS
+  )}
+),
+flags AS (
+  SELECT col_name, bkt, val,
+         CASE WHEN val IS DISTINCT FROM
+                   LAG(val) OVER (PARTITION BY col_name, bkt
+                                  ORDER BY ok2, pk, sk, pr)
+              THEN 1 ELSE 0 END AS chg,
+         FIRST_VALUE(val) OVER (PARTITION BY col_name, bkt
+                                ORDER BY ok2, pk, sk, pr
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND UNBOUNDED FOLLOWING) AS fv,
+         LAST_VALUE(val) OVER (PARTITION BY col_name, bkt
+                               ORDER BY ok2, pk, sk, pr
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS lv
+  FROM u
+),
+per_bucket AS (
+  SELECT col_name, bkt,
+         CAST(SUM(chg) AS BIGINT) AS runs_in,
+         MIN(fv) AS first_val,
+         MIN(lv) AS last_val
+  FROM flags GROUP BY col_name, bkt
+),
+seam_flags AS (
+  SELECT col_name, runs_in,
+         CASE WHEN first_val IS NOT DISTINCT FROM
+                   LAG(last_val) OVER (PARTITION BY col_name ORDER BY bkt)
+              THEN 1 ELSE 0 END AS seam
+  FROM per_bucket
+),
+seams AS (
+  SELECT col_name,
+         CAST(SUM(seam) AS BIGINT) AS n_seam_joins,
+         CAST(SUM(runs_in) AS BIGINT) AS runs_in
+  FROM seam_flags GROUP BY col_name
+),
+stats AS (
+  SELECT col_name,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct
+  FROM u GROUP BY col_name
+)
+SELECT s.col_name, s.n_rows, s.n_distinct,
+       CAST(m.runs_in - m.n_seam_joins AS BIGINT) AS n_runs,
+       CAST(CAST((s.n_rows * 2000000 + (m.runs_in - m.n_seam_joins))
+                 // (2 * (m.runs_in - m.n_seam_joins)) AS BIGINT) AS DOUBLE)
+         / 1000000.0 AS avg_run_len,
+       CAST(CAST((s.n_distinct * 2000000 + s.n_rows)
+                 // (2 * s.n_rows) AS BIGINT) AS DOUBLE)
+         / 1000000.0 AS distinct_ratio,
+       CASE WHEN (m.runs_in - m.n_seam_joins) * 8 <= s.n_rows THEN 'RLE'
+            WHEN s.n_distinct * 100 <= s.n_rows THEN 'DICT'
+            ELSE 'PLAIN' END AS encoding
+FROM stats s JOIN seams m USING (col_name)
+ORDER BY s.col_name
+"""
+
+
+@graded("layout_encoding_stats", oracle=_ENCODING_ORACLE)
+def layout_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-column (runs, distinct, null-free) layout statistics
+    and the RLE/DICT/PLAIN encoding decision per column (rationale
+    above the oracle) — one unpivoted scan, bucket-parallel run
+    counting with an exact seam correction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stack_args = ", ".join(
+        f"'{name}', {expr.replace('VARCHAR', 'STRING')}"
+        for name, expr in _ENCODING_COLS
+    )
+    u = li.select(
+        F.expr(f"stack({len(_ENCODING_COLS)}, {stack_args})").alias(
+            "col_name", "val"
+        ),
+        F.expr("l_orderkey * 8 + l_linenumber").cast("bigint").alias("ok2"),
+        F.col("l_partkey").alias("pk"),
+        F.col("l_suppkey").alias("sk"),
+        F.col("l_extendedprice").alias("pr"),
+        F.expr("l_orderkey DIV 512").cast("bigint").alias("bkt"),
+    )
+    # (ok2, pk, sk, pr) is a TOTAL order at every fixture SF (the
+    # synthetic lineitem repeats (orderkey, linenumber) pairs, so ok2
+    # alone would leave LAG ties engine-dependent — SURVEY §8.4)
+    win = Window.partitionBy("col_name", "bkt").orderBy(
+        "ok2", "pk", "sk", "pr"
+    )
+    flags = u.select(
+        "col_name",
+        "bkt",
+        "val",
+        "ok2",
+        "pk",
+        "sk",
+        "pr",
+        F.when(
+            ~F.col("val").eqNullSafe(F.lag("val").over(win)), 1
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    per_bucket = flags.groupBy("col_name", "bkt").agg(
+        F.sum("chg").cast("bigint").alias("runs_in"),
+        F.expr("min_by(val, struct(ok2, pk, sk, pr))").alias("first_val"),
+        F.expr("max_by(val, struct(ok2, pk, sk, pr))").alias("last_val"),
+    )
+    wb = Window.partitionBy("col_name").orderBy("bkt")
+    seams = per_bucket.select(
+        "col_name",
+        "runs_in",
+        F.when(
+            F.col("first_val").eqNullSafe(F.lag("last_val").over(wb)), 1
+        )
+        .otherwise(0)
+        .alias("seam"),
+    ).groupBy("col_name").agg(
+        F.sum("seam").cast("bigint").alias("n_seam_joins"),
+        F.sum("runs_in").cast("bigint").alias("runs_in"),
+    )
+    stats = u.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("val").cast("bigint").alias("n_distinct"),
+    )
+    j = stats.join(seams, "col_name").select(
+        "col_name",
+        "n_rows",
+        "n_distinct",
+        (F.col("runs_in") - F.col("n_seam_joins")).cast("bigint").alias("n_runs"),
+    )
+    return j.select(
+        "col_name",
+        "n_rows",
+        "n_distinct",
+        "n_runs",
+        (
+            F.expr("(n_rows * 2000000 + n_runs) DIV (2 * n_runs)").cast(
+                "double"
+            )
+            / F.lit(1000000.0)
+        ).alias("avg_run_len"),
+        (
+            F.expr("(n_distinct * 2000000 + n_rows) DIV (2 * n_rows)").cast(
+                "double"
+            )
+            / F.lit(1000000.0)
+        ).alias("distinct_ratio"),
+        F.when(F.col("n_runs") * 8 <= F.col("n_rows"), F.lit("RLE"))
+        .when(F.col("n_distinct") * 100 <= F.col("n_rows"), F.lit("DICT"))
+        .otherwise(F.lit("PLAIN"))
+        .alias("encoding"),
+    ).orderBy("col_name")

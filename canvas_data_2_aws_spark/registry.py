@@ -67,14 +67,15 @@ def graded(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]
 # (the r01/r02 names the r11 window displaced), then the head of the
 # r05 block — trimmed from the tail so the window stays exactly 50.
 #
-# Round-13 window — the 13 NEW r13 operators first (never sampled by
+# Round-13 window — the 15 NEW r13 operators first (never sampled by
 # definition), then ALL 28 remaining r05-latest-verdict names
 # (recomputed from the CORRECTNESS_r01–r12 union — the r12 plan's "24"
 # undercounted), then the r06 block head (stream_tumbling_counts
 # first, then alphabetical) — exactly 50.
 #
-# Round-14 plan: any NEW r14 operators first, then the remaining 40
-# r06-latest-verdict names (alphabetical from scalar_bitwise onward:
+# Round-14 plan: any NEW r14 operators first, then the remaining 42
+# r06-latest-verdict names (alphabetical from scalar_array_extended
+# onward: scalar_array_extended, scalar_binary_encode,
 # scalar_bitwise, scalar_collation, scalar_date, scalar_date_format,
 # scalar_levenshtein, scalar_map_entries, scalar_map_hof,
 # scalar_math, scalar_regexp_extract_all, scalar_string,
@@ -84,6 +85,8 @@ def graded(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]
 # from the union at close), then the r07 block head.
 _SAMPLE_WINDOW_R13: tuple[str, ...] = (
     # --- NEW r13 operators (prepended as they land) ---
+    "analytics_auc_quality",
+    "layout_encoding_stats",
     "stream_ttl_rollup_replay",
     "analytics_isotonic_calibration",
     "stream_disorder_stats",
@@ -135,8 +138,6 @@ _SAMPLE_WINDOW_R13: tuple[str, ...] = (
     "explode_array",
     "explode_outer_sparse",
     "scalar_array",
-    "scalar_array_extended",
-    "scalar_binary_encode",
 )
 
 # Round-12 window (historical — superseded by _SAMPLE_WINDOW_R13).

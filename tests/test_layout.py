@@ -124,3 +124,52 @@ def test_compaction_target_sweep_consistent(spark, sf_dir):
     t120 = next(r for r in rows if r.target_bytes == 120000)
     assert t120.n_bins == len(base)
     assert t120.n_files == sum(r.n_files for r in base)
+
+
+def test_encoding_stats_bucketed_runs_equal_global(spark, sf_dir):
+    """r13: the bucket-parallel run count (within-bucket flags minus
+    seam joins) equals a naive single-window global run count for
+    every column; identities hold (runs <= rows, distinct <= rows,
+    avg_run_len ~ rows/runs); and the advisor picks RLE/DICT exactly
+    per its documented integer thresholds."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from canvas_data_2_aws_spark.queries.layout import (
+        _ENCODING_COLS,
+        layout_encoding_stats,
+    )
+    from canvas_data_2_aws_spark.session import load_table
+
+    rows = {r.col_name: r for r in layout_encoding_stats(spark, sf_dir).collect()}
+    assert set(rows) == {name for name, _ in _ENCODING_COLS}
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy(
+        F.expr("l_orderkey * 8 + l_linenumber"),
+        "l_partkey",
+        "l_suppkey",
+        "l_extendedprice",
+    )
+    for name, expr in _ENCODING_COLS:
+        val = F.expr(expr.replace("VARCHAR", "STRING"))
+        naive = (
+            li.select(
+                F.when(~val.eqNullSafe(F.lag(val).over(w)), 1)
+                .otherwise(0)
+                .alias("chg")
+            )
+            .agg(F.sum("chg"))
+            .collect()[0][0]
+        )
+        r = rows[name]
+        assert r.n_runs == naive, (name, r.n_runs, naive)
+        assert 1 <= r.n_runs <= r.n_rows
+        assert 1 <= r.n_distinct <= r.n_rows
+        assert abs(r.avg_run_len - round(r.n_rows / r.n_runs, 6)) < 2e-6
+        if r.n_runs * 8 <= r.n_rows:
+            assert r.encoding == "RLE"
+        elif r.n_distinct * 100 <= r.n_rows:
+            assert r.encoding == "DICT"
+        else:
+            assert r.encoding == "PLAIN"

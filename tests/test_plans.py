@@ -105,6 +105,7 @@ def test_aggregation_is_hash_with_partial_combine(plans):
 _NESTED_LOOP_OK = {
     # r13 wave:
     "analytics_isotonic_calibration",  # <=20-row bin manifest j/k/i fan-outs
+    "analytics_auc_quality",  # NB-scored 1-row tot/prior attaches + rank offset
     "stream_disorder_stats",  # 1-row (n, n_late) census attach
     "stream_ttl_rollup_replay",  # 1-row max-day attach on surviving state
     "match_fs_threshold_grid",  # 6-row (upper,lower) ladder + 1-row census
