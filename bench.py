@@ -345,6 +345,17 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # Host spin probe, start + end (the check_oracle normalizer, r12
+    # task 4 extended to the bench in r13): the bench host shows
+    # intermittent multi-minute contention windows (two same-code
+    # suites measured 234 s vs 188 s twenty minutes apart), and the
+    # probe pair makes that drift READABLE FROM THE ARTIFACT instead
+    # of needing a re-run investigation. Medians stay un-normalized
+    # (they are the trend numbers); the factor contextualizes them.
+    from tools.check_oracle import _REF_SPIN_S, spin_probe
+
+    spin_start = spin_probe()
+
     registry.load_all()
     spark = session.get_spark(app="bench", shuffle_partitions=8)
     # Warmup, untimed: flagship query (JVM JIT + codegen), then one
@@ -435,6 +446,7 @@ def main() -> None:
         mins[bname] = bsec
         stds[bname] = 0.0
     total = round(sum(timings.values()), 3)
+    spin_end = spin_probe()
     print(
         json.dumps(
             {
@@ -450,6 +462,11 @@ def main() -> None:
                 "reps": reps,
                 "solo_reps": solo_reps,
                 "sf": sf,
+                "spin_start_s": round(spin_start, 3),
+                "spin_end_s": round(spin_end, 3),
+                "host_factor": round(
+                    (spin_start + spin_end) / 2.0 / _REF_SPIN_S, 3
+                ),
             }
         )
     )
