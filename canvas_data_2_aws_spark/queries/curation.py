@@ -1657,34 +1657,22 @@ ORDER BY rk.bin
 """.replace("{nb}", _NB_SCORED_CTES)
 
 
-@graded("analytics_isotonic_calibration", oracle=_ISOTONIC_ORACLE)
-def analytics_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Isotonic (PAV) calibration map for the NB quality classifier:
-    per confidence bin, the raw empirical positive rate and the
-    monotone isotonic fit via the minimax identity (rationale above
-    the oracle). Everything past the shared scoring stages is a
-    <=20-row manifest with bounded broadcast fan-outs."""
-    scored = _nb_scored(spark, sf_dir)
-    conf = scored.select(
-        "label",
-        F.round(
-            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score"))), 6
-        ).alias("conf"),
-    )
+def isotonic_fit(b: DataFrame, max_bins: int = 20) -> DataFrame:
+    """Monotone (PAV) fit over a ``(bin, n, pos)`` census frame via the
+    minimax identity — the reusable core of
+    ``analytics_isotonic_calibration`` (full rationale above that
+    query's oracle), factored out so adversarial synthetic censuses
+    can be driven through the EXACT production expressions
+    (tests/test_curation.py). ``b`` must have at most ``max_bins``
+    rows; returns one row per bin with exact counts and the
+    millionths-rounded raw/iso rates."""
     b = (
-        conf.groupBy(
-            F.least(
-                F.floor(F.col("conf") * 20).cast("bigint"),
-                F.lit(19).cast("bigint"),
-            )
-            .cast("bigint")
-            .alias("bin")
+        b.select(
+            F.col("bin").cast("bigint").alias("bin"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("pos").cast("bigint").alias("pos"),
         )
-        .agg(
-            F.count("*").cast("bigint").alias("n"),
-            F.sum("label").cast("bigint").alias("pos"),
-        )
-        .limit(20)  # redundant literal bound: <=20 bins by construction
+        .limit(max_bins)  # redundant literal bound for the plan audit
         .localCheckpoint(eager=False)  # consumed by j/k/i fan-outs
     )
     w = Window.orderBy("bin")
@@ -1696,10 +1684,10 @@ def analytics_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum("n").over(w).cast("bigint").alias("cn"),
         F.sum("pos").over(w).cast("bigint").alias("cp"),
     ).localCheckpoint(eager=False)
-    # redundant literal .limit(20) on each BUILD side: the checkpoint
+    # redundant literal .limit on each BUILD side: the checkpoint
     # hides the upstream bin bound, so re-state it where the plan
     # audit's bound resolver looks (SURVEY §8 r11 erratum 4)
-    j, k = rk.alias("j"), rk.limit(20).alias("k")
+    j, k = rk.alias("j"), rk.limit(max_bins).alias("k")
     pairs = j.join(F.broadcast(k), F.col("k.r") >= F.col("j.r")).select(
         F.col("j.r").alias("jr"),
         F.col("k.r").alias("kr"),
@@ -1711,7 +1699,7 @@ def analytics_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFram
         .alias("den"),
     )
     tri = pairs.join(
-        F.broadcast(rk.select(F.col("r").alias("ir")).limit(20)),
+        F.broadcast(rk.select(F.col("r").alias("ir")).limit(max_bins)),
         (F.col("jr") <= F.col("ir")) & (F.col("kr") >= F.col("ir")),
     ).select(
         "ir",
@@ -1745,6 +1733,35 @@ def analytics_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("bin")
     )
+
+
+@graded("analytics_isotonic_calibration", oracle=_ISOTONIC_ORACLE)
+def analytics_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration map for the NB quality classifier:
+    per confidence bin, the raw empirical positive rate and the
+    monotone isotonic fit via the minimax identity (rationale above
+    the oracle; core in :func:`isotonic_fit`). Everything past the
+    shared scoring stages is a <=20-row manifest with bounded
+    broadcast fan-outs."""
+    scored = _nb_scored(spark, sf_dir)
+    conf = scored.select(
+        "label",
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score"))), 6
+        ).alias("conf"),
+    )
+    b = conf.groupBy(
+        F.least(
+            F.floor(F.col("conf") * 20).cast("bigint"),
+            F.lit(19).cast("bigint"),
+        )
+        .cast("bigint")
+        .alias("bin")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("pos"),
+    )
+    return isotonic_fit(b, max_bins=20)
 
 
 # --- exact ROC-AUC of the quality classifier (r13) --------------------------------

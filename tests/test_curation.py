@@ -659,3 +659,58 @@ def test_auc_equals_pair_counting_reference(spark, sf_dir):
     assert abs(r.auc - expected) < 1e-12, (r.auc, expected)
     assert abs(r.gini - (2 * r.auc - 1.0)) < 1e-9
     assert r.auc > 0.5
+
+
+def test_isotonic_fit_adversarial_censuses(spark):
+    """r13: drive ADVERSARIAL synthetic (bin, n, pos) censuses through
+    the exact production minimax expressions (isotonic_fit) and
+    compare to a direct PAV reference: strictly decreasing rates (one
+    global pool), already-monotone (identity), plateau + spike,
+    single bin, two inverted bins, all-zero and all-one labels, and a
+    sawtooth. These shapes hit every pooling branch the fixture
+    census cannot guarantee to cover."""
+    from canvas_data_2_aws_spark.queries.curation import isotonic_fit
+
+    def pav(blocks):
+        blocks = [list(b) for b in blocks]
+        i = 0
+        while i + 1 < len(blocks):
+            a, b = blocks[i], blocks[i + 1]
+            if a[0] * b[1] > b[0] * a[1]:
+                blocks[i] = [a[0] + b[0], a[1] + b[1]]
+                del blocks[i + 1]
+                i = max(i - 1, 0)
+            else:
+                i += 1
+        return blocks
+
+    cases = {
+        "decreasing": [(9, 10), (7, 10), (5, 10), (3, 10), (1, 10)],
+        "monotone": [(1, 10), (3, 10), (5, 10), (9, 10)],
+        "plateau_spike": [(5, 10), (5, 10), (10, 10), (0, 10), (5, 10)],
+        "single": [(4, 7)],
+        "two_inverted": [(6, 8), (2, 8)],
+        "all_zero": [(0, 5), (0, 9), (0, 2)],
+        "all_one": [(5, 5), (9, 9), (2, 2)],
+        "sawtooth": [(1, 4), (3, 4), (0, 4), (4, 4), (2, 4), (3, 4)],
+    }
+    for name, census in cases.items():
+        df = spark.createDataFrame(
+            [(i, n, p) for i, (p, n) in enumerate(census)],
+            "bin long, n long, pos long",
+        )
+        rows = isotonic_fit(df, max_bins=20).collect()
+        assert [r.bin for r in rows] == list(range(len(census))), name
+        # expand the PAV blocks to per-bin fitted values
+        fitted = []
+        for num, den in pav([(p, n) for p, n in census]):
+            mill = (num * 2000000 + den) // (2 * den)
+            span = 0
+            while span < den:
+                span += census[len(fitted)][1]
+                fitted.append(mill / 1e6)
+        assert len(fitted) == len(census), name
+        for r, v in zip(rows, fitted):
+            assert abs(r.iso_rate - v) < 1e-12, (name, r.bin, r.iso_rate, v)
+        for a, b in zip(rows, rows[1:]):
+            assert a.iso_rate <= b.iso_rate + 1e-12, name
