@@ -269,7 +269,8 @@ def _builds() -> list[tuple[str, object]]:
     """
     from canvas_data_2_aws_spark.operators import fuzzy_graph
     from canvas_data_2_aws_spark.operators import text as T
-    from canvas_data_2_aws_spark.queries import dedup, multimodal, vectors
+    from canvas_data_2_aws_spark.queries import curation, dedup, enrichment
+    from canvas_data_2_aws_spark.queries import multimodal, vectors
     from canvas_data_2_aws_spark.queries import text as qtext
 
     return [
@@ -291,6 +292,14 @@ def _builds() -> list[tuple[str, object]]:
         # r13: the pHash signature frame three queries read (dedup,
         # threshold curve, stage funnel).
         ("phash_frame_build", multimodal.phash_frame),
+        # r13 opt: the NB quality scoring stage four queries read
+        # (confusion rollup, ECE, isotonic calibration, ROC-AUC) and
+        # the Fellegi–Sunter scored-pair frame two queries read
+        # (scores + threshold grid) — both session-memoized this
+        # round, so consumer rows measure their own readout instead of
+        # replaying the shared scoring stages.
+        ("nb_scored_build", curation._nb_scored),
+        ("fs_scored_build", enrichment._fs_scored),
     ]
 
 

@@ -299,13 +299,25 @@ def bfs_levels(
     Frontiers are localCheckpoint-ed: without it every hop re-executes
     the whole prefix once per downstream consumer (the round-2 shared-
     subtree law). Deterministic: min-level semantics, no randomness.
+
+    r13 (guide §2.4/§2.6): checkpoints are LAZY and the per-hop
+    empty-frontier driver probe is gone — ``max_hops`` is small and
+    caller-bounded, and a drained frontier makes the remaining hops
+    empty-input no-ops, so the probe bought nothing while costing one
+    scheduled job + one eager materialization per hop (the whole
+    expansion now runs as a single job when the consumer acts). The
+    frontier side of each hop join is tiny relative to the edge list;
+    leaving both sides un-hinted lets AQE broadcast the frontier from
+    its measured shuffle size (frontiers are O(V) worst-case, so a
+    static broadcast hint would be wrong at 100 TB — AQE's runtime
+    size check is the safe version of that decision).
     """
-    sym = symmetrized(edges, src, dst).localCheckpoint(eager=True)
+    sym = symmetrized(edges, src, dst).localCheckpoint(eager=False)
     visited = (
         seeds.select(F.col(seed_col).alias("node"))
         .distinct()
         .withColumn("level", F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     hop = 0
 
@@ -322,11 +334,8 @@ def bfs_levels(
         )
         return visited.unionByName(nxt), nxt
 
-    def exhausted(new, _old) -> bool:
-        return new[1].limit(1).count() == 0
-
     final_visited, _ = iterate_rounds(
-        (visited, visited), step, max_hops, eager=True, stop=exhausted
+        (visited, visited), step, max_hops, eager=False
     )
     return final_visited
 

@@ -114,30 +114,55 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     candidate pairs from 5 000 sf0.1 docs ≈ 35 % of all pairs —
     quadratic in disguise); md5-63 yields 95 on the same corpus.
     """
+    # r13 packed-lane rewrite (guide §2.3/§1.2 per-task work; values
+    # bit-identical, pinned by tests/test_graded_queries.py): the old
+    # form parsed SIXTEEN conv(substring(h, i, 1)) nibbles per token
+    # and kept 63 conditional ±1 sum buffers per doc. Now the first 16
+    # hex chars parse as TWO conv() integers (15+1 chars — 15 keeps the
+    # BIGINT positive), each md5 bit is one shift-and, and two bit
+    # counts pack into each 63-bit sum buffer at lanes 0 and 31 (a lane
+    # holds counts < 2^31 tokens/doc — astronomically above any real
+    # document), so the per-doc aggregate carries 32 buffers + a count
+    # instead of 63. The ±1 vote total is recovered exactly:
+    # sum(±1 for bit b) > 0  ⟺  2·S_b > N  with S_b the bit count and
+    # N the token count. Generated code shrinks ~2×, which also cuts
+    # the first-run codegen/JIT cost the bench's cold build pays.
     tok = df.select(id_col, F.explode(tokens(text_col)).alias("token"))
-    nibs = tok.select(id_col, F.md5("token").alias("h")).select(
+    vw = tok.select(id_col, F.md5("token").alias("h")).select(
         id_col,
-        *[
-            F.conv(F.substring("h", 1 + i, 1), 16, 10)
-            .cast("int")
-            .alias(f"n{i}")
-            for i in range(16)
-        ],
+        # nibbles 0..14 (hex chars 1..15), nibble i at bits 4*(14-i)..+3
+        F.conv(F.substring("h", 1, 15), 16, 10).cast("bigint").alias("v"),
+        # nibble 15 (hex char 16) at bits 0..3
+        F.conv(F.substring("h", 16, 1), 16, 10).cast("bigint").alias("w"),
     )
-    votes = [
-        F.sum(
-            F.when(
-                F.expr(f"(n{b // 4} DIV {1 << (b % 4)}) % 2") == 1, F.lit(1)
-            ).otherwise(F.lit(-1))
-        ).alias(f"_s{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    bit_sums = nibs.groupBy(id_col).agg(*votes)
-    sim = None
+
+    def bit(b: int) -> str:
+        """Per-token 0/1 expression for md5 bit b (bit b%4 of hex
+        nibble b//4) — matches the old conv-per-nibble extraction."""
+        i, j = divmod(b, 4)
+        return f"((w >> {j}) & 1)" if i == 15 else f"((v >> {4 * (14 - i) + j}) & 1)"
+
+    words = []
+    for t in range((SIMHASH_BITS + 1) // 2):
+        lo = bit(2 * t)
+        if 2 * t + 1 < SIMHASH_BITS:
+            words.append(
+                F.expr(f"{lo} + ({bit(2 * t + 1)} << 31)").alias(f"w{t}")
+            )
+        else:
+            words.append(F.expr(lo).alias(f"w{t}"))
+    packed = vw.select(id_col, *words)
+    sums = packed.groupBy(id_col).agg(
+        *[F.sum(f"w{t}").alias(f"s{t}") for t in range(len(words))],
+        F.count(F.lit(1)).alias("n_tok"),
+    )
+    terms = []
     for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"_s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return bit_sums.select(id_col, sim.cast("bigint").alias("simhash"))
+        t, lane = divmod(b, 2)
+        s_b = f"(s{t} & 2147483647)" if lane == 0 else f"(s{t} >> 31)"
+        terms.append(f"(CASE WHEN 2 * {s_b} > n_tok THEN {1 << b} ELSE 0 END)")
+    sim = F.expr(" + ".join(terms))
+    return sums.select(id_col, sim.cast("bigint").alias("simhash"))
 
 
 def simhash_sh_cached(spark, sf_dir: str) -> DataFrame:

@@ -623,8 +623,24 @@ FROM scored GROUP BY label, pred
 
 def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc NB quality scores (doc_id, label, score) — the shared
-    scoring stage behind the confusion rollup and the calibration
-    readout. Mirrors _NB_SCORED_CTES exactly."""
+    scoring stage behind the confusion rollup, ECE, isotonic
+    calibration and ROC-AUC readouts. Mirrors _NB_SCORED_CTES exactly.
+
+    Session-memoized (r13, guide §2.4): FOUR graded queries consume
+    this frame and each used to rebuild both token passes (two
+    explodes + a vocabulary join) per invocation. The frame is
+    doc-sized (doc_id, label, score), the scores are
+    corpus-deterministic, so sharing cannot change any consumer's
+    output; the one-off build cost is the named bench build row
+    ``nb_scored_build`` (the simhash/minhash build-row precedent)."""
+    from ..operators.fuzzy_graph import memoized_checkpoint
+
+    return memoized_checkpoint(
+        spark, sf_dir, "nb_scored", lambda: _build_nb_scored(spark, sf_dir)
+    )
+
+
+def _build_nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     lab = docs.select(
         "doc_id",

@@ -1364,8 +1364,13 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # eager=False (r13, guide §2.6): no driver probe reads the peel
+    # frames, so the per-round eager materializations only added one
+    # scheduled job each — lazy checkpoints still truncate lineage and
+    # each peel's frame still computes exactly once (the HITS
+    # precedent: fold the checkpoint into the consumer's job).
     cur = iterate_rounds(
-        fuzzy_sym(spark, sf_dir), peel, _KCORE_PEELS, eager=True
+        fuzzy_sym(spark, sf_dir), peel, _KCORE_PEELS, eager=False
     )
     return cur.groupBy("node").agg(F.count("*").alias("degree"))
 
@@ -2008,7 +2013,11 @@ def graph_betweenness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = (
         un.groupBy("seed", "node")
         .agg(F.min("lvl").alias("d"))
-        .localCheckpoint()
+        # lazy checkpoints throughout (r13, guide §2.6): no driver
+        # probe reads these frames, so eager materialization only
+        # added one scheduled job per level; lazy still truncates
+        # lineage and computes each level exactly once.
+        .localCheckpoint(eager=False)
     )
 
     def sig_level(prev_sig: DataFrame, d: int) -> DataFrame:
@@ -2036,9 +2045,9 @@ def graph_betweenness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig0 = dist.where(F.col("d") == 0).select(
         "seed", "node", F.lit(1).cast("bigint").alias("sig")
     )
-    sig1 = sig_level(sig0, 1).localCheckpoint()
-    sig2 = sig_level(sig1, 2).localCheckpoint()
-    sig3 = sig_level(sig2, 3).localCheckpoint()
+    sig1 = sig_level(sig0, 1).localCheckpoint(eager=False)
+    sig2 = sig_level(sig1, 2).localCheckpoint(eager=False)
+    sig3 = sig_level(sig2, 3).localCheckpoint(eager=False)
 
     def delta_level(
         sig_here: DataFrame, sig_deeper: DataFrame, del_deeper: DataFrame | None
@@ -2086,7 +2095,7 @@ def graph_betweenness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    del2 = delta_level(sig2, sig3, None).localCheckpoint()
+    del2 = delta_level(sig2, sig3, None).localCheckpoint(eager=False)
     del1 = delta_level(sig1, sig2, del2)
     bc = (
         del1.unionByName(del2)

@@ -1756,7 +1756,22 @@ def _fs_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Fellegi–Sunter scored-pair frame (key_a, key_b, dist,
     ag_type, ag_size, ag_price, fs_score) — the ONE scoring pass
     shared by match_fellegi_sunter and the r13 threshold grid (the
-    grid re-thresholds, never re-scores)."""
+    grid re-thresholds, never re-scores).
+
+    Session-memoized (r13, guide §2.4): both consumers used to replay
+    the two field joins + census + weight attach per invocation;
+    materializing once makes "never re-scores" literal. The frame is
+    candidate-pair-sized (the same bound as fuzzy_pairs, which is
+    already memoized underneath), scores are corpus-deterministic;
+    named bench build row ``fs_scored_build``."""
+    from ..operators.fuzzy_graph import memoized_checkpoint
+
+    return memoized_checkpoint(
+        spark, sf_dir, "fs_scored", lambda: _build_fs_scored(spark, sf_dir)
+    )
+
+
+def _build_fs_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.fuzzy_graph import fuzzy_pairs
 
     part = load_table(spark, sf_dir, "part")

@@ -465,17 +465,24 @@ ORDER BY s.col_name
 def layout_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-column (runs, distinct, null-free) layout statistics
     and the RLE/DICT/PLAIN encoding decision per column (rationale
-    above the oracle) — one unpivoted scan, bucket-parallel run
-    counting with an exact seam correction."""
+    above the oracle) — ONE window pass over un-unpivoted rows
+    (r13, guide §2.3/§2.4): the four audited columns share the same
+    (bkt, ok2, pk, sk, pr) sort, so computing all four change flags
+    from one lag per column inside a single bkt-keyed window exchanges
+    and sorts |lineitem| rows once instead of 4·|lineitem| unpivoted
+    rows four times; the unpivot happens on the 1-row census at the
+    end. Values are identical — same total order, same null-safe
+    change flags, same min_by/max_by bucket endpoints, same
+    count-distinct semantics per column."""
+    from ..operators import ranks as RK
+
     li = load_table(spark, sf_dir, "lineitem")
-    stack_args = ", ".join(
-        f"'{name}', {expr.replace('VARCHAR', 'STRING')}"
-        for name, expr in _ENCODING_COLS
-    )
-    u = li.select(
-        F.expr(f"stack({len(_ENCODING_COLS)}, {stack_args})").alias(
-            "col_name", "val"
-        ),
+    names = [name for name, _ in _ENCODING_COLS]
+    base = li.select(
+        *[
+            F.expr(expr.replace("VARCHAR", "STRING")).alias(f"v{i}")
+            for i, (_, expr) in enumerate(_ENCODING_COLS)
+        ],
         F.expr("l_orderkey * 8 + l_linenumber").cast("bigint").alias("ok2"),
         F.col("l_partkey").alias("pk"),
         F.col("l_suppkey").alias("sk"),
@@ -485,51 +492,80 @@ def layout_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (ok2, pk, sk, pr) is a TOTAL order at every fixture SF (the
     # synthetic lineitem repeats (orderkey, linenumber) pairs, so ok2
     # alone would leave LAG ties engine-dependent — SURVEY §8.4)
-    win = Window.partitionBy("col_name", "bkt").orderBy(
-        "ok2", "pk", "sk", "pr"
-    )
-    flags = u.select(
-        "col_name",
+    win = Window.partitionBy("bkt").orderBy("ok2", "pk", "sk", "pr")
+    flags = base.select(
         "bkt",
-        "val",
         "ok2",
         "pk",
         "sk",
         "pr",
-        F.when(
-            ~F.col("val").eqNullSafe(F.lag("val").over(win)), 1
+        *[f"v{i}" for i in range(len(names))],
+        *[
+            F.when(
+                ~F.col(f"v{i}").eqNullSafe(F.lag(f"v{i}").over(win)), 1
+            )
+            .otherwise(0)
+            .alias(f"chg{i}")
+            for i in range(len(names))
+        ],
+    )
+    per_bucket = flags.groupBy("bkt").agg(
+        *[F.sum(f"chg{i}").cast("bigint").alias(f"runs{i}") for i in range(len(names))],
+        *[
+            F.expr(f"min_by(v{i}, struct(ok2, pk, sk, pr))").alias(f"fv{i}")
+            for i in range(len(names))
+        ],
+        *[
+            F.expr(f"max_by(v{i}, struct(ok2, pk, sk, pr))").alias(f"lv{i}")
+            for i in range(len(names))
+        ],
+    )
+    # bucket census = rows/512 — manifest-sized, so the single-ordered
+    # seam window is bounded (unit-group attach, house pattern)
+    wb = Window.partitionBy(RK.UNIT_GROUP).orderBy("bkt")
+    seams = (
+        RK.attach_unit_group(per_bucket)
+        .select(
+            *[f"runs{i}" for i in range(len(names))],
+            *[
+                F.when(
+                    F.col(f"fv{i}").eqNullSafe(F.lag(f"lv{i}").over(wb)), 1
+                )
+                .otherwise(0)
+                .alias(f"seam{i}")
+                for i in range(len(names))
+            ],
         )
-        .otherwise(0)
-        .alias("chg"),
-    )
-    per_bucket = flags.groupBy("col_name", "bkt").agg(
-        F.sum("chg").cast("bigint").alias("runs_in"),
-        F.expr("min_by(val, struct(ok2, pk, sk, pr))").alias("first_val"),
-        F.expr("max_by(val, struct(ok2, pk, sk, pr))").alias("last_val"),
-    )
-    wb = Window.partitionBy("col_name").orderBy("bkt")
-    seams = per_bucket.select(
-        "col_name",
-        "runs_in",
-        F.when(
-            F.col("first_val").eqNullSafe(F.lag("last_val").over(wb)), 1
+        .agg(
+            *[F.sum(f"seam{i}").cast("bigint").alias(f"sj{i}") for i in range(len(names))],
+            *[F.sum(f"runs{i}").cast("bigint").alias(f"ri{i}") for i in range(len(names))],
         )
-        .otherwise(0)
-        .alias("seam"),
-    ).groupBy("col_name").agg(
-        F.sum("seam").cast("bigint").alias("n_seam_joins"),
-        F.sum("runs_in").cast("bigint").alias("runs_in"),
     )
-    stats = u.groupBy("col_name").agg(
+    stats = base.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.countDistinct("val").cast("bigint").alias("n_distinct"),
+        *[
+            F.countDistinct(f"v{i}").cast("bigint").alias(f"nd{i}")
+            for i in range(len(names))
+        ],
     )
-    j = stats.join(seams, "col_name").select(
-        "col_name",
-        "n_rows",
-        "n_distinct",
-        (F.col("runs_in") - F.col("n_seam_joins")).cast("bigint").alias("n_runs"),
-    )
+    one = seams.crossJoin(F.broadcast(stats))  # 1-row × 1-row census
+    j = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("col_name"),
+                        F.col("n_rows").alias("n_rows"),
+                        F.col(f"nd{i}").alias("n_distinct"),
+                        (F.col(f"ri{i}") - F.col(f"sj{i}"))
+                        .cast("bigint")
+                        .alias("n_runs"),
+                    )
+                    for i, name in enumerate(names)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
     return j.select(
         "col_name",
         "n_rows",

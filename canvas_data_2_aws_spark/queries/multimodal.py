@@ -363,30 +363,20 @@ def phash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
       map (same rationale as dedup_minhash_banded): the corpus parquet
       is one row group, and inheriting that single partition
       serializes the whole signature stage onto one core.
-    - Char codes are extracted ONCE per doc (split + one transform),
-      then each block sums a slice — O(len) per doc. The original form
-      re-ran substring(text, pos, 1) per (block, j): substring on UTF8
-      strings is an O(pos) scan and HOF lambdas evaluate interpreted,
-      so that was O(len²) per doc and took minutes at sf0.1 on the
-      inherited single partition. Same values: slice (i*seg+1, seg)
-      covers exactly the chars the oracle's substring(i*seg+j) walk
-      does.
-    - The coalesce(., -1) wrapper makes phash provably NON-NULLABLE.
-      Without it, the downstream hamming predicate makes Catalyst
-      infer an isnotnull(phash) constraint and push it below both
-      Exchanges into the scan Filter — with the whole nested-HOF
-      expression inlined, re-evaluated interpreted per doc at the scan
-      (measured 243 s at sf0.1 vs ~6 s). coalesce with a non-null
-      literal folds that inferred IsNotNull to true at plan time; -1
-      is unreachable (the aggregate of non-null ints is never NULL).
-    - The trailing repartition("phash") + checkpoint is a
-      materialization barrier, NOT just co-partitioning: without the
-      Exchange, CollapseProject inlines the whole nested-HOF phash
-      expression into every downstream join output, re-evaluating it
-      per CANDIDATE PAIR (measured 243 s at sf0.1 vs ~5 s with the
-      barrier). After the shuffle every consumer — the value census,
-      the expansion self-joins — reads an 8-byte phash value, already
-      partitioned on the join key (one Exchange total per doc side).
+    - The hashing map itself is one vectorized numpy pass inside
+      mapInArrow (r13, guide §4.2) — the earlier interpreted array-HOF
+      form paid ~2 lambda evaluations per CHARACTER and its giant
+      expression tree kept getting inlined below exchanges by
+      Catalyst (two historical 243 s incidents: an inferred-IsNotNull
+      pushdown and a CollapseProject inline, each re-evaluating the
+      HOF per row/pair). A Python map node is opaque to both rules,
+      so neither hazard exists anymore; the comment block inside
+      ``build`` records the exact-value argument (codepoint split,
+      int32 wraparound, truncated tail — A/B-verified on all SFs).
+    - The trailing repartition("phash") + checkpoint co-partitions
+      every consumer — the value census and the expansion self-joins
+      read an 8-byte phash value already laid out on the join key
+      (one Exchange total per doc side).
 
     Session-memoized (r13): three queries now read this frame (the
     dedup, the threshold curve, and the stage funnel's pHash leg), so
@@ -401,26 +391,57 @@ def phash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.length("text") >= 16)
             .repartition("doc_id")
         )
-        codes = docs.select(
-            "doc_id",
-            F.expr("transform(split(text, ''), c -> ascii(c))").alias("cs"),
-        )
-        sig = codes.select(
-            "doc_id",
-            F.expr(
-                "transform(sequence(0, 15), i ->"
-                " aggregate(slice(cs, i * (size(cs) DIV 16) + 1, size(cs) DIV 16),"
-                "   0, (a, x) -> a + x))"
-            ).alias("bs"),
-        )
-        ph = sig.select(
-            "doc_id",
-            F.expr(
-                "coalesce(CAST(aggregate(transform(sequence(0, 15), i ->"
-                " CASE WHEN 16 * bs[i] > aggregate(bs, 0, (a, x) -> a + x)"
-                " THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END),"
-                " CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT), CAST(-1 AS BIGINT))"
-            ).alias("phash"),
+
+        # r13 (guide §4.2): the hashing map moved from interpreted
+        # array-HOF expressions (`transform(split(text,''), ascii)` + 16
+        # slice/aggregate folds — ~2 interpreted lambda evaluations per
+        # CHARACTER) into one vectorized numpy pass per Arrow batch.
+        # Values are bit-identical by construction (A/B-verified on all
+        # three fixture SFs, pinned by tests/test_multimodal.py):
+        #  - split(text,'') is per-CODEPOINT with no trailing empty
+        #    (probed), which utf-32-le decoding reproduces exactly;
+        #  - Spark's `aggregate(..., 0, a+x)` folds in INT with silent
+        #    wraparound, and `16 * bs[i]` likewise — `_wrap32`
+        #    reproduces two's-complement int semantics so even
+        #    pathological multi-hundred-MB documents hash identically;
+        #  - only the first 16·(len DIV 16) codepoints contribute, as
+        #    with the old slice() walk.
+        # Only (doc_id, text) crosses the Python boundary, and the
+        # output is 2 longs/doc — the §8.4 "decide with small rows"
+        # shape. phash is non-null by construction (the old plan needed
+        # a coalesce() to defeat an inferred-IsNotNull pushdown of the
+        # giant HOF expression; the Python map has nothing to inline).
+        import pyarrow as pa
+
+        def _hash_batches(batches):
+            import numpy as np
+
+            def wrap32(x):
+                x = np.bitwise_and(x, np.int64(0xFFFFFFFF))
+                return np.where(x >= np.int64(2**31), x - np.int64(2**32), x)
+
+            for batch in batches:
+                ids = batch.column("doc_id")
+                texts = batch.column("text").to_pylist()
+                out = np.zeros(len(texts), dtype=np.int64)
+                for r, s in enumerate(texts):
+                    cs = np.frombuffer(
+                        s.encode("utf-32-le"), dtype="<u4"
+                    ).astype(np.int64)
+                    seg = len(cs) // 16
+                    bs = wrap32(cs[: 16 * seg].reshape(16, seg).sum(axis=1))
+                    total = wrap32(bs.sum())
+                    bits = wrap32(16 * bs) > total
+                    out[r] = int(
+                        (np.int64(1) << np.arange(16, dtype=np.int64))[bits].sum()
+                    )
+                yield pa.RecordBatch.from_arrays(
+                    [ids, pa.array(out, type=pa.int64())],
+                    names=["doc_id", "phash"],
+                )
+
+        ph = docs.select("doc_id", "text").mapInArrow(
+            _hash_batches, "doc_id long, phash long"
         )
         return ph.repartition("phash")
 

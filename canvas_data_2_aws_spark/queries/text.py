@@ -1422,9 +1422,16 @@ def novelty_gram_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
-        return docs.select(
+        # two-projection shingle form (r13, guide §1.2 per-task work):
+        # split once per doc, then n-gram over the word array — the
+        # inline T.ngrams form re-evaluates split(text) per word
+        # inside the interpreted lambda (the ngrams_from_words
+        # docstring rationale). Same grams, same explode.
+        return docs.select("doc_id", T.tokens("text").alias("w")).select(
             "doc_id",
-            F.explode(F.array_distinct(T.ngrams("text", 3))).alias("gram"),
+            F.explode(
+                F.array_distinct(T.ngrams_from_words("w", 3))
+            ).alias("gram"),
         )
 
     return memoized_checkpoint(spark, sf_dir, "novelty_gram", build)
@@ -1548,8 +1555,11 @@ def text_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 1
         ).alias("sid"),
     )
-    g = docs.select(
-        "source", F.explode(T.ngrams("text", _OVERLAP_N)).alias("gram")
+    # two-projection shingle form (r13, guide §1.2): split once per
+    # doc; the inline T.ngrams form re-evaluated split(text) per word
+    # inside the interpreted lambda. Same grams, same explode.
+    g = docs.select("source", T.tokens("text").alias("w")).select(
+        "source", F.explode(T.ngrams_from_words("w", _OVERLAP_N)).alias("gram")
     )
     masks = (
         g.join(F.broadcast(srcs), "source")

@@ -437,7 +437,14 @@ def _build_kmeans_assignment(
             F.min(F.struct("dist", "j"))["j"].alias("c")
         )
 
-    a1 = assign_step(centroids(None)).localCheckpoint()
+    # lazy checkpoint (r13, guide §2.6): a1 is consumed only inside the
+    # final build job (centroid re-fit + the c1/c2 join), so the eager
+    # materialization only added a scheduled job; lazy still truncates
+    # lineage and computes a1 exactly once. An array-HOF rewrite of
+    # this plan (no explode, argmin via aggregate/zip_with decimals)
+    # was measured SLOWER warm (4.3 s vs 3.0 s at sf0.1 — interpreted
+    # decimal lambdas) and reverted; see OPTIMIZATION_r13.md.
+    a1 = assign_step(centroids(None)).localCheckpoint(eager=False)
     a2 = assign_step(centroids(a1))
     return (
         a1.withColumnRenamed("c", "c1")

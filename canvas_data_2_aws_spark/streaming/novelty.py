@@ -48,9 +48,11 @@ def process_novelty_batch(
     """One micro-batch of first-seen gram accounting (module-level so
     tests can re-invoke it to simulate a foreachBatch RETRY)."""
     sess = batch_df.sparkSession
-    g = batch_df.select(
+    # two-projection shingle form (r13, guide §1.2): split once per
+    # doc — identical grams to the batch derivation's rewritten form.
+    g = batch_df.select("doc_id", T.tokens("text").alias("w")).select(
         "doc_id",
-        F.explode(F.array_distinct(T.ngrams("text", 3))).alias("gram"),
+        F.explode(F.array_distinct(T.ngrams_from_words("w", 3))).alias("gram"),
     ).localCheckpoint(eager=True)  # consumed 2x: first-occ + per-doc
     first_in_batch = g.groupBy("gram").agg(
         F.min("doc_id").alias("first_doc")
