@@ -300,6 +300,9 @@ def _builds() -> list[tuple[str, object]]:
         # replaying the shared scoring stages.
         ("nb_scored_build", curation._nb_scored),
         ("fs_scored_build", enrichment._fs_scored),
+        # r13 opt: the BM25 posting frame four queries read (text_bm25,
+        # Rocchio expansion, nDCG eval, (k1,b) grid).
+        ("bm25_postings_build", qtext.bm25_postings_cached),
     ]
 
 

@@ -368,16 +368,18 @@ def hits(
     # checkpoint would re-run the whole upstream pair derivation.
     if iterations < 1:
         raise ValueError("hits() needs at least one iteration")
+    # lazy checkpoints (r13, guide §2.6): the cap probe below is the
+    # first action and materializes both in ONE job instead of three.
     e = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("d").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     cap = SCORE_BROADCAST_NODE_CAP if broadcast_node_cap is None else broadcast_node_cap
     # Unlike pagerank, HITS never needs the exact node count — only

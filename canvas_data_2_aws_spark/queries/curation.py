@@ -276,14 +276,15 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grades the same truth, so the eval family's most expensive stage
     # builds once per session instead of once per instrument.
     from .dedup import (
-        minhash_candidates,
-        minhash_shingles_cached,
+        minhash_candidates_from_sig,
+        minhash_sig_cached,
         minhash_truth_cached,
     )
 
-    sh = minhash_shingles_cached(spark, sf_dir)
     truth = minhash_truth_cached(spark, sf_dir)
-    cand = minhash_candidates(sh)
+    # r13: reuse the session-memoized signature frame too — the
+    # candidate stage then recomputes only banding + bucket pairs.
+    cand = minhash_candidates_from_sig(minhash_sig_cached(spark, sf_dir))
     hit = truth.join(cand, ["doc_a", "doc_b"])
     n_truth = truth.agg(F.count("*").alias("n_truth"))
     n_cand = cand.agg(F.count("*").alias("n_cand"))

@@ -215,6 +215,17 @@ def minhash_candidates(
             for s in range(8)
         ],
     )
+    return minhash_candidates_from_sig(sig, bucket_cap)
+
+
+def minhash_candidates_from_sig(
+    sig: DataFrame, bucket_cap: int = MINHASH_BUCKET_CAP
+) -> DataFrame:
+    """Banding + bucket-pair stage of :func:`minhash_candidates` over a
+    precomputed (doc_id, h0..h7) signature frame — split out (r13,
+    guide §2.4) so consumers that already hold the session-memoized
+    ``minhash_sig_cached`` frame skip the ~400-md5-per-doc signature
+    recompute instead of paying it per invocation."""
     band_structs = [
         F.struct(
             F.lit(i).alias("band"), F.concat(f"h{a}", f"h{b}").alias("bkey")
@@ -266,16 +277,13 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     private hash seeds for engine-neutral md5 minima so the full
     pipeline is cross-engine reproducible — at 100 TB the same plan
     holds with the signature cached per document."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = docs.select("doc_id", F.split("text", " ").alias("w"))
-    # Rebalance before the CPU-heavy hashing map: the signature stage
-    # costs ~400 md5s per doc, so inheriting a coarse scan partitioning
-    # (here: one row group) serializes it; a cheap exchange of the raw
-    # rows spreads the hashing across the cluster.
-    sh = words.repartition("doc_id").select(
-        "doc_id", F.array_distinct(T.ngrams_from_words("w", n=3)).alias("shingles")
-    ).localCheckpoint()  # consumed 3× (signature + both verify legs)
-    cand = minhash_candidates(sh)
+    # r13 (guide §2.4): read the session-memoized shingle + signature
+    # frames (identical expressions; named build rows minhash_sig_build
+    # etc.) instead of rebuilding the shingle explode and the
+    # ~400-md5-per-doc signature map per invocation — this query and
+    # pipeline_leakage_split_minhash each used to pay both.
+    sh = minhash_shingles_cached(spark, sf_dir)
+    cand = minhash_candidates_from_sig(minhash_sig_cached(spark, sf_dir))
     x = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     y = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
@@ -170,14 +171,54 @@ def _few_state_partitions(spark: SparkSession, n: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+# r13 (guide §2.4): the staged replay SOURCE splits are deterministic
+# pure functions of the fixture tables (range split + mtime stamps),
+# and eleven graded queries/smokes used to re-stage and delete them
+# per invocation. Stage once per (session, sf_dir) and never delete;
+# the memo revalidates with isdir() so a caller (or test) that removes
+# the directory just pays one re-stage. Per-run STATE dirs
+# (checkpoints, partial stores) stay per-invocation temp dirs — only
+# the immutable source split is shared, so no query can observe
+# another's state.
+_STAGED_DIRS: dict[tuple, str] = {}
+_STAGED_LOCK = threading.Lock()
+
+
+def _staged_split(
+    spark: SparkSession, sf_dir: str, kind: str, n_files: int, build
+) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir, kind, n_files)
+    with _STAGED_LOCK:
+        for stale in [k for k in _STAGED_DIRS if k[0] != key[0]]:
+            del _STAGED_DIRS[stale]
+        path = _STAGED_DIRS.get(key)
+    if path is not None and os.path.isdir(path):
+        return path
+    path = build()
+    with _STAGED_LOCK:
+        _STAGED_DIRS[key] = path
+    return path
+
+
 def _replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 3) -> str:
     """Split events into n time-ordered parquet files for replay —
     the shared range-split + mtime-stamp recipe (streaming/replay.py);
-    replay order = time order, so watermarks never drop early slices."""
+    replay order = time order, so watermarks never drop early slices.
+    Session-memoized (see _staged_split above)."""
     from ..streaming.replay import split_ordered
 
-    ev = load_table(spark, sf_dir, "events")
-    return split_ordered(ev, "ts", n_files, prefix="cda2_stream_")
+    return _staged_split(
+        spark,
+        sf_dir,
+        "events",
+        n_files,
+        lambda: split_ordered(
+            load_table(spark, sf_dir, "events"),
+            "ts",
+            n_files,
+            prefix="cda2_stream_",
+        ),
+    )
 
 
 @graded("stream_watermark_smoke", oracle=None)
@@ -193,7 +234,7 @@ def stream_watermark_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = run_available_now(agg, "wm_smoke", output_mode="complete")
         return spark.createDataFrame(rows, agg.schema)
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        pass  # base is session-memoized (r13) — never delete it here
 
 
 @graded("stream_dedup_smoke", oracle=None)
@@ -211,7 +252,7 @@ def stream_dedup_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = run_available_now(counted, "dedup_smoke", output_mode="complete")
         return spark.createDataFrame(rows, counted.schema)
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        pass  # base is session-memoized (r13) — never delete it here
 
 
 @graded("stream_merge_smoke", oracle=None)
@@ -292,7 +333,7 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         )
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        pass  # base is session-memoized (r13) — never delete it here
 
 
 @graded("stream_stream_join_smoke", oracle=None)
@@ -328,7 +369,7 @@ def stream_stream_join_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = run_available_now(pairs, "ssj_smoke", output_mode="append")
         return spark.createDataFrame(rows, pairs.schema)
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        pass  # base is session-memoized (r13) — never delete it here
 
 
 @graded("stream_python_source", oracle=None)
@@ -801,7 +842,7 @@ def stream_cusum_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows, "event_type string, ts timestamp, event_id long, cusum_cents long"
         )
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        pass  # base is session-memoized (r13) — never delete it here
 
 
 # --- EXT: inter-arrival gap statistics -------------------------------------------
@@ -1278,7 +1319,7 @@ def stream_window_uniques_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return spark.createDataFrame(rows, agg.schema).orderBy("bucket")
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        pass  # base is session-memoized (r13) — never delete it here
 
 
 # --- T3 variant: top navigation paths per session -------------------------------
@@ -1457,11 +1498,22 @@ def _docs_replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 3) -> str:
     """Split documents into n ascending-doc_id parquet files for
     replay (the shared range + mtime-stamp recipe, streaming/replay.py;
     the capped pairing's oracle equality needs batches in ascending id
-    order so first-arrival admission equals smallest-id admission)."""
+    order so first-arrival admission equals smallest-id admission).
+    Session-memoized (see _staged_split above)."""
     from ..streaming.replay import split_ordered
 
-    docs = load_table(spark, sf_dir, "documents")
-    return split_ordered(docs, "doc_id", n_files, prefix="cda2_shdocs_")
+    return _staged_split(
+        spark,
+        sf_dir,
+        "documents",
+        n_files,
+        lambda: split_ordered(
+            load_table(spark, sf_dir, "documents"),
+            "doc_id",
+            n_files,
+            prefix="cda2_shdocs_",
+        ),
+    )
 
 
 @graded("stream_simhash_pairs_capped", oracle=_stream_pairs_capped_oracle())
@@ -1486,7 +1538,7 @@ def stream_simhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return materialize_outliving(out, tmp)
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        # base is session-memoized (r13) — never delete it here
         shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -1642,7 +1694,7 @@ def stream_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = rolled.orderBy(F.col("n_events").desc(), "user_id").limit(20)
         return materialize_outliving(out, tmp)
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        # base is session-memoized (r13) — never delete it here
         shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -1704,7 +1756,7 @@ def stream_ttl_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = rolled.orderBy(F.col("n_events").desc(), "user_id").limit(20)
         return materialize_outliving(out, tmp)
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        # base is session-memoized (r13) — never delete it here
         shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -1762,7 +1814,7 @@ def stream_novelty_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return materialize_outliving(out, tmp)
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        # base is session-memoized (r13) — never delete it here
         shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -1820,7 +1872,7 @@ def stream_priority_sample_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         return materialize_outliving(out, tmp)
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        # base is session-memoized (r13) — never delete it here
         shutil.rmtree(tmp, ignore_errors=True)
 
 

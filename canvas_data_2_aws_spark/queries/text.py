@@ -593,19 +593,44 @@ SELECT doc_id, token, tf, df, bm25 FROM bm25
 """
 
 
+def bm25_postings_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized (doc_id, token, tf, dl, df, n, avgdl) posting
+    frame — the corpus-scale stage under the whole BM25 family (r13,
+    guide §2.4): ``text_bm25``/``bm25_scores``, the Rocchio expansion,
+    ``search_ndcg_eval`` and ``search_bm25_param_grid`` all start from
+    these exact counts and each used to re-run the token explode + two
+    hash aggs per invocation. Counts are corpus-deterministic, so
+    sharing cannot change any consumer's output; named bench build row
+    ``bm25_postings_build``."""
+    from ..operators.fuzzy_graph import memoized_checkpoint
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        tok = docs.select("doc_id", F.explode(T.tokens()).alias("token"))
+        tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+        dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        stats = dl.agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        )
+        return (
+            tf.join(dl, "doc_id")
+            .join(F.broadcast(dfreq), "token")
+            .crossJoin(F.broadcast(stats))
+            .select("doc_id", "token", "tf", "dl", "df", "n", "avgdl")
+        )
+
+    return memoized_checkpoint(spark, sf_dir, "bm25_postings", build)
+
+
 def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared (doc_id, token, tf, df, bm25) scoring table — the Spark
-    twin of ``_BM25_CTES``, consumed by ``text_bm25`` and the Rocchio
-    expansion query (queries/pipelines.py)."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(T.tokens()).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
+    twin of ``_BM25_CTES``, consumed by ``text_bm25``, the Rocchio
+    expansion query (queries/pipelines.py) and ``search_ndcg_eval``.
+    One projection over the memoized posting frame; the score
+    expression is unchanged (identical-operand IEEE, ROUND(,4))."""
+    p = bm25_postings_cached(spark, sf_dir)
     idf = F.log(
         F.lit(1.0)
         + ((F.col("n") - F.col("df")).cast("double") + 0.5)
@@ -620,10 +645,7 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(dfreq), "token")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", "token", "tf", "df", F.round(score, 4).alias("bm25"))
+        p.select("doc_id", "token", "tf", "df", F.round(score, 4).alias("bm25"))
     )
 
 
@@ -1315,11 +1337,13 @@ ORDER BY q.token
 def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nDCG@10 of BM25 rankings for the 5 highest-df query tokens
     against capped-tf graded relevance (rationale above the oracle)."""
-    scores = bm25_scores(spark, sf_dir).localCheckpoint()
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(T.tokens()).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # r13: everything here derives from the memoized posting frame —
+    # the old form re-ran its own token explode + tf/df aggs on top of
+    # rebuilding bm25_scores (same counts, verbatim).
+    scores = bm25_scores(spark, sf_dir)
+    post = bm25_postings_cached(spark, sf_dir)
+    tf = post.select("doc_id", "token", "tf")
+    dfreq = post.select("token", "df").distinct()
     queries = dfreq.orderBy(F.col("df").desc(), "token").limit(5).select("token")
     gains = (
         tf.join(F.broadcast(queries), "token")
@@ -1737,15 +1761,11 @@ def search_bm25_param_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean nDCG@10 per BM25 (k1, b) operating point — four classic
     parameter choices ranked against the same capped-tf relevance as
     search_ndcg_eval (rationale above the oracle)."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(T.tokens()).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
+    # r13: the tf/dl/df/n/avgdl counts come from the memoized posting
+    # frame (identical values) instead of a per-invocation explode +
+    # three hash aggs.
+    p0 = bm25_postings_cached(spark, sf_dir)
+    dfreq = p0.select("token", "df").distinct()
     queries = dfreq.orderBy(F.col("df").desc(), "token").limit(5).select("token")
     grid = spark.range(1).select(
         F.explode(
@@ -1777,10 +1797,7 @@ def search_bm25_param_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         4,
     )
     post = (
-        tf.join(F.broadcast(queries), "token")
-        .join(dl, "doc_id")
-        .join(dfreq, "token")
-        .crossJoin(F.broadcast(stats))  # 1-row corpus stats
+        p0.join(F.broadcast(queries), "token")
         .crossJoin(F.broadcast(grid))  # 4-row (k1, b) ladder
         .select(
             "k1",

@@ -1698,12 +1698,19 @@ def vector_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("query_id"), F.col("j").alias("cell"), "rk"
         )
+        # consumed 2× (cand + the n_queries census) — lazy checkpoint
+        # computes the probe ranking once (r13, guide §2.6)
+        .localCheckpoint(eager=False)
     )
     members = assign.select(
         F.col("vec_id").alias("neighbor_id"), F.col("c2").alias("cell")
     )
-    cand = ranks.join(members, "cell").where(
-        F.col("neighbor_id") != F.col("query_id")
+    cand = (
+        ranks.join(members, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        # consumed 2× (scored + candidate-volume census) — the old plan
+        # re-ran the probe join per consumer (r13, guide §2.6)
+        .localCheckpoint(eager=False)
     )
     # .limit(32) is a no-op on the data (the filter admits exactly the
     # 32 query ids) but gives the truth leg's crossJoin a STATICALLY
@@ -1729,7 +1736,9 @@ def vector_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id",
             F.round(cosine_similarity("q_emb", "n_emb"), 4).alias("score"),
         )
-        .localCheckpoint()
+        # consumed once (topk) — the eager checkpoint here only added a
+        # scheduled job; cand above now carries the shared-subtree
+        # barrier (r13)
     )
     ps = spark.range(len(_NPROBE_LADDER)).select(
         F.element_at(
