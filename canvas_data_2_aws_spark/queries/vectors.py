@@ -437,14 +437,15 @@ def _build_kmeans_assignment(
             F.min(F.struct("dist", "j"))["j"].alias("c")
         )
 
-    # lazy checkpoint (r13, guide §2.6): a1 is consumed only inside the
-    # final build job (centroid re-fit + the c1/c2 join), so the eager
-    # materialization only added a scheduled job; lazy still truncates
-    # lineage and computes a1 exactly once. An array-HOF rewrite of
+    # eager checkpoint: a1 is consumed TWICE below (the centroid
+    # re-fit and the c1/c2 join), and the r13 bench showed lazy
+    # checkpoints duplicate a twice-consumed subtree inside the fused
+    # job (the bfs/kcore regression); lazy here measured neutral at
+    # best, so keep the materialized form. An array-HOF rewrite of
     # this plan (no explode, argmin via aggregate/zip_with decimals)
     # was measured SLOWER warm (4.3 s vs 3.0 s at sf0.1 — interpreted
     # decimal lambdas) and reverted; see OPTIMIZATION_r13.md.
-    a1 = assign_step(centroids(None)).localCheckpoint(eager=False)
+    a1 = assign_step(centroids(None)).localCheckpoint(eager=True)
     a2 = assign_step(centroids(a1))
     return (
         a1.withColumnRenamed("c", "c1")

@@ -117,6 +117,7 @@ _NESTED_LOOP_OK = {
     "analytics_theil_index",  # three 1-row totals attaches
     "join_bloom_fpp_sweep",  # 4-row bits ladder + 1-row key census
     "dedup_stage_funnel",  # 1-row corpus census attach on the 4-row manifest
+    "layout_encoding_stats",  # 1-row seam census × 1-row stats census attach
     # r12 wave:
     "dedup_banding_grid_eval",  # 4-row geometry ladder + 1-row n_truth
     "search_bm25_param_grid",  # 4-row (k1,b) ladder + 1-row corpus stats
