@@ -289,13 +289,24 @@ def bfs_levels(
     dst: str = "dst",
     seed_col: str = "node",
     max_hops: int = 3,
+    *,
+    symmetric: bool = False,
+    broadcast_node_cap: int | None = None,
 ) -> DataFrame:
     """Multi-source BFS: (node, level) with level = min hop distance
     from any seed, capped at ``max_hops``.
 
-    ``edges`` is undirected (symmetrized here); unreachable nodes are
-    absent from the output. Each hop is one equi join + one anti join
-    against the visited set — the canonical Spark frontier expansion.
+    ``edges`` is undirected (symmetrized here — or taken as-is when
+    the caller passes ``symmetric=True`` for a list that already
+    contains both directions exactly once, e.g. the memoized
+    fuzzy_sym frame: re-symmetrizing such a frame is a full
+    2|E|-row union+distinct shuffle per invocation for nothing);
+    unreachable nodes are absent from the output. Each hop is one
+    equi join + one anti join against the visited set — the canonical
+    Spark frontier expansion, with the node-sized frontier/visited
+    sides broadcast under :data:`SCORE_BROADCAST_NODE_CAP` (r13,
+    guide §2.4/§3.1) so the O(E) edge list never re-shuffles inside a
+    hop; above the cap the joins fall back to shuffled plans.
     Frontiers are localCheckpoint-ed: without it every hop re-executes
     the whole prefix once per downstream consumer (the round-2 shared-
     subtree law). Deterministic: min-level semantics, no randomness.
@@ -314,7 +325,23 @@ def bfs_levels(
     work is frontier-sized either way, and the probe is one cheap
     ``limit(1).count()`` on a materialized frame).
     """
-    sym = symmetrized(edges, src, dst).localCheckpoint(eager=True)
+    if symmetric:
+        # Caller guarantees both directions present exactly once (and
+        # passes a materialized/cheap frame — fuzzy_sym is a memoized
+        # checkpoint); a narrow rename replaces the 2|E|-row
+        # union+distinct shuffle.
+        sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    else:
+        sym = symmetrized(edges, src, dst).localCheckpoint(eager=True)
+    cap = (
+        SCORE_BROADCAST_NODE_CAP
+        if broadcast_node_cap is None
+        else broadcast_node_cap
+    )
+    # |V| <= rows(sym), and sym is materialized — the count is a
+    # block-metadata scan, no shuffle. Conservative: past the cap the
+    # node-sized sides stop broadcasting.
+    small = sym.count() <= cap
     visited = (
         seeds.select(F.col(seed_col).alias("node"))
         .distinct()
@@ -327,11 +354,13 @@ def bfs_levels(
         nonlocal hop
         visited, frontier = state
         hop += 1
+        fsrc = F.broadcast(frontier) if small else frontier
+        vis = visited.select("node")
         nxt = ckpt(
-            frontier.join(sym, frontier.node == sym.a)
+            fsrc.join(sym, fsrc.node == sym.a)
             .select(F.col("b").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(F.broadcast(vis) if small else vis, "node", "left_anti")
             .withColumn("level", F.lit(hop).cast("long"))
         )
         return visited.unionByName(nxt), nxt

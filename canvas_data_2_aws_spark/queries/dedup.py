@@ -948,7 +948,10 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = sym.where(F.col("src") % 100 == 0).select(
         F.col("src").alias("node")
     )
-    return bfs_levels(sym, seeds, max_hops=3)
+    # symmetric=True: fuzzy_sym already holds both directions exactly
+    # once (memoized checkpoint) — re-symmetrizing it cost a full
+    # 2|E|-row union+distinct shuffle per invocation (r13, guide §2.4).
+    return bfs_levels(sym, seeds, max_hops=3, symmetric=True)
 
 
 # --- EXT: duplicated-span detection ----------------------------------------------
@@ -1351,36 +1354,44 @@ FROM {cur} GROUP BY node"""
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-peel 5-core: the density filter that isolates the
     tightly-duplicated region of a similarity graph before expensive
-    per-cluster work. Four peel rounds, each a degree agg + two
-    node-key joins; every round shrinks the edge list, so the worst
-    round cost is the first. At 100 TB the loop would add a
-    convergence check (count unchanged ⇒ stop), matching
-    operators/graph.py's iterate-to-fixpoint harness."""
+    per-cluster work. Up to four peel rounds, each a degree agg + two
+    node-key semi joins against the node-sized keep set (broadcast
+    under SCORE_BROADCAST_NODE_CAP, plain semi join above — the
+    family's _score_side discipline), so the O(E) edge list never
+    re-shuffles inside a peel. A peel that drops NO node is the
+    identity map — s_i = s_{i-1} exactly — and so is every later
+    peel, so the driver stops there and returns that peel's degree
+    census directly (the convergence check the unrolled oracle makes
+    vacuously true: its k_i/s_i stages reproduce the same frames).
+    r13 measurement: at sf0.1 the 5-core retains the whole graph, so
+    peel 1's probe stops the loop — 3.1 s → ~1 s; at sf0.01 the core
+    converges after 3 peels and the 4th is skipped. Checkpoints stay
+    EAGER — the r13 lazy form benched 3.3 s → 9.5 s (each peel
+    consumes the prior frame twice, so the fused DAG duplicates every
+    earlier round's subtree)."""
     from ..operators.fuzzy_graph import fuzzy_sym
-    from ..operators.graph import iterate_rounds
+    from ..operators.graph import SCORE_BROADCAST_NODE_CAP
 
-    def peel(cur: DataFrame, ckpt) -> DataFrame:
-        keep = (
+    cur = fuzzy_sym(spark, sf_dir)
+    deg = None
+    for _ in range(_KCORE_PEELS):
+        deg = (
             cur.groupBy("node")
             .agg(F.count("*").alias("deg"))
-            .where(F.col("deg") >= _KCORE_K)
-            .select("node")
+            .localCheckpoint(eager=True)  # node-sized
         )
-        return ckpt(
-            cur.join(keep, "node", "left_semi").join(
-                keep.withColumnRenamed("node", "nbr"), "nbr", "left_semi"
-            )
+        if deg.where(F.col("deg") < _KCORE_K).limit(1).count() == 0:
+            # No node fails the bar: this peel (and all later ones)
+            # is the identity, and deg already IS the final census.
+            return deg.select("node", F.col("deg").alias("degree"))
+        keep = deg.where(F.col("deg") >= _KCORE_K).select("node")
+        if deg.count() <= SCORE_BROADCAST_NODE_CAP:
+            keep = F.broadcast(keep)
+        cur = (
+            cur.join(keep, "node", "left_semi")
+            .join(keep.withColumnRenamed("node", "nbr"), "nbr", "left_semi")
+            .localCheckpoint(eager=True)
         )
-
-    # eager=True — r13 MEASURED NEGATIVE RESULT for the lazy form:
-    # eager=False benched 3.3 s → 9.5 s at sf0.1. Each peel consumes
-    # the previous frame TWICE (the degree agg and both semi-join
-    # probes), so without eager materialization the fused DAG carries
-    # duplicated copies of every earlier round's subtree racing the
-    # block-cache; the scheduled-job saving never pays that back.
-    cur = iterate_rounds(
-        fuzzy_sym(spark, sf_dir), peel, _KCORE_PEELS, eager=True
-    )
     return cur.groupBy("node").agg(F.count("*").alias("degree"))
 
 
