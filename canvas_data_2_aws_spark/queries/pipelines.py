@@ -1670,10 +1670,13 @@ FROM v8 ORDER BY v8.dim
 
 
 def _pca_top_component(spark: SparkSession, sf_dir: str):
-    """Shared PCA stage: returns (ticks, v, norm) — the 1e-4 integer
-    tick table, the 64-row iterate after 8 power iterations, and the
-    final pre-normalization norm (eigenvalue estimate). Mirrors
-    _PCA_CTES exactly."""
+    """Shared PCA stage: returns (ticks, vloc, nrm) — the 1e-4 integer
+    tick table (DataFrame), the 64-entry {dim: loading} iterate after
+    8 power iterations, and the final pre-normalization norm
+    (eigenvalue estimate; None on an empty corpus). The iterate and
+    norm are plain driver values (the covariance is <= 64x64 at any
+    corpus — see the loop comment below); consumers build whatever
+    tiny frame they need from them. Mirrors _PCA_CTES exactly."""
     import numpy as np
     import pandas as pd
 
@@ -1725,42 +1728,48 @@ def _pca_top_component(spark: SparkSession, sf_dir: str):
                 / (F.col("n").cast("double") * F.col("n").cast("double"))
             ).alias("c"),
         )
-        .localCheckpoint(eager=False)  # consumed by all 8 iterations
     )
-    v = spark.range(64).select(
-        F.col("id").cast("int").alias("dim"), F.lit(0.125).alias("v")
-    )
-    norm = None
+    # The covariance matrix is <= 64x64 rows at ANY corpus size (the
+    # same bounded-fetch class as the IVF centroid collect), but the 8
+    # power iterations over it as 64-row DataFrames cost ~17 scheduled
+    # jobs + broadcasts of nothing — measured ~5 s of the 5.5 s warm
+    # wall at sf0.1 vs 0.4 s for the corpus-scale Gramian pass (r13,
+    # guide §1.2/§5: the driver may do O(1)-bounded math; Spark should
+    # not schedule it). The loop below replicates the retired Spark
+    # expression tree operation-for-operation: double products, CAST
+    # to DECIMAL(38,9) (BigDecimal.valueOf = Double.toString + HALF_UP
+    # setScale — repr() is the Python equivalent), exact decimal sums,
+    # correctly-rounded casts back to double, IEEE sqrt/division, and
+    # ROUND(,6) = the same string-based HALF_UP quantize. Verified
+    # value-identical against the Spark-side ladder and hash-matched
+    # at both SFs.
+    from decimal import ROUND_HALF_UP, Decimal
+    import math
+
+    q9, q6 = Decimal("1e-9"), Decimal("1e-6")
+
+    def dec(x: float, q: Decimal) -> Decimal:
+        return Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP)
+
+    cvals: dict[int, list] = {}
+    for r in c.collect():  # <= 64x64 rows, corpus-size-independent
+        cvals.setdefault(r.d1, []).append((r.d2, r.c))
+    vloc = {d: 0.125 for d in range(64)}
+    nrm = None
     for _ in range(8):
-        w = (
-            c.join(v, c.d2 == v.dim)
-            .groupBy("d1")
-            .agg(
-                F.sum((F.col("c") * F.col("v")).cast("decimal(38,9)"))
-                .cast("double")
-                .alias("w")
-            )
-            # consumed twice per iteration (norm + next iterate);
-            # the checkpoint pins one matvec materialization for both
-            # consumers (neutral at 64 rows, correct at any size).
-            .localCheckpoint(eager=False)
-        )
-        norm = w.agg(
-            F.sqrt(
-                F.sum((F.col("w") * F.col("w")).cast("decimal(38,9)")).cast(
-                    "double"
-                )
-            ).alias("nrm")
-        )
-        v = (
-            w.crossJoin(F.broadcast(norm))  # scalar broadcast
-            .select(
-                F.col("d1").alias("dim"),
-                F.round(F.col("w") / F.col("nrm"), 6).alias("v"),
-            )
-            .localCheckpoint(eager=False)  # keep the iterate's plan shallow
-        )
-    return ticks, v, norm
+        w = {}
+        for d1, pairs in cvals.items():
+            # inner join c.d2 == v.dim: unmatched d2 rows drop out
+            terms = [dec(cv * vloc[d2], q9) for d2, cv in pairs if d2 in vloc]
+            if terms:
+                w[d1] = float(sum(terms))
+        if w:
+            nrm = math.sqrt(float(sum((dec(x * x, q9) for x in w.values()), Decimal(0))))
+            vloc = {d1: float(dec(x / nrm, q6)) for d1, x in w.items()}
+        else:  # empty corpus: SUM over no rows is NULL, sqrt(NULL) NULL
+            nrm = None
+            vloc = {}
+    return ticks, vloc, nrm
 
 
 @graded("vector_pca_power", oracle=_PCA_ORACLE)
@@ -1772,17 +1781,20 @@ def vector_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition regardless of corpus size); the iterations run on the
     64-row eigenvector frame. At 1000 executors this is the textbook
     tree-aggregated Gramian, not an n×4096 explode."""
-    _, v, norm = _pca_top_component(spark, sf_dir)
-    eig = norm.select(F.round("nrm", 4).alias("eig"))
-    return (
-        v.crossJoin(F.broadcast(eig))  # scalar broadcast
-        .select(
-            F.col("dim").cast("long").alias("dim"),
-            F.col("v").alias("loading"),
-            "eig",
-        )
-        .orderBy("dim")
+    from decimal import ROUND_HALF_UP, Decimal
+
+    _, vloc, nrm = _pca_top_component(spark, sf_dir)
+    # ROUND(nrm, 4) — same string-based HALF_UP quantize as the
+    # retired Spark expression (see the _pca_top_component loop note).
+    eig = (
+        float(Decimal(repr(nrm)).quantize(Decimal("1e-4"), ROUND_HALF_UP))
+        if nrm is not None
+        else None
     )
+    return spark.createDataFrame(
+        [(int(d), vloc[d], eig) for d in sorted(vloc)],
+        "dim long, loading double, eig double",
+    ).orderBy("dim")
 
 
 # --- projection onto the top component: class-separation stats ------------------
@@ -1821,7 +1833,10 @@ def vector_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the exploded tick stream + a per-vector sum — narrow at
     any corpus size; the rollup groups on the label key."""
     emb = load_table(spark, sf_dir, "embeddings")
-    ticks, v, _ = _pca_top_component(spark, sf_dir)
+    ticks, vloc, _ = _pca_top_component(spark, sf_dir)
+    v = spark.createDataFrame(
+        [(int(d), vloc[d]) for d in sorted(vloc)], "dim int, v double"
+    )
     tk = ticks.select("vec_id", F.posexplode("tk").alias("dim", "xi"))
     proj = (
         tk.join(F.broadcast(v), "dim")
