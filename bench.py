@@ -303,6 +303,9 @@ def _builds() -> list[tuple[str, object]]:
         # r13 opt: the BM25 posting frame four queries read (text_bm25,
         # Rocchio expansion, nDCG eval, (k1,b) grid).
         ("bm25_postings_build", qtext.bm25_postings_cached),
+        # r13 opt: the duplicated-span frame two queries read (the span
+        # detector grades it, the span remover cuts by it).
+        ("dup_spans_build", dedup.dup_spans_cached),
     ]
 
 

@@ -989,17 +989,22 @@ HAVING COUNT(*) >= 2
 """
 
 
-@graded("dedup_duplicate_spans", oracle=_DUP_SPANS_ORACLE)
-def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal cross-document duplicated spans per doc — the
-    repeated-substring dedup pass (boilerplate/license-block removal)
-    at 5-gram granularity. One positional shingle explode feeds both
-    the cross-doc frequency agg and the probe side (localCheckpoint —
-    consumed twice); adjacent hits merge into spans via a doc-keyed
-    window, so the only shuffles are the shingle agg and one window
-    exchange on doc_id. At 100 TB the shingle agg is the big shuffle:
-    partial map-side combine applies, and the dup set stays small
-    enough to broadcast back (cross-doc repeats are the tail)."""
+def dup_spans_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, span_start, span_end, n_words) duplicated-span
+    frame — session-memoized (r13, guide §2.4): dedup_duplicate_spans
+    grades it directly and dedup_remove_spans re-derives its cut list
+    from it, so the 5-gram positional explode + cross-doc frequency
+    agg + islands window used to run twice per bench rep. The frame is
+    duplication-sized (cross-doc repeats are the tail); named bench
+    build row ``dup_spans_build``."""
+    from ..operators.fuzzy_graph import memoized_checkpoint
+
+    return memoized_checkpoint(
+        spark, sf_dir, "dup_spans", lambda: _build_dup_spans(spark, sf_dir)
+    )
+
+
+def _build_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select("doc_id", F.split("text", " ").alias("w"))
     sh = words.select(
@@ -1028,6 +1033,22 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_sh") >= 2)
         .select("doc_id", "span_start", "span_end", "n_words")
     )
+
+
+@graded("dedup_duplicate_spans", oracle=_DUP_SPANS_ORACLE)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicated spans per doc — the
+    repeated-substring dedup pass (boilerplate/license-block removal)
+    at 5-gram granularity. One positional shingle explode feeds both
+    the cross-doc frequency agg and the probe side (localCheckpoint —
+    consumed twice); adjacent hits merge into spans via a doc-keyed
+    window, so the only shuffles are the shingle agg and one window
+    exchange on doc_id. At 100 TB the shingle agg is the big shuffle:
+    partial map-side combine applies, and the dup set stays small
+    enough to broadcast back (cross-doc repeats are the tail). The
+    result frame is session-shared with dedup_remove_spans
+    (dup_spans_cached)."""
+    return dup_spans_cached(spark, sf_dir)
 
 
 # --- EXT: common-neighbor / Jaccard link prediction ------------------------------
@@ -1191,7 +1212,7 @@ def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     CORPUS-sized on heavily duplicated corpora (the 100× probe's 44×
     wall), where this plan's only data movement is the doc-keyed join
     against the duplication-sized span table (probe: 44×→linear)."""
-    spans = dedup_duplicate_spans(spark, sf_dir).select(
+    spans = dup_spans_cached(spark, sf_dir).select(
         "doc_id", F.col("span_start").alias("s"), F.col("span_end").alias("e")
     )
     per_doc = spans.groupBy("doc_id").agg(
@@ -2015,6 +2036,14 @@ def graph_betweenness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("src").alias("seed"), F.col("src").alias("node"))
         .distinct()
     )
+    # NO per-level checkpoints — r13 MEASURED NEGATIVE RESULT: eager
+    # localCheckpoint per level benched 2.9 s → 10-31 s at sf0.1.
+    # The naive double-evaluation arithmetic (l1 runs 3x, l2 2x across
+    # the union branches) loses to what materialization costs here:
+    # each level's pre-distinct join output is ~|E| x |seeds| rows, and
+    # checkpointing forces that full exchange + block write per level,
+    # where the fused lazy chain lets codegen/AQE collapse the
+    # distinct into the join and never surfaces the intermediate.
     levels = [l0]
     for _ in range(3):
         prev = levels[-1]

@@ -2233,7 +2233,10 @@ def stream_disorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("late_us"),
-    )
+        # eager (r13): consumed twice below (the global rank AND the
+        # 1-row census) — unmaterialized, both consumers re-ran the
+        # two window passes + bucket join.
+    ).localCheckpoint(eager=True)
     r = global_row_number(late, ["late_us", "event_id"], out="rn")
     n = late.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
