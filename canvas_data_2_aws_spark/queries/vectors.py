@@ -1159,17 +1159,17 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     same 50-row fusion."""
     from ..operators.ranks import UNIT_GROUP, attach_unit_group
 
-    docs = load_table(spark, sf_dir, "documents")
+    from ..queries.text import bm25_postings_cached
+
     emb = load_table(spark, sf_dir, "embeddings")
-    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
-    qterms = tok.where(F.col("doc_id") == 0).select("token").distinct()
+    # r13 (guide §2.4): the BM25 leg used to re-run the token explode
+    # + three hash aggs per invocation; the memoized posting frame
+    # carries the identical exact counts (same whitespace tokenizer,
+    # same tf/dl/df/n/avgdl aggregation expressions), so the leg is
+    # now one broadcast-filtered projection of it. Score expression
+    # unchanged — identical-operand IEEE.
+    p = bm25_postings_cached(spark, sf_dir)
+    qterms = p.where(F.col("doc_id") == 0).select("token").distinct()
     idf = F.log(
         F.lit(1.0)
         + ((F.col("n") - F.col("df")).cast("double") + 0.5)
@@ -1184,11 +1184,8 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     st = (
-        tf.where(F.col("doc_id") != 0)
+        p.where(F.col("doc_id") != 0)
         .join(F.broadcast(qterms), "token")
-        .join(dl, "doc_id")
-        .join(F.broadcast(dfreq), "token")
-        .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(
             F.sum(F.round(score, 4).cast("decimal(18,6)"))
