@@ -757,8 +757,8 @@ def vector_prefix_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 8)
 
-    def top10(q: DataFrame, c: DataFrame) -> DataFrame:
-        scored = cosine_blas(q, c, mode="knn", k=10)
+    def top10(q: DataFrame, c: DataFrame, key: str) -> DataFrame:
+        scored = cosine_blas(q, c, mode="knn", k=10, corpus_key=key)
         w = Window.partitionBy("query_id").orderBy(
             F.col("score").desc(), F.col("neighbor_id")
         )
@@ -768,9 +768,9 @@ def vector_prefix_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "neighbor_id")
         )
 
-    fullr = top10(queries, emb)
+    fullr = top10(queries, emb, f"emb:{sf_dir}")
     sliced = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
-    pre = top10(sliced.where(F.col("vec_id") < 8), sliced)
+    pre = top10(sliced.where(F.col("vec_id") < 8), sliced, f"emb_pfx16:{sf_dir}")
     return (
         fullr.join(
             pre.withColumnRenamed("neighbor_id", "hit_id"),

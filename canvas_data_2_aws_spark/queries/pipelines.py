@@ -1477,7 +1477,10 @@ def search_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 32)
-    scored = cosine_blas(queries, emb, mode="knn", k=5, block_col="label")
+    scored = cosine_blas(
+        queries, emb, mode="knn", k=5, block_col="label",
+        corpus_key=f"emb:{sf_dir}",
+    )
     lbl = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
@@ -1571,7 +1574,9 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 8)
-    cand = cosine_blas(queries, emb, mode="knn", k=20)
+    cand = cosine_blas(
+        queries, emb, mode="knn", k=20, corpus_key=f"emb:{sf_dir}"
+    )
     # Fetch candidate vectors with a plain key join — the candidate
     # side is |queries|·20 rows, so the corpus side must NOT be
     # broadcast (an uncapped full-corpus broadcast would undo the

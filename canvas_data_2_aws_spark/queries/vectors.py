@@ -33,7 +33,9 @@ def knn_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     matmul (operators/similarity.py cosine_blas), per-row top-20
     candidates (a superset of the global top-20), then TakeOrdered."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = cosine_blas(emb, emb, mode="pairs_topk", k=20)
+    pairs = cosine_blas(
+        emb, emb, mode="pairs_topk", k=20, corpus_key=f"emb:{sf_dir}"
+    )
     return pairs.orderBy(F.col("score").desc(), "vec_id_a", "vec_id_b").limit(20)
 
 
@@ -66,7 +68,9 @@ def knn_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     the window just re-derives the rn column on the tiny result)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 32)
-    scored = cosine_blas(queries, emb, mode="knn", k=5)
+    scored = cosine_blas(
+        queries, emb, mode="knn", k=5, corpus_key=f"emb:{sf_dir}"
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
     )
@@ -909,7 +913,9 @@ def vector_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 32)
-    exact = cosine_blas(q, emb, mode="knn", k=10).select(
+    exact = cosine_blas(
+        q, emb, mode="knn", k=10, corpus_key=f"emb:{sf_dir}"
+    ).select(
         "query_id", "neighbor_id"
     )
     bkt = _hyperplane_buckets(emb)
@@ -1202,11 +1208,17 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tt = top_t.select(
         "doc_id", F.row_number().over(w_t).cast("long").alias("rank_text")
     )
+    # Corpus = the FULL emb snapshot (shared corpus_key): knn mode
+    # already masks ids == query id inside the kernel, so vec 0 can
+    # never rank as its own neighbor — identical results to the
+    # retired emb.where(vec_id != 0) corpus, one snapshot per session
+    # instead of a private one.
     sv = cosine_blas(
         emb.where(F.col("vec_id") == 0),
-        emb.where(F.col("vec_id") != 0),
+        emb,
         mode="knn",
         k=50,
+        corpus_key=f"emb:{sf_dir}",
     ).select(F.col("neighbor_id").alias("doc_id"), F.col("score").alias("s_vec"))
     top_v = attach_unit_group(sv)
     w_v = Window.partitionBy(UNIT_GROUP).orderBy(
@@ -1384,7 +1396,9 @@ def vector_bq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliverable, not a flattering number."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 32)
-    exact = cosine_blas(q, emb, mode="knn", k=5).select(
+    exact = cosine_blas(
+        q, emb, mode="knn", k=5, corpus_key=f"emb:{sf_dir}"
+    ).select(
         "query_id", "neighbor_id"
     )
     bq = vector_bq_hamming_topk(spark, sf_dir).select(
