@@ -2851,9 +2851,14 @@ def dedup_stage_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .multimodal import multimodal_phash_dedup
 
     docs = load_table(spark, sf_dir, "documents")
-    canon = docs.groupBy("text").agg(F.min("doc_id").alias("canon"))
+    # One text-keyed exchange instead of two (r13, guide §2.4): the
+    # groupBy+self-join form shuffled the full document text twice;
+    # MIN over the text partition is the same canonical pick.
+    w_txt = Window.partitionBy("text")
     exact_f = (
-        docs.join(canon, "text")
+        docs.select(
+            "doc_id", F.min("doc_id").over(w_txt).alias("canon")
+        )
         .where(F.col("doc_id") != F.col("canon"))
         .select("doc_id")
     )
