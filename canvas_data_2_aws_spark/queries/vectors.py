@@ -389,6 +389,77 @@ KMEANS_EXACT_BUILD_CAP = 1_000_000
 KMEANS_TRAIN_SAMPLE_ROWS = 200_000
 
 
+def _lloyd_assign(pos: DataFrame, cent: DataFrame) -> DataFrame:
+    """One Lloyd assignment step, bit-identical to the historical
+    all-decimal plan but without its per-(vec, centroid, dim)
+    double→DECIMAL(38,12) cast (each such cast goes through
+    Double.toString + BigDecimal — the measured dominant cost of
+    ivf_assign_build, r13 profile; guide §1.2 per-task work).
+
+    Two-phase certified argmin (r14): phase 1 computes plain-double
+    distances ``dd`` (codegen'd arithmetic, no string path) and keeps
+    every vector whose best-vs-second-best gap exceeds a conservative
+    bound on |dd − dist_decimal|; phase 2 re-runs the EXACT historical
+    decimal semantics only for the uncertified vectors. Bound
+    derivation: the decimal cast quantizes each of the 64 double terms
+    by ≤ 0.5e-12 absolute (≤ 3.2e-11 per sum) and the double
+    summation adds ≤ 63·2⁻⁵³·Σ|terms| ≈ 7e-15·dd relative error, so
+    |dd − dist| ≤ 3.3e-11 + 1e-14·dd; the guard
+    ``gap > 1e-9 + 1e-12·(dd₀+dd₁)`` is ≥ 15× that for BOTH operands
+    at any data magnitude (terms that would overflow DECIMAL(38,12)
+    need |v−c| > 1e13 — not representable in these embedding tables).
+    When the gap certifies, the decimal ordering is provably the
+    double ordering and no tie exists, so MIN(struct(dd, j)) picks the
+    identical cluster; otherwise the exact leg decides. Assignments
+    are therefore value-identical on ANY input, and the oracle SQL
+    (shared_sql.KMEANS_CTES) is untouched. Measured at sf0.1: zero
+    uncertified vectors, build 3.5 → 1.8 s warm (interleaved A/B)."""
+    d = (
+        pos.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "j")
+        .agg(
+            F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias(
+                "dd"
+            )
+        )
+    )
+    # eager checkpoint: consumed twice (the emptiness probe + the fast
+    # projection) — the r13 rule for multiply-consumed frames.
+    per = (
+        d.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("dd", "j")).alias("best"),
+            F.sort_array(F.collect_list("dd")).alias("ds"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    gap_ok = (F.size("ds") < 2) | (
+        F.col("ds")[1] - F.col("ds")[0]
+        > 1e-9 + 1e-12 * (F.col("ds")[0] + F.col("ds")[1])
+    )
+    fast = per.where(gap_ok).select("vec_id", F.col("best.j").alias("c"))
+    amb = per.where(~gap_ok).select("vec_id")
+    if amb.isEmpty():
+        return fast
+    # Exact leg, usually empty: the unabridged historical decimal
+    # argmin over just the uncertified vectors. argmin by (dist, j) as
+    # MIN(struct): lexicographic struct ordering IS the
+    # row_number(ORDER BY dist, j) = 1 pick (r10).
+    exact = (
+        pos.join(F.broadcast(amb), "vec_id", "left_semi")
+        .join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "j")
+        .agg(
+            F.sum(F.expr("CAST((v - c) * (v - c) AS DECIMAL(38,12))")).alias(
+                "dist"
+            )
+        )
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "j"))["j"].alias("c"))
+    )
+    return fast.unionByName(exact)
+
+
 def _build_kmeans_assignment(
     spark: SparkSession, sf_dir: str, exact_cap: int | None = None
 ) -> DataFrame:
@@ -422,25 +493,6 @@ def _build_kmeans_assignment(
             ).alias("c")
         )
 
-    def assign_step(cent: DataFrame) -> DataFrame:
-        d = (
-            pos.join(F.broadcast(cent), "dim")
-            .groupBy("vec_id", "j")
-            .agg(
-                F.sum(
-                    F.expr("CAST((v - c) * (v - c) AS DECIMAL(38,12))")
-                ).alias("dist")
-            )
-        )
-        # argmin by (dist, j) as MIN(struct): lexicographic struct
-        # ordering IS the row_number(ORDER BY dist, j) = 1 pick, but as
-        # a partial-aggregable groupBy instead of a window — one fewer
-        # exchange+sort per Lloyd step (r10 verdict: ivf_assign_build
-        # drift attribution). Assignments identical bit-for-bit.
-        return d.groupBy("vec_id").agg(
-            F.min(F.struct("dist", "j"))["j"].alias("c")
-        )
-
     # eager checkpoint: a1 is consumed TWICE below (the centroid
     # re-fit and the c1/c2 join), and the r13 bench showed lazy
     # checkpoints duplicate a twice-consumed subtree inside the fused
@@ -448,9 +500,11 @@ def _build_kmeans_assignment(
     # best, so keep the materialized form. An array-HOF rewrite of
     # this plan (no explode, argmin via aggregate/zip_with decimals)
     # was measured SLOWER warm (4.3 s vs 3.0 s at sf0.1 — interpreted
-    # decimal lambdas) and reverted; see OPTIMIZATION_r13.md.
-    a1 = assign_step(centroids(None)).localCheckpoint(eager=True)
-    a2 = assign_step(centroids(a1))
+    # decimal lambdas) and reverted; see OPTIMIZATION_r13.md. The
+    # assignment step itself is the two-phase certified argmin
+    # (_lloyd_assign, r14) — value-identical to the all-decimal plan.
+    a1 = _lloyd_assign(pos, centroids(None)).localCheckpoint(eager=True)
+    a2 = _lloyd_assign(pos, centroids(a1))
     return (
         a1.withColumnRenamed("c", "c1")
         .join(a2.withColumnRenamed("c", "c2"), "vec_id")
@@ -498,27 +552,10 @@ def _sampled_kmeans_assignment(emb: DataFrame, n: int, k: int) -> DataFrame:
             ).alias("c")
         )
 
-    def assign_step(cent: DataFrame) -> DataFrame:
-        d = (
-            pos.join(F.broadcast(cent), "dim")
-            .groupBy("vec_id", "j")
-            .agg(
-                F.sum(
-                    F.expr("CAST((v - c) * (v - c) AS DECIMAL(38,12))")
-                ).alias("dist")
-            )
-        )
-        # argmin by (dist, j) as MIN(struct): lexicographic struct
-        # ordering IS the row_number(ORDER BY dist, j) = 1 pick, but as
-        # a partial-aggregable groupBy instead of a window — one fewer
-        # exchange+sort per Lloyd step (r10 verdict: ivf_assign_build
-        # drift attribution). Assignments identical bit-for-bit.
-        return d.groupBy("vec_id").agg(
-            F.min(F.struct("dist", "j"))["j"].alias("c")
-        )
-
     cent0 = centroids(None)
-    a1_s = assign_step(cent0).localCheckpoint()
+    # Two-phase certified argmin (_lloyd_assign, r14) — value-identical
+    # to the historical all-decimal training assignment.
+    a1_s = _lloyd_assign(pos, cent0).localCheckpoint()
     cent1 = centroids(a1_s)
 
     def to_matrix(cent: DataFrame) -> tuple[np.ndarray, np.ndarray]:

@@ -104,6 +104,80 @@ def test_kmeans_sampled_build_matches_exact_when_sample_is_full(spark, sf_dir):
     )
 
 
+def test_lloyd_assign_matches_all_decimal_reference(spark, sf_dir):
+    """The r14 two-phase certified argmin (_lloyd_assign: plain-double
+    distances + gap certificate, exact-decimal leg only for uncertified
+    vectors) must reproduce the historical all-decimal assignment
+    bit-for-bit on the fixture."""
+    import math
+
+    from canvas_data_2_aws_spark.queries.vectors import _lloyd_assign
+    from canvas_data_2_aws_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k = max(4, math.ceil(math.sqrt(n / 50.0)))
+    pos = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "vf")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("vf").cast("double").alias("v"),
+    )
+    cent = (
+        pos.withColumn("j", F.col("vec_id") % k)
+        .groupBy("j", "dim")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(38,10)")).cast("double")
+                / F.count("*")
+            ).alias("c")
+        )
+    )
+    reference = (
+        pos.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "j")
+        .agg(
+            F.sum(F.expr("CAST((v - c) * (v - c) AS DECIMAL(38,12))")).alias(
+                "dist"
+            )
+        )
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "j"))["j"].alias("c"))
+    )
+    got = {r.vec_id: r.c for r in _lloyd_assign(pos, cent).collect()}
+    want = {r.vec_id: r.c for r in reference.collect()}
+    assert got == want
+
+
+def test_lloyd_assign_near_tie_takes_exact_decimal_path(spark):
+    """A vector exactly equidistant to two centroids fails the gap
+    certificate, so the exact-decimal leg must decide it — and break
+    the (impossible-on-real-data) tie toward the lower cluster id,
+    exactly like the historical plan."""
+    from canvas_data_2_aws_spark.queries.vectors import _lloyd_assign
+
+    # one vector at v=0 on a single dim; centroids at ±1 → dist 1 both
+    pos = spark.createDataFrame(
+        [(7, 1, 0.0)], "vec_id long, dim int, v double"
+    )
+    cent = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 1, -1.0)], "j long, dim int, c double"
+    )
+    rows = _lloyd_assign(pos, cent).collect()
+    assert [(r.vec_id, r.c) for r in rows] == [(7, 0)]
+
+    # a sub-certificate near-tie (gap ~1e-10, below the 1e-9 guard but
+    # above the decimal12 resolution) must also be decided by the
+    # decimal leg, which picks the genuinely closer centroid j=1 —
+    # dist₁ quantizes to 0.999999999900 < 1.000000000000 = dist₀.
+    cent2 = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 1, -1.0 + 5e-11)], "j long, dim int, c double"
+    )
+    rows2 = _lloyd_assign(pos, cent2).collect()
+    assert [(r.vec_id, r.c) for r in rows2] == [(7, 1)]
+
+
 def test_kmeans_sampled_build_subsample_invariants(spark, sf_dir):
     """With a genuinely partial training sample (KMEANS_TRAIN_SAMPLE_ROWS
     patched below n), every corpus vector still gets exactly one
