@@ -164,9 +164,20 @@ def fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys = ["brand", "band", "u", "v"]
         # repartition on the salted key: the fixture scan is ONE row
         # group, so without an explicit exchange the whole quadratic
-        # filter would run in one task (SURVEY §8 erratum 3).
-        au = au.repartition(*keys)
-        bu = bu.repartition(*keys)
+        # filter would run in one task (SURVEY §8 erratum 3). Explicit
+        # partition count (r14, guide §2.5): the bench session runs
+        # shuffle.partitions=8, which capped this CPU-bound
+        # levenshtein join at 8 tasks on 32 cores — parallelism()
+        # derives 2x the session's core count instead (measured 1.7x:
+        # 1.75 -> 1.02 s warm at sf0.1, interleaved A/B). Kept as an
+        # unconditional repartition (unlike spread()): the join needs
+        # hash partitioning on the salted keys either way, this only
+        # picks the count the join exchange will reuse.
+        from ..session import parallelism
+
+        n_parts = parallelism(spark, factor=2)
+        au = au.repartition(n_parts, *keys)
+        bu = bu.repartition(n_parts, *keys)
         dist = F.levenshtein("name_a", "name_b", 4)
         return (
             au.join(bu.hint("shuffle_hash"), keys)

@@ -297,11 +297,21 @@ def bfs_levels(
     from any seed, capped at ``max_hops``.
 
     ``edges`` is undirected (symmetrized here — or taken as-is when
-    the caller passes ``symmetric=True`` for a list that already
-    contains both directions exactly once, e.g. the memoized
-    fuzzy_sym frame: re-symmetrizing such a frame is a full
-    2|E|-row union+distinct shuffle per invocation for nothing);
-    unreachable nodes are absent from the output. Each hop is one
+    the caller passes ``symmetric=True``); unreachable nodes are
+    absent from the output.
+
+    ``symmetric=True`` is a two-part caller CONTRACT (ADVICE r13):
+    (1) the frame contains BOTH directions of every undirected edge —
+    a one-direction list silently yields wrong levels, there is no
+    runtime check (tests/test_graph.py asserts the property for the
+    one in-repo caller's frame); and (2) the frame is already
+    MATERIALIZED (cached/localCheckpoint-ed, e.g. the memoized
+    fuzzy_sym frame) — this path skips the checkpoint that the
+    symmetrizing path applies, so an unmaterialized frame would
+    re-execute its full lineage for the ``sym.count()`` probe and
+    again for every per-hop join. Re-symmetrizing such a frame here
+    would be a full 2|E|-row union+distinct shuffle per invocation
+    for nothing, which is why the flag exists. Each hop is one
     equi join + one anti join against the visited set — the canonical
     Spark frontier expansion, with the node-sized frontier/visited
     sides broadcast under :data:`SCORE_BROADCAST_NODE_CAP` (r13,

@@ -34,7 +34,13 @@ from ..functions.vectors import cosine_similarity
 #: reps x 7 consumers). Entries keyed by a dead applicationId evict on
 #: access, mirroring operators/fuzzy_graph.memoized_checkpoint.
 _CORPUS_CACHE: dict = {}
+# Registry lock guards only the dict bookkeeping (lookup, stale-key
+# eviction, per-key lock creation); each key's cold build (a toPandas
+# Spark job + broadcast) runs under its OWN lock, so concurrent calls
+# for unrelated corpus keys never serialize (ADVICE r13 — mirrors
+# operators/fuzzy_graph.memoized_checkpoint's locking).
 _CORPUS_LOCK = threading.Lock()
+_CORPUS_KEY_LOCKS: dict = {}
 
 
 def cosine_pairs(
@@ -164,13 +170,27 @@ def cosine_blas(
         key = (app, corpus_key, id_col, vec_col, block_col)
         with _CORPUS_LOCK:
             for stale in [k for k in _CORPUS_CACHE if k[0] != app]:
+                # the broadcast belongs to a stopped context; destroy()
+                # releases its driver-side blocks without touching the
+                # new session (executor blocks died with the old JVM).
+                try:
+                    _CORPUS_CACHE[stale].destroy()
+                except Exception:
+                    pass
                 del _CORPUS_CACHE[stale]
+                _CORPUS_KEY_LOCKS.pop(stale, None)
             bc = _CORPUS_CACHE.get(key)
-            if bc is None:
-                bc = spark.sparkContext.broadcast(
-                    _np_corpus(corpus, id_col, vec_col, block_col)
-                )
-                _CORPUS_CACHE[key] = bc
+            key_lock = _CORPUS_KEY_LOCKS.setdefault(key, threading.Lock())
+        if bc is None:
+            with key_lock:
+                with _CORPUS_LOCK:
+                    bc = _CORPUS_CACHE.get(key)
+                if bc is None:
+                    bc = spark.sparkContext.broadcast(
+                        _np_corpus(corpus, id_col, vec_col, block_col)
+                    )
+                    with _CORPUS_LOCK:
+                        _CORPUS_CACHE[key] = bc
 
     if mode in ("pairs_topk", "pairs_threshold"):
         out_ids = ("vec_id_a", "vec_id_b")
@@ -243,8 +263,19 @@ def cosine_blas(
                     data[block_col] = blk_full[lo : lo + chunk][r_idx]
                 yield pd.DataFrame(data)
 
-    return queries.select(
-        id_col, vec_col, *([block_col] if block_col else [])
+    # spread (r14, guide §2.5/§4): the fixture scans are single-row-
+    # group parquet, so without an explicit exchange the whole dgemm
+    # pass runs in ONE Python worker at any core count. Hash on the id
+    # (deterministic placement); per-row results are partitioning-
+    # invariant — every row's candidates come from the broadcast
+    # corpus, so outputs are value-identical under any split.
+    from ..session import spread
+
+    return spread(
+        queries.select(
+            id_col, vec_col, *([block_col] if block_col else [])
+        ),
+        id_col,
     ).mapInPandas(gen, schema)
 
 

@@ -642,7 +642,11 @@ def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from ..session import spread
+
+    # spread the single-row-group scan before the two token explodes
+    # (r14, guide §2.5) — both passes otherwise run as one task.
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     lab = docs.select(
         "doc_id",
         F.when(T.stopword_hits() >= 2, F.lit(1)).otherwise(F.lit(0)).alias("label"),

@@ -1005,8 +1005,15 @@ def dup_spans_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import spread
+
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    # spread the single-row-group scan before the 5-gram positional
+    # explode (r14, guide §2.5) — the explode + partial aggs otherwise
+    # run as one task at any core count.
+    words = spread(
+        docs.select("doc_id", F.split("text", " ").alias("w")), "doc_id"
+    )
     sh = words.select(
         "doc_id", F.posexplode(T.ngrams_from_words("w", 5)).alias("pos", "shingle")
     )
@@ -2286,9 +2293,15 @@ def minhash_shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.fuzzy_graph import memoized_checkpoint
 
     def build() -> DataFrame:
+        from ..session import spread
+
         docs = load_table(spark, sf_dir, "documents")
         words = docs.select("doc_id", F.split("text", " ").alias("w"))
-        return words.repartition("doc_id").select(
+        # spread, not bare repartition("doc_id") (r14, guide §2.5):
+        # the bare form used shuffle.partitions (8 in the bench
+        # session), capping the shingling AND every downstream
+        # consumer's first stage over this checkpoint at 8 tasks.
+        return spread(words, "doc_id").select(
             "doc_id",
             F.array_distinct(T.ngrams_from_words("w", n=3)).alias("shingles"),
         )

@@ -1748,20 +1748,34 @@ def _pca_top_component(spark: SparkSession, sf_dir: str):
     # ROUND(,6) = the same string-based HALF_UP quantize. Verified
     # value-identical against the Spark-side ladder and hash-matched
     # at both SFs.
-    from decimal import ROUND_HALF_UP, Decimal
+    cvals: dict[int, list] = {}
+    for r in c.collect():  # <= 64x64 rows, corpus-size-independent
+        cvals.setdefault(r.d1, []).append((r.d2, r.c))
+    vloc, nrm = _pca_power_iterations(cvals)
+    return ticks, vloc, nrm
+
+
+def _pca_power_iterations(
+    cvals: dict[int, list], n_iter: int = 8
+) -> tuple[dict[int, float], float | None]:
+    """The 8-step driver-side power iteration over the collected
+    covariance rows ``{d1: [(d2, c), ...]}`` — an exact replication of
+    the retired _PCA_ITER Spark ladder (see the loop note in
+    _pca_top_component). Factored out so the equivalence against the
+    live Spark expressions is PINNED by a unit test
+    (tests/test_pipelines.py::test_pca_decimal_ladder_matches_spark_
+    expressions, ADVICE r13) instead of asserted in a comment."""
     import math
+    from decimal import ROUND_HALF_UP, Decimal
 
     q9, q6 = Decimal("1e-9"), Decimal("1e-6")
 
     def dec(x: float, q: Decimal) -> Decimal:
         return Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP)
 
-    cvals: dict[int, list] = {}
-    for r in c.collect():  # <= 64x64 rows, corpus-size-independent
-        cvals.setdefault(r.d1, []).append((r.d2, r.c))
     vloc = {d: 0.125 for d in range(64)}
     nrm = None
-    for _ in range(8):
+    for _ in range(n_iter):
         w = {}
         for d1, pairs in cvals.items():
             # inner join c.d2 == v.dim: unmatched d2 rows drop out
@@ -1774,7 +1788,7 @@ def _pca_top_component(spark: SparkSession, sf_dir: str):
         else:  # empty corpus: SUM over no rows is NULL, sqrt(NULL) NULL
             nrm = None
             vloc = {}
-    return ticks, vloc, nrm
+    return vloc, nrm
 
 
 @graded("vector_pca_power", oracle=_PCA_ORACLE)

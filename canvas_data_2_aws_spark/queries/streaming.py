@@ -8,6 +8,7 @@ under the micro-batch scheduler); the true streaming forms live in
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -184,19 +185,48 @@ _STAGED_DIRS: dict[tuple, str] = {}
 _STAGED_LOCK = threading.Lock()
 
 
+def _cleanup_staged_dirs() -> None:
+    """Process-exit sweep of every staged replay source dir (ADVICE
+    r13: the per-invocation rmtrees were removed when staging became
+    session-memoized, so the split dirs outlived the process and
+    accumulated in $TMPDIR)."""
+    with _STAGED_LOCK:
+        paths = list(_STAGED_DIRS.values())
+        _STAGED_DIRS.clear()
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+atexit.register(_cleanup_staged_dirs)
+
+
 def _staged_split(
     spark: SparkSession, sf_dir: str, kind: str, n_files: int, build
 ) -> str:
     key = (spark.sparkContext.applicationId, sf_dir, kind, n_files)
     with _STAGED_LOCK:
         for stale in [k for k in _STAGED_DIRS if k[0] != key[0]]:
-            del _STAGED_DIRS[stale]
+            # a stale key's applicationId belongs to a stopped session
+            # in this process — nothing can read the dir again, and the
+            # atexit sweep won't see evicted entries, so remove it now.
+            shutil.rmtree(_STAGED_DIRS.pop(stale), ignore_errors=True)
         path = _STAGED_DIRS.get(key)
     if path is not None and os.path.isdir(path):
         return path
     path = build()
     with _STAGED_LOCK:
-        _STAGED_DIRS[key] = path
+        winner = _STAGED_DIRS.get(key)
+        if winner is not None and winner != path and os.path.isdir(winner):
+            # lost a cold-key race (build runs outside the lock by
+            # design): keep the first registration, drop our redundant
+            # staging instead of leaking it untracked (ADVICE r13).
+            loser = path
+            path = winner
+        else:
+            _STAGED_DIRS[key] = path
+            loser = None
+    if loser is not None:
+        shutil.rmtree(loser, ignore_errors=True)
     return path
 
 

@@ -605,7 +605,12 @@ def bm25_postings_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.fuzzy_graph import memoized_checkpoint
 
     def build() -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents")
+        from ..session import spread
+
+        # spread the single-row-group scan before the token explode
+        # (r14, guide §2.5) — the explode + map-side partial aggs
+        # otherwise run as one task at any core count.
+        docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
         tok = docs.select("doc_id", F.explode(T.tokens()).alias("token"))
         tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
         dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))

@@ -96,6 +96,43 @@ def materialize_outliving(
     return df.sparkSession.read.parquet(out).localCheckpoint(eager=True)
 
 
+def parallelism(spark: SparkSession, factor: int = 1) -> int:
+    """Target partition count for CPU-bound stages: the larger of the
+    session's shuffle partitioning and ``factor ×`` the cluster's total
+    cores (``defaultParallelism``) — scale-adaptive, not a local-mode
+    constant. ``factor > 1`` oversplits for quadratic per-key work
+    (salted pair joins)."""
+    return max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        factor * spark.sparkContext.defaultParallelism,
+    )
+
+
+def spread(df: DataFrame, *cols: str, factor: int = 1) -> DataFrame:
+    """Raise a narrow pipeline's parallelism before CPU-heavy per-row
+    work (guide §2.5 input skew / §6: every fixture table is a
+    single-row-group parquet file, so its scan stage — and any
+    memoized checkpoint built from it — runs as ONE task at any core
+    count, serializing the md5/explode/partial-agg/BLAS work that
+    precedes the first exchange). Hash-partitions on ``cols`` when
+    given (deterministic placement under task retry); round-robin
+    otherwise (safe here: fixture scans are deterministic inputs).
+
+    NO-OP when the frame is already at least that wide — at 100 TB the
+    input arrives in thousands of splits, and an unconditional
+    repartition would re-shuffle the whole corpus to fix a problem it
+    doesn't have; the exchange only fires for under-split inputs, which
+    is exactly guide §2.5's "one huge unsplittable file" remedy."""
+    spark = df.sparkSession
+    n = parallelism(spark, factor)
+    try:
+        if df.rdd.getNumPartitions() >= n:
+            return df
+    except Exception:
+        pass  # un-plannable frame (e.g. streaming) — just repartition
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Schema-true read of one fixture table (SURVEY §2.1 S1/S4).
 

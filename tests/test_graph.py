@@ -179,6 +179,27 @@ def test_bfs_levels_unreachable_and_cap(spark):
     assert levels == {0: 0, 1: 1, 2: 2}
 
 
+def test_fuzzy_sym_holds_both_directions_exactly_once(spark, sf_dir):
+    """bfs_levels(symmetric=True)'s caller contract (ADVICE r13): the
+    memoized fuzzy_sym frame must contain both directions of every
+    undirected edge exactly once — a one-direction list would yield
+    wrong BFS levels with no runtime error."""
+    from canvas_data_2_aws_spark.operators.fuzzy_graph import (
+        fuzzy_pairs,
+        fuzzy_sym,
+    )
+    from pyspark.sql import functions as F
+
+    sym = fuzzy_sym(spark, sf_dir)
+    rev = sym.select(
+        F.col("nbr").alias("node"), F.col("node").alias("nbr")
+    )
+    # multiset equality with its own reversal = both directions, same
+    # multiplicity; count == 2·pairs = each exactly once.
+    assert rev.exceptAll(sym).isEmpty()
+    assert sym.count() == 2 * fuzzy_pairs(spark, sf_dir).count()
+
+
 def test_lpa_splits_bridged_communities(spark):
     """Two 4-cliques joined by one bridge edge are ONE connected
     component but TWO LPA communities — the capability CC cannot

@@ -487,3 +487,60 @@ def test_seqlen_sweep_conservation_and_monotone(spark, sf_dir):
         direct.pad,
         direct.dt,
     )
+
+
+def test_pca_decimal_ladder_matches_spark_expressions(spark):
+    """Pin the driver-side power-iteration ladder against the live
+    Spark expression sequence it replaced (ADVICE r13): one iteration
+    step in Spark is w = CAST(SUM(CAST(c*v AS DECIMAL(38,9))) AS
+    DOUBLE), nrm = sqrt(CAST(SUM(CAST(w*w AS DECIMAL(38,9))) AS
+    DOUBLE)), v = ROUND(w/nrm, 6). Any future change to either side
+    that desynchronizes the HALF_UP decimal semantics fails here
+    instead of silently drifting from the oracle CTE ladder."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from canvas_data_2_aws_spark.queries.pipelines import (
+        _pca_power_iterations,
+    )
+
+    # fixed pseudo-random covariance: deterministic trig formula, no
+    # RNG — full 64x64 support with irregular magnitudes/signs.
+    rows = [
+        (d1, d2, round(math.sin(1.0 + 7 * d1 + 13 * d2) * 3.7, 9))
+        for d1 in range(64)
+        for d2 in range(64)
+    ]
+    cvals: dict[int, list] = {}
+    for d1, d2, cv in rows:
+        cvals.setdefault(d1, []).append((d2, cv))
+    got_v, got_n = _pca_power_iterations(cvals)
+
+    c = spark.createDataFrame(rows, "d1 int, d2 int, c double")
+    v = spark.createDataFrame(
+        [(d, 0.125) for d in range(64)], "dim int, v double"
+    )
+    want_n = None
+    for _ in range(8):
+        w = (
+            c.join(v, c.d2 == v.dim)
+            .groupBy(F.col("d1").alias("dim"))
+            .agg(
+                F.expr("CAST(SUM(CAST(c * v AS DECIMAL(38,9))) AS DOUBLE)").alias(
+                    "w"
+                )
+            )
+        )
+        n = w.agg(
+            F.sqrt(
+                F.expr("CAST(SUM(CAST(w * w AS DECIMAL(38,9))) AS DOUBLE)")
+            ).alias("nrm")
+        )
+        v = w.crossJoin(F.broadcast(n)).select(
+            "dim", F.round(F.col("w") / F.col("nrm"), 6).alias("v")
+        ).localCheckpoint(eager=True)
+        want_n = n.head().nrm
+    want_v = {r.dim: r.v for r in v.collect()}
+    assert got_v == want_v
+    assert got_n == want_n
