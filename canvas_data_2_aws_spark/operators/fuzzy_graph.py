@@ -179,10 +179,21 @@ def fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         au = au.repartition(n_parts, *keys)
         bu = bu.repartition(n_parts, *keys)
         dist = F.levenshtein("name_a", "name_b", 4)
-        return (
+        pairs = (
             au.join(bu.hint("shuffle_hash"), keys)
             .where((F.col("key_a") < F.col("key_b")) & (dist >= 0))
             .select("key_a", "key_b", dist.cast("long").alias("dist"))
+        )
+        # Compact the CHECKPOINTED frame back to the session's shuffle
+        # partitioning (r14): the 2x-core-count join layout is right
+        # for the quadratic levenshtein work but wrong to hand to the
+        # consumers — the iterative graph queries launch dozens of
+        # stages over this frame and a 64-partition checkpoint made
+        # each spawn 64 tasks (bench: bfs 1.24 -> 1.99 s, betweenness
+        # 3.63 -> 4.88 s before this exchange; one extra shuffle of
+        # the ~1 M-row pair list costs far less).
+        return pairs.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "key_a"
         )
 
     return _memo(spark, sf_dir, "pairs", build)

@@ -2045,6 +2045,13 @@ def graph_betweenness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # NO per-level checkpoints — r13 MEASURED NEGATIVE RESULT: eager
     # localCheckpoint per level benched 2.9 s → 10-31 s at sf0.1.
+    # r14 re-probe per the r13 verdict: a TRUE frontier BFS (per-level
+    # eager checkpoints of anti-joined frontiers, dist = union of the
+    # disjoint frontier frames, no min-agg) is value-identical and
+    # measured NEUTRAL-to-slightly-worse (dist leg 1.03-1.36 s fused
+    # vs 1.13-1.28 s frontier, interleaved A/B at sf0.1) — the extra
+    # per-level checkpoint+anti-join jobs cost what the removed
+    # re-evaluations saved. Kept the fused form.
     # The naive double-evaluation arithmetic (l1 runs 3x, l2 2x across
     # the union branches) loses to what materialization costs here:
     # each level's pre-distinct join output is ~|E| x |seeds| rows, and
