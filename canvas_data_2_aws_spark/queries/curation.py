@@ -2590,6 +2590,8 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = T.simhash_sh_cached(spark, sf_dir)
 
     def pair_dists(n_bands: int, bits: int) -> DataFrame:
+        from ..session import spread
+
         bands = sh.select(
             "doc_id",
             "simhash",
@@ -2602,6 +2604,10 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"CAST((simhash >> (b * {bits})) & {(1 << bits) - 1} AS BIGINT)"
             ).alias("bv"),
         )
+        # spread before the band self-join (r14, guide §2.5): the sh
+        # checkpoint is 1 partition, so the quadratic-in-group-size
+        # pair verify otherwise runs at shuffle.partitions width.
+        bands = spread(bands, "b", "bv")
         a = bands.select(
             "b", "bv", F.col("doc_id").alias("da"), F.col("simhash").alias("sa")
         )
@@ -2623,11 +2629,19 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     taus = spark.range(4).select((2 * (F.col("id") + 1)).cast("int").alias("tau"))
 
     def per_tau(pairs: DataFrame, out: str) -> DataFrame:
+        # pre-aggregate per dist (≤9 rows, r14 §2.3) so the 4-row tau
+        # ladder multiplies a 9-row census instead of every pair:
+        # Σ_{dist≤τ} count(dist) ≡ the old per-pair conditional sum.
+        by_dist = pairs.groupBy("dist").agg(F.count(F.lit(1)).alias("n"))
         return (
-            pairs.crossJoin(F.broadcast(taus))  # 4-row tau ladder
+            by_dist.crossJoin(F.broadcast(taus))  # 4-row tau ladder
             .groupBy("tau")
             .agg(
-                F.sum(F.when(F.col("dist") <= F.col("tau"), 1).otherwise(0))
+                F.sum(
+                    F.when(F.col("dist") <= F.col("tau"), F.col("n")).otherwise(
+                        0
+                    )
+                )
                 .cast("bigint")
                 .alias(out)
             )

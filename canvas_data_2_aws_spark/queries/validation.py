@@ -447,14 +447,18 @@ def validate_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ranks import global_row_number
 
     ev = load_table(spark, sf_dir, "events")
-    ref = ev.where(F.dayofmonth("ts") <= 15).select(
-        F.col("value").alias("v"), "event_id"
-    )
-    cur = ev.where(F.dayofmonth("ts") > 15).select(
-        F.col("value").alias("v"), "event_id"
-    )
+    is_ref = F.dayofmonth("ts") <= 15
+    ref = ev.where(is_ref).select(F.col("value").alias("v"), "event_id")
     ranked = global_row_number(ref, ["v", "event_id"], out="rn")
-    nref = ref.count()
+    # one pass for BOTH side counts (r14 §2.4: was two full scans)
+    side_counts = {
+        bool(r.is_ref): r.n
+        for r in ev.select(is_ref.alias("is_ref"))
+        .groupBy("is_ref")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    nref = int(side_counts.get(True, 0))
     targets = {((nref - 1) * k) // 10 + 1 for k in range(1, 10)}
     cut_rows = (
         ranked.where(F.col("rn").isin(sorted(targets))).select("v").collect()
@@ -463,18 +467,25 @@ def validate_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError("PSI cut fetch returned more rows than cut points")
     cuts = sorted(r.v for r in cut_rows)
     bin_col = sum(
-        ((F.col("v") > F.lit(c)).cast("int") for c in cuts), F.lit(1)
+        ((F.col("value") > F.lit(c)).cast("int") for c in cuts), F.lit(1)
     ).alias("bin")
 
-    def bin_counts(side: DataFrame, out: str) -> DataFrame:
-        return side.select(bin_col).groupBy("bin").agg(
-            F.count("*").alias(out)
-        )
-
-    rcnt = bin_counts(ref, "ref_n")
-    ccnt = bin_counts(cur, "cur_n")
+    # one pass for BOTH sides' bin censuses (r14 §2.4: was two full
+    # scans): same CASE-chain binning, split by the ref/cur predicate.
+    binned = (
+        ev.select(is_ref.alias("is_ref"), bin_col)
+        .groupBy("is_ref", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # consumed by both side filters
+    )
+    rcnt = binned.where("is_ref").select(
+        "bin", F.col("n").alias("ref_n")
+    )
+    ccnt = binned.where(~F.col("is_ref")).select(
+        "bin", F.col("n").alias("cur_n")
+    )
     rt = float(nref)
-    ct = float(cur.count())
+    ct = float(side_counts.get(False, 0))
     p = F.col("ref_n").cast("double") / F.lit(rt)
     q = F.coalesce(F.col("cur_n"), F.lit(0)).cast("double") / F.lit(ct)
     term = (
