@@ -398,10 +398,34 @@ def main() -> None:
     # 2.3× regression inside it for a round), the MIN is the
     # low-noise floor for plan-level comparisons across rounds.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # §5 storage hygiene between queries (r13 verdict item 2): ~150
+    # query plans × 3 reps leave per-invocation localCheckpoint blocks
+    # and broadcasts behind, and Spark's ContextCleaner only reaps them
+    # after BOTH the Python handle is collected AND a JVM GC enqueues
+    # the weak references. r14 MEASURED NEUTRAL: a python-gc +
+    # System.gc() sweep every 8 queries benched a 0.97 median
+    # per-query ratio vs the control (same HEAD, back-to-back runs) —
+    # within host noise, and the suite-vs-solo gaps it targeted turned
+    # out to be HOST contention windows (untouched checkpoint-free rows
+    # like text_tfidf showed the same 3-6x suite-vs-solo spread in the
+    # same process). Knob kept for diagnosis, default OFF so the
+    # published methodology is unchanged. The collect runs OUTSIDE
+    # every timed region either way.
+    gc_every = int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "0"))
+
+    def _storage_gc(i: int) -> None:
+        if gc_every <= 0 or i % gc_every:
+            return
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
     stds: dict[str, float] = {}
-    for name in HEADLINE:
+    for qi, name in enumerate(HEADLINE):
+        _storage_gc(qi)
         fn = registry.QUERIES[name]
         samples = []
         for _ in range(reps):

@@ -2205,6 +2205,8 @@ def dedup_simhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .dedup import simhash_pairs_cached
 
+    from ..session import spread
+
     sh = T.simhash_sh_cached(spark, sf_dir)  # both truth legs, shared
     tb = sh.select(
         "doc_id",
@@ -2216,6 +2218,10 @@ def dedup_simhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b7",
         F.expr("CAST((simhash >> (b7 * 7)) & 127 AS BIGINT)").alias("bv7"),
     )
+    # spread before the band self-join (r14, guide §2.5): the sh
+    # checkpoint is 1 partition, so the quadratic-in-group-size pair
+    # verify otherwise runs at shuffle.partitions width.
+    tb = spread(tb, "b7", "bv7")
     a = tb.select(
         "b7", "bv7", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa")
     )

@@ -1809,25 +1809,23 @@ def vector_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _IVF_CURVE_K)
         .select("nprobe", "query_id", "neighbor_id")
     )
-    truth = (
-        qe.crossJoin(ne)
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_similarity("q_emb", "n_emb"), 4).alias("score"),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.col("score").desc(), "neighbor_id"
-                )
-            ),
-        )
-        .where(F.col("rn") <= _IVF_CURVE_K)
-        .select("query_id", "neighbor_id")
-    )
+    # truth via the shared BLAS kernel (r14, guide §4.2): knn mode IS
+    # this leg's semantics — per-query top-k among neighbor ≠ query,
+    # score rounded to 4 dp BEFORE ranking, ties broken by ascending
+    # neighbor id — and it reads the session-memoized corpus broadcast
+    # instead of evaluating ~interpreted HOF cosines per (query,
+    # corpus) pair. Same exactness class as the expression form (both
+    # hash-match DuckDB's list_cosine_similarity at 4 dp; the exact-KNN
+    # graded queries already grade this kernel directly).
+    from ..operators.similarity import cosine_blas
+
+    truth = cosine_blas(
+        emb.where(F.col("vec_id") < 32),
+        emb,
+        mode="knn",
+        k=_IVF_CURVE_K,
+        corpus_key=f"emb:{sf_dir}",
+    ).select("query_id", "neighbor_id")
     nq = ranks.agg(
         F.countDistinct("query_id").cast("bigint").alias("n_queries")
     )
