@@ -2898,7 +2898,11 @@ def dedup_stage_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = legs[0]
     for leg in legs[1:]:
         flags = flags.unionByName(leg)
-    dflags = flags.distinct()
+    # eager checkpoint (r14): dflags feeds BOTH the per-stage census
+    # and the min-stage attribution — unmaterialized, the 4-leg union
+    # (including the text window and the pHash consumer's whole plan)
+    # re-executed once per consumer. The frame is flagged-doc-sized.
+    dflags = flags.distinct().localCheckpoint(eager=True)
     per = dflags.groupBy("stage").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_flagged")
     )

@@ -489,6 +489,14 @@ def layout_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("pr"),
         F.expr("l_orderkey DIV 512").cast("bigint").alias("bkt"),
     )
+    # spread on the window's partition key (r14, guide §2.5): the
+    # 1-row-group lineitem scan otherwise runs BOTH legs' map work
+    # single-task (the window projection and the 4-way countDistinct
+    # expand below); hashpartitioning(bkt, n) satisfies the window's
+    # required distribution, so the window leg pays no extra exchange.
+    from ..session import spread
+
+    base = spread(base, "bkt")
     # (ok2, pk, sk, pr) is a TOTAL order at every fixture SF (the
     # synthetic lineitem repeats (orderkey, linenumber) pairs, so ok2
     # alone would leave LAG ties engine-dependent — SURVEY §8.4)
