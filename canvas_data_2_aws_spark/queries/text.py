@@ -613,7 +613,21 @@ def bm25_postings_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
         tok = docs.select("doc_id", F.explode(T.tokens()).alias("token"))
         tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-        dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        # One tokenize pass instead of four (r14, guide §2.3/§2.4).
+        # The spread's hashpartitioning(doc_id) already satisfies the
+        # (doc_id, token) clustering, so tf has NO exchange of its own
+        # — without a barrier each consumer leg (the join, dl, dfreq,
+        # stats — the last three are separate broadcast-build jobs)
+        # re-ran scan → explode → partial agg over the full corpus
+        # (verified in the executed plan: four Generate explode
+        # subtrees, no ReusedExchange). Checkpointing the (doc, token,
+        # tf) frame — vocabulary-scale, far smaller than the token
+        # stream — runs the explode once; dl = Σ tf per doc is the
+        # exact same token count as re-counting the raw stream
+        # (sf0.1 timing is neutral — each pass is parallel and cheap
+        # at fixture scale — the win is the removed corpus passes).
+        tf = tf.localCheckpoint(eager=True)
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
         dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
         stats = dl.agg(
             F.count(F.lit(1)).alias("n"),
