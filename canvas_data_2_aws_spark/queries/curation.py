@@ -646,7 +646,18 @@ def _build_nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # spread the single-row-group scan before the two token explodes
     # (r14, guide §2.5) — both passes otherwise run as one task.
-    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    #
+    # MEASURED NEGATIVE (r14): collapsing the two token passes into one
+    # via an eager (doc_id, token, n, label) checkpoint — cnt from
+    # Σ label·n and the scored sum rewritten as the exact decimal
+    # Σ n·llr with llr at DECIMAL(19,9) × n at DECIMAL(18,0) (product
+    # DECIMAL(38,9), no scale truncation; scores verified bit-exact at
+    # all three SFs) — benched 0.68-0.81 s old vs 0.88-0.94 s new over
+    # four interleaved sf0.1 reps (pairs never crossed): the checkpoint
+    # write of the vocabulary-pair frame costs more than the saved
+    # explode+join leg here (unlike bm25_postings, whose barrier
+    # removed THREE re-passes). Two partial-aggregated passes stay the
+    # intended shape; do not re-try without new evidence.
     lab = docs.select(
         "doc_id",
         F.when(T.stopword_hits() >= 2, F.lit(1)).otherwise(F.lit(0)).alias("label"),
