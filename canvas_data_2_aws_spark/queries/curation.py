@@ -647,7 +647,7 @@ def _build_nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread the single-row-group scan before the two token explodes
     # (r14, guide §2.5) — both passes otherwise run as one task.
     #
-    # MEASURED NEGATIVE (r14): collapsing the two token passes into one
+    # MEASURED NEGATIVE (r14) at this site: collapsing the two token passes into one
     # via an eager (doc_id, token, n, label) checkpoint — cnt from
     # Σ label·n and the scored sum rewritten as the exact decimal
     # Σ n·llr with llr at DECIMAL(19,9) × n at DECIMAL(18,0) (product
@@ -658,6 +658,7 @@ def _build_nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode+join leg here (unlike bm25_postings, whose barrier
     # removed THREE re-passes). Two partial-aggregated passes stay the
     # intended shape; do not re-try without new evidence.
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     lab = docs.select(
         "doc_id",
         F.when(T.stopword_hits() >= 2, F.lit(1)).otherwise(F.lit(0)).alias("label"),
