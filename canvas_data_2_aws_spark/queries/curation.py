@@ -341,6 +341,15 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram-count tables are vocabulary-sized (broadcast); the probe
     side is the bigram stream — two count aggs + two broadcast joins
     + one per-doc agg, nothing quadratic at any scale."""
+    # MEASURED NEGATIVE (r14): a lazy checkpoint of cu (so v and the
+    # probe broadcast read one vocabulary computation instead of two
+    # scan+explode+aggs; plan 8→4 scans, 10→6 Exchanges) benched
+    # 1.39-1.41 s old vs 1.53-1.92 s new over four interleaved sf0.1
+    # pairs (never crossed): the vocabulary-frame materialization sits
+    # on the critical path while the duplicated count subtrees run
+    # fully pipelined inside parallel broadcast-build jobs — the same
+    # verdict as the NB single-pass probe. Do not re-try without new
+    # evidence.
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select("doc_id", F.split("text", " ").alias("w"))
     bg = words.select(
@@ -2446,15 +2455,32 @@ def sample_coordinated_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    sc = cust.where(
-        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 2) < "20"
-    ).select("c_custkey")
-    so = orders.join(
-        sc, orders.o_custkey == sc.c_custkey, "left_semi"
-    ).select("o_orderkey", "o_custkey")
-    sl = li.join(
-        so, li.l_orderkey == so.o_orderkey, "left_semi"
-    ).select("l_orderkey")
+    # r14 §2.4: sc is consumed 5×, so 4×, sl 2× (counts, semi-joins,
+    # anti-joins) — unmaterialized, the nine 1-row aggregates re-ran
+    # the whole sample chain per consumer: 38 parquet scans in one
+    # plan (8 after). LAZY checkpoints: the first consumer
+    # materializes each keys-only frame and the rest read blocks —
+    # eager measured slightly negative here (3 serialized build jobs
+    # on the critical path), lazy benched neutral-to-better over 5
+    # interleaved pairs. All three frames are keys-only projections
+    # (the guide §8 lightweight-proxy rule), bounded at any scale.
+    sc = (
+        cust.where(
+            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 2) < "20"
+        )
+        .select("c_custkey")
+        .localCheckpoint(eager=False)
+    )
+    so = (
+        orders.join(sc, orders.o_custkey == sc.c_custkey, "left_semi")
+        .select("o_orderkey", "o_custkey")
+        .localCheckpoint(eager=False)
+    )
+    sl = (
+        li.join(so, li.l_orderkey == so.o_orderkey, "left_semi")
+        .select("l_orderkey")
+        .localCheckpoint(eager=False)
+    )
 
     def report(tbl: str, total_df, samp_df, orphan_df) -> DataFrame:
         t = total_df.agg(F.count("*").cast("bigint").alias("n_total"))

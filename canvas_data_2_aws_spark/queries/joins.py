@@ -533,7 +533,21 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     for never shuffling non-matching fact rows."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    build = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    # r14 §2.4: build is consumed FIVE times (the m_bits census, the
+    # occupancy build, the membership broadcast, plus mm's two
+    # crossJoin sites) and occ THREE times (one broadcast per hash
+    # probe) — unmaterialized, every consumer re-ran the customer
+    # scan + filter, 18 parquet scans in one plan. Both frames are
+    # dim-key-sized (|build| and ≤ 3·|build| longs), so eager local
+    # checkpoints bound them at any corpus scale; the after-plan reads
+    # 2 scans (orders + customer once). Locally neutral (pairs within
+    # ±0.1 s at sf0.1 — the duplicated subtrees are dim-cheap here);
+    # at warehouse scale the dim re-scans are the real cost.
+    build = (
+        customer.where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .localCheckpoint(eager=True)
+    )
     # GREATEST(·, 1): an empty build segment would size m_bits = 0 and
     # every position would compute x % 0 — NULL in Spark, error in
     # DuckDB. With m_bits = 1 the occupancy set is empty (no build rows
@@ -566,6 +580,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(mm))
         .select(pos(F.col("j"), "c_custkey").alias("pos"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     probe = orders.crossJoin(F.broadcast(mm))
     for j in range(_BLOOM_K):

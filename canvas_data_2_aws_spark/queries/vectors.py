@@ -503,6 +503,14 @@ def _build_kmeans_assignment(
     # decimal lambdas) and reverted; see OPTIMIZATION_r13.md. The
     # assignment step itself is the two-phase certified argmin
     # (_lloyd_assign, r14) — value-identical to the all-decimal plan.
+    # MEASURED NEGATIVE (r14): spreading pos (hash on vec_id, value-
+    # safe — the certificate bound holds for any summation order and
+    # the decimal legs are order-independent) and spread+checkpoint
+    # both benched neutral-to-worse over 4 interleaved warm pairs
+    # (A 3.0/2.4/1.9/1.6 s vs B 3.3/1.9/2.1/1.7 vs C 3.5/2.5/2.2/1.8):
+    # at the n ≤ cap scale this path ever runs (the >1M-vector corpus
+    # takes _sampled_kmeans_assignment), the wall is ~8 sequential
+    # small jobs of scheduling+codegen, not the single-task compute.
     a1 = _lloyd_assign(pos, centroids(None)).localCheckpoint(eager=True)
     a2 = _lloyd_assign(pos, centroids(a1))
     return (
