@@ -1926,8 +1926,14 @@ def analytics_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by |langs|·|sources| — nothing after the first shuffle is
     corpus-sized."""
     docs = load_table(spark, sf_dir, "documents")
-    obs = docs.groupBy("lang", "source").agg(
-        F.count("*").cast("bigint").alias("o")
+    obs = (
+        docs.groupBy("lang", "source")
+        .agg(F.count("*").cast("bigint").alias("o"))
+        # r14 §2.4: obs is consumed four times (total, both margins,
+        # the MI join) and each evaluation re-scanned the corpus. The
+        # frame is |langs|·|sources| cells; the lazy checkpoint
+        # computes the contingency table once.
+        .localCheckpoint(eager=False)
     )
     nn = obs.agg(F.sum("o").cast("bigint").alias("n"))
     lr = obs.groupBy("lang").agg(F.sum("o").cast("bigint").alias("r"))
@@ -3347,6 +3353,12 @@ def analytics_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cents") > 0)
         .select("segment", "cents")
+        # r14 §2.4: spend is consumed three times (seg census, total
+        # term, within-segment term) and each evaluation re-ran the
+        # orders⋈customer aggregation — three fact-table passes. The
+        # frame is customer-cardinality (segment, cents); the lazy
+        # checkpoint computes it once.
+        .localCheckpoint(eager=False)
     )
     seg = spend.groupBy("segment").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_g"),

@@ -1171,6 +1171,15 @@ def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum(term).cast("double") / F.count("*"), 6).alias("score")
         )
+        # r14 §2.4: lm is consumed twice (the p10 cut and the final
+        # gate join) and each evaluation re-ran the whole bigram-LM
+        # stage — two corpus tokenize+join passes. The frame is
+        # doc-sized (doc_id, score); the lazy checkpoint computes it
+        # once and the cut job hands the blocks to the gate join
+        # (the bm25_postings shape: ≥2 corpus re-passes removed, not
+        # the vocabulary-frame-on-critical-path shape that measured
+        # negative in text_bigram_logprob).
+        .localCheckpoint(eager=False)
     )
     cut = lm.agg(F.expr("percentile(score, 0.1)").alias("p10"))
     return (

@@ -85,6 +85,17 @@ def derive_changeset(orders: DataFrame) -> DataFrame:
         updates.select(*_ORDER_COLS, "action")
         .unionByName(deletes.select(*_ORDER_COLS, "action"))
         .unionByName(inserts)
+        # r14 §2.4: every consumer reads the changeset at least twice
+        # (apply_changeset probes touched keys AND unions the upsert
+        # payload; the IVM queries add delta legs), and unmaterialized
+        # each read re-ran the three-branch derivation — up to 23
+        # base-table scans in one plan (merge_idempotent_reapply).
+        # The frame is changeset-sized (~11% of orders); the lazy
+        # checkpoint derives it once per invocation. In production the
+        # changeset arrives AS data (sources/envelope), so the
+        # materialization mirrors the real shape rather than hiding a
+        # recompute.
+        .localCheckpoint(eager=False)
     )
 
 

@@ -60,10 +60,16 @@ def analytics_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage joins reuse one hash partitioning; stage tables shrink
     monotonically and broadcast at any scale."""
     ev = load_table(spark, sf_dir, "events")
+    # r14 §2.4: fv and fc are each consumed twice (the next stage's
+    # join and that stage's own count row) and each evaluation re-ran
+    # its events pass — six fact scans in one plan (three after). Both
+    # frames are user-sized MIN tables; lazy checkpoints compute each
+    # stage once.
     fv = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        .localCheckpoint(eager=False)
     )
     fc = (
         ev.where(F.col("event_type") == "click")
@@ -71,6 +77,7 @@ def analytics_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .localCheckpoint(eager=False)
     )
     fp = (
         ev.where(F.col("event_type") == "purchase")
