@@ -1822,11 +1822,18 @@ def analytics_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     weighted = uni.select("b", "cents", F.expr(_boot_w_sql("u")).alias("w"))
-    rep = weighted.groupBy("b").agg(
-        (
-            F.sum(F.col("w") * F.col("cents")).cast("double")
-            / F.nullif(F.sum("w"), F.lit(0))
-        ).alias("mean_b")
+    rep = (
+        weighted.groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("cents")).cast("double")
+                / F.nullif(F.sum("w"), F.lit(0))
+            ).alias("mean_b")
+        )
+        # r14 §2.4: rep is consumed twice (the bar mean and the ranked
+        # CI readout) and each evaluation re-ran the 200·n md5 fan-out
+        # — the query's entire cost, twice. 200 rows; computed once.
+        .localCheckpoint(eager=False)
     )
     bar = rep.agg(
         (
@@ -2050,7 +2057,12 @@ def analytics_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("cents")
-    ).select("user_id", (F.col("user_id") % 2).cast("int").alias("arm"), "cents")
+    ).select(
+        "user_id", (F.col("user_id") % 2).cast("int").alias("arm"), "cents"
+    # r14 §2.4: u is consumed twice (the observed difference and the
+    # 200-replicate fan-out) and each evaluation re-ran the events
+    # collapse. User-sized; computed once.
+    ).localCheckpoint(eager=False)
     arm, cents = F.col("arm"), F.col("cents")
     obs = u.agg(
         F.count("*").cast("bigint").alias("n_users"),
@@ -2797,7 +2809,10 @@ def analytics_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.datediff(F.col("horizon"), F.col("d0")).cast("bigint"))
         .alias("wk"),
         F.when(F.col("ev_date").isNull(), 1).otherwise(0).alias("censored"),
-    )
+    # r14 §2.4: u is consumed twice (the daily census and the at-risk
+    # total) and each evaluation re-ran the per-user lifetime collapse
+    # over events. User-sized; computed once.
+    ).localCheckpoint(eager=False)
     wkagg = u.groupBy("wk").agg(
         F.sum(1 - F.col("censored")).cast("bigint").alias("d"),
         F.sum("censored").cast("bigint").alias("c"),

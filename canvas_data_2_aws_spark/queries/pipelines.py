@@ -2428,9 +2428,16 @@ def analytics_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = vals.select(
         "cents", (F.col("na_v") * _KS_PACK + F.col("nb_v")).alias("comb")
     )
-    cumv = R.global_cumsum(packed, ["cents"], "comb", out="cum").select(
-        F.expr(f"cum DIV {_KS_PACK}").alias("cum_a"),
-        (F.col("cum") % _KS_PACK).alias("cum_b"),
+    cumv = (
+        R.global_cumsum(packed, ["cents"], "comb", out="cum")
+        .select(
+            F.expr(f"cum DIV {_KS_PACK}").alias("cum_a"),
+            (F.col("cum") % _KS_PACK).alias("cum_b"),
+        )
+        # r14 §2.4: cumv is consumed twice (the arm totals and the D
+        # scan) and each evaluation re-ran the whole distributed
+        # prefix-sum pipeline. Value-distinct-sized; computed once.
+        .localCheckpoint(eager=False)
     )
     totals = cumv.agg(
         F.max("cum_a").cast("bigint").alias("n_a"),

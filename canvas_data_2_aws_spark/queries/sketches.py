@@ -449,6 +449,12 @@ def agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("fa", F.lit(0)).alias("in_a"),
             F.coalesce("fb", F.lit(0)).alias("in_b"),
         )
+        # MEASURED NEGATIVE (r14): a lazy checkpoint of u (consumed by
+        # the KMV top-k and the exact census; saves one 2-scan distinct
+        # +flag-join pass) benched 0.48/0.49 s old vs 0.55/0.55 s new
+        # over two alternating process pairs (never crossed) — the
+        # distinct-key materialization costs more than the saved pass
+        # here. Do not re-try without new evidence.
     )
     topk = (
         u.select(

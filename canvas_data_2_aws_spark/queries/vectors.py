@@ -963,7 +963,11 @@ def vector_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id", "neighbor_id"
     )
-    bkt = _hyperplane_buckets(emb)
+    # r14 §2.4: bkt is consumed twice (query and corpus sides of the
+    # bucket join) and each evaluation re-ran the hyperplane
+    # projections over every vector. Doc-sized (vec_id, bucket);
+    # computed once.
+    bkt = _hyperplane_buckets(emb).localCheckpoint(eager=False)
     qb = q.join(bkt, "vec_id").select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
