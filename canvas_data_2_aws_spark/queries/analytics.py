@@ -1004,8 +1004,17 @@ def analytics_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ranks import global_cumsum, global_row_number
 
     o = load_table(spark, sf_dir, "orders")
-    cust = o.groupBy("o_custkey").agg(
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents")
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("cents")
+        )
+        # r14 §2.4: cust is consumed three times (rank, cumsum, totals)
+        # and each evaluation re-ran the fact collapse. Customer-sized;
+        # computed once.
+        .localCheckpoint(eager=False)
     )
     keys = [F.col("cents").desc(), F.col("o_custkey")]
     rn = global_row_number(cust, keys, out="rn").select("o_custkey", "rn")
@@ -2934,13 +2943,17 @@ def analytics_sprt_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ranks import global_rank_and_cumsum
 
     ev = load_table(spark, sf_dir, "events")
+    # r14 §2.4: u is consumed twice (the ordered scan and the total)
+    # and llrs twice (the decision index and the boundary readout) —
+    # unmaterialized, the whole distributed rank+cumsum pipeline ran
+    # twice. Both frames are user-sized; computed once each.
     u = ev.groupBy("user_id").agg(
         F.max(
             F.when(
                 (F.col("event_type") == "purchase") & (F.col("value") > 200), 1
             ).otherwise(0)
         ).alias("converted")
-    )
+    ).localCheckpoint(eager=False)
     seq = global_rank_and_cumsum(
         u, ["user_id"], "converted", rank_out="rn", cum_out="conv_t"
     )
@@ -2951,7 +2964,7 @@ def analytics_sprt_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "llr",
         F.col("conv_t") * float(_SPRT_C1)
         + (F.col("rn") - F.col("conv_t")) * float(_SPRT_C0),
-    )
+    ).localCheckpoint(eager=False)
     up, lo = float(_SPRT_UPPER), float(_SPRT_LOWER)
     cr = llrs.agg(
         F.min(

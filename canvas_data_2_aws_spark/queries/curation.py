@@ -284,7 +284,12 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = minhash_truth_cached(spark, sf_dir)
     # r13: reuse the session-memoized signature frame too — the
     # candidate stage then recomputes only banding + bucket pairs.
-    cand = minhash_candidates_from_sig(minhash_sig_cached(spark, sf_dir))
+    # r14 §2.4: cand is consumed twice (the hit join and its own
+    # census) and each evaluation re-ran the banding self-join over
+    # the signature checkpoint. Pair-sized; computed once.
+    cand = minhash_candidates_from_sig(
+        minhash_sig_cached(spark, sf_dir)
+    ).localCheckpoint(eager=False)
     hit = truth.join(cand, ["doc_a", "doc_b"])
     n_truth = truth.agg(F.count("*").alias("n_truth"))
     n_cand = cand.agg(F.count("*").alias("n_cand"))
